@@ -1,13 +1,34 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.config.PipelineConfig
+import graft.queries.{PipelineQueries, RelationalQueries, SimilarityQueries, TextQueries}
+import graft.route.Router
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the operator inventory of SURVEY.md §2 (pipeline parity)
+  * plus the training-data-pipeline extensions (dedup / similarity / text /
+  * multimodal). Every SQL-expressible query has a DuckDB oracle in
+  * `oracleSql` with identical column names; hash/LSH/ANN operators are
+  * declared without oracle (driver rows-only check).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: the full decode→route→enrich pipeline replaying the events
+    * table as Kinesis-style envelopes (driver smoke-checks rows>0). */
+  def entry(spark: SparkSession): DataFrame = {
+    val routed = Pipeline.transform(
+      Pipeline.eventsAsEnvelopes(spark, "/root/testdata/sf0.001"), PipelineConfig())
+    Router.good(routed).select("index_name", "log_type", "log_id", "event_ts", "payload")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    PipelineQueries.queries ++ RelationalQueries.queries ++
+      TextQueries.queries ++ SimilarityQueries.queries
+
+  def oracleSql: Map[String, String] =
+    PipelineQueries.sql ++ RelationalQueries.sql ++
+      TextQueries.sql ++ SimilarityQueries.sql
 }

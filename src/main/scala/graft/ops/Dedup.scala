@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.simhash64
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard. All designed as shuffle-frugal Spark plans:
+  *
+  *  - exact: one hash-aggregate on the fingerprint (single shuffle);
+  *  - MinHash LSH: explode to (band, bandHash) buckets → self-join INSIDE
+  *    buckets only — the classic way to avoid the O(n²) cross join at
+  *    100 TB; candidate verification is a second, far smaller stage;
+  *  - SimHash: one custom codegen'd expression per row, near-dup = small
+  *    Hamming distance, banded the same way;
+  *  - n-gram Jaccard: exact verifier over candidate pairs.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest id per canonical-text fingerprint.
+    * Deterministic survivor choice (min id) so replays are stable. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(TextAnalysis.fingerprint(col(textCol)))
+      .orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Word n-gram shingles (distinct), the unit set for Jaccard. */
+  def wordShingles(c: Column, n: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(c)
+    array_distinct(
+      when(size(toks) < n, array(concat_ws(" ", toks)))
+        .otherwise(transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  /** MinHash signature: numPerm independent hash families realized as
+    * xxhash64 seeded by the family index (rather than the textbook
+    * (a·h+b) mod p permutation, whose multiply overflows under ANSI mode —
+    * seeded xxhash64 is an equally valid min-wise family, built-in and
+    * codegen'd). Embarrassingly parallel, no shuffle. */
+  def minhashSignature(shingleCol: Column, numPerm: Int = 64): Column =
+    array((0 until numPerm).map { i =>
+      array_min(transform(shingleCol, s => xxhash64(lit(i), s)))
+    }: _*)
+
+  /** LSH candidate pairs: signatures banded into `bands`; docs sharing any
+    * band land in one bucket; pairs are generated bucket-locally.
+    * Returns (id_a, id_b) with id_a < id_b, deduplicated across bands. */
+  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                            numPerm: Int = 64, bands: Int = 16): DataFrame = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val rowsPerBand = numPerm / bands
+    val sig = df.select(col(idCol).as("id"),
+      minhashSignature(wordShingles(col(textCol)), numPerm).as("sig"))
+    val banded = sig.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(slice(col("sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand)))): _*)))
+      .toDF("id", "band", "bucket")
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard for given pairs (the verification stage after
+    * LSH candidate generation). `pairs` needs id_a/id_b. */
+  def jaccardVerify(pairs: DataFrame, df: DataFrame, idCol: String,
+                    textCol: String, n: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("_id"), wordShingles(col(textCol), n).as("_sh"))
+    pairs
+      .join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash-estimated Jaccard for all candidate pairs (no exact verify):
+    * fraction of agreeing signature components. */
+  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          numPerm: Int = 64, bands: Int = 16,
+                          threshold: Double = 0.5): DataFrame = {
+    val cands = minhashCandidatePairs(df, idCol, textCol, numPerm, bands)
+    jaccardVerify(cands, df, idCol, textCol).filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash per document (custom expression) + banded near-dup pairs with
+    * Hamming distance ≤ maxHamming. 4 bands of 16 bits: any pair within
+    * Hamming ≤ 3 shares at least one exact 16-bit band. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+      simhash64(TextAnalysis.tokens(col(textCol))).as("sim"))
+    val banded = sigs.select(col("id"), col("sim"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .toDF("id", "sim", "band", "bucket")
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dup: cosine ≥ threshold pairs. Exact within-bucket via
+    * sign-LSH (see [[Similarity.hyperplaneBucket]]) to avoid n². */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double = 0.95, planes: Int = 12): DataFrame = {
+    val e = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.l2norm(col("v")))
+      .withColumn("bucket", Similarity.hyperplaneBucket(col("v"), planes))
+    val a = e.as("a")
+    val b = e.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("cosine",
+        Similarity.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+  }
+}

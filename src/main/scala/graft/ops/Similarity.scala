@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Two tiers, as a 100 TB design demands:
+  *  - brute-force cosine top-k: correct baseline; the query side is small
+  *    and BROADCAST, so the corpus is never shuffled — one scan, no n²
+  *    exchange;
+  *  - sign-LSH (random hyperplanes): corpus bucketed by signature;
+  *    candidate generation joins bucket-locally (shuffle on bucket id, not
+  *    pairwise), then exact re-rank inside buckets. This is the scale path:
+  *    bucket count grows with `planes`, keeping per-bucket work bounded.
+  *
+  * All arithmetic in double via built-in higher-order functions (zip_with /
+  * aggregate) — codegen'd, left-to-right summation, bit-reproducible.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * xxhash64 of the pair scaled to [-1, 1] — no RNG state, reproducible
+    * on any cluster. */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    xxhash64(lit(plane), dim).cast("double") / lit(Long.MaxValue.toDouble)
+
+  /** Sign-LSH bucket id: one bit per hyperplane = sign of <v, r_p>. */
+  def hyperplaneBucket(v: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => x * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Brute-force cosine top-k: every query (small, broadcast) against the
+    * whole corpus. Returns (qid, id, rank, sim). Deterministic tiebreak on
+    * id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, qidCol: String, qvecCol: String,
+                     k: Int = 10): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).cast("array<double>").as("qv"))
+      .withColumn("qnrm", l2norm(col("qv")))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("sim", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "rank", "sim")
+  }
+
+  /** LSH-bucketed ANN top-k: candidates share the full signature bucket OR
+    * any of `bands` sub-signature bands (multi-probe-ish banding so recall
+    * does not collapse as `planes` grows). Exact cosine re-rank inside the
+    * candidate set. Returns (qid, id, rank, sim). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, qidCol: String, qvecCol: String,
+              k: Int = 10, planes: Int = 16, bands: Int = 4): DataFrame = {
+    require(planes % bands == 0)
+    val bandBits = planes / bands
+    val mask = (1L << bandBits) - 1
+
+    def banded(df: DataFrame, id: String, vec: String, pfx: String): DataFrame = {
+      df.select(col(id).as(s"${pfx}id"), col(vec).cast("array<double>").as(s"${pfx}v"))
+        .withColumn(s"${pfx}sig", hyperplaneBucket(col(s"${pfx}v"), planes))
+        .select(col(s"${pfx}id"), col(s"${pfx}v"),
+          posexplode(array((0 until bands).map(b =>
+            shiftright(col(s"${pfx}sig"), b * bandBits).bitwiseAND(lit(mask))): _*)))
+        .toDF(s"${pfx}id", s"${pfx}v", "band", "bucket")
+    }
+
+    val c = banded(corpus, idCol, vecCol, "")
+    val q = banded(queries, qidCol, qvecCol, "q")
+    val cands = c.join(broadcast(q), Seq("band", "bucket"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), col("v"), col("qv"))
+      .distinct()
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
+    cands
+      .withColumn("sim", cosine(col("v"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "rank", "sim")
+  }
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (north star,
+  * BASELINE.json): tokenization, quality scoring, language-ID heuristic,
+  * fingerprinting. All pure `functions._` column expressions — codegen'd,
+  * shuffle-free, linear in input size, so they hold at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer. `trim` first: Java's split drops trailing empty
+    * tokens but keeps leading ones, so untrimmed input would disagree with
+    * other engines (and with itself). */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count: word-piece regex splits on transitions, giving
+    * a crude-but-deterministic proxy for LLM token counts. */
+  def subwordCount(c: Column): Column =
+    size(split(trim(c), "(?<=[a-z])(?=[A-Z])|[\\s]+|(?<=[a-zA-Z])(?=\\d)|(?<=\\d)(?=[a-zA-Z])"))
+
+  /** Characters that are a-z after lowercasing, as fraction of all chars. */
+  def alphaRatio(c: Column): Column =
+    length(regexp_replace(lower(c), "[^a-z]", "")).cast("double") / length(c)
+
+  /** Fraction of chars that are the common punctuation set (kept to a
+    * literal class so external oracles can reproduce it regex-engine-
+    * independently). */
+  def punctRatio(c: Column): Column =
+    length(regexp_replace(c, "[^.,!?;:]", "")).cast("double") / length(c)
+
+  val EnStopwords = "the|a|of|and|to|in|is"
+
+  /** Stopword hits (word-boundary matches of the common-English set). */
+  def stopwordHits(c: Column): Column =
+    regexp_count(lower(c), lit(s"\\b($EnStopwords)\\b"))
+
+  /** Stopword density = hits / tokens — a standard quality signal. */
+  def stopwordDensity(c: Column): Column =
+    stopwordHits(c).cast("double") / tokenCount(c)
+
+  /** Mean word length (chars excluding whitespace / token count). */
+  def avgWordLen(c: Column): Column =
+    length(regexp_replace(c, "\\s+", "")).cast("double") / tokenCount(c)
+
+  /** Heuristic language ID: common-English stopword density thresholding.
+    * Deliberately simple and exactly reproducible by the oracle; the
+    * density itself is exposed for richer scoring. */
+  def langIdGuess(c: Column, threshold: Double = 0.08): Column =
+    when(stopwordDensity(c) >= threshold, "en").otherwise("other")
+
+  /** Document fingerprint: md5 of the whitespace-normalized, lowercased
+    * text — the canonical-form key used by exact dedup. */
+  def fingerprint(c: Column): Column =
+    md5(lower(regexp_replace(trim(c), "\\s+", " ")))
+
+  /** Per-document quality feature vector, appended as columns. */
+  def withQualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val c = col(textCol)
+    df.withColumn("n_tokens", tokenCount(c))
+      .withColumn("alpha_ratio", alphaRatio(c))
+      .withColumn("punct_ratio", punctRatio(c))
+      .withColumn("stop_density", stopwordDensity(c))
+      .withColumn("avg_word_len", avgWordLen(c))
+      .withColumn("lang_guess", langIdGuess(c))
+      .withColumn("fp", fingerprint(c))
+  }
+}

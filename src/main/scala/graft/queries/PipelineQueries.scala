@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Pipeline
+import graft.config.PipelineConfig
+import graft.enrich.Enrich
+import graft.functions.GraftFunctions.gzip_compress
+import graft.route.Router
+
+/** Oracle-checked queries that push the driver's `events` table through the
+  * REAL pipeline (decode → route → enrich) and compare against a relational
+  * oracle computed directly on the raw table (SURVEY.md §5.2.4).
+  *
+  * Each `(name -> query)` has a matching DuckDB SQL in [[sql]]; column
+  * names/aliases line up exactly (the driver hashes by sorted column name).
+  */
+object PipelineQueries {
+
+  private val cfg = PipelineConfig() // prefix "logs", UTC, no whitelist
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(s, dir)
+
+  /** events → JSON envelope bytes, optionally gzipped (exercises D3 against
+    * the same oracle — the oracle doesn't care how bytes were wrapped). */
+  private def envelopes(s: SparkSession, dir: String, gz: Boolean = false): DataFrame = {
+    val env = Pipeline.eventsAsEnvelopes(s, dir)
+    if (gz) env.withColumn("data", gzip_compress(col("data"))) else env
+  }
+
+  /** Deterministically corrupt a slice of the replay, derived from event_id
+    * (NOT synthesized data — a pure transform of the driver table):
+    * id%10==7 → drop log_type; id%10==8 → unparseable time;
+    * id%10==9 → not JSON at all. */
+  private def badmixEnvelopes(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val m = col("event_id") % 10
+    ev.select(
+      col("event_id").cast("string").as("partitionKey"),
+      col("event_id").cast("string").as("sequenceNumber"),
+      col("ts").as("approximateArrival"),
+      when(m === 9, lit("definitely not json"))
+        .otherwise(to_json(struct(
+          when(m === 7, lit(null).cast("string")).otherwise(col("event_type")).as("log_type"),
+          when(m === 8, lit("never oclock")).otherwise(
+            date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")).as("time"),
+          col("event_id").cast("string").as("log_id"),
+          col("user_id"), col("value"))))
+        .cast("binary").as("data"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Flagship: full pipeline, daily-index fan-out counts (D1-D5,P1-P6,E2)
+    "pipe_index_counts" -> ((s, dir) =>
+      Router.good(Pipeline.transform(envelopes(s, dir), cfg))
+        .groupBy("index_name").agg(count(lit(1)).as("n"))
+        .orderBy("index_name")),
+
+    // Same, but every payload gzip-compressed first (D3 vs the same oracle)
+    "pipe_index_counts_gzip" -> ((s, dir) =>
+      Router.good(Pipeline.transform(envelopes(s, dir, gz = true), cfg))
+        .groupBy("index_name").agg(count(lit(1)).as("n"))
+        .orderBy("index_name")),
+
+    // P1/P2: corrupt-slice routing totality through the real router
+    "pipe_route_badmix" -> ((s, dir) =>
+      Pipeline.transform(badmixEnvelopes(s, dir), cfg)
+        .groupBy("route").agg(count(lit(1)).as("n"))
+        .orderBy("route")),
+
+    // P5: unknown-prefix grouping key on the dead-letter channel
+    "pipe_unknown_prefix" -> ((s, dir) =>
+      Router.failed(Pipeline.transform(badmixEnvelopes(s, dir), cfg))
+        .groupBy("log_type").agg(count(lit(1)).as("n"))
+        .orderBy("log_type")),
+
+    // P4: whitelist filter inside the pipeline
+    "pipe_whitelist" -> ((s, dir) => {
+      val wl = cfg.copy(logTypeWhitelist = Some(Set("click", "view", "purchase")))
+      Router.good(Pipeline.transform(envelopes(s, dir), wl))
+        .groupBy("log_type").agg(count(lit(1)).as("n"))
+        .orderBy("log_type")
+    }),
+
+    // P6/F5: duplicate delivery collapsed by log_id (idempotent replay)
+    "pipe_dedup_replay" -> ((s, dir) => {
+      val env = envelopes(s, dir)
+      Router.good(Pipeline.transform(env.union(env), cfg))
+        .dropDuplicates("log_id")
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // E5: bulk chunk plan per daily index (BULK_CHUNK_SIZE=500)
+    "pipe_chunk_plan" -> ((s, dir) => {
+      val goodCounts = Router.good(Pipeline.transform(envelopes(s, dir), cfg))
+        .groupBy("index_name").agg(count(lit(1)).as("n"))
+      goodCounts
+        .withColumn("chunks", Enrich.chunkCount(col("n"), cfg.bulkChunkSize))
+        .orderBy("index_name")
+    }),
+
+    // K3: dead-letter partition layout {log_type}/{yyyy-MM}/{dd} for the
+    // failures that still carry a parseable event time (missing_type slice)
+    "pipe_deadletter_layout" -> ((s, dir) =>
+      Router.failed(Pipeline.transform(badmixEnvelopes(s, dir), cfg))
+        .where(col("event_ts").isNotNull)
+        .select(col("log_type"),
+          date_format(col("event_ts"), "yyyy-MM").as("ym"),
+          date_format(col("event_ts"), "dd").as("dd"))
+        .groupBy("log_type", "ym", "dd").agg(count(lit(1)).as("n"))
+        .orderBy("log_type", "ym", "dd"))
+  )
+
+  /** DuckDB oracles (driver runs these on the same parquet). */
+  val sql: Map[String, String] = {
+    val indexExpr = "concat('logs-', event_type, '-', strftime(ts, '%Y%m%d'))"
+    val routeExpr =
+      """CASE WHEN event_id % 10 = 9 THEN 'failed:not_json'
+        |     WHEN event_id % 10 = 7 THEN 'failed:missing_type'
+        |     WHEN event_id % 10 = 8 THEN 'failed:bad_timestamp'
+        |     ELSE 'good' END""".stripMargin
+    Map(
+      "pipe_index_counts" ->
+        s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
+      "pipe_index_counts_gzip" ->
+        s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
+      "pipe_route_badmix" ->
+        s"SELECT $routeExpr AS route, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
+      "pipe_unknown_prefix" ->
+        s"""SELECT CASE WHEN event_id % 10 IN (7, 9) THEN 'unknown' ELSE event_type END AS log_type,
+           |       count(*) AS n
+           |FROM events WHERE event_id % 10 IN (7, 8, 9) GROUP BY 1 ORDER BY 1""".stripMargin,
+      "pipe_whitelist" ->
+        """SELECT event_type AS log_type, count(*) AS n FROM events
+          |WHERE event_type IN ('click','view','purchase') GROUP BY 1 ORDER BY 1""".stripMargin,
+      "pipe_dedup_replay" ->
+        "SELECT count(DISTINCT event_id) AS n FROM events",
+      "pipe_chunk_plan" ->
+        s"""SELECT index_name, n, CAST(ceil(n / 500.0) AS BIGINT) AS chunks
+           |FROM (SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1) t
+           |ORDER BY index_name""".stripMargin,
+      "pipe_deadletter_layout" ->
+        """SELECT 'unknown' AS log_type, strftime(ts, '%Y-%m') AS ym, strftime(ts, '%d') AS dd,
+          |       count(*) AS n
+          |FROM events WHERE event_id % 10 = 7 GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+    )
+  }
+}

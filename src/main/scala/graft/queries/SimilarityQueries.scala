@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+/** Similarity-search queries over `embeddings` (vec_id, embedding
+  * list<float>, label). Brute-force cosine is oracle-checked against
+  * DuckDB (both sides: double precision, left-to-right summation); the LSH
+  * variant is approximate by design → rows-only + an internal recall
+  * query. */
+object SimilarityQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Brute-force cosine top-10 for 10 query vectors (the baseline)
+    "sim_bruteforce_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding", "vec_id", "embedding")
+        .select(col("qid"), col("id"), col("rank"), round(col("sim"), 4).as("sim"))
+        .orderBy("qid", "rank")
+    }),
+
+    // Threshold pairs on a deterministic query sample (near-dup at scale)
+    "sim_threshold_pairs" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") % 20 === 0)
+      Similarity.bruteForceTopK(e, q, "vec_id", "embedding", "vec_id", "embedding", k = 3)
+        .filter(col("sim") >= 0.2)
+        .select(col("qid"), col("id"), round(col("sim"), 4).as("sim"))
+        .orderBy("qid", "id")
+    }),
+
+    // LSH-bucketed ANN top-k [rows-only; approximate]
+    "sim_lsh_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.lshTopK(
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding", "vec_id", "embedding")
+        .select(col("qid"), col("id"), col("rank"), round(col("sim"), 4).as("sim"))
+        .orderBy("qid", "rank")
+    }),
+
+    // LSH recall vs brute force — the ANN quality metric [rows-only]
+    "sim_lsh_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", "vec_id", "embedding")
+        .select("qid", "id")
+      val approx = Similarity.lshTopK(e, q, "vec_id", "embedding", "vec_id", "embedding")
+        .select("qid", "id")
+      exact.join(approx, Seq("qid", "id"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("hits"))
+        .withColumn("recall_at_10", round(col("hits") / 10.0, 2))
+        .orderBy("qid")
+    }),
+
+    // Label centroid distances: vector aggregation via higher-order fns
+    "sim_label_centroids" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      val dim = 64
+      val sums = (0 until dim).map(i => sum(element_at(col("v"), i + 1)).as(s"s$i"))
+      e.groupBy("label").agg(sums.head, sums.tail: _*)
+        .withColumn("centroid_norm",
+          round(sqrt((0 until dim).map(i => col(s"s$i") * col(s"s$i")).reduce(_ + _)), 4))
+        .select(col("label"), col("centroid_norm"))
+        .orderBy("label")
+    })
+  )
+
+  val sql: Map[String, String] = Map(
+    "sim_bruteforce_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10)
+        |SELECT qid, vec_id AS id, rank, round(sim, 4) AS sim FROM (
+        |  SELECT qid, vec_id,
+        |         list_dot_product(qv, v) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS sim,
+        |         row_number() OVER (PARTITION BY qid
+        |           ORDER BY list_dot_product(qv, v) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) DESC,
+        |                    vec_id) AS rank
+        |  FROM e, q WHERE vec_id <> qid) t
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "sim_threshold_pairs" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 20 = 0)
+        |SELECT qid, vec_id AS id, round(sim, 4) AS sim FROM (
+        |  SELECT qid, vec_id,
+        |         list_dot_product(qv, v) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS sim,
+        |         row_number() OVER (PARTITION BY qid
+        |           ORDER BY list_dot_product(qv, v) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) DESC,
+        |                    vec_id) AS rank
+        |  FROM e, q WHERE vec_id <> qid) t
+        |WHERE rank <= 3 AND sim >= 0.2 ORDER BY qid, id""".stripMargin
+  )
+}

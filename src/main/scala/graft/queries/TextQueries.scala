@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, TextAnalysis}
+
+/** Text-analysis / dedup / multimodal queries over `documents`.
+  * Oracle-checked where DuckDB can express the same computation; the
+  * hash/LSH operators (engine-specific hash functions) are declared without
+  * oracle → driver rows-only check. */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Token statistics per language bucket
+    "txt_token_stats" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+        .groupBy("lang")
+        .agg(sum("n_tokens").as("total_tokens"),
+          round(avg("n_tokens"), 4).as("avg_tokens"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("lang")),
+
+    // Quality scoring aggregates
+    "txt_quality" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("alpha_ratio", TextAnalysis.alphaRatio(col("text")))
+        .withColumn("stop_hits", TextAnalysis.stopwordHits(col("text")))
+        .withColumn("awl", TextAnalysis.avgWordLen(col("text")))
+        .groupBy("lang")
+        .agg(round(avg("alpha_ratio"), 4).as("avg_alpha_ratio"),
+          sum("stop_hits").as("total_stop_hits"),
+          round(avg("awl"), 4).as("avg_word_len"))
+        .orderBy("lang")),
+
+    // Language-ID heuristic distribution
+    "txt_langid" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("lang_guess", TextAnalysis.langIdGuess(col("text")))
+        .groupBy("lang_guess").agg(count(lit(1)).as("n"))
+        .orderBy("lang_guess")),
+
+    // Per-document canonical fingerprint (exact-dedup key)
+    "txt_fingerprint" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // Exact dedup survivors (min doc_id per fingerprint)
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir), "doc_id", "text")
+        .select("doc_id").orderBy("doc_id")),
+
+    // MinHash+LSH near-dup candidates, exact-Jaccard verified [rows-only]
+    "dedup_minhash_pairs" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.jaccardVerify(
+        Dedup.minhashCandidatePairs(d, "doc_id", "text"), d, "doc_id", "text")
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+        .limit(100)
+    }),
+
+    // SimHash near-dup pairs (custom expression + banding) [rows-only]
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 16)
+        .orderBy(col("hamming"), col("id_a"), col("id_b"))
+        .limit(100)),
+
+    // n-gram Jaccard near-dups within same-source buckets [rows-only]
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bySource = d.select(col("doc_id"), col("source"), col("text"))
+      val a = bySource.toDF("id_a", "source", "text_a")
+      val b = bySource.toDF("id_b", "source_b", "text_b")
+      val pairs = a.join(b, col("source") === col("source_b") && col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      Dedup.jaccardVerify(pairs, d, "doc_id", "text")
+        .filter(col("jaccard") >= 0.2)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+        .limit(100)
+    }),
+
+    // Multimodal manifest: blob accounting per source (real plumbing,
+    // bytes == UTF-8 text bytes so the oracle can reproduce it)
+    "mm_manifest" -> ((s, dir) =>
+      Multimodal.asMediaTable(docs(s, dir)).toDF()
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_blobs"),
+          sum(octet_length(col("content"))).as("total_bytes"))
+        .orderBy("source")),
+
+    // Multimodal feature extraction through the per-partition kernel
+    // (stubbed codec, real batch plumbing) [rows-only]
+    "mm_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+        Multimodal.asMediaTable(docs(s, dir)),
+        Multimodal.StubKernels.imageFeature)
+        .toDF()
+        .select(col("media_id"), col("n_bytes"), col("checksum"), col("n_frames"))
+        .orderBy("media_id"))
+  )
+
+  val sql: Map[String, String] = Map(
+    "txt_token_stats" ->
+      """SELECT lang,
+        |       CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+        |       round(avg(len(string_split_regex(trim(text), '\s+'))), 4) AS avg_tokens,
+        |       count(*) AS n_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "txt_quality" ->
+      """SELECT lang,
+        |       round(avg(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1.0 / length(text)), 4)
+        |         AS avg_alpha_ratio,
+        |       CAST(sum(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b'))) AS BIGINT)
+        |         AS total_stop_hits,
+        |       round(avg(length(regexp_replace(text, '\s+', '', 'g')) * 1.0
+        |                 / len(string_split_regex(trim(text), '\s+'))), 4) AS avg_word_len
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "txt_langid" ->
+      """SELECT CASE WHEN len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) * 1.0
+        |                 / len(string_split_regex(trim(text), '\s+')) >= 0.08
+        |            THEN 'en' ELSE 'other' END AS lang_guess, count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "txt_fingerprint" ->
+      """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT doc_id FROM (
+        |  SELECT doc_id, row_number() OVER (
+        |    PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+        |    ORDER BY doc_id) AS rn
+        |  FROM documents) t WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "mm_manifest" ->
+      """SELECT source, count(*) AS n_blobs,
+        |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  )
+}

@@ -1,0 +1,99 @@
+package graft.route
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.config.PipelineConfig
+import graft.model.Schemas
+
+/** P1–P6 parse / validate / route (SURVEY.md §2.3).
+  *
+  * Implements the README contract of the reference (reference README.md:9-14,
+  * lambda/main.py:90-106), with its defects fixed (SURVEY.md §2.8):
+  * non-JSON payloads are dead-lettered rather than dropped (F7), and an
+  * empty whitelist means allow-all (F6).
+  *
+  * Routing is per-row `when/otherwise` — no shuffle, stays in one
+  * whole-stage-codegen span, and the split into good/failed/dropped is a
+  * partitioned filter that Catalyst pushes into the scan where possible.
+  */
+object Router {
+
+  object Route {
+    val Good = "good"
+    val NotJson = "failed:not_json"
+    val MissingType = "failed:missing_type"
+    val MissingTimestamp = "failed:missing_timestamp"
+    val BadTimestamp = "failed:bad_timestamp"
+    val NotWhitelisted = "dropped:not_whitelisted"
+  }
+
+  /** P3: lenient timestamp ladder standing in for the reference's
+    * `dateutil.parser.parse` contract ("any timestamp supported by
+    * dateutil", reference README.md:14). Documented supported formats, in
+    * precedence order: ISO-8601 / Spark-native (with offsets, T or space),
+    * `yyyy/MM/dd HH:mm:ss`, Apache CLF `dd/MMM/yyyy:HH:mm:ss Z`,
+    * RFC-1123, compact `yyyyMMdd'T'HHmmss[X]`, and bare epoch
+    * seconds / milliseconds. Unparseable → null → dead-letter
+    * (`timestamp_required=True`, reference lambda/main.py:105). */
+  def lenientTimestamp(c: Column): Column = coalesce(
+    try_to_timestamp(c),
+    try_to_timestamp(c, lit("yyyy/MM/dd HH:mm:ss")),
+    try_to_timestamp(c, lit("dd/MMM/yyyy:HH:mm:ss Z")),
+    // (RFC-1123 'EEE,' day names are not a legal Spark 3+ parse pattern;
+    // records in that shape fall through to the dead-letter channel.)
+    try_to_timestamp(c, lit("yyyyMMdd'T'HHmmssX")),
+    try_to_timestamp(c, lit("yyyyMMdd'T'HHmmss")),
+    when(c.rlike("^\\d{13}$"), timestamp_millis(c.cast(LongType))),
+    when(c.rlike("^\\d{10}$"), timestamp_seconds(c.cast(LongType)))
+  )
+
+  /** Parse + validate + route. Appends:
+    *   - `log_type`: routing key, `cfg.logTypeUnknownPrefix` when absent (P5)
+    *   - `log_id`:   unique-ID field (P6), may be null
+    *   - `event_ts`: parsed event time (P3), null when unparseable
+    *   - `route`:    one of [[Route]] (P2/P4)
+    * Every input row lands in exactly one route (totality is property-tested).
+    */
+  def route(df: DataFrame, cfg: PipelineConfig, payloadCol: String = "payload"): DataFrame = {
+    val parsed = df.withColumn("_core",
+      from_json(col(payloadCol), Schemas.core(cfg),
+        Map("columnNameOfCorruptRecord" -> Schemas.corruptField)))
+
+    val rawType = col("_core").getField(cfg.logTypeField)
+    val rawTs = col("_core").getField(cfg.logTimestampField)
+    val corrupt = col("_core").getField(Schemas.corruptField)
+
+    val whitelisted: Column = cfg.effectiveWhitelist match {
+      case Some(wl) => rawType.isin(wl.toSeq: _*)
+      case None => lit(true)
+    }
+
+    parsed
+      .withColumn("log_type", coalesce(rawType, lit(cfg.logTypeUnknownPrefix)))
+      .withColumn("log_id", col("_core").getField(cfg.logIdField))
+      .withColumn("event_ts", lenientTimestamp(rawTs))
+      .withColumn("route",
+        when(corrupt.isNotNull || col("_core").isNull, Route.NotJson)
+          .when(rawType.isNull, Route.MissingType)
+          .when(rawTs.isNull, Route.MissingTimestamp)
+          .when(col("event_ts").isNull, Route.BadTimestamp)
+          .when(!whitelisted, Route.NotWhitelisted)
+          .otherwise(Route.Good))
+      .drop("_core")
+  }
+
+  /** The three disjoint channels of the routed stream. */
+  def good(routed: DataFrame): DataFrame =
+    routed.filter(col("route") === Route.Good)
+
+  /** Dead-letter channel (validation failures; reference lambda/main.py:96-106). */
+  def failed(routed: DataFrame): DataFrame =
+    routed.filter(col("route").startsWith("failed:"))
+
+  /** Whitelist rejects — intentionally discarded, not dead-lettered
+    * (reference lambda/main.py:104). */
+  def dropped(routed: DataFrame): DataFrame =
+    routed.filter(col("route").startsWith("dropped:"))
+}

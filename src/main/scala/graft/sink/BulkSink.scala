@@ -1,0 +1,107 @@
+package graft.sink
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+
+import graft.config.PipelineConfig
+
+/** One indexable action: ES `_bulk` meta + source document. */
+final case class BulkAction(indexName: String, id: String, source: String)
+
+/** Outcome of pushing one action (K2 partial-failure capture;
+  * reference lambda/main.py:149-153). */
+final case class BulkReject(indexName: String, id: String, source: String, error: String)
+
+/** Transport behind the bulk sink. Instantiated once per partition
+  * (mirroring the reference's one ES client per invocation,
+  * lambda/main.py:76-84); implementations must be cheap to construct or
+  * pool internally.
+  *
+  * Offline/test implementations write NDJSON bulk bodies to files; a
+  * production implementation would POST to `_bulk` with SigV4 auth.
+  */
+trait BulkTransport extends Serializable {
+  /** Send one chunk (≤ chunkSize actions) as an ES bulk request.
+    * @param body NDJSON: action-meta line + source line per action
+    * @param actions the actions, aligned with the body
+    * @return per-action rejects (empty = all indexed) */
+  def sendChunk(body: String, actions: Seq[BulkAction]): Seq[BulkReject]
+  def close(): Unit = ()
+}
+
+/** Writes each bulk body to a uniquely named NDJSON file under `dir` —
+  * the zero-egress stand-in for the ES `_bulk` endpoint, and the golden-
+  * test observable (byte-exact bulk bodies, SURVEY.md §5.2). */
+final class FileBulkTransport(dir: String) extends BulkTransport {
+  override def sendChunk(body: String, actions: Seq[BulkAction]): Seq[BulkReject] = {
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    val f = java.io.File.createTempFile("bulk-", ".ndjson", d)
+    java.nio.file.Files.write(f.toPath, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Nil
+  }
+}
+
+/** Test transport rejecting actions by predicate — exercises K2. */
+final class RejectingTransport(rejectIf: BulkAction => Boolean) extends BulkTransport {
+  override def sendChunk(body: String, actions: Seq[BulkAction]): Seq[BulkReject] =
+    actions.filter(rejectIf).map(a => BulkReject(a.indexName, a.id, a.source, "mapper_parsing_exception"))
+}
+
+/** K1: ES bulk sink. Distributed — each partition chunks its actions into
+  * ≤`bulkChunkSize` NDJSON bodies and sends them through the transport;
+  * rejects stream back as a DataFrame (no driver-side collect anywhere).
+  * At 100 TB scale the parallelism is the partition count; there is no
+  * shuffle on this path.
+  */
+object BulkSink {
+
+  /** Build the exact `_bulk` NDJSON body for a chunk. Meta matches the
+    * reference's action envelope (lambda/main.py:116) plus `_id` (F5 fix).
+    * JSON string escaping is delegated to the source being already-JSON and
+    * ids being JSON-escaped here. */
+  def bulkBody(actions: Seq[BulkAction]): String = {
+    val sb = new StringBuilder(actions.iterator.map(_.source.length + 64).sum)
+    actions.foreach { a =>
+      sb.append("{\"index\":{\"_index\":\"").append(jsonEscape(a.indexName)).append('"')
+      if (a.id != null) sb.append(",\"_id\":\"").append(jsonEscape(a.id)).append('"')
+      sb.append("}}\n").append(a.source).append('\n')
+    }
+    sb.toString
+  }
+
+  private def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** Push `good` (needs columns index_name, log_id, payload) through the
+    * transport; returns the rejects as a Dataset (route to the dead-letter
+    * sink, K4). Lazily evaluated — caller must act on the result. */
+  def push(good: DataFrame, cfg: PipelineConfig, transport: () => BulkTransport): Dataset[BulkReject] = {
+    val chunkSize = cfg.bulkChunkSize
+    implicit val rejectEnc = Encoders.product[BulkReject]
+    implicit val actionEnc = Encoders.product[BulkAction]
+    good
+      .selectExpr("index_name as indexName", "log_id as id", "payload as source")
+      .as[BulkAction]
+      .mapPartitions { it =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val t = transport()
+          val rejects = it.grouped(chunkSize).flatMap { chunk =>
+            t.sendChunk(bulkBody(chunk), chunk)
+          }
+          // exhaust before close: grouped is lazy
+          val out = rejects.toVector
+          t.close()
+          out.iterator
+        }
+      }
+  }
+}
