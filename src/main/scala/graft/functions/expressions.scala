@@ -134,6 +134,205 @@ object SimHash64 {
   }
 }
 
+/** MinHash signature in ONE pass over the shingle array: per shingle a
+  * single xxhash64, then `numPerm` cheap universal-hash mixes (a·h+b with
+  * Java wraparound), tracking all minima simultaneously. Composing this
+  * from built-in higher-order functions needs numPerm separate array
+  * traversals and a ~numPerm× larger codegen'd expression tree (observed:
+  * 100× slower and janino-hostile), so this is exactly the case for a
+  * custom Expression. */
+case class MinHashSignature(child: Expression, numPerm: Int) extends UnaryExpression {
+  require(numPerm > 0 && numPerm <= 512)
+  private def isHashed: Boolean = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) |
+         ArrayType(org.apache.spark.sql.types.LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING> or ARRAY<BIGINT> (pre-hashed) input")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_signature"
+
+  override protected def nullSafeEval(input: Any): Any =
+    if (isHashed) MinHashSignature.computeFromHashes(input.asInstanceOf[ArrayData], numPerm)
+    else MinHashSignature.compute(input.asInstanceOf[ArrayData], numPerm)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isHashed) "computeFromHashes" else "compute"
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MinHashSignature.$fn($c, $numPerm)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSignature {
+  private val MaxPerm = 512
+  // Fixed universal-hash parameters (odd multipliers), seeded once.
+  private val (as, bs) = {
+    val rnd = new java.util.Random(42)
+    (Array.fill(MaxPerm)(rnd.nextLong() | 1L), Array.fill(MaxPerm)(rnd.nextLong()))
+  }
+
+  def compute(shingles: ArrayData, numPerm: Int): ArrayData = {
+    val mins = new Array[Long](numPerm)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val s = shingles.getUTF8String(i)
+      if (s != null) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+        update(mins, h, numPerm)
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Variant over pre-hashed shingles (array<long>, e.g. [[ShingleHashes]]
+    * output) — skips the string re-hash. */
+  def computeFromHashes(shingles: ArrayData, numPerm: Int): ArrayData = {
+    val mins = new Array[Long](numPerm)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      update(mins, shingles.getLong(i), numPerm)
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  private def update(mins: Array[Long], h: Long, numPerm: Int): Unit = {
+    var p = 0
+    while (p < numPerm) {
+      val m = as(p) * h + bs(p)
+      if (m < mins(p)) mins(p) = m
+      p += 1
+    }
+  }
+}
+
+/** Distinct hashed word n-gram shingles in ONE pass: tokens → xxhash64 of
+  * each n-gram (rolling window over pre-hashed tokens, combined with a
+  * mixing step) → distinct array<long>. The composed built-in form
+  * (sequence+transform+slice+concat_ws) re-evaluates its inputs per lambda
+  * element — observed ~1ms/doc; this is O(tokens). */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires ARRAY<STRING> input")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHashes.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHashes.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  def compute(tokens: ArrayData, n: Int): ArrayData = {
+    val cnt = tokens.numElements()
+    val th = new Array[Long](cnt)
+    var i = 0
+    while (i < cnt) {
+      val t = tokens.getUTF8String(i)
+      th(i) =
+        if (t == null) 0L
+        else org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes(), 42L)
+      i += 1
+    }
+    val m = if (cnt <= n) 1 else cnt - n + 1
+    val set = new java.util.HashSet[java.lang.Long](m * 2)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](m)
+    var s = 0
+    while (s < m) {
+      var h = -7046029254386353131L // FNV-style seed
+      var j = s
+      val end = math.min(s + n, cnt)
+      while (j < end) {
+        h = java.lang.Long.rotateLeft(h, 5) ^ th(j)
+        h *= -8796714831421723037L // 64-bit odd mixing constant
+        j += 1
+      }
+      if (set.add(h)) out += h
+      s += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** Sign-LSH hyperplane signature in ONE pass: bit p = sign of <v, r_p>,
+  * where r_p components are deterministic pseudo-random values derived by
+  * hash-mixing (plane, dim) — reproducible on any cluster, no RNG state,
+  * no stored plane matrix. Replaces planes × (zip_with+aggregate)
+  * traversals. */
+case class HyperplaneSig(child: Expression, planes: Int) extends UnaryExpression {
+  require(planes > 0 && planes <= 64)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires ARRAY<DOUBLE> input")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hyperplane_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HyperplaneSig.compute(input.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HyperplaneSig.compute($c, $planes)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HyperplaneSig {
+  /** splitmix64 finalizer — uniform component in [-1, 1). */
+  private def component(plane: Int, dim: Int): Double = {
+    var z = plane.toLong * 0x9E3779B97F4A7C15L + dim.toLong * 0xC2B2AE3D27D4EB4FL + 42L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= (z >>> 31)
+    z.toDouble / Long.MaxValue.toDouble
+  }
+
+  def compute(v: ArrayData, planes: Int): Long = {
+    val dims = v.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      var proj = 0.0
+      var d = 0
+      while (d < dims) {
+        proj += v.getDouble(d) * component(p, d)
+        d += 1
+      }
+      if (proj >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+}
+
 /** Column-API surface for the custom expressions. */
 object GraftFunctions {
   private def col(e: Expression): Column = Bridge.column(e)
@@ -143,6 +342,10 @@ object GraftFunctions {
   def kpl_deaggregate(c: Column): Column = col(KplDeaggregate(expr(c)))
   def gzip_compress(c: Column): Column = col(GzipCompress(expr(c)))
   def simhash64(c: Column): Column = col(SimHash64(expr(c)))
+  def minhash_signature(c: Column, numPerm: Int): Column =
+    col(MinHashSignature(expr(c), numPerm))
+  def shingle_hashes(c: Column, n: Int): Column = col(ShingleHashes(expr(c), n))
+  def hyperplane_sig(c: Column, planes: Int): Column = col(HyperplaneSig(expr(c), planes))
 
   /** Register for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

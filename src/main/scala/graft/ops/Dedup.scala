@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.GraftFunctions.simhash64
+import graft.functions.GraftFunctions.{shingle_hashes, simhash64}
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
   * SimHash, and n-gram Jaccard. All designed as shuffle-frugal Spark plans:
@@ -28,7 +28,10 @@ object Dedup {
       .filter(col("_rn") === 1).drop("_rn")
   }
 
-  /** Word n-gram shingles (distinct), the unit set for Jaccard. */
+  /** Word n-gram shingles (distinct strings) — reference form, used in
+    * tests/specs. The hot paths use [[hashedShingles]] (one custom-
+    * Expression pass) instead: the composed form re-evaluates the token
+    * split per lambda element (~1ms/doc). */
   def wordShingles(c: Column, n: Int = 3): Column = {
     val toks = TextAnalysis.tokens(c)
     array_distinct(
@@ -38,15 +41,18 @@ object Dedup {
           i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
   }
 
-  /** MinHash signature: numPerm independent hash families realized as
-    * xxhash64 seeded by the family index (rather than the textbook
-    * (a·h+b) mod p permutation, whose multiply overflows under ANSI mode —
-    * seeded xxhash64 is an equally valid min-wise family, built-in and
-    * codegen'd). Embarrassingly parallel, no shuffle. */
+  /** Distinct hashed n-gram shingles: tokenize once, then one O(tokens)
+    * pass ([[graft.functions.ShingleHashes]]). The set currency for
+    * MinHash and Jaccard. */
+  def hashedShingles(c: Column, n: Int = 3): Column =
+    shingle_hashes(TextAnalysis.tokens(c), n)
+
+  /** MinHash signature: one custom-Expression pass over the shingles
+    * (per-shingle xxhash64 + numPerm universal-hash mixes, all minima
+    * tracked simultaneously — see [[graft.functions.MinHashSignature]]).
+    * Embarrassingly parallel, no shuffle. */
   def minhashSignature(shingleCol: Column, numPerm: Int = 64): Column =
-    array((0 until numPerm).map { i =>
-      array_min(transform(shingleCol, s => xxhash64(lit(i), s)))
-    }: _*)
+    graft.functions.GraftFunctions.minhash_signature(shingleCol, numPerm)
 
   /** LSH candidate pairs: signatures banded into `bands`; docs sharing any
     * band land in one bucket; pairs are generated bucket-locally.
@@ -55,8 +61,9 @@ object Dedup {
                             numPerm: Int = 64, bands: Int = 16): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val rowsPerBand = numPerm / bands
-    val sig = df.select(col(idCol).as("id"),
-      minhashSignature(wordShingles(col(textCol)), numPerm).as("sig"))
+    val sig = Par.spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("id"),
+        minhashSignature(hashedShingles(col(textCol)), numPerm).as("sig"))
     val banded = sig.select(col("id"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(slice(col("sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand)))): _*)))
@@ -71,17 +78,25 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact n-gram Jaccard for given pairs (the verification stage after
-    * LSH candidate generation). `pairs` needs id_a/id_b. */
+  /** Exact n-gram Jaccard for given candidate pairs (the verification
+    * stage after LSH/blocking candidate generation). `pairs` needs
+    * id_a/id_b. Work is O(|pairs| × set size) — the candidate generator's
+    * job is to keep |pairs| near-linear in corpus size (LSH banding or
+    * blocking), which is what makes the two-stage design hold at 100 TB.
+    * Shingles are xxhash64'd once per doc before the join (set ops over
+    * longs, Jaccard identical up to negligible collision probability);
+    * `common/(|A|+|B|−common)` avoids materializing the union. */
   def jaccardVerify(pairs: DataFrame, df: DataFrame, idCol: String,
                     textCol: String, n: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("_id"), wordShingles(col(textCol), n).as("_sh"))
-    pairs
-      .join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
-      .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+    val sh = Par.spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("_id"), hashedShingles(col(textCol), n).as("_sh"))
+      .withColumn("_n", size(col("_sh")))
+    Par.spread(pairs)
+      .join(sh.toDF("id_a", "sh_a", "n_a"), "id_a")
+      .join(sh.toDF("id_b", "sh_b", "n_b"), "id_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
       .select("id_a", "id_b", "jaccard")
   }
 
@@ -99,8 +114,9 @@ object Dedup {
     * Hamming ≤ 3 shares at least one exact 16-bit band. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"),
-      simhash64(TextAnalysis.tokens(col(textCol))).as("sim"))
+    val sigs = Par.spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("id"),
+        simhash64(TextAnalysis.tokens(col(textCol))).as("sim"))
     val banded = sigs.select(col("id"), col("sim"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))

@@ -35,8 +35,17 @@ object Similarity {
   private def planeComponent(plane: Int, dim: Column): Column =
     xxhash64(lit(plane), dim).cast("double") / lit(Long.MaxValue.toDouble)
 
-  /** Sign-LSH bucket id: one bit per hyperplane = sign of <v, r_p>. */
-  def hyperplaneBucket(v: Column, planes: Int): Column = {
+  /** Sign-LSH bucket id: one bit per hyperplane = sign of <v, r_p>.
+    * One custom-Expression pass ([[graft.functions.HyperplaneSig]]) —
+    * plane components derived by hash-mixing (plane, dim), so no plane
+    * matrix is stored or broadcast. */
+  def hyperplaneBucket(v: Column, planes: Int): Column =
+    graft.functions.GraftFunctions.hyperplane_sig(v, planes)
+
+  /** Built-in-only composition of a sign-LSH signature (different plane
+    * derivation than [[hyperplaneBucket]]; kept to document the composed
+    * form and for property tests of the bucketing idea). */
+  def hyperplaneBucketReference(v: Column, planes: Int): Column = {
     val bits = (0 until planes).map { p =>
       val proj = aggregate(
         zip_with(v, sequence(lit(0), size(v) - 1),
@@ -53,7 +62,7 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, qidCol: String, qvecCol: String,
                      k: Int = 10): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val c = Par.spread(corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v")))
       .withColumn("nrm", l2norm(col("v")))
     val q = queries.select(col(qidCol).as("qid"), col(qvecCol).cast("array<double>").as("qv"))
       .withColumn("qnrm", l2norm(col("qv")))
@@ -78,7 +87,7 @@ object Similarity {
     val mask = (1L << bandBits) - 1
 
     def banded(df: DataFrame, id: String, vec: String, pfx: String): DataFrame = {
-      df.select(col(id).as(s"${pfx}id"), col(vec).cast("array<double>").as(s"${pfx}v"))
+      Par.spread(df.select(col(id).as(s"${pfx}id"), col(vec).cast("array<double>").as(s"${pfx}v")))
         .withColumn(s"${pfx}sig", hyperplaneBucket(col(s"${pfx}v"), planes))
         .select(col(s"${pfx}id"), col(s"${pfx}v"),
           posexplode(array((0 until bands).map(b =>

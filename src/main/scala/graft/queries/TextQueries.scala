@@ -72,13 +72,17 @@ object TextQueries {
         .orderBy(col("hamming"), col("id_a"), col("id_b"))
         .limit(100)),
 
-    // n-gram Jaccard near-dups within same-source buckets [rows-only]
+    // n-gram Jaccard near-dups with blocking (same source + similar
+    // length) — candidate universe stays near-linear in corpus size, the
+    // verifier scales with |pairs| [rows-only]
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val d = docs(s, dir)
-      val bySource = d.select(col("doc_id"), col("source"), col("text"))
-      val a = bySource.toDF("id_a", "source", "text_a")
-      val b = bySource.toDF("id_b", "source_b", "text_b")
-      val pairs = a.join(b, col("source") === col("source_b") && col("id_a") < col("id_b"))
+      val keyed = d.select(col("doc_id"), col("source"), col("n_chars"))
+      val a = keyed.toDF("id_a", "source", "nc_a")
+      val b = keyed.toDF("id_b", "source_b", "nc_b")
+      val pairs = a.join(b,
+          col("source") === col("source_b") && col("id_a") < col("id_b") &&
+            abs(col("nc_a") - col("nc_b")) <= 32)
         .select("id_a", "id_b")
       Dedup.jaccardVerify(pairs, d, "doc_id", "text")
         .filter(col("jaccard") >= 0.2)
