@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.config.PipelineConfig
+import graft.decode.Decode
+import graft.functions.{GzipUtil, Kpl}
+import graft.route.Router
+
+/** Property-based invariants (SURVEY.md §5.2.2). Raw ScalaCheck generators
+  * sampled with fixed seeds (the scalatest-scalacheck bridge isn't in the
+  * offline dependency cache). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cfg = PipelineConfig()
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val payloadGen: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(s => s"""{"log_type":"t$s","time":"2020-09-15T10:21:33Z","log_id":"$s"}"""),
+    Gen.alphaNumStr, // junk
+    Gen.alphaNumStr.map(s => s"""{"log_type":"t$s"}"""),
+    Gen.alphaNumStr.map(s => s"""{"time":"2020-09-15T10:21:33Z","log_id":"$s"}"""))
+
+  test("routing totality: channels partition every batch") {
+    val payloads = samples(payloadGen, 40)
+    assert(payloads.size >= 30)
+    val routed = Router.route(payloads.toDF("payload"), cfg)
+    val n = routed.count()
+    val parts = Router.good(routed).count() + Router.failed(routed).count() +
+      Router.dropped(routed).count()
+    assert(n == payloads.size && parts == n)
+  }
+
+  test("decode invariance: gzip(payload) decodes identically to payload") {
+    val ps = samples(Gen.alphaNumStr.suchThat(_.nonEmpty), 25)
+    val plain = ps.zipWithIndex.map { case (p, i) => (s"$i", s"$i", p.getBytes(UTF_8)) }
+      .toDF("partitionKey", "sequenceNumber", "data")
+    val zipped = ps.zipWithIndex.map { case (p, i) => (s"$i", s"$i", GzipUtil.gzipString(p)) }
+      .toDF("partitionKey", "sequenceNumber", "data")
+    val a = Decode.normalize(plain).select("payload").as[String].collect().sorted.toSeq
+    val b = Decode.normalize(zipped).select("payload").as[String].collect().sorted.toSeq
+    assert(a == b)
+  }
+
+  test("KPL roundtrip: aggregate then deaggregate preserves payloads") {
+    (0 until 50).foreach { i =>
+      val ps = samples(Gen.alphaNumStr.suchThat(_.nonEmpty), 1 + i % 7)
+      val agg = Kpl.aggregate(ps.map(_.getBytes(UTF_8)))
+      val out = Kpl.deaggregate(agg).map(new String(_, UTF_8)).toSeq
+      assert(out == ps, s"roundtrip failed for $ps")
+    }
+  }
+
+  test("index-name grammar: {prefix}-{type}-{8 digits}") {
+    val routed = Pipeline.transform(
+      Pipeline.eventsAsEnvelopes(spark, "/root/testdata/sf0.001"), cfg)
+    val names = Router.good(routed).select("index_name").distinct().as[String].collect()
+    val re = "^logs-[a-z]+-\\d{8}$".r
+    assert(names.nonEmpty && names.forall(n => re.findFirstIn(n).isDefined))
+  }
+}

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Dedup / similarity / text-analysis / multimodal operators. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private val nearDup = base.replace("today", "tonight")
+  private val unrelated = "completely different words appear in this other document body text"
+
+  private def docs = Seq(
+    (1L, base), (2L, base), (3L, nearDup), (4L, unrelated)
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per fingerprint, whitespace-insensitive") {
+    val withWs = Seq((1L, base), (2L, "  " + base.replace(" ", "  ") + " "), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val survivors = Dedup.exact(withWs, "doc_id", "text").select("doc_id")
+      .as[Long].collect().toSeq.sorted
+    assert(survivors == Seq(1L, 3L))
+  }
+
+  test("minhash LSH surfaces exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("jaccard verify: identical docs = 1.0, disjoint docs ≈ 0") {
+    val pairs = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
+    val j = Dedup.jaccardVerify(pairs, docs, "doc_id", "text")
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 4L)) == 0.0)
+  }
+
+  test("simhash: identical docs have hamming 0 and pair up") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 16)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    val exact = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(exact.exists(_._3 == 0))
+  }
+
+  test("brute-force cosine top-k: identical vector ranks first with sim 1") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(
+      emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding", "vec_id", "embedding", k = 2)
+      .select("id", "rank", "sim").as[(Long, Int, Double)].collect().sortBy(_._2)
+    assert(top.head._1 == 1L && math.abs(top.head._3 - 1.0) < 1e-12)
+    assert(top(1)._1 == 2L)
+  }
+
+  test("LSH ANN finds the identical vector (recall sanity)") {
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
+    } :+ (100L, Array.tabulate(8)(d => math.sin(0 * 8 + d).toFloat)) // clone of vec 0
+    val emb = vecs.toDF("vec_id", "embedding")
+    val top = Similarity.lshTopK(emb, emb.filter(col("vec_id") === 100L),
+      "vec_id", "embedding", "vec_id", "embedding", k = 3)
+      .select("id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(top.nonEmpty && top.head._1 == 0L)
+  }
+
+  test("text analysis: tokens, ratios, langid, fingerprint") {
+    val df = Seq("The cat and the dog. And a bird!").toDF("text")
+    val row = TextAnalysis.withQualityFeatures(df)
+      .select("n_tokens", "stop_density", "lang_guess").as[(Int, Double, String)].head()
+    assert(row._1 == 8)
+    assert(row._2 > 0.3)
+    assert(row._3 == "en")
+    val fp1 = Seq("a  b\tc").toDF("text").select(TextAnalysis.fingerprint(col("text"))).as[String].head()
+    val fp2 = Seq("A b C").toDF("text").select(TextAnalysis.fingerprint(col("text"))).as[String].head()
+    assert(fp1 == fp2)
+  }
+
+  test("multimodal: per-partition kernel emits deterministic features") {
+    val media = Multimodal.asMediaTable(
+      Seq((1L, "hello world", "en", "srcA", 11L), (2L, "other bytes", "en", "srcB", 11L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val feats = Multimodal.extractFeatures(media, Multimodal.StubKernels.imageFeature)
+      .collect().sortBy(_.media_id)
+    assert(feats.length == 2)
+    assert(feats(0).n_bytes == 11L)
+    assert(feats(0).feature.length == 8)
+    // deterministic: same input → same checksum
+    val again = Multimodal.extractFeatures(media, Multimodal.StubKernels.imageFeature)
+      .collect().sortBy(_.media_id)
+    assert(feats(0).checksum == again(0).checksum)
+  }
+
+  test("multimodal frame sampling explodes every Nth fixed-size frame") {
+    val media = Seq((1L, ("x" * 1000).getBytes)).toDF("media_id", "content")
+    val frames = Multimodal.sampleFrames(media, frameBytes = 256, everyNth = 2)
+      .select("frame_idx").as[Int].collect().toSeq.sorted
+    assert(frames == Seq(0, 2)) // 4 frames, every 2nd
+  }
+}
