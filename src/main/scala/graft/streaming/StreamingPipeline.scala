@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.Pipeline
+import graft.config.PipelineConfig
+import graft.route.Router
+import graft.sink.BulkTransport
+
+/** Structured Streaming surface of the router engine (SURVEY.md §2.6).
+  *
+  * The reference's unit of streaming is one Lambda invocation per ≤batch
+  * Kinesis records (at-least-once, stateless). Here:
+  *   - micro-batches come from any streaming source carrying the envelope
+  *     schema (file replay below; a Kinesis DSv2 connector drops in
+  *     unchanged — the transform is source-agnostic);
+  *   - offsets checkpoint like the ESM shard iterator;
+  *   - delivery is at-least-once into the bulk sink, made effectively-once
+  *     by `_id = log_id` (F5 fix), and optionally exactly-once inside the
+  *     engine via [[dedupWithinWatermark]] keyed state.
+  */
+object StreamingPipeline {
+
+  /** Schema for streaming reads of the driver's events parquet (ts is
+    * TIMESTAMP(NANOS) physical INT64 — read as long, rebuilt in µs). */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-replay streaming source: the events table as a stream of Kinesis
+    * envelope rows (the zero-egress stand-in for the Kinesis source, same
+    * contract as Pipeline.eventsAsEnvelopes). */
+  def eventsReplayStream(spark: SparkSession, sfDir: String,
+                         maxFilesPerTrigger: Int = 1): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream
+      .schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      // file sources want a directory; glob-select the events table from it
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    raw.select(
+      col("event_id").cast("string").as("partitionKey"),
+      col("event_id").cast("string").as("sequenceNumber"),
+      col("ts").as("approximateArrival"),
+      to_json(struct(
+        col("event_type").as("log_type"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("time"),
+        col("event_id").cast("string").as("log_id"),
+        col("user_id"), col("value"), col("props"))).cast("binary").as("data"))
+  }
+
+  /** The parity pipeline as one streaming query: decode→route→enrich run
+    * incrementally (all per-row — no state), sinks applied per micro-batch
+    * in foreachBatch (the reference's invocation boundary). */
+  def run(envelopes: DataFrame, cfg: PipelineConfig, transport: () => BulkTransport,
+          checkpointDir: String,
+          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    Pipeline.stream(envelopes, cfg, transport, checkpointDir, trigger)
+
+  /** Engine-side exactly-once: keyed dedup state with a TTL bounded by the
+    * event-time watermark. At 100 TB the watermark bound is what keeps the
+    * state store finite — an unbounded dropDuplicates would grow forever.
+    * Input: streaming envelope DF; output: streaming good-channel rows. */
+  def dedupWithinWatermark(envelopes: DataFrame, cfg: PipelineConfig,
+                           watermark: String = "1 hour"): DataFrame = {
+    val routed = Pipeline.transform(envelopes, cfg)
+    Router.good(routed)
+      .withWatermark("event_ts", watermark)
+      .dropDuplicatesWithinWatermark("log_id")
+  }
+
+  /** Streaming daily rollup per (log_type, day window): the E2 index
+    * fan-out as a watermarked windowed aggregation — late data beyond the
+    * watermark is dropped, per-key state is bounded. */
+  def dailyIndexCounts(envelopes: DataFrame, cfg: PipelineConfig,
+                       watermark: String = "1 day"): DataFrame = {
+    val routed = Pipeline.transform(envelopes, cfg)
+    Router.good(routed)
+      .withWatermark("event_ts", watermark)
+      .groupBy(window(col("event_ts"), "1 day"), col("log_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        concat_ws("-", lit(cfg.indexNamePrefix), col("log_type"),
+          date_format(col("window.start"), "yyyyMMdd")).as("index_name"),
+        col("n"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.config.PipelineConfig
+
+final case class TestEnvelope(partitionKey: String, sequenceNumber: String,
+                              data: Array[Byte])
+
+/** Streaming semantics (SURVEY.md §2.6): micro-batch boundaries, replayed
+  * duplicates, watermark-bounded dedup state, windowed rollups. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def log(id: Int, ts: String = "2020-09-15T10:21:33Z", typ: String = "nginx") =
+    s"""{"log_type":"$typ","time":"$ts","log_id":"id-$id"}"""
+
+  private def env(i: Int, payload: String) =
+    TestEnvelope(s"pk-$i", s"seq-$i", payload.getBytes(UTF_8))
+
+  test("streaming pipeline: two micro-batches through decode/route/sinks") {
+    val dir = Files.createTempDirectory("stream").toString
+    val cfg = PipelineConfig(deadLetterPath = s"$dir/dl")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TestEnvelope]
+    val q = StreamingPipeline.run(mem.toDF(), cfg,
+      graft.Pipeline.fileTransport(s"$dir/bulk"), s"$dir/ckpt",
+      Trigger.ProcessingTime(0))
+    try {
+      mem.addData(env(1, log(1)), env(2, log(2)), env(3, "busted"))
+      q.processAllAvailable()
+      mem.addData(env(4, log(4)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val bodies = new java.io.File(s"$dir/bulk").listFiles()
+      .map(f => new String(Files.readAllBytes(f.toPath), UTF_8)).mkString
+    Seq(1, 2, 4).foreach(i => assert(bodies.contains(s"id-$i")))
+    assert(spark.read.text(s"$dir/dl/failed_validation").count() == 1)
+  }
+
+  test("watermark dedup collapses redelivered log_ids across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TestEnvelope]
+    val deduped = StreamingPipeline.dedupWithinWatermark(mem.toDF(), PipelineConfig())
+    val q = deduped.select("log_id").writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      mem.addData(env(1, log(1)), env(2, log(1))) // dup within batch
+      q.processAllAvailable()
+      mem.addData(env(3, log(1)), env(4, log(2))) // dup across batches
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_out").as[String].collect().toSeq.sorted
+    assert(ids == Seq("id-1", "id-2"))
+  }
+
+  test("windowed daily counts with watermark (append mode, late data)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TestEnvelope]
+    val counts = StreamingPipeline.dailyIndexCounts(mem.toDF(), PipelineConfig(),
+      watermark = "1 day")
+    val q = counts.writeStream
+      .format("memory").queryName("daily_out").outputMode("append").start()
+    try {
+      mem.addData(env(1, log(1, "2020-09-15T01:00:00Z")),
+        env(2, log(2, "2020-09-15T02:00:00Z")),
+        env(3, log(3, "2020-09-16T01:00:00Z")))
+      q.processAllAvailable()
+      // advance watermark far past the 09-15 window so it closes
+      mem.addData(env(4, log(4, "2020-09-20T00:00:00Z")))
+      q.processAllAvailable()
+      mem.addData(env(5, log(5, "2020-09-21T00:00:00Z")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("daily_out")
+      .select("index_name", "n").as[(String, Long)].collect().toMap
+    assert(rows.get("logs-nginx-20200915").contains(2L))
+  }
+
+  test("file-replay source streams the events table through the pipeline") {
+    val dir = Files.createTempDirectory("replay").toString
+    val cfg = PipelineConfig(deadLetterPath = s"$dir/dl")
+    val stream = StreamingPipeline.eventsReplayStream(spark, "/root/testdata/sf0.001")
+    val q = StreamingPipeline.run(stream, cfg,
+      graft.Pipeline.fileTransport(s"$dir/bulk"), s"$dir/ckpt", Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    val nActions = new java.io.File(s"$dir/bulk").listFiles()
+      .map(f => Files.readAllLines(f.toPath).size / 2).sum
+    assert(nActions == 1000) // sf0.001 events rows
+  }
+}
