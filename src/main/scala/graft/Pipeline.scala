@@ -84,7 +84,10 @@ object Pipeline {
     * flagship entry and the golden tests; the oracle can compute the same
     * result relationally from the raw table. */
   def eventsAsEnvelopes(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
+    // The single-file parquet arrives as one partition; decode is per-row
+    // CPU work, so size the stage by cores (a real Kinesis source already
+    // arrives partitioned by shard).
+    val ev = graft.ops.Par.spread(Tables.events(spark, sfDir))
     ev.select(
       col("event_id").cast("string").as("partitionKey"),
       col("event_id").cast("string").as("sequenceNumber"),

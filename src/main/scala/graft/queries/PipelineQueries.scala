@@ -35,7 +35,7 @@ object PipelineQueries {
     * id%10==7 → drop log_type; id%10==8 → unparseable time;
     * id%10==9 → not JSON at all. */
   private def badmixEnvelopes(s: SparkSession, dir: String): DataFrame = {
-    val ev = events(s, dir)
+    val ev = graft.ops.Par.spread(events(s, dir))
     val m = col("event_id") % 10
     ev.select(
       col("event_id").cast("string").as("partitionKey"),

@@ -57,6 +57,13 @@ object Router {
     * Every input row lands in exactly one route (totality is property-tested).
     */
   def route(df: DataFrame, cfg: PipelineConfig, payloadCol: String = "payload"): DataFrame = {
+    // Parse ONCE in its own projection. All downstream field extractions
+    // happen in a single select that references `_core` many times — a
+    // withColumn chain would let CollapseProject inline the (expensive,
+    // codegen-fallback) from_json into every consumer, one duplication per
+    // step (observed: 15 copies per row in the final plan). Keeping every
+    // consumer in one projection makes the multi-use visible to Catalyst,
+    // which then leaves the parse materialized.
     val parsed = df.withColumn("_core",
       from_json(col(payloadCol), Schemas.core(cfg),
         Map("columnNameOfCorruptRecord" -> Schemas.corruptField)))
@@ -64,6 +71,7 @@ object Router {
     val rawType = col("_core").getField(cfg.logTypeField)
     val rawTs = col("_core").getField(cfg.logTimestampField)
     val corrupt = col("_core").getField(Schemas.corruptField)
+    val eventTs = lenientTimestamp(rawTs)
 
     val whitelisted: Column = cfg.effectiveWhitelist match {
       case Some(wl) => rawType.isin(wl.toSeq: _*)
@@ -71,16 +79,16 @@ object Router {
     }
 
     parsed
-      .withColumn("log_type", coalesce(rawType, lit(cfg.logTypeUnknownPrefix)))
-      .withColumn("log_id", col("_core").getField(cfg.logIdField))
-      .withColumn("event_ts", lenientTimestamp(rawTs))
-      .withColumn("route",
+      .select(col("*"),
+        coalesce(rawType, lit(cfg.logTypeUnknownPrefix)).as("log_type"),
+        col("_core").getField(cfg.logIdField).as("log_id"),
+        eventTs.as("event_ts"),
         when(corrupt.isNotNull || col("_core").isNull, Route.NotJson)
           .when(rawType.isNull, Route.MissingType)
           .when(rawTs.isNull, Route.MissingTimestamp)
-          .when(col("event_ts").isNull, Route.BadTimestamp)
+          .when(eventTs.isNull, Route.BadTimestamp)
           .when(!whitelisted, Route.NotWhitelisted)
-          .otherwise(Route.Good))
+          .otherwise(Route.Good).as("route"))
       .drop("_core")
   }
 
