@@ -101,6 +101,14 @@ object PipelineQueries {
         .orderBy("index_name")
     }),
 
+    // E3/E4: the ES bulk action-envelope projection (meta line with
+    // _index and _id — the F5 idempotency fix visible in the wire format)
+    "pipe_action_envelope" -> ((s, dir) =>
+      Enrich.actionMeta(
+        Router.good(Pipeline.transform(envelopes(s, dir), cfg)))
+        .select(col("log_id"), col("index_name"), col("action_meta"))
+        .orderBy(col("log_id").cast("long"))),
+
     // K3: dead-letter partition layout {log_type}/{yyyy-MM}/{dd} for the
     // failures that still carry a parseable event time (missing_type slice)
     "pipe_deadletter_layout" -> ((s, dir) =>
@@ -141,6 +149,12 @@ object PipelineQueries {
         s"""SELECT index_name, n, CAST(ceil(n / 500.0) AS BIGINT) AS chunks
            |FROM (SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1) t
            |ORDER BY index_name""".stripMargin,
+      "pipe_action_envelope" ->
+        s"""SELECT CAST(event_id AS VARCHAR) AS log_id,
+           |       $indexExpr AS index_name,
+           |       concat('{"index":{"_index":"', $indexExpr, '","_id":"', event_id, '"}}')
+           |         AS action_meta
+           |FROM events ORDER BY event_id""".stripMargin,
       "pipe_deadletter_layout" ->
         """SELECT 'unknown' AS log_type, strftime(ts, '%Y-%m') AS ym, strftime(ts, '%d') AS dd,
           |       count(*) AS n

@@ -144,6 +144,43 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
         .orderBy("event_type", "day")),
 
+    // As-of join: each event matched to the user's latest prior order
+    // (union + single-shuffle window scan — no range cross join)
+    "q_asof_last_order" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select("event_id", "user_id", "ts")
+      // one row per (cust, date): greatest orderkey wins, so the as-of
+      // match is deterministic on both engines
+      val orders = t(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max("o_orderkey").as("o_orderkey"))
+      graft.ops.AsOf.join(ev, orders,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          rightCols = Seq("o_orderkey"))
+        .select(col("event_id"), col("asof_o_orderkey").as("last_orderkey"))
+        .orderBy("event_id")
+    }),
+
+    // Hierarchical aggregation: ROLLUP over returnflag/linestatus
+    "q_rollup_pricing" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy("returnflag", "linestatus")),
+
+    // Sketch aggregates: HyperLogLog distinct estimates [rows-only —
+    // approximate by design, bounds asserted in the spec suite]
+    "q_approx_distinct" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.agg(
+        approx_count_distinct("user_id").as("approx_users"),
+        approx_count_distinct("event_type").as("approx_types"))
+    }),
+
     // Sessionization via lag(): >30 min gap starts a new session
     "q_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -231,6 +268,19 @@ object RelationalQueries {
       """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
         |       round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_asof_last_order" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |           FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, o.o_orderkey AS last_orderkey
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+    "q_rollup_pricing" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
     "q_sessionize" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         |  SELECT user_id,

@@ -1,0 +1,67 @@
+package graft
+
+import graft.route.Router
+
+/** Every declared query must run and (for nearly all) return rows at
+  * sf0.001 — the safety net behind the driver's rows-only checks, plus
+  * the flagship entry and observability metrics. */
+class QueriesSmokeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // Tiny-SF corner cases where an empty (but schema-valid) result is
+  // legitimate for threshold queries.
+  private val mayBeEmpty = Set("sim_threshold_pairs", "dedup_ngram_jaccard",
+    "dedup_minhash_pairs", "dedup_simhash")
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"query $name runs at sf0.001") {
+      val n = fn(spark, sf).count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("flagship entry returns good routed rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("observe metrics count the routing channels inline (K5)") {
+    import org.apache.spark.sql.util.QueryExecutionListener
+    import org.apache.spark.sql.execution.QueryExecution
+    @volatile var seen: Map[String, Any] = Map.empty
+    val listener = new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit = {
+        val m = qe.observedMetrics
+        if (m.contains(Observability.RouteMetrics))
+          seen = Map("row" -> m(Observability.RouteMetrics))
+      }
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val routed = Pipeline.transform(Pipeline.eventsAsEnvelopes(spark, sf),
+        graft.config.PipelineConfig())
+      Observability.observeRoutes(routed).count()
+      // listener delivery is async; poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      while (seen.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      val row = seen("row").asInstanceOf[org.apache.spark.sql.Row]
+      assert(row.getAs[Long]("good") == 1000L)
+      assert(row.getAs[Long]("failed") == 0L)
+      assert(row.getAs[Long]("total") == 1000L)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("router helper channels are disjoint and complete on events replay") {
+    val routed = Pipeline.transform(Pipeline.eventsAsEnvelopes(spark, sf),
+      graft.config.PipelineConfig())
+    assert(Router.good(routed).count() == 1000)
+    assert(Router.failed(routed).count() == 0)
+    assert(Router.dropped(routed).count() == 0)
+  }
+}
