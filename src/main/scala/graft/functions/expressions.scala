@@ -347,12 +347,23 @@ object GraftFunctions {
   def shingle_hashes(c: Column, n: Int): Column = col(ShingleHashes(expr(c), n))
   def hyperplane_sig(c: Column, planes: Int): Column = col(HyperplaneSig(expr(c), planes))
 
-  /** Register for SQL use. */
+  /** Register every custom expression as a SQL temp function on an
+    * existing session (the build-time path is [[graft.GraftExtensions]]). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
-      "gunzip_if_gzip", es => GunzipIfGzip(es.head), "builtin")
+      "gunzip_if_gzip", es => GunzipIfGzip(es.head), "built-in")
     reg.createOrReplaceTempFunction(
-      "kpl_deaggregate", es => KplDeaggregate(es.head), "builtin")
+      "gzip_compress", es => GzipCompress(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "kpl_deaggregate", es => KplDeaggregate(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash64", es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash_signature64", es => MinHashSignature(es.head, 64), "built-in")
+    reg.createOrReplaceTempFunction(
+      "shingle_hashes3", es => ShingleHashes(es.head, 3), "built-in")
+    reg.createOrReplaceTempFunction(
+      "hyperplane_sig16", es => HyperplaneSig(es.head, 16), "built-in")
   }
 }

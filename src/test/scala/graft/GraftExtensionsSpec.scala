@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+import graft.functions.GraftFunctions
+
+/** The SQL surface of the custom expressions (runtime registration on the
+  * shared session; the build-time SparkSessionExtensions path installs the
+  * same functions). */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("custom expressions are callable from pure SQL") {
+    GraftFunctions.register(spark)
+    val gz = spark.sql(
+      "SELECT cast(gunzip_if_gzip(gzip_compress(cast('hello' AS BINARY))) AS STRING) AS v")
+      .collect().head.getString(0)
+    assert(gz == "hello")
+    val sh = spark.sql("SELECT simhash64(array('a','b','c')) AS h").collect().head.getLong(0)
+    val sh2 = spark.sql("SELECT simhash64(array('a','b','c')) AS h").collect().head.getLong(0)
+    assert(sh == sh2 && sh != 0L)
+    val mh = spark.sql(
+      "SELECT size(minhash_signature64(shingle_hashes3(array('a','b','c','d')))) AS n")
+      .collect().head.getInt(0)
+    assert(mh == 64)
+    val hp = spark.sql("SELECT hyperplane_sig16(array(1.0d, -2.0d, 0.5d)) AS s")
+      .collect().head.getLong(0)
+    assert(hp >= 0L && hp < (1L << 16))
+    val kpl = spark.sql(
+      "SELECT size(kpl_deaggregate(cast('plain' AS BINARY))) AS n")
+      .collect().head.getInt(0)
+    assert(kpl == 1)
+  }
+
+  test("GraftExtensions injects without error (build-time wiring)") {
+    new GraftExtensions().apply(new SparkSessionExtensions) // must not throw
+  }
+}
