@@ -59,6 +59,15 @@ object SimilarityQueries {
         .orderBy("qid")
     }),
 
+    // Embedding near-dup pairs via sign-LSH buckets + exact cosine
+    // [rows-only; bucket-local pair generation, no n² cross join]
+    "emb_near_dups" -> ((s, dir) =>
+      graft.ops.Dedup.embeddingNearDups(
+          emb(s, dir), "vec_id", "embedding", threshold = 0.25, planes = 4)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+        .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
+        .limit(100)),
+
     // Label centroid distances: vector aggregation via higher-order fns
     "sim_label_centroids" -> ((s, dir) => {
       val e = emb(s, dir).select(col("label"),

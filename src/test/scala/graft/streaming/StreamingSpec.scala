@@ -83,6 +83,32 @@ class StreamingSpec extends SparkSpec {
     assert(rows.get("logs-nginx-20200915").contains(2L))
   }
 
+  test("stateful sessionizer: gap closes sessions, timeout flushes state") {
+    implicit val sqlCtx = spark.sqlContext
+    import Sessionize._
+    val mem = MemoryStream[Event]
+    def ev(user: Long, minute: Int) =
+      Event(user, java.sql.Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00"))
+    val q = Sessionize.sessions(mem.toDS(), gapMs = 30 * 60 * 1000)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(ev(1, 0), ev(1, 10)) // one open session [0,10]
+      q.processAllAvailable()
+      mem.addData(ev(1, 120)) // >30min gap → closes [0,10], opens [120]
+      q.processAllAvailable()
+      assert(spark.table("sessions_out").count() == 1)
+      val s = spark.table("sessions_out").as[Session].head()
+      assert(s.user_id == 1L && s.n_events == 2L)
+      // push the watermark far past 120+gap → timeout flushes the open one
+      mem.addData(ev(2, 600))
+      q.processAllAvailable()
+      mem.addData(ev(2, 610))
+      q.processAllAvailable()
+      assert(spark.table("sessions_out").count() >= 2)
+    } finally q.stop()
+  }
+
   test("file-replay source streams the events table through the pipeline") {
     val dir = Files.createTempDirectory("replay").toString
     val cfg = PipelineConfig(deadLetterPath = s"$dir/dl")
