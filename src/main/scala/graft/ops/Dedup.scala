@@ -20,12 +20,15 @@ import graft.functions.GraftFunctions.{shingle_hashes, simhash64}
 object Dedup {
 
   /** Exact dedup: keep the smallest id per canonical-text fingerprint.
-    * Deterministic survivor choice (min id) so replays are stable. */
+    * Deterministic survivor choice (min id) so replays are stable.
+    * `min_by` aggregation, not a row_number window: aggregates combine
+    * map-side, so duplicate-heavy partitions collapse BEFORE the shuffle
+    * (a window ships every row to the fingerprint's reducer). */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(TextAnalysis.fingerprint(col(textCol)))
-      .orderBy(col(idCol))
-    df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
+    val cols = df.columns
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("_fp"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("_row"))
+      .select(col("_row.*"))
   }
 
   /** Word n-gram shingles (distinct strings) — reference form, used in

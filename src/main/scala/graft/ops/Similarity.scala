@@ -58,7 +58,14 @@ object Similarity {
 
   /** Brute-force cosine top-k: every query (small, broadcast) against the
     * whole corpus. Returns (qid, id, rank, sim). Deterministic tiebreak on
-    * id. */
+    * id.
+    *
+    * Top-k selection is a map-side-combinable bounded-heap aggregate
+    * ([[graft.functions.TopKByScore]]), NOT a row_number window: the
+    * window form shuffles every scored (corpus × queries) row to the
+    * reducers; the aggregate ships ≤ k candidates per (partition, query)
+    * across the exchange — the difference between shuffling the corpus
+    * and shuffling kilobytes at 100 TB. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, qidCol: String, qvecCol: String,
                      k: Int = 10): DataFrame = {
@@ -66,14 +73,22 @@ object Similarity {
       .withColumn("nrm", l2norm(col("v")))
     val q = queries.select(col(qidCol).as("qid"), col(qvecCol).cast("array<double>").as("qv"))
       .withColumn("qnrm", l2norm(col("qv")))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
-    c.crossJoin(broadcast(q))
+    val scored = c.crossJoin(broadcast(q))
       .filter(col("id") =!= col("qid"))
       .withColumn("sim", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "id", "rank", "sim")
+    topKPerGroup(scored, "qid", "sim", "id", k)
   }
+
+  /** groupKey → top-k rows by (score desc, id asc), exploded with ranks. */
+  private[graft] def topKPerGroup(scored: DataFrame, qidCol: String,
+                                  simCol: String, idCol: String, k: Int): DataFrame =
+    scored
+      .groupBy(qidCol)
+      .agg(graft.functions.TopKByScore.topk_by_score(
+        struct(col(simCol).as("score"), col(idCol).cast("long").as("id")), k).as("top"))
+      .select(col(qidCol), posexplode(col("top")))
+      .select(col(qidCol), col("col.id").as("id"),
+        (col("pos") + 1).cast("int").as("rank"), col("col.score").as("sim"))
 
   /** LSH-bucketed ANN top-k: candidates share the full signature bucket OR
     * any of `bands` sub-signature bands (multi-probe-ish banding so recall
@@ -101,11 +116,7 @@ object Similarity {
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"), col("v"), col("qv"))
       .distinct()
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
-    cands
-      .withColumn("sim", cosine(col("v"), col("qv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "id", "rank", "sim")
+    topKPerGroup(cands.withColumn("sim", cosine(col("v"), col("qv"))),
+      "qid", "sim", "id", k)
   }
 }
