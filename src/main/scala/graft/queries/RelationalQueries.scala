@@ -128,6 +128,25 @@ object RelationalQueries {
       userDays("click").except(userDays("purchase")).orderBy("user_id", "day")
     }),
 
+    // Semi-structured: JSON field extraction from the open props payload
+    "q_props_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // UNION ALL with provenance tag
+    "q_union_all" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def tagged(typ: String) = ev.filter(col("event_type") === typ)
+        .select(col("user_id"), lit(typ).as("src"))
+      tagged("click").unionAll(tagged("purchase"))
+        .groupBy("src").agg(count(lit(1)).as("n"), countDistinct("user_id").as("users"))
+        .orderBy("src")
+    }),
+
     // Aggregate stats incl. distinct counts
     "q_event_stats" -> ((s, dir) =>
       t(s, dir, "events").agg(
@@ -259,6 +278,17 @@ object RelationalQueries {
         |EXCEPT
         |SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events WHERE event_type = 'purchase'
         |ORDER BY user_id, day""".stripMargin,
+    "q_props_extract" ->
+      """SELECT event_type,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_union_all" ->
+      """SELECT src, count(*) AS n, count(DISTINCT user_id) AS users FROM (
+        |  SELECT user_id, 'click' AS src FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, 'purchase' AS src FROM events WHERE event_type = 'purchase') t
+        |GROUP BY src ORDER BY src""".stripMargin,
     "q_event_stats" ->
       """SELECT count(DISTINCT user_id) AS users, count(DISTINCT event_type) AS types,
         |       round(sum(value), 2) AS total_value, round(avg(value), 4) AS avg_value,

@@ -45,6 +45,17 @@ object TextQueries {
         .groupBy("lang_guess").agg(count(lit(1)).as("n"))
         .orderBy("lang_guess")),
 
+    // Quality-gate filter — the canonical training-data selection op:
+    // keep documents passing ratio/length thresholds, count the survivors
+    "txt_quality_filter" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+        .withColumn("alpha_ratio", TextAnalysis.alphaRatio(col("text")))
+        .filter(col("n_tokens") >= 30 && col("alpha_ratio") >= 0.6)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum("n_tokens").as("kept_tokens"))
+        .orderBy("lang")),
+
     // Per-document canonical fingerprint (exact-dedup key)
     "txt_fingerprint" -> ((s, dir) =>
       docs(s, dir)
@@ -132,6 +143,13 @@ object TextQueries {
         |                 / len(string_split_regex(trim(text), '\s+')) >= 0.08
         |            THEN 'en' ELSE 'other' END AS lang_guess, count(*) AS n
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "txt_quality_filter" ->
+      """SELECT lang, count(*) AS n_kept,
+        |       CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS kept_tokens
+        |FROM documents
+        |WHERE len(string_split_regex(trim(text), '\s+')) >= 30
+        |  AND length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1.0 / length(text) >= 0.6
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "txt_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
