@@ -147,6 +147,15 @@ object RelationalQueries {
         .orderBy("src")
     }),
 
+    // Percentiles: exact continuous-interpolation quantiles of value
+    "q_percentiles" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.95)"), 4).as("p95"))
+        .orderBy("event_type")),
+
     // Aggregate stats incl. distinct counts
     "q_event_stats" -> ((s, dir) =>
       t(s, dir, "events").agg(
@@ -289,6 +298,11 @@ object RelationalQueries {
         |  UNION ALL
         |  SELECT user_id, 'purchase' AS src FROM events WHERE event_type = 'purchase') t
         |GROUP BY src ORDER BY src""".stripMargin,
+    "q_percentiles" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 4) AS p50,
+        |       round(quantile_cont(value, 0.95), 4) AS p95
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_event_stats" ->
       """SELECT count(DISTINCT user_id) AS users, count(DISTINCT event_type) AS types,
         |       round(sum(value), 2) AS total_value, round(avg(value), 4) AS avg_value,

@@ -75,6 +75,19 @@ object StreamingPipeline {
       .dropDuplicatesWithinWatermark("log_id")
   }
 
+  /** Stream-static enrichment: join the good channel against a static
+    * dimension table (broadcast — the stream is never shuffled; the dim
+    * re-resolves per micro-batch, so slowly-changing dims pick up
+    * updates). The streaming analog of the reference's whitelist-set
+    * membership, generalized to arbitrary dimension attributes. */
+  def enrichWithDimension(envelopes: DataFrame, cfg: PipelineConfig,
+                          dim: DataFrame, streamKey: String,
+                          dimKey: String): DataFrame = {
+    val good = Router.good(Pipeline.transform(envelopes, cfg))
+    good.join(org.apache.spark.sql.functions.broadcast(dim),
+      col(streamKey) === col(dimKey), "left")
+  }
+
   /** Streaming daily rollup per (log_type, day window): the E2 index
     * fan-out as a watermarked windowed aggregation — late data beyond the
     * watermark is dropped, per-key state is bounded. */

@@ -109,6 +109,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static dimension enrichment joins per micro-batch (broadcast)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("nginx", "web"), ("app", "mobile")).toDF("dim_type", "family")
+    val mem = MemoryStream[TestEnvelope]
+    val enriched = StreamingPipeline.enrichWithDimension(
+      mem.toDF(), graft.config.PipelineConfig(), dim, "log_type", "dim_type")
+    val q = enriched.select("log_id", "family").writeStream
+      .format("memory").queryName("enrich_out").outputMode("append").start()
+    try {
+      mem.addData(env(1, log(1, typ = "nginx")), env(2, log(2, typ = "other")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("enrich_out").as[(String, Option[String])].collect().toMap
+    assert(rows("id-1").contains("web"))
+    assert(rows("id-2").isEmpty) // left join: unknown dim → null
+  }
+
   test("file-replay source streams the events table through the pipeline") {
     val dir = Files.createTempDirectory("replay").toString
     val cfg = PipelineConfig(deadLetterPath = s"$dir/dl")
