@@ -115,7 +115,9 @@ object Similarity {
     val cands = c.join(broadcast(q), Seq("band", "bucket"))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"), col("v"), col("qv"))
-      .distinct()
+      // a pair can surface from several bands: dedupe on the 2 key longs
+      // only (distinct() would hash-compare the 64-dim vectors too)
+      .dropDuplicates("qid", "id")
     topKPerGroup(cands.withColumn("sim", cosine(col("v"), col("qv"))),
       "qid", "sim", "id", k)
   }
