@@ -200,6 +200,30 @@ object RelationalQueries {
           col("sum_qty"), col("n"))
         .orderBy("returnflag", "linestatus")),
 
+    // CUBE: all grouping combinations in one pass
+    "q_cube_status" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy("status", "priority")),
+
+    // Correlated aggregate: orders above their customer's average price
+    "q_above_avg_orders" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val avgs = o.groupBy(col("o_custkey").as("ck"))
+        .agg(avg("o_totalprice").as("avg_price"))
+      o.join(broadcast(avgs), col("o_custkey") === col("ck"))
+        .filter(col("o_totalprice") > col("avg_price"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_above"),
+          round(max("o_totalprice"), 2).as("max_price"))
+        .orderBy("o_custkey")
+    }),
+
     // Sketch aggregates: HyperLogLog distinct estimates [rows-only —
     // approximate by design, bounds asserted in the spec suite]
     "q_approx_distinct" -> ((s, dir) => {
@@ -298,6 +322,18 @@ object RelationalQueries {
         |  UNION ALL
         |  SELECT user_id, 'purchase' AS src FROM events WHERE event_type = 'purchase') t
         |GROUP BY src ORDER BY src""".stripMargin,
+    "q_cube_status" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY 1, 2""".stripMargin,
+    "q_above_avg_orders" ->
+      """SELECT o_custkey, count(*) AS n_above, round(max(o_totalprice), 2) AS max_price
+        |FROM orders o
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders i
+        |                      WHERE i.o_custkey = o.o_custkey)
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q_percentiles" ->
       """SELECT event_type,
         |       round(quantile_cont(value, 0.5), 4) AS p50,

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Scale mechanics: salting equivalence, compaction file counts, bucketed
+  * shuffle-free joins. */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted aggregation equals direct aggregation (skew-safe)") {
+    // 90% of rows share one hot key
+    val df = (1 to 2000).map(i => (if (i % 10 == 0) s"k${i % 7}" else "hot", i.toDouble))
+      .toDF("key", "value")
+    val direct = df.groupBy("key")
+      .agg(sum("value").as("total"), count(lit(1)).as("n"))
+      .orderBy("key").as[(String, Double, Long)].collect().toSeq
+    val salted = Scale.saltedSumCount(df, col("key"), col("value"))
+      .orderBy("k").as[(String, Double, Long)].collect().toSeq
+    assert(salted.map(r => (r._1, r._2, r._3)) == direct)
+  }
+
+  test("compaction controls output file count") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/out"
+    val df = spark.range(0, 10000).toDF("id")
+    Scale.compactWrite(df, dir, targetFiles = 4, maxRecordsPerFile = 5000)
+    val files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files == 4)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    assert(wh != null)
+    val a = spark.range(0, 1000).toDF("id").withColumn("va", col("id") * 2)
+    val b = spark.range(0, 1000).toDF("id").withColumn("vb", col("id") * 3)
+    Scale.writeBucketed(a, "bkt_a", "id", 8)
+    Scale.writeBucketed(b, "bkt_b", "id", 8)
+    try {
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == 1000)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+}
