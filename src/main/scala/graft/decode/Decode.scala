@@ -46,9 +46,14 @@ object Decode {
       .withColumn("_kpl_rec", explode(kpl_deaggregate(col(dataCol))))
       // D3+D5: inflate gzip, decode UTF-8
       .withColumn("_text", text)
-      // D4: unwrap CloudWatch Logs subscription bundles
+      // D4: unwrap CloudWatch Logs subscription bundles. Cheap substring
+      // guards first — without them every ordinary JSON log would pay a
+      // full second parse against the CWL schema.
       .withColumn("_cwl",
-        when(col("_text").startsWith("{"), cwlStruct(col("_text"))))
+        when(col("_text").startsWith("{") &&
+          col("_text").contains("\"messageType\"") &&
+          col("_text").contains("\"logEvents\""),
+          cwlStruct(col("_text"))))
       .withColumn("payload", explode(
         when(isCwl && cwl.getField("messageType") === "DATA_MESSAGE",
           cwl.getField("logEvents").getField("message"))

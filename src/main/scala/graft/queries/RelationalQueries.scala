@@ -137,6 +137,16 @@ object RelationalQueries {
         .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
         .orderBy("event_type")),
 
+    // Same extraction through Spark 4 VARIANT (parse once, typed get) —
+    // the open-schema storage type for the payload remainder
+    "q_props_variant" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          variant_get(parse_json(col("props")), "$.k", "long").as("k"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
     // UNION ALL with provenance tag
     "q_union_all" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -312,6 +322,11 @@ object RelationalQueries {
         |SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events WHERE event_type = 'purchase'
         |ORDER BY user_id, day""".stripMargin,
     "q_props_extract" ->
+      """SELECT event_type,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_props_variant" ->
       """SELECT event_type,
         |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |       count(*) AS n
