@@ -111,6 +111,20 @@ object TextQueries {
           sum(octet_length(col("content"))).as("total_bytes"))
         .orderBy("source")),
 
+    // Multimodal frame sampling: every-4th 256-byte frame per blob,
+    // counted per source (the video-frame-extraction plumbing, verified
+    // relationally)
+    "mm_frames" -> ((s, dir) => {
+      val media = docs(s, dir).select(
+        col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("content"),
+        col("source"))
+      Multimodal.sampleFrames(media, frameBytes = 256, everyNth = 4)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_sampled_frames"))
+        .orderBy("source")
+    }),
+
     // Multimodal feature extraction through the per-partition kernel
     // (stubbed codec, real batch plumbing) [rows-only]
     "mm_features" -> ((s, dir) =>
@@ -159,6 +173,11 @@ object TextQueries {
         |    PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
         |    ORDER BY doc_id) AS rn
         |  FROM documents) t WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "mm_frames" ->
+      """SELECT source,
+        |       CAST(sum(ceil(ceil(octet_length(encode(text)) / 256.0) / 4.0)) AS BIGINT)
+        |         AS n_sampled_frames
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "mm_manifest" ->
       """SELECT source, count(*) AS n_blobs,
         |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
