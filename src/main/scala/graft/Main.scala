@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.config.PipelineConfig
+import graft.model.Schemas
+import graft.streaming.StreamingPipeline
+
+/** Standalone pipeline runner — the operational surface a user of the
+  * reference module switches to. Input: JSON-lines Kinesis envelopes
+  * (FIXTURES.md §A, `data` base64). The 12 Terraform variables of the
+  * reference map to the flags below.
+  *
+  * {{{
+  * spark-submit --class graft.Main graft.jar \
+  *   --input /data/envelopes --bulk-out /out/bulk \
+  *   --dead-letter /out/dlq --index-prefix prod-logs \
+  *   --timezone Asia/Tokyo --whitelist nginx,app \
+  *   --mode stream --checkpoint /out/ckpt
+  * }}}
+  */
+object Main {
+
+  private def parseArgs(args: Array[String]): Map[String, String] =
+    args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+
+  def main(args: Array[String]): Unit = {
+    val opt = parseArgs(args)
+    val input = opt.getOrElse("input", sys.error("--input is required"))
+    val bulkOut = opt.getOrElse("bulk-out", "/tmp/graft/bulk")
+    val cfg = PipelineConfig(
+      logIdField = opt.getOrElse("log-id-field", "log_id"),
+      logTypeField = opt.getOrElse("log-type-field", "log_type"),
+      logTimestampField = opt.getOrElse("timestamp-field", "time"),
+      logTypeUnknownPrefix = opt.getOrElse("unknown-prefix", "unknown"),
+      logTypeWhitelist = opt.get("whitelist").map(_.split(",").toSet),
+      indexNamePrefix = opt.getOrElse("index-prefix", "logs"),
+      timezone = opt.getOrElse("timezone", "UTC"),
+      deadLetterPath = opt.getOrElse("dead-letter", "/tmp/graft/dlq"))
+
+    // reuse an active session (e.g. under test / spark-shell); only stop
+    // a session this run created
+    val ownSession = SparkSession.getActiveSession.isEmpty &&
+      SparkSession.getDefaultSession.isEmpty
+    val spark = SparkSession.builder()
+      .appName("graft-pipeline")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val transport = Pipeline.fileTransport(bulkOut)
+
+    opt.getOrElse("mode", "batch") match {
+      case "batch" =>
+        val envelopes = spark.read.schema(Schemas.envelopeJson).json(input)
+          .withColumn("data", unbase64(col("data")))
+        val res = Pipeline.runBatch(envelopes, cfg, transport)
+        println(s"pushed=${res.pushed} failed=${res.failed} " +
+          s"rejected=${res.rejected} dropped=${res.dropped}")
+      case "stream" =>
+        val checkpoint = opt.getOrElse("checkpoint", "/tmp/graft/ckpt")
+        val raw = spark.readStream.schema(Schemas.envelopeJson).json(input)
+          .withColumn("data", unbase64(col("data")))
+        val q = StreamingPipeline.run(raw, cfg, transport, checkpoint)
+        q.awaitTermination()
+      case other => sys.error(s"unknown --mode $other (batch|stream)")
+    }
+    if (ownSession) spark.stop()
+  }
+}

@@ -88,6 +88,29 @@ object StreamingPipeline {
       col(streamKey) === col(dimKey), "left")
   }
 
+  /** Stream-stream correlation: events of `typeA` joined to events of
+    * `typeB` with the same payload key within `within` event time — the
+    * funnel/attribution primitive (click→purchase). Both sides carry
+    * watermarks so Spark bounds the join state buffers; the time-range
+    * predicate lets it evict rows as the watermark advances. */
+  def correlateTypes(envelopes: DataFrame, cfg: PipelineConfig,
+                     typeA: String, typeB: String, keyJsonPath: String,
+                     within: String = "1 hour"): DataFrame = {
+    val good = Router.good(Pipeline.transform(envelopes, cfg))
+      .select(col("log_type"), col("event_ts"), col("log_id"),
+        get_json_object(col("payload"), keyJsonPath).as("ckey"))
+    val a = good.filter(col("log_type") === typeA)
+      .withWatermark("event_ts", within)
+      .select(col("ckey").as("key_a"), col("event_ts").as("ts_a"), col("log_id").as("id_a"))
+    val b = good.filter(col("log_type") === typeB)
+      .withWatermark("event_ts", within)
+      .select(col("ckey").as("key_b"), col("event_ts").as("ts_b"), col("log_id").as("id_b"))
+    a.join(b,
+      col("key_a") === col("key_b") &&
+        col("ts_b") >= col("ts_a") &&
+        col("ts_b") <= col("ts_a") + expr(s"INTERVAL $within"))
+  }
+
   /** Streaming daily rollup per (log_type, day window): the E2 index
     * fan-out as a watermarked windowed aggregation — late data beyond the
     * watermark is dropped, per-key state is bounded. */

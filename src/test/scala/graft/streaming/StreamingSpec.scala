@@ -126,6 +126,29 @@ class StreamingSpec extends SparkSpec {
     assert(rows("id-2").isEmpty) // left join: unknown dim → null
   }
 
+  test("stream-stream correlation joins typed events on key within window") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TestEnvelope]
+    def typed(id: Int, typ: String, minute: Int, user: Int) = env(id,
+      s"""{"log_type":"$typ","time":"2020-09-15T${10 + minute / 60}:${f"${minute % 60}%02d"}:00Z","log_id":"id-$id","user_id":$user}""")
+    val joined = StreamingPipeline.correlateTypes(
+      mem.toDF(), graft.config.PipelineConfig(),
+      "click", "purchase", "$.user_id", within = "30 minutes")
+    val q = joined.select("id_a", "id_b").writeStream
+      .format("memory").queryName("corr_out").outputMode("append").start()
+    try {
+      mem.addData(
+        typed(1, "click", 0, 7),
+        typed(2, "purchase", 10, 7),  // same user, within 30min → match
+        typed(3, "purchase", 10, 8),  // other user → no match
+        typed(4, "click", 0, 9),
+        typed(5, "purchase", 50, 9))  // same user, beyond 30min → no match
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.table("corr_out").as[(String, String)].collect().toSet
+    assert(pairs == Set(("id-1", "id-2")))
+  }
+
   test("file-replay source streams the events table through the pipeline") {
     val dir = Files.createTempDirectory("replay").toString
     val cfg = PipelineConfig(deadLetterPath = s"$dir/dl")
