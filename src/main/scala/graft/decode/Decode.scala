@@ -33,7 +33,9 @@ object Decode {
     * @param dataCol  raw bytes: plain / gzip / KPL aggregate / CWL bundle
     * @return input columns + `payload: String`, one row per decoded payload
     *         (KPL aggregates and CWL bundles fan out; control messages
-    *         vanish)
+    *         vanish). A null `dataCol` yields no payload rows — Kinesis
+    *         cannot deliver a record without data, so there is nothing to
+    *         dead-letter.
     */
   def normalize(df: DataFrame, dataCol: String = "data"): DataFrame = {
     val emptyStrArray = array().cast(ArrayType(StringType))

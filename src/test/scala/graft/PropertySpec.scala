@@ -57,6 +57,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("KPL parser never throws on adversarial bytes (fuzz)") {
+    val rnd = new java.util.Random(42)
+    (0 until 500).foreach { i =>
+      val len = rnd.nextInt(200)
+      val bytes = new Array[Byte](len + 4)
+      rnd.nextBytes(bytes)
+      if (i % 2 == 0) { // force the magic prefix half the time
+        bytes(0) = 0xF3.toByte; bytes(1) = 0x89.toByte
+        bytes(2) = 0x9A.toByte; bytes(3) = 0xC2.toByte
+      }
+      val out = Kpl.deaggregate(bytes) // must not throw
+      assert(out.nonEmpty)
+    }
+  }
+
+  test("gunzip never throws on adversarial bytes (fuzz)") {
+    val rnd = new java.util.Random(7)
+    (0 until 500).foreach { i =>
+      val bytes = new Array[Byte](rnd.nextInt(100) + 2)
+      rnd.nextBytes(bytes)
+      if (i % 2 == 0) { bytes(0) = 0x1f.toByte; bytes(1) = 0x8b.toByte }
+      GzipUtil.gunzipIfNeeded(bytes) // must not throw
+    }
+  }
+
   test("index-name grammar: {prefix}-{type}-{8 digits}") {
     val routed = Pipeline.transform(
       Pipeline.eventsAsEnvelopes(spark, "/root/testdata/sf0.001"), cfg)
