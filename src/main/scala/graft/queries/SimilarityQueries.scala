@@ -59,6 +59,29 @@ object SimilarityQueries {
         .orderBy("qid")
     }),
 
+    // IVF ANN: k-means coarse quantizer + probed exact search [rows-only]
+    "sim_ivf_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopK(
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding", "vec_id", "embedding")
+        .select(col("qid"), col("id"), col("rank"), round(col("sim"), 4).as("sim"))
+        .orderBy("qid", "rank")
+    }),
+
+    // IVF recall vs brute force [rows-only]
+    "sim_ivf_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", "vec_id", "embedding")
+        .select("qid", "id")
+      val approx = Similarity.ivfTopK(e, q, "vec_id", "embedding", "vec_id", "embedding")
+        .select("qid", "id")
+      exact.join(approx, Seq("qid", "id"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("hits"))
+        .withColumn("recall_at_10", round(col("hits") / 10.0, 2))
+        .orderBy("qid")
+    }),
+
     // Embedding near-dup pairs via sign-LSH buckets + exact cosine
     // [rows-only; bucket-local pair generation, no n² cross join]
     "emb_near_dups" -> ((s, dir) =>

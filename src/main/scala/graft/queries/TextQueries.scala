@@ -56,6 +56,19 @@ object TextQueries {
         .agg(count(lit(1)).as("n_kept"), sum("n_tokens").as("kept_tokens"))
         .orderBy("lang")),
 
+    // Vocabulary analysis: top-10 terms per language (explode → map-side
+    // combinable agg → small window over the vocabulary)
+    "txt_top_terms" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("n").desc, col("token"))
+      docs(s, dir)
+        .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("lang", "token").agg(count(lit(1)).as("n"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .orderBy("lang", "rnk")
+    }),
+
     // Per-document canonical fingerprint (exact-dedup key)
     "txt_fingerprint" -> ((s, dir) =>
       docs(s, dir)
@@ -164,6 +177,14 @@ object TextQueries {
         |WHERE len(string_split_regex(trim(text), '\s+')) >= 30
         |  AND length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1.0 / length(text) >= 0.6
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "txt_top_terms" ->
+      """SELECT lang, token, n, rnk FROM (
+        |  SELECT lang, token, count(*) AS n,
+        |         row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, token) AS rnk
+        |  FROM (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |        FROM documents) t
+        |  GROUP BY lang, token) x
+        |WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin,
     "txt_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -72,6 +72,17 @@ class OpsSpec extends SparkSpec {
     assert(top.nonEmpty && top.head._1 == 0L)
   }
 
+  test("IVF ANN finds the identical vector via probed cells") {
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
+    } :+ (100L, Array.tabulate(8)(d => math.sin(0 * 8 + d).toFloat)) // clone of 0
+    val emb = vecs.toDF("vec_id", "embedding")
+    val top = Similarity.ivfTopK(emb, emb.filter(col("vec_id") === 100L),
+      "vec_id", "embedding", "vec_id", "embedding", k = 3, nlist = 4, nProbe = 2)
+      .select("id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(top.nonEmpty && top.head._1 == 0L)
+  }
+
   test("text analysis: tokens, ratios, langid, fingerprint") {
     val df = Seq("The cat and the dog. And a bird!").toDF("text")
     val row = TextAnalysis.withQualityFeatures(df)
