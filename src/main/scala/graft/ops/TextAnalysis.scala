@@ -46,11 +46,29 @@ object TextAnalysis {
   def avgWordLen(c: Column): Column =
     length(regexp_replace(c, "\\s+", "")).cast("double") / tokenCount(c)
 
-  /** Heuristic language ID: common-English stopword density thresholding.
-    * Deliberately simple and exactly reproducible by the oracle; the
-    * density itself is exposed for richer scoring. */
-  def langIdGuess(c: Column, threshold: Double = 0.08): Column =
-    when(stopwordDensity(c) >= threshold, "en").otherwise("other")
+  /** Per-language stopword profiles for the language-ID heuristic. Order
+    * is the deterministic tie-break priority. */
+  val LangProfiles: Seq[(String, String)] = Seq(
+    "en" -> EnStopwords,
+    "de" -> "der|die|das|und|ist|nicht|mit",
+    "fr" -> "le|les|et|est|une|dans|pour",
+    "es" -> "el|los|y|es|una|con|para")
+
+  /** Heuristic language ID: stopword-profile argmax. Each profile scores
+    * word-boundary hits; the best profile wins unless its density
+    * (hits/tokens) is below `threshold` → "other". Exactly reproducible
+    * by a SQL oracle (counts + greatest + CASE). */
+  def langIdGuess(c: Column, threshold: Double = 0.08): Column = {
+    val toks = tokenCount(c)
+    val scores = LangProfiles.map { case (lang, re) =>
+      lang -> regexp_count(lower(c), lit(s"\\b($re)\\b"))
+    }
+    val best = greatest(scores.map(_._2): _*)
+    val argmax = scores.foldRight(lit(scores.last._1): Column) {
+      case ((lang, score), elseCol) => when(score === best, lang).otherwise(elseCol)
+    }
+    when(best.cast("double") / toks < threshold, "other").otherwise(argmax)
+  }
 
   /** Document fingerprint: md5 of the whitespace-normalized, lowercased
     * text — the canonical-form key used by exact dedup. */

@@ -166,10 +166,19 @@ object TextQueries {
         |                 / len(string_split_regex(trim(text), '\s+'))), 4) AS avg_word_len
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "txt_langid" ->
-      """SELECT CASE WHEN len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) * 1.0
-        |                 / len(string_split_regex(trim(text), '\s+')) >= 0.08
-        |            THEN 'en' ELSE 'other' END AS lang_guess, count(*) AS n
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH scored AS (
+        |  SELECT len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS s_en,
+        |         len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit)\b')) AS s_de,
+        |         len(regexp_extract_all(lower(text), '\b(le|les|et|est|une|dans|pour)\b')) AS s_fr,
+        |         len(regexp_extract_all(lower(text), '\b(el|los|y|es|una|con|para)\b')) AS s_es,
+        |         len(string_split_regex(trim(text), '\s+')) AS toks
+        |  FROM documents)
+        |SELECT CASE WHEN greatest(s_en, s_de, s_fr, s_es) * 1.0 / toks < 0.08 THEN 'other'
+        |            WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+        |            WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+        |            WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+        |            ELSE 'es' END AS lang_guess, count(*) AS n
+        |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin,
     "txt_quality_filter" ->
       """SELECT lang, count(*) AS n_kept,
         |       CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS kept_tokens
