@@ -159,5 +159,15 @@ class StreamingSpec extends SparkSpec {
     val nActions = new java.io.File(s"$dir/bulk").listFiles()
       .map(f => Files.readAllLines(f.toPath).size / 2).sum
     assert(nActions == 1000) // sf0.001 events rows
+
+    // restart against the same checkpoint: offsets recover, nothing is
+    // reprocessed (the Spark analog of the ESM shard iterator)
+    val q2 = StreamingPipeline.run(
+      StreamingPipeline.eventsReplayStream(spark, "/root/testdata/sf0.001"), cfg,
+      graft.Pipeline.fileTransport(s"$dir/bulk"), s"$dir/ckpt", Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+    val nAfterRestart = new java.io.File(s"$dir/bulk").listFiles()
+      .map(f => Files.readAllLines(f.toPath).size / 2).sum
+    assert(nAfterRestart == 1000)
   }
 }
