@@ -36,27 +36,37 @@ object Pipeline {
     * (F3), skip-if-empty (F4), idempotent `_id` (F5). */
   def runBatch(envelopes: DataFrame, cfg: PipelineConfig,
                transport: () => BulkTransport): BatchResult = {
+    // Persist the routed batch: three consumers (route counts, dead-letter
+    // write, bulk push) would otherwise each replay the full decode chain —
+    // the per-record gunzip/KPL/from_json cost — three times.
     val routed = transform(envelopes, cfg)
-    // observe channel counts in one pass over the routed stream
-    val byRoute = routed.groupBy("route").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val good = Router.good(routed)
-    val failed = Router.failed(routed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val byRoute = routed.groupBy("route").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val good = Router.good(routed)
+      val failed = Router.failed(routed)
 
-    DeadLetterSink.writeFailed(failed, cfg, reason = "failed_validation")
-    val rejects = BulkSink.push(good, cfg, transport)
-    // materialize rejects exactly once, then dead-letter them (skip-if-empty)
-    rejects.cache()
-    val nRejected = rejects.count()
-    if (nRejected > 0) DeadLetterSink.writeRejected(rejects.toDF(), cfg)
-    rejects.unpersist()
+      DeadLetterSink.writeFailed(failed, cfg, reason = "failed_validation")
+      // Materialize rejects ON THE DRIVER (small by construction — they are
+      // per-action bulk failures): a cached-but-recomputable Dataset would
+      // re-send every bulk chunk through the transport if a cached
+      // partition were lost between count() and the dead-letter write.
+      val rejects = BulkSink.push(good, cfg, transport).collect().toSeq
+      val nRejected = rejects.size.toLong
+      if (nRejected > 0) {
+        val spark = envelopes.sparkSession
+        import spark.implicits._
+        DeadLetterSink.writeRejected(rejects.toDF(), cfg)
+      }
 
-    val nGood = byRoute.filter(_._1 == Router.Route.Good).values.sum
-    BatchResult(
-      pushed = nGood - nRejected,
-      failed = byRoute.filter(_._1.startsWith("failed:")).values.sum,
-      rejected = nRejected,
-      dropped = byRoute.filter(_._1.startsWith("dropped:")).values.sum)
+      val nGood = byRoute.filter(_._1 == Router.Route.Good).values.sum
+      BatchResult(
+        pushed = nGood - nRejected,
+        failed = byRoute.filter(_._1.startsWith("failed:")).values.sum,
+        rejected = nRejected,
+        dropped = byRoute.filter(_._1.startsWith("dropped:")).values.sum)
+    } finally routed.unpersist()
   }
 
   /** Structured Streaming form: micro-batched via foreachBatch like the

@@ -45,6 +45,9 @@ object Kpl {
         wireType match {
           case 2 => // length-delimited
             val (len, p2) = readVarint(body, pos)
+            // a hostile/corrupt varint can overflow toInt negative or run
+            // past the buffer — either would loop or fabricate data
+            if (len < 0 || len > body.length - p2) return Array(bytes)
             val end = p2 + len.toInt
             if (fieldNo == 3) { // AggregatedRecord.records
               recordData(body, p2, end).foreach(out += _)
@@ -72,6 +75,9 @@ object Kpl {
       wireType match {
         case 2 =>
           val (len, p2) = readVarint(b, pos)
+          // copyOfRange silently zero-pads past the buffer — reject any
+          // declared length that exceeds this record's span instead
+          if (len < 0 || len > end - p2) throw new IndexOutOfBoundsException("bad length")
           val e = p2 + len.toInt
           if (fieldNo == 3) data = Some(java.util.Arrays.copyOfRange(b, p2, e))
           pos = e

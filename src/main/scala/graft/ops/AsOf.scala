@@ -32,14 +32,21 @@ object AsOf {
            leftKey: String, rightKey: String,
            leftTime: String, rightTime: String,
            rightCols: Seq[String]): DataFrame = {
+    // Carry the right side as ONE struct (null only on left rows): with
+    // per-column last(ignoreNulls) a legitimately-null right value would
+    // be skipped — returning a stale value, or stitching columns from
+    // DIFFERENT right rows into one match. A single struct is null-or-
+    // whole-row, so ignoreNulls only ever skips left rows.
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(c).copy(name = c)))
     val leftSel: Seq[Column] =
       Seq(col(leftKey).as("_k"), col(leftTime).as("_t"), lit(1).as("_side")) ++
-        left.columns.map(c => col(c)) ++
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"asof_$c"))
+        left.columns.map(c => col(c)) :+
+        lit(null).cast(rStructType).as("_r")
     val rightSel: Seq[Column] =
       Seq(col(rightKey).as("_k"), col(rightTime).as("_t"), lit(0).as("_side")) ++
-        left.columns.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightCols.map(c => col(c).as(s"asof_$c"))
+        left.columns.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightCols.map(col): _*).as("_r")
     val leftTagged = left.select(leftSel: _*)
     val rightTagged = right.select(rightSel: _*)
 
@@ -47,10 +54,10 @@ object AsOf {
     // AT the left row's time matches (<= semantics).
     val w = Window.partitionBy("_k").orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.foldLeft(leftTagged.unionByName(rightTagged)) {
-      case (df, c) =>
-        df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("_side") === 1).drop("_k", "_t", "_side")
+    leftTagged.unionByName(rightTagged)
+      .withColumn("_r", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(left.columns.map(col) ++
+        rightCols.map(c => col("_r").getField(c).as(s"asof_$c")): _*)
   }
 }

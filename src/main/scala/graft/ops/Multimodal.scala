@@ -87,8 +87,12 @@ object Multimodal {
     media
       .withColumn("n_frames",
         ceil(length(col(contentCol)).cast("double") / frameBytes).cast("int"))
+      // guard n_frames=0: sequence(0, -1) auto-steps DOWN to [0, -1] and
+      // would fabricate a phantom frame for empty blobs
       .withColumn("frame_idx",
-        explode(filter(sequence(lit(0), col("n_frames") - 1),
+        explode(filter(
+          when(col("n_frames") > 0, sequence(lit(0), col("n_frames") - 1))
+            .otherwise(array().cast("array<int>")),
           i => i % everyNth === 0)))
       .withColumn("frame",
         col(contentCol).cast("string")

@@ -13,15 +13,16 @@ object Scale {
   /** Two-phase salted aggregation for skewed keys: phase 1 aggregates on
     * (key, salt) — spreading one hot key over `saltBuckets` reducers —
     * phase 2 merges the partials per key. Works for any algebraic
-    * aggregate (sum/count/min/max); result is identical to the direct
-    * groupBy, only the shuffle distribution changes. The salt derives
-    * from a stable hash of the whole row's position-independent content
-    * via monotonically_increasing_id-free rand-less xxhash64 so replays
-    * are deterministic. */
+    * aggregate (sum/count/min/max); the RESULT is identical to the direct
+    * groupBy regardless of how rows salt — only the shuffle distribution
+    * changes. Salt = input partition id: a hot key whose rows all share
+    * one value still spreads (hashing the value would not), and phase 1's
+    * map-side combine collapses each task's rows to one partial per key
+    * before the exchange. */
   def saltedSumCount(df: DataFrame, key: Column, value: Column,
                      saltBuckets: Int = 16): DataFrame = {
     val salted = df.select(key.as("k"), value.as("v"))
-      .withColumn("_salt", pmod(xxhash64(col("v")), lit(saltBuckets)))
+      .withColumn("_salt", pmod(spark_partition_id(), lit(saltBuckets)))
     salted
       .groupBy("k", "_salt")
       .agg(sum("v").as("_s"), count(lit(1)).as("_c"))

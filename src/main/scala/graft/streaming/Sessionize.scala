@@ -45,7 +45,10 @@ object Sessionize {
               val t = e.ts.getTime
               open match {
                 case Some(s) if t - s.end <= gapMs =>
-                  open = Some(s.copy(end = math.max(s.end, t), n = s.n + 1))
+                  // a late-but-above-watermark event may precede the open
+                  // session's start — extend both edges
+                  open = Some(s.copy(start = math.min(s.start, t),
+                    end = math.max(s.end, t), n = s.n + 1))
                 case Some(s) =>
                   closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n)
                   open = Some(OpenSession(t, t, 1))

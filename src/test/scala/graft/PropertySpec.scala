@@ -72,6 +72,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("KPL parser rejects MD5-valid aggregates with hostile varint lengths") {
+    // magic + field-3 key + varint encoding 2^64-12 (toInt would be -12)
+    val body = new java.io.ByteArrayOutputStream()
+    body.write(26) // field 3, wire type 2
+    val huge = -12L // unsigned 2^64-12
+    var v = huge
+    var i = 0
+    while (i < 9) { body.write((((v & 0x7f) | 0x80)).toInt); v >>>= 7; i += 1 }
+    body.write(v.toInt)
+    val bodyBytes = body.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0xF3, 0x89, 0x9A, 0xC2).map(_.toByte), 0, 4)
+    out.write(bodyBytes, 0, bodyBytes.length)
+    val md5 = java.security.MessageDigest.getInstance("MD5").digest(bodyBytes)
+    out.write(md5, 0, md5.length)
+    val crafted = out.toByteArray
+    // must terminate and degrade to pass-through, not hang or fabricate
+    val res = Kpl.deaggregate(crafted)
+    assert(res.length == 1 && (res.head sameElements crafted))
+  }
+
   test("gunzip never throws on adversarial bytes (fuzz)") {
     val rnd = new java.util.Random(7)
     (0 until 500).foreach { i =>

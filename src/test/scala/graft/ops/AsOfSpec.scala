@@ -34,4 +34,20 @@ class AsOfSpec extends SparkSpec {
     assert(joined(13L).isEmpty)
     assert(joined(14L).isEmpty)
   }
+
+  test("as-of join carries legitimately-null right values (no stale stitch)") {
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(100.0), "a"),
+      (1L, ts("2024-01-01 11:00:00"), None, "b") // later row: null price, size b
+    ).toDF("q_key", "q_time", "price", "sz")
+    val trades = Seq((10L, 1L, ts("2024-01-01 12:00:00")))
+      .toDF("trade_id", "t_key", "t_time")
+    val row = AsOf.join(trades, quotes, "t_key", "q_key", "t_time", "q_time",
+      Seq("price", "sz"))
+      .select("trade_id", "asof_price", "asof_sz")
+      .as[(Long, Option[Double], String)].head()
+    // the 11:00 row is the as-of match: its null price must NOT fall back
+    // to 10:00's 100.0, and sz must come from the same (11:00) row
+    assert(row._2.isEmpty && row._3 == "b")
+  }
 }
