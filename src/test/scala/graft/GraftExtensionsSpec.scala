@@ -34,4 +34,19 @@ class GraftExtensionsSpec extends SparkSpec {
   test("GraftExtensions injects without error (build-time wiring)") {
     new GraftExtensions().apply(new SparkSessionExtensions) // must not throw
   }
+
+  test("optimizer rule eliminates gzip roundtrips from the plan") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions._
+    val df = spark.range(3).toDF("id")
+      .select(gunzip_if_gzip(gzip_compress(col("id").cast("string").cast("binary"))).as("b"))
+    val before = df.queryExecution.analyzed
+    assert(before.toString.contains("gzip_compress"))
+    val after = graft.plans.GzipRoundtripElimination(before)
+    assert(!after.toString.contains("gzip_compress") &&
+      !after.toString.contains("gunzip_if_gzip"))
+    // semantics preserved: rewritten plan produces the original bytes
+    val out = df.collect().map(r => new String(r.getAs[Array[Byte]](0)))
+    assert(out.toSeq == Seq("0", "1", "2"))
+  }
 }
