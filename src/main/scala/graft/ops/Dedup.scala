@@ -136,6 +136,75 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over near-dup pairs: groups transitively-linked
+    * documents into dedup clusters (keep one representative per cluster).
+    * Iterative min-label propagation over the symmetric edge set; each
+    * round is one join + one aggregation, labels localCheckpoint'ed so
+    * lineage stays flat (at production scale: reliable checkpoint dir).
+    * Converges in O(diameter) rounds — near-dup graphs are short-diameter
+    * in practice; `maxIter` bounds the worst case.
+    *
+    * @param pairs edges with columns id_a/id_b
+    * @return (id, cluster) where cluster = min id reachable
+    */
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 10,
+                      driverThreshold: Long = 1000000L): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+
+    // The edge set is the REDUCED output of LSH + verification — usually
+    // tiny relative to the corpus. Below the threshold, exact union-find
+    // on the driver beats rounds of distributed jobs; above it, fall
+    // through to the propagation loop. limit(N+1) probes the size and
+    // fetches the edges in ONE job (a separate count would re-run the
+    // whole candidate-generation lineage).
+    val probe = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .limit((driverThreshold + 1).toInt).collect()
+    if (probe.length <= driverThreshold) {
+      val es = probe.map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val rows = parent.keys.toSeq.map(id => (id, find(id)))
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return rows.toDF("id", "cluster")
+    }
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val prop = edges
+        .join(labels.select(col("id").as("src"), col("cluster")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min("cluster").as("neighbor_min"))
+      val next = labels
+        .join(prop, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("neighbor_min"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      changed = next.select(col("id"), col("cluster").as("c2"))
+        .join(labels, "id")
+        .filter(col("c2") =!= col("cluster")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** Embedding near-dup: cosine ≥ threshold pairs. Exact within-bucket via
     * sign-LSH (see [[Similarity.hyperplaneBucket]]) to avoid n². */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,

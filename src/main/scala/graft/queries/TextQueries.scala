@@ -115,6 +115,20 @@ object TextQueries {
         .limit(100)
     }),
 
+    // Dedup clusters: connected components over MinHash near-dup pairs —
+    // cluster sizes tell how much the corpus shrinks [rows-only]
+    "dedup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.jaccardVerify(
+        Dedup.minhashCandidatePairs(d, "doc_id", "text"), d, "doc_id", "text")
+        .filter(col("jaccard") >= 0.3)
+        .select("id_a", "id_b")
+      Dedup.nearDupClusters(pairs)
+        .groupBy("cluster").agg(count(lit(1)).as("size"))
+        .orderBy(col("size").desc, col("cluster"))
+        .limit(100)
+    }),
+
     // Multimodal manifest: blob accounting per source (real plumbing,
     // bytes == UTF-8 text bytes so the oracle can reproduce it)
     "mm_manifest" -> ((s, dir) =>

@@ -72,6 +72,15 @@ class OpsSpec extends SparkSpec {
     assert(top.nonEmpty && top.head._1 == 0L)
   }
 
+  test("near-dup clustering: transitive pairs collapse to min-id clusters") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("id_a", "id_b")
+    val clusters = Dedup.nearDupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(3L) == 1L &&
+      clusters(9L) == 1L) // 9-3-2-1 transitively linked
+    assert(clusters(5L) == 5L && clusters(6L) == 5L)
+  }
+
   test("IVF ANN finds the identical vector via probed cells") {
     val vecs = (0 until 60).map { i =>
       (i.toLong, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
