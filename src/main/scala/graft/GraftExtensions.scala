@@ -1,12 +1,14 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions._
+import graft.functions.GraftFunctions
 
-/** SparkSessionExtensions entry point: registers every custom expression
-  * as a SQL function, so the engine's operators are reachable from pure
-  * SQL as well as the Column API:
+/** SparkSessionExtensions entry point: registers the custom expressions as
+  * SQL functions and injects the engine's optimizer rules, so the
+  * operators are reachable from pure SQL as well as the Column API:
   *
   *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
   *   SELECT gunzip_if_gzip(data), simhash64(tokens) FROM ...
@@ -17,25 +19,10 @@ import graft.functions._
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.GzipRoundtripElimination)
-    import org.apache.spark.sql.catalyst.FunctionIdentifier
-    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-
-    def info(name: String, usage: String) =
-      new ExpressionInfo("graft", null, name, usage, "")
-
-    def one(name: String, usage: String)(f: Expression => Expression): Unit =
-      ext.injectFunction((FunctionIdentifier(name), info(name, usage),
-        (es: Seq[Expression]) => f(es.head)))
-
-    one("gunzip_if_gzip", "inflate gzip payloads, pass-through otherwise")(GunzipIfGzip)
-    one("gzip_compress", "gzip-compress binary payloads")(GzipCompress)
-    one("kpl_deaggregate", "split a KPL aggregate into user records")(KplDeaggregate)
-    one("simhash64", "64-bit SimHash of a token array")(SimHash64)
-    one("minhash_signature64", "64-perm MinHash signature of shingles")(
-      MinHashSignature(_, 64))
-    one("shingle_hashes3", "distinct hashed 3-gram shingles of a token array")(
-      ShingleHashes(_, 3))
-    one("hyperplane_sig16", "16-plane sign-LSH signature of array<double>")(
-      HyperplaneSig(_, 16))
+    GraftFunctions.sqlFunctions.foreach { case (name, usage, build) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", null, name, usage, ""),
+        (es: Seq[Expression]) => build(es.head)))
+    }
   }
 }

@@ -98,16 +98,23 @@ object Pipeline {
     // CPU work, so size the stage by cores (a real Kinesis source already
     // arrives partitioned by shard).
     val ev = graft.ops.Par.spread(Tables.events(spark, sfDir))
-    ev.select(
-      col("event_id").cast("string").as("partitionKey"),
-      col("event_id").cast("string").as("sequenceNumber"),
-      col("ts").as("approximateArrival"),
+    envelopeFrom(ev,
       to_json(struct(
         col("event_type").as("log_type"),
         date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("time"),
         col("event_id").cast("string").as("log_id"),
         col("user_id"),
         col("value"),
-        col("props"))).cast("binary").as("data"))
+        col("props"))).cast("binary"))
   }
+
+  /** Wrap events rows as Kinesis-style envelopes with an arbitrary payload
+    * expression (shared by the canonical replay and corrupted-slice test
+    * replays). */
+  def envelopeFrom(ev: DataFrame, data: org.apache.spark.sql.Column): DataFrame =
+    ev.select(
+      col("event_id").cast("string").as("partitionKey"),
+      col("event_id").cast("string").as("sequenceNumber"),
+      col("ts").as("approximateArrival"),
+      data.as("data"))
 }

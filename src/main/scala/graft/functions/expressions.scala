@@ -347,23 +347,24 @@ object GraftFunctions {
   def shingle_hashes(c: Column, n: Int): Column = col(ShingleHashes(expr(c), n))
   def hyperplane_sig(c: Column, planes: Int): Column = col(HyperplaneSig(expr(c), planes))
 
+  /** Single source of truth for the SQL function surface: (name, usage,
+    * builder). Consumed by [[register]] (runtime) and
+    * [[graft.GraftExtensions]] (build-time injection). */
+  val sqlFunctions: Seq[(String, String, Expression => Expression)] = Seq(
+    ("gunzip_if_gzip", "inflate gzip payloads, pass-through otherwise", GunzipIfGzip.apply),
+    ("gzip_compress", "gzip-compress binary payloads", GzipCompress.apply),
+    ("kpl_deaggregate", "split a KPL aggregate into user records", KplDeaggregate.apply),
+    ("simhash64", "64-bit SimHash of a token array", SimHash64.apply),
+    ("minhash_signature64", "64-perm MinHash signature of shingles", MinHashSignature(_, 64)),
+    ("shingle_hashes3", "distinct hashed 3-gram shingles of a token array", ShingleHashes(_, 3)),
+    ("hyperplane_sig16", "16-plane sign-LSH signature of array<double>", HyperplaneSig(_, 16)))
+
   /** Register every custom expression as a SQL temp function on an
     * existing session (the build-time path is [[graft.GraftExtensions]]). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "gunzip_if_gzip", es => GunzipIfGzip(es.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "gzip_compress", es => GzipCompress(es.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "kpl_deaggregate", es => KplDeaggregate(es.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "simhash64", es => SimHash64(es.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "minhash_signature64", es => MinHashSignature(es.head, 64), "built-in")
-    reg.createOrReplaceTempFunction(
-      "shingle_hashes3", es => ShingleHashes(es.head, 3), "built-in")
-    reg.createOrReplaceTempFunction(
-      "hyperplane_sig16", es => HyperplaneSig(es.head, 16), "built-in")
+    sqlFunctions.foreach { case (name, _, build) =>
+      reg.createOrReplaceTempFunction(name, es => build(es.head), "built-in")
+    }
   }
 }

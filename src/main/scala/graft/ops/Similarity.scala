@@ -29,32 +29,12 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * xxhash64 of the pair scaled to [-1, 1] — no RNG state, reproducible
-    * on any cluster. */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    xxhash64(lit(plane), dim).cast("double") / lit(Long.MaxValue.toDouble)
-
   /** Sign-LSH bucket id: one bit per hyperplane = sign of <v, r_p>.
     * One custom-Expression pass ([[graft.functions.HyperplaneSig]]) —
     * plane components derived by hash-mixing (plane, dim), so no plane
     * matrix is stored or broadcast. */
   def hyperplaneBucket(v: Column, planes: Int): Column =
     graft.functions.GraftFunctions.hyperplane_sig(v, planes)
-
-  /** Built-in-only composition of a sign-LSH signature (different plane
-    * derivation than [[hyperplaneBucket]]; kept to document the composed
-    * form and for property tests of the bucketing idea). */
-  def hyperplaneBucketReference(v: Column, planes: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x * planeComponent(p, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
 
   /** Brute-force cosine top-k: every query (small, broadcast) against the
     * whole corpus. Returns (qid, id, rank, sim). Deterministic tiebreak on

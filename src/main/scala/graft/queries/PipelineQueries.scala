@@ -37,10 +37,7 @@ object PipelineQueries {
   private def badmixEnvelopes(s: SparkSession, dir: String): DataFrame = {
     val ev = graft.ops.Par.spread(events(s, dir))
     val m = col("event_id") % 10
-    ev.select(
-      col("event_id").cast("string").as("partitionKey"),
-      col("event_id").cast("string").as("sequenceNumber"),
-      col("ts").as("approximateArrival"),
+    Pipeline.envelopeFrom(ev,
       when(m === 9, lit("definitely not json"))
         .otherwise(to_json(struct(
           when(m === 7, lit(null).cast("string")).otherwise(col("event_type")).as("log_type"),
@@ -48,7 +45,7 @@ object PipelineQueries {
             date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")).as("time"),
           col("event_id").cast("string").as("log_id"),
           col("user_id"), col("value"))))
-        .cast("binary").as("data"))
+        .cast("binary"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

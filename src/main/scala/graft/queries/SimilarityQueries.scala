@@ -15,6 +15,14 @@ object SimilarityQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Fraction of an exact top-10 an ANN method recovers, per query. */
+  private def recallAt10(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select("qid", "id")
+      .join(approx.select("qid", "id"), Seq("qid", "id"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+      .withColumn("recall_at_10", round(col("hits") / 10.0, 2))
+      .orderBy("qid")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Brute-force cosine top-10 for 10 query vectors (the baseline)
@@ -49,14 +57,9 @@ object SimilarityQueries {
     "sim_lsh_recall" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") < 10)
-      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", "vec_id", "embedding")
-        .select("qid", "id")
-      val approx = Similarity.lshTopK(e, q, "vec_id", "embedding", "vec_id", "embedding")
-        .select("qid", "id")
-      exact.join(approx, Seq("qid", "id"), "left_semi")
-        .groupBy("qid").agg(count(lit(1)).as("hits"))
-        .withColumn("recall_at_10", round(col("hits") / 10.0, 2))
-        .orderBy("qid")
+      recallAt10(
+        Similarity.bruteForceTopK(e, q, "vec_id", "embedding", "vec_id", "embedding"),
+        Similarity.lshTopK(e, q, "vec_id", "embedding", "vec_id", "embedding"))
     }),
 
     // IVF ANN: k-means coarse quantizer + probed exact search [rows-only]
@@ -72,14 +75,9 @@ object SimilarityQueries {
     "sim_ivf_recall" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") < 10)
-      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", "vec_id", "embedding")
-        .select("qid", "id")
-      val approx = Similarity.ivfTopK(e, q, "vec_id", "embedding", "vec_id", "embedding")
-        .select("qid", "id")
-      exact.join(approx, Seq("qid", "id"), "left_semi")
-        .groupBy("qid").agg(count(lit(1)).as("hits"))
-        .withColumn("recall_at_10", round(col("hits") / 10.0, 2))
-        .orderBy("qid")
+      recallAt10(
+        Similarity.bruteForceTopK(e, q, "vec_id", "embedding", "vec_id", "embedding"),
+        Similarity.ivfTopK(e, q, "vec_id", "embedding", "vec_id", "embedding"))
     }),
 
     // Embedding near-dup pairs via sign-LSH buckets + exact cosine
