@@ -48,6 +48,7 @@ object Main {
     val spark = SparkSession.builder()
       .appName("graft-pipeline")
       .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
