@@ -48,17 +48,14 @@ object Pipeline {
       val failed = Router.failed(routed)
 
       DeadLetterSink.writeFailed(failed, cfg, reason = "failed_validation")
-      // Materialize rejects ON THE DRIVER (small by construction — they are
-      // per-action bulk failures): a cached-but-recomputable Dataset would
-      // re-send every bulk chunk through the transport if a cached
-      // partition were lost between count() and the dead-letter write.
-      val rejects = BulkSink.push(good, cfg, transport).collect().toSeq
-      val nRejected = rejects.size.toLong
-      if (nRejected > 0) {
-        val spark = envelopes.sparkSession
-        import spark.implicits._
-        DeadLetterSink.writeRejected(rejects.toDF(), cfg)
-      }
+      // Exactly ONE action drives the bulk send: the dead-letter write of
+      // the reject stream. The count rides along in an accumulator — a
+      // separate count() would re-send every chunk, and collecting rejects
+      // to the driver is unbounded when rejection is systemic.
+      val counter = envelopes.sparkSession.sparkContext.longAccumulator("bulk_rejects")
+      val rejects = BulkSink.push(good, cfg, transport, Some(counter))
+      DeadLetterSink.writeRejected(rejects.toDF(), cfg)
+      val nRejected = counter.value.toLong
 
       val nGood = byRoute.filter(_._1 == Router.Route.Good).values.sum
       BatchResult(

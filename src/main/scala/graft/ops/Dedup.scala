@@ -147,8 +147,12 @@ object Dedup {
     * @param pairs edges with columns id_a/id_b
     * @return (id, cluster) where cluster = min id reachable
     */
-  def nearDupClusters(pairs: DataFrame, maxIter: Int = 10,
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 20,
                       driverThreshold: Long = 1000000L): DataFrame = {
+    require(driverThreshold >= 0 && driverThreshold < Int.MaxValue,
+      "driverThreshold must fit in an Int limit")
+    val spark = pairs.sparkSession
+    val idType = pairs.schema("id_a").dataType
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
@@ -158,36 +162,46 @@ object Dedup {
     // on the driver beats rounds of distributed jobs; above it, fall
     // through to the propagation loop. limit(N+1) probes the size and
     // fetches the edges in ONE job (a separate count would re-run the
-    // whole candidate-generation lineage).
-    val probe = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .limit((driverThreshold + 1).toInt).collect()
+    // whole candidate-generation lineage). Ids keep their original type
+    // on both paths (min by natural Spark ordering / Scala Ordering).
+    val probe = edges.limit(driverThreshold.toInt + 1).collect()
     if (probe.length <= driverThreshold) {
-      val es = probe.map(r => (r.getLong(0), r.getLong(1)))
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
+      implicit val anyOrd: Ordering[Any] = (a: Any, b: Any) => (a, b) match {
+        case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+        case (x: Int, y: Int) => java.lang.Integer.compare(x, y)
+        case (x, y) => x.toString.compareTo(y.toString)
+      }
+      val parent = scala.collection.mutable.Map.empty[Any, Any]
+      def find(x: Any): Any = {
         var r = x
         while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
         var c = x
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      es.foreach { case (a, b) =>
+      probe.foreach { row =>
+        val (a, b) = (row.get(0), row.get(1))
         parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
         val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        if (ra != rb) parent(anyOrd.max(ra, rb)) = anyOrd.min(ra, rb)
       }
-      val rows = parent.keys.toSeq.map(id => (id, find(id)))
-      val spark = pairs.sparkSession
-      import spark.implicits._
-      return rows.toDF("id", "cluster")
+      val rows = parent.keys.toSeq.map(id =>
+        org.apache.spark.sql.Row(id, find(id)))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", idType),
+          org.apache.spark.sql.types.StructField("cluster", idType))))
     }
-    var labels = edges.select(col("src").as("id")).distinct()
+    // materialize the (expensive) candidate lineage once for the loop
+    val matEdges = edges.localCheckpoint()
+    var labels = matEdges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint()
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
-      val prop = edges
+      val prop = matEdges
         .join(labels.select(col("id").as("src"), col("cluster")), "src")
         .groupBy(col("dst").as("id"))
         .agg(min("cluster").as("neighbor_min"))
@@ -202,6 +216,11 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"nearDupClusters: label propagation did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — long near-dup chains may be split; " +
+          "raise maxIter for graphs with diameter > maxIter")
     labels
   }
 

@@ -15,11 +15,14 @@ object SimilarityQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
-  /** Fraction of an exact top-10 an ANN method recovers, per query. */
+  /** Fraction of an exact top-10 an ANN method recovers, per query. A
+    * left join (not semi) so a query the ANN misses ENTIRELY still shows
+    * up with recall 0.0 — dropping it would hide the worst regressions. */
   private def recallAt10(exact: DataFrame, approx: DataFrame): DataFrame =
     exact.select("qid", "id")
-      .join(approx.select("qid", "id"), Seq("qid", "id"), "left_semi")
-      .groupBy("qid").agg(count(lit(1)).as("hits"))
+      .join(approx.select(col("qid"), col("id"), lit(1).as("hit")),
+        Seq("qid", "id"), "left")
+      .groupBy("qid").agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
       .withColumn("recall_at_10", round(col("hits") / 10.0, 2))
       .orderBy("qid")
 

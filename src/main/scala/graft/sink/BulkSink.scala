@@ -82,8 +82,18 @@ object BulkSink {
 
   /** Push `good` (needs columns index_name, log_id, payload) through the
     * transport; returns the rejects as a Dataset (route to the dead-letter
-    * sink, K4). Lazily evaluated — caller must act on the result. */
-  def push(good: DataFrame, cfg: PipelineConfig, transport: () => BulkTransport): Dataset[BulkReject] = {
+    * sink, K4). Lazily evaluated — the caller must run EXACTLY ONE action
+    * on the result (the send is a side effect; task retries re-send their
+    * partition, the reference's at-least-once semantics).
+    *
+    * @param rejectCounter optional accumulator so callers get the reject
+    *        count from the same single pass that writes them — a second
+    *        counting action would re-send every chunk, and collecting
+    *        rejects to the driver is unbounded when rejection is systemic.
+    */
+  def push(good: DataFrame, cfg: PipelineConfig, transport: () => BulkTransport,
+           rejectCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[BulkReject] = {
     val chunkSize = cfg.bulkChunkSize
     implicit val rejectEnc = Encoders.product[BulkReject]
     implicit val actionEnc = Encoders.product[BulkAction]
@@ -100,6 +110,7 @@ object BulkSink {
           // exhaust before close: grouped is lazy
           val out = rejects.toVector
           t.close()
+          rejectCounter.foreach(_.add(out.size))
           out.iterator
         }
       }

@@ -44,14 +44,19 @@ object Sessionize {
             sorted.foreach { e =>
               val t = e.ts.getTime
               open match {
-                case Some(s) if t - s.end <= gapMs =>
-                  // a late-but-above-watermark event may precede the open
-                  // session's start — extend both edges
+                case Some(s) if t >= s.start - gapMs && t - s.end <= gapMs =>
+                  // late-but-above-watermark events within the gap of
+                  // either session edge extend the session
                   open = Some(s.copy(start = math.min(s.start, t),
                     end = math.max(s.end, t), n = s.n + 1))
-                case Some(s) =>
+                case Some(s) if t - s.end > gapMs =>
+                  // silence after the session: close it, open a new one
                   closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n)
                   open = Some(OpenSession(t, t, 1))
+                case Some(_) =>
+                  // more than a gap BEFORE the open session's start: an
+                  // isolated older event — its own (already-closed) session
+                  closed ::= Session(userId, new Timestamp(t), new Timestamp(t), 1)
                 case None =>
                   open = Some(OpenSession(t, t, 1))
               }
