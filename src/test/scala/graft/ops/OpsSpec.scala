@@ -81,6 +81,22 @@ class OpsSpec extends SparkSpec {
     assert(clusters(5L) == 5L && clusters(6L) == 5L)
   }
 
+  test("near-dup clustering: distributed propagation path agrees with union-find") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L)).toDF("id_a", "id_b")
+    val driver = Dedup.nearDupClusters(pairs).as[(Long, Long)].collect().toMap
+    val dist = Dedup.nearDupClusters(pairs, driverThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == driver)
+    assert(dist(4L) == 1L && dist(8L) == 7L)
+  }
+
+  test("near-dup clustering preserves non-numeric id types on the driver path") {
+    val pairs = Seq(("doc-b", "doc-a"), ("doc-c", "doc-b")).toDF("id_a", "id_b")
+    val clusters = Dedup.nearDupClusters(pairs)
+      .as[(String, String)].collect().toMap
+    assert(clusters.values.toSet == Set("doc-a"))
+  }
+
   test("IVF ANN finds the identical vector via probed cells") {
     val vecs = (0 until 60).map { i =>
       (i.toLong, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))

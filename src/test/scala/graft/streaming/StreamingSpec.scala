@@ -109,6 +109,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizer: event far before the open session becomes its own session") {
+    implicit val sqlCtx = spark.sqlContext
+    import Sessionize._
+    def at(hms: String) = Event(1L, java.sql.Timestamp.valueOf(s"2024-01-01 $hms"))
+    val mem = MemoryStream[Event]
+    val q = Sessionize.sessions(mem.toDS(), gapMs = 60 * 1000) // 1 min gap
+      .writeStream.format("memory").queryName("iso_out").outputMode("append").start()
+    try {
+      mem.addData(at("10:00:00"), at("10:00:05"))
+      q.processAllAvailable()
+      // 9:52:00 is 8 min before the open session start (gap 1 min) but
+      // above the 10-min watermark: isolated older session, start must
+      // NOT be dragged back
+      mem.addData(at("09:52:00"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("iso_out").as[Session].collect()
+    assert(rows.exists(s => s.start.toString.contains("09:52:00") &&
+      s.end.toString.contains("09:52:00") && s.n_events == 1))
+    assert(!rows.exists(s => s.start.toString.contains("09:52") && s.n_events > 1))
+  }
+
   test("stream-static dimension enrichment joins per micro-batch (broadcast)") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq(("nginx", "web"), ("app", "mobile")).toDF("dim_type", "family")
