@@ -68,6 +68,20 @@ class DecodeSpec extends SparkSpec {
     assert(out.sorted == Seq(log, log, "a", "b").sorted)
   }
 
+  test("KPL records containing gzip payloads inflate per record (D2→D3)") {
+    val agg = Kpl.aggregate(Seq(GzipUtil.gzipString(log), log.getBytes(UTF_8)))
+    assert(decoded(agg) == Seq(log, log))
+  }
+
+  test("KPL records containing CWL bundles unwrap per record (D2→D3→D4)") {
+    val cwl =
+      s"""{"messageType":"DATA_MESSAGE","logEvents":[
+         |{"id":"1","timestamp":1,"message":${jstr(log)}},
+         |{"id":"2","timestamp":2,"message":${jstr(log)}}]}""".stripMargin
+    val agg = Kpl.aggregate(Seq(GzipUtil.gzipString(cwl), log.getBytes(UTF_8)))
+    assert(decoded(agg) == Seq(log, log, log))
+  }
+
   test("base64 text envelopes (D1) decode identically") {
     val b64 = java.util.Base64.getEncoder.encodeToString(GzipUtil.gzipString(log))
     val df = Seq(("pk", "seq", b64)).toDF("partitionKey", "sequenceNumber", "data")
