@@ -114,7 +114,7 @@ object Similarity {
         struct(col(simCol).as("score"), col(idCol).cast("long").as("id")), k).as("top"))
       .select(col(qidCol), posexplode(col("top")))
       .select(col(qidCol), col("col.id").as("id"),
-        (col("pos") + 1).cast("int").as("rank"), col("col.score").as("sim"))
+        (col("pos") + 1).cast("long").as("rank"), col("col.score").as("sim"))
 
   /** LSH-bucketed ANN top-k: candidates share the full signature bucket OR
     * any of `bands` sub-signature bands (multi-probe-ish banding so recall

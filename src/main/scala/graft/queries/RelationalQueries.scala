@@ -210,6 +210,40 @@ object RelationalQueries {
           col("sum_qty"), col("n"))
         .orderBy("returnflag", "linestatus")),
 
+    // Outer join with zero-preservation: order counts per customer
+    // including customers with none
+    "q_left_join_counts" -> ((s, dir) => {
+      val counts = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "P")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+      t(s, dir, "customer")
+        .join(counts, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), coalesce(col("cnt"), lit(0L)).as("n_pending"))
+        .orderBy("c_custkey")
+    }),
+
+    // Scalar string functions: substr/upper/replace/length/like
+    "q_string_funcs" -> ((s, dir) =>
+      t(s, dir, "part")
+        .filter(col("p_type").like("%PROMO%") || col("p_type").like("%ECONOMY%"))
+        .select(
+          col("p_partkey"),
+          upper(substring(col("p_type"), 1, 8)).as("type_prefix"),
+          length(regexp_replace(col("p_name"), " ", "")).cast("long").as("name_len"),
+          concat_ws("/", col("p_brand"), col("p_size")).as("brand_size"))
+        .orderBy("p_partkey")),
+
+    // Date arithmetic: ship latency in days per order priority
+    "q_ship_latency" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("l_shipdate"), col("o_orderdate")).as("lat"))
+        .groupBy("o_orderpriority")
+        .agg(round(avg("lat"), 4).as("avg_days"),
+          max("lat").cast("long").as("max_days"), count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")),
+
     // CUBE: all grouping combinations in one pass
     "q_cube_status" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -337,6 +371,27 @@ object RelationalQueries {
         |  UNION ALL
         |  SELECT user_id, 'purchase' AS src FROM events WHERE event_type = 'purchase') t
         |GROUP BY src ORDER BY src""".stripMargin,
+    "q_left_join_counts" ->
+      """SELECT c_custkey, coalesce(cnt, 0) AS n_pending
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, count(*) AS cnt FROM orders
+        |  WHERE o_orderstatus = 'P' GROUP BY 1) o
+        |ON c_custkey = o_custkey ORDER BY c_custkey""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        |       upper(substr(p_type, 1, 8)) AS type_prefix,
+        |       length(replace(p_name, ' ', '')) AS name_len,
+        |       concat_ws('/', p_brand, p_size) AS brand_size
+        |FROM part
+        |WHERE p_type LIKE '%PROMO%' OR p_type LIKE '%ECONOMY%'
+        |ORDER BY p_partkey""".stripMargin,
+    "q_ship_latency" ->
+      """SELECT o_orderpriority,
+        |       round(avg(date_diff('day', o_orderdate, l_shipdate)), 4) AS avg_days,
+        |       max(date_diff('day', o_orderdate, l_shipdate)) AS max_days,
+        |       count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_cube_status" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |       coalesce(o_orderpriority, 'ALL') AS priority,

@@ -92,6 +92,18 @@ object SimilarityQueries {
         .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
         .limit(100)),
 
+    // Element-wise vector stats per label (array indexing + aggregation)
+    "sim_vector_stats" -> ((s, dir) =>
+      emb(s, dir)
+        .select(col("label"), col("embedding").cast("array<double>").as("v"))
+        .groupBy("label")
+        .agg(
+          round(avg(element_at(col("v"), 1)), 4).as("avg_d1"),
+          round(avg(element_at(col("v"), 64)), 4).as("avg_d64"),
+          round(max(element_at(col("v"), 1)), 4).as("max_d1"),
+          count(lit(1)).as("n"))
+        .orderBy("label")),
+
     // Label centroid distances: vector aggregation via higher-order fns
     "sim_label_centroids" -> ((s, dir) => {
       val e = emb(s, dir).select(col("label"),
@@ -107,6 +119,13 @@ object SimilarityQueries {
   )
 
   val sql: Map[String, String] = Map(
+    "sim_vector_stats" ->
+      """SELECT label,
+        |       round(avg(CAST(embedding[1] AS DOUBLE)), 4) AS avg_d1,
+        |       round(avg(CAST(embedding[64] AS DOUBLE)), 4) AS avg_d64,
+        |       round(max(CAST(embedding[1] AS DOUBLE)), 4) AS max_d1,
+        |       count(*) AS n
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
     "sim_bruteforce_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10)

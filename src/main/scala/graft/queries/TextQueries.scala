@@ -64,7 +64,7 @@ object TextQueries {
       docs(s, dir)
         .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("token"))
         .groupBy("lang", "token").agg(count(lit(1)).as("n"))
-        .withColumn("rnk", row_number().over(w))
+        .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 10)
         .orderBy("lang", "rnk")
     }),

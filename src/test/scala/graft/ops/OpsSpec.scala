@@ -56,7 +56,7 @@ class OpsSpec extends SparkSpec {
       (3L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
     val top = Similarity.bruteForceTopK(
       emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding", "vec_id", "embedding", k = 2)
-      .select("id", "rank", "sim").as[(Long, Int, Double)].collect().sortBy(_._2)
+      .select("id", "rank", "sim").as[(Long, Long, Double)].collect().sortBy(_._2)
     assert(top.head._1 == 1L && math.abs(top.head._3 - 1.0) < 1e-12)
     assert(top(1)._1 == 2L)
   }
@@ -68,7 +68,7 @@ class OpsSpec extends SparkSpec {
     val emb = vecs.toDF("vec_id", "embedding")
     val top = Similarity.lshTopK(emb, emb.filter(col("vec_id") === 100L),
       "vec_id", "embedding", "vec_id", "embedding", k = 3)
-      .select("id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+      .select("id", "rank").as[(Long, Long)].collect().sortBy(_._2)
     assert(top.nonEmpty && top.head._1 == 0L)
   }
 
@@ -104,7 +104,7 @@ class OpsSpec extends SparkSpec {
     val emb = vecs.toDF("vec_id", "embedding")
     val top = Similarity.ivfTopK(emb, emb.filter(col("vec_id") === 100L),
       "vec_id", "embedding", "vec_id", "embedding", k = 3, nlist = 4, nProbe = 2)
-      .select("id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+      .select("id", "rank").as[(Long, Long)].collect().sortBy(_._2)
     assert(top.nonEmpty && top.head._1 == 0L)
   }
 
