@@ -199,6 +199,21 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // Interval (range) join via tolerance-width time bins — no range
+    // cross join: clicks within ±10 min of each error, per user
+    "q_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("cid"), col("user_id").as("cuser"), col("ts").as("cts"))
+      graft.ops.IntervalJoin.within(errors, clicks,
+          "user_id", "cuser", "ts", "cts", toleranceMs = 10 * 60 * 1000L)
+        .groupBy("event_id")
+        .agg(count(lit(1)).as("n_nearby_clicks"))
+        .orderBy("event_id")
+    }),
+
     // Hierarchical aggregation: ROLLUP over returnflag/linestatus
     "q_rollup_pricing" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -425,6 +440,13 @@ object RelationalQueries {
         |FROM events e ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+    "q_interval_join" ->
+      """SELECT e.event_id, count(*) AS n_nearby_clicks
+        |FROM events e JOIN events c
+        |  ON e.user_id = c.user_id AND c.event_type = 'click'
+        | AND c.ts >= e.ts - INTERVAL 10 MINUTE AND c.ts <= e.ts + INTERVAL 10 MINUTE
+        |WHERE e.event_type = 'error'
+        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin,
     "q_rollup_pricing" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |       coalesce(l_linestatus, 'ALL') AS linestatus,

@@ -108,6 +108,22 @@ class OpsSpec extends SparkSpec {
     assert(top.nonEmpty && top.head._1 == 0L)
   }
 
+  test("interval join matches pairs within tolerance, inclusive, no dups") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val l = Seq((1L, 7L, ts("2024-01-01 10:00:00"))).toDF("lid", "k", "t")
+    val r = Seq(
+      (10L, 7L, ts("2024-01-01 10:04:59")), // inside
+      (11L, 7L, ts("2024-01-01 10:05:00")), // boundary: inclusive
+      (12L, 7L, ts("2024-01-01 09:55:00")), // boundary the other side
+      (13L, 7L, ts("2024-01-01 10:05:01")), // outside
+      (14L, 8L, ts("2024-01-01 10:00:00"))  // wrong key
+    ).toDF("rid", "k", "t")
+    val got = IntervalJoin.within(l, r, "k", "k", "t", "t", toleranceMs = 5 * 60 * 1000L)
+      .select("r_rid").as[Long].collect().toSeq.sorted
+    assert(got == Seq(10L, 11L, 12L))
+  }
+
   test("text analysis: tokens, ratios, langid, fingerprint") {
     val df = Seq("The cat and the dog. And a bird!").toDF("text")
     val row = TextAnalysis.withQualityFeatures(df)
