@@ -66,6 +66,12 @@ object Similarity {
     * while the scanned fraction is ~nProbe/nlist — at 100 TB the cell
     * assignment is one pass + one shuffle on cell id, and centroids are
     * tiny driver-side state (nlist × dim doubles).
+    *
+    * Determinism note: k-means|| initialization depends on data
+    * partitioning, so with a fixed seed the cells (and hence the
+    * approximate result set) are stable per cluster layout but can differ
+    * across parallelism levels — inherent to learned quantizers; use
+    * [[lshTopK]] when bit-reproducibility across layouts matters.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, qidCol: String, qvecCol: String,
