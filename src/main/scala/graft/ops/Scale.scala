@@ -43,6 +43,19 @@ object Scale {
       .parquet(path)
   }
 
+  /** Range-partitioned, sorted data layout: repartitionByRange keeps each
+    * output file's key span narrow and sortWithinPartitions orders rows
+    * inside, so parquet min/max statistics prune files AND row groups for
+    * range predicates — the "sort your facts by their hottest filter key"
+    * layout rule for 100 TB scans. */
+  def sortedLayoutWrite(df: DataFrame, path: String, partitions: Int,
+                        sortCols: Seq[String]): Unit = {
+    val cols = sortCols.map(col)
+    df.repartitionByRange(partitions, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Write a table bucketed+sorted by a join key. Two tables bucketed the
     * same way join WITHOUT a shuffle (bucket pruning + co-located join) —
     * the pre-partitioning strategy for repeatedly-joined 100 TB facts. */

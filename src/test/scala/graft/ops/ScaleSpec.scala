@@ -29,6 +29,22 @@ class ScaleSpec extends SparkSpec {
     assert(files == 4)
   }
 
+  test("sorted layout: each output file covers a narrow key range") {
+    val dir = java.nio.file.Files.createTempDirectory("layout").toString + "/out"
+    val df = spark.range(0, 100000).toDF("id")
+      .withColumn("shuffled", col("id") * 48271 % 100000) // scrambled key
+    Scale.sortedLayoutWrite(df, dir, partitions = 8, sortCols = Seq("shuffled"))
+    // every file's (min,max) span must be ~1/8 of the domain, not ~all of it
+    import org.apache.spark.sql.functions.{input_file_name, max => fmax, min => fmin}
+    val spans = spark.read.parquet(dir)
+      .groupBy(input_file_name()).agg((fmax("shuffled") - fmin("shuffled")).as("span"))
+      .select("span").as[Long].collect()
+    assert(spans.length == 8)
+    assert(spans.forall(_ < 100000 / 4), s"file spans too wide: ${spans.toSeq}")
+    // and the data survives intact
+    assert(spark.read.parquet(dir).count() == 100000)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     assert(wh != null)
