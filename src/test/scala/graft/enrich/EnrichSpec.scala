@@ -31,6 +31,16 @@ class EnrichSpec extends SparkSpec {
     assert(nameFor(tokyo, "2020-09-15T14:59:59Z") == "logs-nginx-20200915")
   }
 
+  test("DST transition: daily boundary follows the zone's wall clock") {
+    val ny = PipelineConfig(timezone = "America/New_York")
+    // 2020-11-01: EDT→EST (clocks back at 06:00Z). 03:59Z = 23:59 EDT Oct 31
+    assert(nameFor(ny, "2020-11-01T03:59:00Z") == "logs-nginx-20201031")
+    // 05:00Z = 01:00 EDT Nov 1 (still before the fall-back)
+    assert(nameFor(ny, "2020-11-01T05:00:00Z") == "logs-nginx-20201101")
+    // 07:00Z = 02:00 EST Nov 1 (after fall-back) — same local day
+    assert(nameFor(ny, "2020-11-01T07:00:00Z") == "logs-nginx-20201101")
+  }
+
   test("offset timestamps normalize before the day is derived") {
     // 10:21+09:00 == 01:21Z → same UTC day
     assert(nameFor(PipelineConfig(), "2020-09-15T10:21:33.123456+09:00")

@@ -23,6 +23,17 @@ class SinkSpec extends SparkSpec {
         "{\"index\":{\"_index\":\"logs-app-20200915\"}}\n{\"b\":2}\n")
   }
 
+  test("bulk meta JSON-escapes quotes, backslashes, and control chars in ids") {
+    val body = BulkSink.bulkBody(Seq(
+      BulkAction("idx-\"quoted\"", "id\\with\"specials\nand\tctrl", "{}")))
+    // the meta must stay ONE valid JSON line (raw control chars would
+    // break the NDJSON bulk framing)
+    val metaLine = body.split('\n').head
+    val expected = "{\"index\":{\"_index\":\"idx-\\\"quoted\\\"\"," +
+      "\"_id\":\"id\\\\with\\\"specials\\u000aand\\u0009ctrl\"}}"
+    assert(metaLine == expected)
+  }
+
   test("501 actions split into chunks of 500+1 (reference BULK_CHUNK_SIZE)") {
     val dir = Files.createTempDirectory("bulk").toString
     val rejects = BulkSink.push(goodDf(501).coalesce(1), PipelineConfig(),
