@@ -11,6 +11,13 @@ final case class BulkAction(indexName: String, id: String, source: String)
   * reference lambda/main.py:149-153). */
 final case class BulkReject(indexName: String, id: String, source: String, error: String)
 
+/** K5: per-chunk send annotation — the Spark analogue of the reference's
+  * X-Ray `chunk_number`/`chunk_size` subsegment annotations
+  * (reference lambda/main.py:134-143). `partitionId` replaces the Lambda
+  * invocation as the unit of parallelism; `chunkNumber` is 0-based within
+  * the partition, like the reference's `enumerate(split_list(...))`. */
+final case class ChunkMetric(partitionId: Int, chunkNumber: Int, chunkSize: Int, rejectCount: Int)
+
 /** Transport behind the bulk sink. Instantiated once per partition
   * (mirroring the reference's one ES client per invocation,
   * lambda/main.py:76-84); implementations must be cheap to construct or
@@ -69,7 +76,7 @@ object BulkSink {
     sb.toString
   }
 
-  private def jsonEscape(s: String): String = {
+  private[sink] def jsonEscape(s: String): String = {
     val sb = new StringBuilder(s.length + 8)
     s.foreach {
       case '"' => sb.append("\\\"")
@@ -90,9 +97,14 @@ object BulkSink {
     *        count from the same single pass that writes them — a second
     *        counting action would re-send every chunk, and collecting
     *        rejects to the driver is unbounded when rejection is systemic.
+    * @param chunkMetrics optional accumulator receiving one [[ChunkMetric]]
+    *        per chunk sent — the reference's per-chunk X-Ray annotations
+    *        (K5, lambda/main.py:134-143). Bounded: one entry per ≤500-action
+    *        chunk, not per row.
     */
   def push(good: DataFrame, cfg: PipelineConfig, transport: () => BulkTransport,
-           rejectCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+           rejectCounter: Option[org.apache.spark.util.LongAccumulator] = None,
+           chunkMetrics: Option[org.apache.spark.util.CollectionAccumulator[ChunkMetric]] = None)
       : Dataset[BulkReject] = {
     val chunkSize = cfg.bulkChunkSize
     implicit val rejectEnc = Encoders.product[BulkReject]
@@ -103,9 +115,12 @@ object BulkSink {
       .mapPartitions { it =>
         if (it.isEmpty) Iterator.empty
         else {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
           val t = transport()
-          val rejects = it.grouped(chunkSize).flatMap { chunk =>
-            t.sendChunk(bulkBody(chunk), chunk)
+          val rejects = it.grouped(chunkSize).zipWithIndex.flatMap { case (chunk, i) =>
+            val rs = t.sendChunk(bulkBody(chunk), chunk)
+            chunkMetrics.foreach(_.add(ChunkMetric(pid, i, chunk.size, rs.size)))
+            rs
           }
           // exhaust before close: grouped is lazy
           val out = rejects.toVector

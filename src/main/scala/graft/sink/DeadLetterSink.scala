@@ -34,6 +34,53 @@ object DeadLetterSink {
         col("source").as("payload")),
       s"${cfg.deadLetterPath}/es_rejected")
 
+  /** Write ES-rejected actions with the reference's exact key layout:
+    * one gzip object named by processing wall clock,
+    * `{prefix}/%Y-%m/%d/%Y-%m-%d-%H:%M:%S.gz`
+    * (reference lambda/main.py:163-172), each line a JSON error record
+    * shaped like a `BulkIndexError.errors` entry (`{"index":{"_index":…,
+    * "_id":…,"error":…,"data":…}}`).
+    *
+    * Divergence, by necessity: the reference has exactly one writer (the
+    * Lambda invocation), we have one per partition — so the file name gains
+    * a `-p{partitionId}` suffix for uniqueness under parallel writers.
+    * Empty partitions write nothing (the F4 skip-if-empty fix; the
+    * reference unconditionally writes even a zero-record object).
+    *
+    * @param clockMillis injectable processing clock for deterministic tests
+    */
+  def writeRejectedReferenceLayout(
+      rejected: org.apache.spark.sql.Dataset[graft.sink.BulkReject],
+      cfg: PipelineConfig,
+      clockMillis: () => Long = () => System.currentTimeMillis()): Unit = {
+    val root = s"${cfg.deadLetterPath}/es_rejected"
+    rejected.foreachPartition { (it: Iterator[BulkReject]) =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val now = java.time.Instant.ofEpochMilli(clockMillis())
+          .atZone(java.time.ZoneOffset.UTC)
+        val key = java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM'/'dd'/'yyyy-MM-dd-HH:mm:ss").format(now)
+        val path = new org.apache.hadoop.fs.Path(s"$root/$key-p$pid.gz")
+        // the ':' the reference puts in its key is legal on object stores but
+        // trips ChecksumFileSystem's relative .crc sibling path — unwrap to
+        // the raw FS (object stores don't write .crc files anyway)
+        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration()) match {
+          case cfs: org.apache.hadoop.fs.ChecksumFileSystem => cfs.getRawFileSystem
+          case other => other
+        }
+        val out = new java.util.zip.GZIPOutputStream(fs.create(path, true))
+        try {
+          val lines = it.map { r =>
+            val e = BulkSink.jsonEscape _
+            s"""{"index":{"_index":"${e(r.indexName)}","_id":"${e(r.id)}","status":400,"error":"${e(r.error)}","data":${r.source}}}"""
+          }
+          out.write(lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        } finally out.close()
+      }
+    }
+  }
+
   private def write(df: DataFrame, path: String): Unit = {
     val keyed = df
       .withColumn("_t", coalesce(col("event_ts"), current_timestamp()))

@@ -51,6 +51,31 @@ class SinkSpec extends SparkSpec {
     assert(rejects.collect().map(_.id).sorted.toSeq == Seq("id-3", "id-7"))
   }
 
+  test("K4 reference layout: processing-time key %Y-%m/%d/%Y-%m-%d-%H:%M:%S.gz") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dl-ref").toString
+    val cfg = PipelineConfig(deadLetterPath = dir)
+    val rejects = Seq(
+      BulkReject("logs-a-20200915", "id-1", """{"log_id":"id-1"}""", "mapper_parsing_exception"),
+      BulkReject("logs-a-20200915", "id-2", """{"log_id":"id-2"}""", "mapper_parsing_exception"))
+      .toDS().coalesce(1)
+    val fixed = java.time.Instant.parse("2020-09-15T10:00:00Z").toEpochMilli
+    DeadLetterSink.writeRejectedReferenceLayout(rejects, cfg, () => fixed)
+    val f = new java.io.File(s"$dir/es_rejected/2020-09/15/2020-09-15-10:00:00-p0.gz")
+    assert(f.isFile, s"expected reference-keyed object at ${f.getPath}")
+    val in = new java.util.zip.GZIPInputStream(new java.io.FileInputStream(f))
+    val lines = new String(in.readAllBytes(), "UTF-8").split('\n')
+    in.close()
+    assert(lines.length == 2)
+    assert(lines(0) == """{"index":{"_index":"logs-a-20200915","_id":"id-1","status":400,"error":"mapper_parsing_exception","data":{"log_id":"id-1"}}}""")
+
+    // skip-if-empty: no object for an empty reject set
+    val dir2 = Files.createTempDirectory("dl-ref2").toString
+    DeadLetterSink.writeRejectedReferenceLayout(
+      rejects.limit(0), cfg.copy(deadLetterPath = dir2), () => fixed)
+    assert(!new java.io.File(s"$dir2/es_rejected").exists())
+  }
+
   test("dead-letter layout {log_type}/{yyyy-MM}/{dd}, gzip, skip-if-empty") {
     val dir = Files.createTempDirectory("dl").toString
     val cfg = PipelineConfig(deadLetterPath = dir)
