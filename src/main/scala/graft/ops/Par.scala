@@ -9,13 +9,16 @@ import org.apache.spark.sql.DataFrame
   * fed by a few small files (a single unsplittable parquet row group runs
   * the whole stage on one core). Ops whose cost is per-row CPU — signature
   * computation, pairwise verification, brute-force scoring — round-robin
-  * their input across the cluster's cores first. The exchange moves only
-  * the operator's (narrow) input rows, never the heavy intermediate state;
-  * at real scale, with well-partitioned inputs, it is a cheap no-op-sized
-  * shuffle that still guarantees the stage is CPU-shaped. */
+  * their input across the cluster's cores first.
+  *
+  * The exchange is UNCONDITIONAL and purely declarative: no
+  * `df.rdd.getNumPartitions` probe (that would force physical planning and
+  * splice an RDD-conversion node into every caller's plan just to read a
+  * count, defeating plan reuse and AQE). It moves only the operator's
+  * (narrow) input rows, never the heavy intermediate state — negligible
+  * against per-row compute — and AQE's coalescing handles the
+  * already-well-partitioned case at scale. */
 private[graft] object Par {
-  def spread(df: DataFrame): DataFrame = {
-    val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= cores) df else df.repartition(cores)
-  }
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }

@@ -86,27 +86,37 @@ object Similarity {
     val assigned = model.transform(c)
       .select(col("id"), col("v"), col("prediction").as("cell"))
 
-    val centers = model.clusterCenters.map(_.toArray)
-    def nearestCells(qv: Array[Double]): Array[Int] =
-      centers.zipWithIndex.map { case (ct, i) =>
-        var d = 0.0; var j = 0
-        while (j < qv.length) { val x = qv(j) - ct(j); d += x * x; j += 1 }
-        (d, i)
-      }.sortBy(_._1).take(nProbe).map(_._2)
-
-    val qRows = queries.select(col(qidCol).cast("long"),
-      col(qvecCol).cast("array<double>")).collect()
-    val probes = qRows.flatMap { r =>
-      val qid = r.getLong(0)
-      val qv = r.getSeq[Double](1).toArray
-      nearestCells(qv).map(cell => (qid, cell, qv))
-    }.toSeq
+    // Probe assignment is fully distributed: the only driver-side state is
+    // the centroid table itself (nlist × dim doubles — KMeansModel already
+    // holds it on the driver), which becomes a broadcast dimension. Each
+    // query row ranks the nlist centroids by exact L2 and keeps its nProbe
+    // nearest — |Q| × nlist intermediate rows, shuffled once on qid for the
+    // rank window. No collect, no qid type restriction: a real query
+    // WORKLOAD (millions of rows) flows through the same plan.
     val spark = corpus.sparkSession
     import spark.implicits._
-    val probeDf = probes.toDF("qid", "cell", "qv")
+    val centersDf = model.clusterCenters.map(_.toArray).zipWithIndex
+      .map { case (ct, i) => (i, ct) }.toSeq.toDF("cell", "ct")
+    val q = queries.select(col(qidCol).as("qid"),
+      col(qvecCol).cast("array<double>").as("qv"))
+    val probeDf = q.crossJoin(broadcast(centersDf))
+      .withColumn("d2", aggregate(
+        zip_with(col("qv"), col("ct"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d2").asc, col("cell").asc)))
+      .filter(col("rk") <= nProbe)
+      .select(col("qid"), col("cell"), col("qv"))
 
-    val cands = assigned.join(broadcast(probeDf), Seq("cell"))
-      .filter(col("id") =!= col("qid"))
+    // Query side broadcast by the IVF contract (queries ≪ corpus). For a
+    // query set too large to broadcast, drop the hint: the join key `cell`
+    // has only nlist distinct values, so rely on AQE skew splitting — or
+    // batch the query workload.
+    val joined = assigned.join(broadcast(probeDf), Seq("cell"))
+    // self-exclusion only makes sense (and only type-checks under ANSI)
+    // when queries are drawn from the corpus id space
+    val cands = (if (assigned.schema("id").dataType == probeDf.schema("qid").dataType)
+      joined.filter(col("id") =!= col("qid")) else joined)
       .withColumn("sim", cosine(col("v"), col("qv")))
     topKPerGroup(cands, "qid", "sim", "id", k)
   }

@@ -270,12 +270,14 @@ object RelationalQueries {
           col("n"), col("total"))
         .orderBy("status", "priority")),
 
-    // Correlated aggregate: orders above their customer's average price
+    // Correlated aggregate: orders above their customer's average price.
+    // A window over o_custkey, NOT a broadcast join against the per-customer
+    // aggregate: that build side grows with |customers| (~15M at 100×) and
+    // would OOM the broadcast; the window is one shuffle on the same key.
     "q_above_avg_orders" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-      val avgs = o.groupBy(col("o_custkey").as("ck"))
-        .agg(avg("o_totalprice").as("avg_price"))
-      o.join(broadcast(avgs), col("o_custkey") === col("ck"))
+      val w = Window.partitionBy("o_custkey")
+      t(s, dir, "orders")
+        .withColumn("avg_price", avg("o_totalprice").over(w))
         .filter(col("o_totalprice") > col("avg_price"))
         .groupBy("o_custkey")
         .agg(count(lit(1)).as("n_above"),

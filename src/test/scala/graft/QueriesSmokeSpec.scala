@@ -21,6 +21,23 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("q_above_avg_orders never broadcasts the per-customer aggregate") {
+    // the aggregate side grows with |customers| — broadcasting it is a
+    // 100×-scale OOM; the window form must win
+    val plan = SparkEntry.queries("q_above_avg_orders")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange"),
+      s"aggregated side must not be broadcast:\n$plan")
+  }
+
+  test("IVF probe assignment plan has no driver-side collect (scan → window → join)") {
+    val plan = SparkEntry.queries("sim_ivf_topk")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    // the probe side must appear as a plan subtree (window over the query
+    // scan), not as a pre-collected LocalRelation of probe rows
+    assert(plan.contains("Window"), s"expected distributed probe ranking:\n$plan")
+  }
+
   test("every oracle key has a matching query") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")

@@ -108,6 +108,41 @@ class OpsSpec extends SparkSpec {
     assert(top.nonEmpty && top.head._1 == 0L)
   }
 
+  test("IVF runs a full query workload (whole corpus as queries), no driver collect path") {
+    // 300 distinct vectors + 300 exact clones; every clone must find its
+    // twin at rank 1 because a query's own cell is always its nearest probe
+    val base = (0 until 300).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 17 + d * 3).toFloat))
+    }
+    val clones = base.map { case (i, v) => (i + 1000L, v) }
+    val emb = (base ++ clones).toDF("vec_id", "embedding").repartition(4)
+    val top = Similarity.ivfTopK(emb, emb, "vec_id", "embedding", "vec_id", "embedding",
+      k = 3, nlist = 8, nProbe = 2)
+      .select("qid", "id", "rank", "sim")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(top.length == 600 * 3)
+    val rank1 = top.filter(_._3 == 1L).map(t => t._1 -> (t._2, t._4)).toMap
+    (0 until 300).foreach { i =>
+      val (id, sim) = rank1(i.toLong)
+      assert(id == i + 1000L, s"query $i should find its clone first, got $id")
+      assert(math.abs(sim - 1.0) < 1e-9)
+    }
+  }
+
+  test("IVF accepts non-numeric qid types (no long cast on the probe path)") {
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val q = Seq(("probe-zero", Array.tabulate(8)(d => math.sin(0 + d).toFloat)))
+      .toDF("qname", "qemb")
+    val top = Similarity.ivfTopK(emb, q, "vec_id", "embedding", "qname", "qemb",
+      k = 3, nlist = 4, nProbe = 4)
+      .select("qid", "id", "rank").as[(String, Long, Long)].collect().sortBy(_._3)
+    assert(top.length == 3)
+    assert(top.head._1 == "probe-zero" && top.head._2 == 0L) // exact vector, full probe
+  }
+
   test("interval join matches pairs within tolerance, inclusive, no dups") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)
