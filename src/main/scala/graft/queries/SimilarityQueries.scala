@@ -104,7 +104,10 @@ object SimilarityQueries {
           count(lit(1)).as("n"))
         .orderBy("label")),
 
-    // Label centroid distances: vector aggregation via higher-order fns
+    // Label centroid distances: vector aggregation via higher-order fns.
+    // Oracle-checked: plain per-dimension sums + norm, mirrored in DuckDB
+    // by an unnest-by-index aggregation (float→double casts are exact;
+    // round(…,4) absorbs summation-order fp noise).
     "sim_label_centroids" -> ((s, dir) => {
       val e = emb(s, dir).select(col("label"),
         col("embedding").cast("array<double>").as("v"))
@@ -119,6 +122,13 @@ object SimilarityQueries {
   )
 
   val sql: Map[String, String] = Map(
+    "sim_label_centroids" ->
+      """WITH ex AS (
+        |  SELECT label, r.range AS i, CAST(embedding[r.range] AS DOUBLE) AS x
+        |  FROM embeddings, range(1, 65) r
+        |), sums AS (SELECT label, i, sum(x) AS s2 FROM ex GROUP BY label, i)
+        |SELECT label, round(sqrt(sum(s2 * s2)), 4) AS centroid_norm
+        |FROM sums GROUP BY label ORDER BY label""".stripMargin,
     "sim_vector_stats" ->
       """SELECT label,
         |       round(avg(CAST(embedding[1] AS DOUBLE)), 4) AS avg_d1,

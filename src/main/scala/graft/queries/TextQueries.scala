@@ -80,14 +80,19 @@ object TextQueries {
       Dedup.exact(docs(s, dir), "doc_id", "text")
         .select("doc_id").orderBy("doc_id")),
 
-    // MinHash+LSH near-dup candidates, exact-Jaccard verified [rows-only]
+    // MinHash+LSH near-dup pairs, exact-Jaccard verified at ≥ 0.8.
+    // Oracle-checked: 32 bands × 2 rows make the LSH miss probability at
+    // j=0.8 equal (1−0.8²)³² ≈ 4e−15, so the verified output is the exact
+    // ≥0.8 pair set DuckDB reproduces via a size-window all-pairs scan
+    // (j ≥ t implies |A|,|B| within factor 1/t — a lossless prefilter).
     "dedup_minhash_pairs" -> ((s, dir) => {
       val d = docs(s, dir)
       Dedup.jaccardVerify(
-        Dedup.minhashCandidatePairs(d, "doc_id", "text"), d, "doc_id", "text")
+        Dedup.minhashCandidatePairs(d, "doc_id", "text", numPerm = 64, bands = 32),
+        d, "doc_id", "text")
+        .filter(col("jaccard") >= 0.8)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-        .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
-        .limit(100)
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
     // SimHash near-dup pairs (custom expression + banding) [rows-only]
@@ -98,7 +103,9 @@ object TextQueries {
 
     // n-gram Jaccard near-dups with blocking (same source + similar
     // length) — candidate universe stays near-linear in corpus size, the
-    // verifier scales with |pairs| [rows-only]
+    // verifier scales with |pairs|. Oracle-checked: the blocking is
+    // relational and the Jaccard arithmetic is exact integer division,
+    // identical across engines (shingle-hash collisions aside).
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val d = docs(s, dir)
       val keyed = d.select(col("doc_id"), col("source"), col("n_chars"))
@@ -115,13 +122,16 @@ object TextQueries {
         .limit(100)
     }),
 
-    // Dedup clusters: connected components over MinHash near-dup pairs —
-    // cluster sizes tell how much the corpus shrinks [rows-only]
+    // Dedup clusters: connected components over the MinHash-verified ≥0.8
+    // pair set — cluster sizes tell how much the corpus shrinks.
+    // Oracle-checked: same exact edge set as dedup_minhash_pairs (see
+    // there), components reproduced in DuckDB by a recursive CTE.
     "dedup_clusters" -> ((s, dir) => {
       val d = docs(s, dir)
       val pairs = Dedup.jaccardVerify(
-        Dedup.minhashCandidatePairs(d, "doc_id", "text"), d, "doc_id", "text")
-        .filter(col("jaccard") >= 0.3)
+        Dedup.minhashCandidatePairs(d, "doc_id", "text", numPerm = 64, bands = 32),
+        d, "doc_id", "text")
+        .filter(col("jaccard") >= 0.8)
         .select("id_a", "id_b")
       Dedup.nearDupClusters(pairs)
         .groupBy("cluster").agg(count(lit(1)).as("size"))
@@ -153,7 +163,9 @@ object TextQueries {
     }),
 
     // Multimodal feature extraction through the per-partition kernel
-    // (stubbed codec, real batch plumbing) [rows-only]
+    // (stubbed codec, real batch plumbing). Oracle-checked: the stub's
+    // checksum is plain MD5 over the blob bytes and n_frames is integer
+    // arithmetic, both DuckDB-expressible.
     "mm_features" -> ((s, dir) =>
       Multimodal.extractFeatures(
         Multimodal.asMediaTable(docs(s, dir)),
@@ -217,6 +229,69 @@ object TextQueries {
         |    PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
         |    ORDER BY doc_id) AS rn
         |  FROM documents) t WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, source, n_chars,
+        |         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |              ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |                     i -> array_to_string(t[i:i+2], ' ')))
+        |         END AS s
+        |  FROM (SELECT doc_id, source, n_chars, string_split_regex(trim(text), '\s+') AS t FROM documents)
+        |), sized AS (SELECT doc_id, source, n_chars, s, len(s) AS n FROM sh)
+        |SELECT id_a, id_b, round(j, 4) AS jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / (a.n + b.n - len(list_intersect(a.s, b.s))) AS j
+        |  FROM sized a JOIN sized b
+        |    ON a.source = b.source AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 32
+        |) WHERE j >= 0.2 ORDER BY round(j, 4) DESC, id_a, id_b LIMIT 100""".stripMargin,
+    "dedup_minhash_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |              ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |                     i -> array_to_string(t[i:i+2], ' ')))
+        |         END AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)
+        |), sized AS (SELECT doc_id, s, len(s) AS n FROM sh)
+        |SELECT id_a, id_b, round(j, 4) AS jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / (a.n + b.n - len(list_intersect(a.s, b.s))) AS j
+        |  FROM sized a JOIN sized b
+        |    ON a.doc_id < b.doc_id AND least(a.n, b.n) >= 0.8 * greatest(a.n, b.n)
+        |) WHERE j >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |              ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |                     i -> array_to_string(t[i:i+2], ' ')))
+        |         END AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)
+        |), sized AS (SELECT doc_id, s, len(s) AS n FROM sh),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / (a.n + b.n - len(list_intersect(a.s, b.s))) AS j
+        |    FROM sized a JOIN sized b
+        |      ON a.doc_id < b.doc_id AND least(a.n, b.n) >= 0.8 * greatest(a.n, b.n)
+        |  ) WHERE j >= 0.8
+        |),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id
+        |)
+        |SELECT cluster, count(*) AS size FROM (
+        |  SELECT id, min(r) AS cluster FROM reach GROUP BY id
+        |) GROUP BY cluster ORDER BY size DESC, cluster LIMIT 100""".stripMargin,
+    "mm_features" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       md5(text) AS checksum,
+        |       CAST(octet_length(encode(text)) // 1024 + 1 AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_frames" ->
       """SELECT source,
         |       CAST(sum(ceil(ceil(octet_length(encode(text)) / 256.0) / 4.0)) AS BIGINT)
