@@ -26,9 +26,21 @@ final case class PipelineConfig(
     deadLetterPath: String = "/tmp/graft-deadletter",
     /** Bulk actions per HTTP _bulk call (reference BULK_CHUNK_SIZE=500,
       * lambda/main.py:30). */
-    bulkChunkSize: Int = 500
+    bulkChunkSize: Int = 500,
+    /** Event-source batch size: max records per shard per micro-batch
+      * (reference ESM batch_size, main.tf:58-64, variables.tf:16-18). */
+    sourceBatchSize: Int = 100,
+    /** Where a fresh (checkpoint-less) stream starts: TRIM_HORIZON = oldest
+      * record per shard, LATEST = only new records (reference
+      * starting_position, variables.tf:54-57). */
+    startingPosition: String = "TRIM_HORIZON",
+    /** Simulated shard count for the Kinesis-shaped shim source. */
+    sourceShards: Int = 4
 ) {
   require(bulkChunkSize > 0, "bulkChunkSize must be positive")
+  require(sourceBatchSize > 0, "sourceBatchSize must be positive")
+  require(Set("TRIM_HORIZON", "LATEST").contains(startingPosition),
+    "startingPosition must be TRIM_HORIZON or LATEST")
 
   /** Whitelist normalization: an empty set behaves as allow-all, which is
     * the documented intent of the reference's empty env var (README.md:76)

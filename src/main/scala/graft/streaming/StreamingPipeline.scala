@@ -55,6 +55,20 @@ object StreamingPipeline {
         col("user_id"), col("value"), col("props"))).cast("binary").as("data"))
   }
 
+  /** Kinesis-shaped streaming source via the DSv2 shim ([[KinesisShimProvider]]):
+    * N shards, per-shard ordering, ESM batch_size admission control, and
+    * startingPosition — all mapped from [[PipelineConfig]] the way the
+    * reference maps its Terraform vars into the event source mapping
+    * (reference main.tf:58-64). */
+  def kinesisShimStream(spark: SparkSession, sfDir: String,
+                        cfg: PipelineConfig = PipelineConfig()): DataFrame =
+    spark.readStream.format("graft.streaming.KinesisShimProvider")
+      .option("events", s"$sfDir/events.parquet")
+      .option("nShards", cfg.sourceShards)
+      .option("batchSize", cfg.sourceBatchSize)
+      .option("startingPosition", cfg.startingPosition)
+      .load()
+
   /** The parity pipeline as one streaming query: decode→route→enrich run
     * incrementally (all per-row — no state), sinks applied per micro-batch
     * in foreachBatch (the reference's invocation boundary). */
