@@ -1,0 +1,81 @@
+package graft.functions
+
+import java.time.{Instant, LocalDateTime, ZoneOffset}
+import java.time.format.{DateTimeFormatter, DateTimeFormatterBuilder}
+import java.util.Locale
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType, TimestampType}
+
+/** P3 tail: day-name timestamp formats the reference's
+  * `dateutil.parser.parse` accepts (reference README.md:14) but Spark's
+  * datetime patterns cannot parse ('E' is format-only in Spark 3+):
+  * RFC-1123 (`Tue, 15 Sep 2020 10:21:33 GMT`), asctime
+  * (`Tue Sep 15 10:21:33 2020`), date(1) (`Tue Sep 15 10:21:33 UTC 2020`),
+  * and full-name forms (`Tuesday, 15 September 2020 10:21:33`).
+  * Case-insensitive like dateutil; zoneless forms are read as UTC (the
+  * reference pipeline's working timezone). Static helper shared by
+  * interpreted eval and generated code. */
+object DateUtilParse {
+
+  private def ci(pattern: String): DateTimeFormatter =
+    new DateTimeFormatterBuilder().parseCaseInsensitive()
+      .appendPattern(pattern).toFormatter(Locale.US)
+
+  private val formats: Array[DateTimeFormatter] = Array(
+    DateTimeFormatter.RFC_1123_DATE_TIME,
+    ci("EEE, d MMM uuuu HH:mm:ss zzz"),   // case-insensitive RFC-1123
+    ci("EEE, d MMM uuuu HH:mm:ss"),       // RFC-1123 without zone
+    ci("EEE MMM d HH:mm:ss uuuu"),        // asctime
+    ci("EEE MMM d HH:mm:ss zzz uuuu"),    // date(1)
+    ci("EEEE, d MMMM uuuu HH:mm:ss zzz"), // full day/month names
+    ci("EEEE, d MMMM uuuu HH:mm:ss"))
+
+  /** Micros since epoch, or null when no day-name format matches. */
+  def parseMicros(s: String): java.lang.Long = {
+    if (s == null) return null
+    val t = s.trim.replaceAll("\\s+", " ") // asctime space-pads the day
+    var i = 0
+    while (i < formats.length) {
+      try {
+        val ta = formats(i).parse(t)
+        val instant =
+          try Instant.from(ta)
+          catch { case _: java.time.DateTimeException =>
+            LocalDateTime.from(ta).toInstant(ZoneOffset.UTC) }
+        return instant.getEpochSecond * 1000000L + instant.getNano / 1000L
+      } catch { case _: Exception => }
+      i += 1
+    }
+    null
+  }
+}
+
+/** string → timestamp for day-name formats; null when unparseable (the
+  * ladder's coalesce falls through, then dead-letters). Stays inside
+  * whole-stage codegen via a static call. */
+case class DateUtilTimestamp(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING input")
+  override def dataType: DataType = TimestampType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dateutil_timestamp"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DateUtilParse.parseMicros(input.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("dateutilMicros")
+      s"""
+         |java.lang.Long $tmp = graft.functions.DateUtilParse.parseMicros($c.toString());
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -346,6 +346,7 @@ object GraftFunctions {
     col(MinHashSignature(expr(c), numPerm))
   def shingle_hashes(c: Column, n: Int): Column = col(ShingleHashes(expr(c), n))
   def hyperplane_sig(c: Column, planes: Int): Column = col(HyperplaneSig(expr(c), planes))
+  def dateutil_timestamp(c: Column): Column = col(DateUtilTimestamp(expr(c)))
 
   /** Single source of truth for the SQL function surface: (name, usage,
     * builder). Consumed by [[register]] (runtime) and
@@ -357,7 +358,8 @@ object GraftFunctions {
     ("simhash64", "64-bit SimHash of a token array", SimHash64.apply),
     ("minhash_signature64", "64-perm MinHash signature of shingles", MinHashSignature(_, 64)),
     ("shingle_hashes3", "distinct hashed 3-gram shingles of a token array", ShingleHashes(_, 3)),
-    ("hyperplane_sig16", "16-plane sign-LSH signature of array<double>", HyperplaneSig(_, 16)))
+    ("hyperplane_sig16", "16-plane sign-LSH signature of array<double>", HyperplaneSig(_, 16)),
+    ("dateutil_timestamp", "parse day-name timestamp forms (RFC-1123/asctime)", DateUtilTimestamp.apply))
 
   /** Register every custom expression as a SQL temp function on an
     * existing session (the build-time path is [[graft.GraftExtensions]]). */

@@ -67,6 +67,26 @@ object PipelineQueries {
         .groupBy("route").agg(count(lit(1)).as("n"))
         .orderBy("route")),
 
+    // P3 tail: the same replay with day-name time formats dateutil accepts
+    // (RFC-1123 / asctime / date(1), rotating by event_id) — every record
+    // must still route GOOD with the same daily-index fan-out as the ISO
+    // replay (the oracle never sees the formatting)
+    "pipe_rfc_timestamps" -> ((s, dir) => {
+      val ev = graft.ops.Par.spread(events(s, dir))
+      val m = col("event_id") % 3
+      val env = Pipeline.envelopeFrom(ev,
+        to_json(struct(
+          col("event_type").as("log_type"),
+          when(m === 0, date_format(col("ts"), "EEE, dd MMM yyyy HH:mm:ss 'GMT'"))
+            .when(m === 1, date_format(col("ts"), "EEE MMM d HH:mm:ss yyyy"))
+            .otherwise(date_format(col("ts"), "EEE MMM d HH:mm:ss 'UTC' yyyy")).as("time"),
+          col("event_id").cast("string").as("log_id"),
+          col("user_id"), col("value"))).cast("binary"))
+      Router.good(Pipeline.transform(env, cfg))
+        .groupBy("index_name").agg(count(lit(1)).as("n"))
+        .orderBy("index_name")
+    }),
+
     // P5: unknown-prefix grouping key on the dead-letter channel
     "pipe_unknown_prefix" -> ((s, dir) =>
       Router.failed(Pipeline.transform(badmixEnvelopes(s, dir), cfg))
@@ -130,6 +150,8 @@ object PipelineQueries {
       "pipe_index_counts" ->
         s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
       "pipe_index_counts_gzip" ->
+        s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
+      "pipe_rfc_timestamps" ->
         s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
       "pipe_route_badmix" ->
         s"SELECT $routeExpr AS route, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",

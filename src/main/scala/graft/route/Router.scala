@@ -34,17 +34,18 @@ object Router {
     * dateutil", reference README.md:14). Documented supported formats, in
     * precedence order: ISO-8601 / Spark-native (with offsets, T or space),
     * `yyyy/MM/dd HH:mm:ss`, Apache CLF `dd/MMM/yyyy:HH:mm:ss Z`,
-    * RFC-1123, compact `yyyyMMdd'T'HHmmss[X]`, and bare epoch
+    * compact `yyyyMMdd'T'HHmmss[X]`, day-name forms (RFC-1123 / asctime /
+    * date(1) / full names, via [[graft.functions.DateUtilTimestamp]] —
+    * Spark's own patterns can't parse 'EEE'), and bare epoch
     * seconds / milliseconds. Unparseable → null → dead-letter
     * (`timestamp_required=True`, reference lambda/main.py:105). */
   def lenientTimestamp(c: Column): Column = coalesce(
     try_to_timestamp(c),
     try_to_timestamp(c, lit("yyyy/MM/dd HH:mm:ss")),
     try_to_timestamp(c, lit("dd/MMM/yyyy:HH:mm:ss Z")),
-    // (RFC-1123 'EEE,' day names are not a legal Spark 3+ parse pattern;
-    // records in that shape fall through to the dead-letter channel.)
     try_to_timestamp(c, lit("yyyyMMdd'T'HHmmssX")),
     try_to_timestamp(c, lit("yyyyMMdd'T'HHmmss")),
+    graft.functions.GraftFunctions.dateutil_timestamp(c),
     when(c.rlike("^\\d{13}$"), timestamp_millis(c.cast(LongType))),
     when(c.rlike("^\\d{10}$"), timestamp_seconds(c.cast(LongType)))
   )

@@ -79,6 +79,27 @@ class RouterSpec extends SparkSpec {
     assert(parsed.forall(identity), s"ladder failed on some of $ok")
   }
 
+  test("timestamp ladder tail: day-name forms parse to the right instant (P3)") {
+    val expect = java.sql.Timestamp.valueOf("2020-09-15 10:21:33") // session TZ = UTC
+    val forms = Seq(
+      "Tue, 15 Sep 2020 10:21:33 GMT",        // RFC-1123
+      "Tue, 15 Sep 2020 19:21:33 +0900",      // RFC-1123 with offset
+      "tue, 15 sep 2020 10:21:33 gmt",        // dateutil is case-insensitive
+      "Tue Sep 15 10:21:33 2020",             // asctime
+      "Tue Sep  15 10:21:33 2020",            // asctime space-padded day
+      "Tue Sep 15 10:21:33 UTC 2020",         // date(1)
+      "Tuesday, 15 September 2020 10:21:33")  // full names
+    val got = forms.toDF("ts")
+      .select(Router.lenientTimestamp(col("ts"))).as[Option[java.sql.Timestamp]].collect()
+    forms.zip(got).foreach { case (f, t) =>
+      assert(t.contains(expect), s"'$f' parsed to $t")
+    }
+    // still-unparseable day-name junk dead-letters (null), not mis-parses
+    val bad = Seq("Xyz, 15 Sep 2020 10:21:33 GMT", "Tuesday the fifteenth")
+      .toDF("ts").select(Router.lenientTimestamp(col("ts"))).as[Option[java.sql.Timestamp]].collect()
+    assert(bad.forall(_.isEmpty))
+  }
+
   test("routing totality: every record lands in exactly one channel") {
     val payloads = Seq(good, "junk", """{"log_type":"a"}""", """{"time":"2020-01-01T00:00:00Z"}""",
       """{"log_type":"b","time":"nope"}""")
