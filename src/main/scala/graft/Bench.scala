@@ -24,9 +24,11 @@ object Bench {
       case None => SparkEntry.queries
     }
     // Per-query minimum across repeats: local[32] timings are noisy (GC,
-    // thread contention); the min is the steady-state cost.
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
+    // thread contention); the min is the steady-state cost. A GC between
+    // queries keeps one query's garbage from being billed to the next.
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
     val results = selected.map { case (name, fn) =>
+      System.gc()
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -82,7 +82,9 @@ object Similarity {
     val c = Par.spread(corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v")))
       .withColumn("features", array_to_vector(col("v")))
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10).fit(c)
+    // a coarse quantizer needs rough cells, not converged ones: few
+    // iterations, early tol — fit cost halves, recall is probe-bounded
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5).setTol(1e-3).fit(c)
     val assigned = model.transform(c)
       .select(col("id"), col("v"), col("prediction").as("cell"))
 
