@@ -35,6 +35,56 @@ class AsOfSpec extends SparkSpec {
     assert(joined(14L).isEmpty)
   }
 
+  test("skew-safe as-of equals the plain window variant on a hot key") {
+    // one hot key with 2000 left rows + 500 right rows spanning many
+    // 1-hour buckets (including right-empty buckets), plus normal keys
+    // and a key with no rights at all
+    val rnd = new scala.util.Random(7)
+    def t(minute: Int) = new Timestamp(ts("2024-01-01 00:00:00").getTime + minute * 60000L)
+    val rights =
+      (0 until 500).map(i => (1L, t(rnd.nextInt(5000)), i.toDouble)) ++
+      (0 until 20).map(i => (2L, t(i * 100), 1000.0 + i))
+    val lefts =
+      (0 until 2000).map(i => (i.toLong, 1L, t(rnd.nextInt(6000)))) ++
+      (2000 until 2100).map(i => (i.toLong, 2L, t(rnd.nextInt(3000)))) ++
+      (2100 until 2120).map(i => (i.toLong, 3L, t(rnd.nextInt(3000)))) // no rights
+    // de-dup (key, time) on the right per the contract
+    val quotes = rights.toDF("q_key", "q_time", "price").dropDuplicates("q_key", "q_time")
+    val trades = lefts.toDF("trade_id", "t_key", "t_time")
+
+    val plain = AsOf.join(trades, quotes, "t_key", "q_key", "t_time", "q_time", Seq("price"))
+      .select("trade_id", "asof_price").as[(Long, Option[Double])].collect().toMap
+    val salted = AsOf.joinSkewSafe(trades, quotes, "t_key", "q_key", "t_time", "q_time",
+      Seq("price"), bucketWidthSec = 3600L)
+      .select("trade_id", "asof_price").as[(Long, Option[Double])].collect().toMap
+    assert(salted.size == plain.size)
+    assert(salted == plain)
+    assert(plain.exists(_._2.isEmpty)) // the no-rights key really exercised nulls
+
+    // and the salt actually spreads the hot key: phase-1 window partitions
+    // by (key, bucket), visible as a hashpartitioning on _k AND _b
+    val plan = AsOf.joinSkewSafe(trades, quotes, "t_key", "q_key", "t_time", "q_time",
+      Seq("price"), bucketWidthSec = 3600L).queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(_k") && plan.contains("_b"),
+      s"expected (key, bucket) partitioning:\n$plan")
+  }
+
+  test("skew-safe as-of: left rows in right-empty buckets take the preceding carry") {
+    val quotes = Seq((1L, ts("2024-01-01 00:30:00"), 7.0))
+      .toDF("q_key", "q_time", "price")
+    val trades = Seq(
+      (10L, 1L, ts("2024-01-01 00:10:00")), // before any right → null
+      (11L, 1L, ts("2024-01-01 00:45:00")), // same bucket as the right
+      (12L, 1L, ts("2024-01-05 09:00:00"))  // buckets later, none with rights
+    ).toDF("trade_id", "t_key", "t_time")
+    val got = AsOf.joinSkewSafe(trades, quotes, "t_key", "q_key", "t_time", "q_time",
+      Seq("price"), bucketWidthSec = 3600L)
+      .select("trade_id", "asof_price").as[(Long, Option[Double])].collect().toMap
+    assert(got(10L).isEmpty)
+    assert(got(11L).contains(7.0))
+    assert(got(12L).contains(7.0))
+  }
+
   test("as-of join carries legitimately-null right values (no stale stitch)") {
     val quotes = Seq(
       (1L, ts("2024-01-01 10:00:00"), Some(100.0), "a"),
