@@ -85,6 +85,13 @@ object Pipeline {
   def fileTransport(dir: String): () => BulkTransport =
     () => new FileBulkTransport(dir)
 
+  /** Production wiring: real `_bulk` POSTs (the reference's ES_HOST +
+    * AWS4Auth client, lambda/main.py:47,52-58,76-84), 30 s timeout,
+    * chunk-local retry. */
+  def httpTransport(endpoint: String,
+                    creds: Option[graft.sink.SigV4Credentials] = None): () => BulkTransport =
+    () => new graft.sink.HttpBulkTransport(endpoint, creds = creds)
+
   /** Replay the driver's `events` parquet through the full pipeline:
     * events rows → JSON payloads (the canonical good-log shape,
     * FIXTURES.md §C) → envelope bytes → decode/route/enrich. Used by the
