@@ -75,6 +75,57 @@ object TextAnalysis {
   def fingerprint(c: Column): Column =
     md5(lower(regexp_replace(trim(c), "\\s+", " ")))
 
+  /** PII scrub patterns — RE2-compatible (no lookarounds) so external
+    * oracles and other engines reproduce them byte-for-byte. URLs first:
+    * the URL pattern would otherwise consume redacted-email remnants. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+
+  /** Redact URLs then emails — the minimal PII scrub every training-data
+    * pipeline runs before anything else sees the text. Pure per-row
+    * regexp_replace: codegen'd, shuffle-free. */
+  def redactPII(c: Column): Column =
+    regexp_replace(regexp_replace(c, UrlRe, "<URL>"), EmailRe, "<EMAIL>")
+
+  def emailCount(c: Column): Column = regexp_count(c, lit(EmailRe))
+  def urlCount(c: Column): Column = regexp_count(c, lit(UrlRe))
+
+  /** Deterministic train/val/test assignment from a hash of the id — the
+    * standard leakage-safe split: stable under reprocessing, independent
+    * of row order or partitioning, reproducible by any engine with md5
+    * (the first 4 hex chars mod 100 give the percentile bucket). */
+  def trainSplit(idCol: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      "need train + val < 100 with a nonempty test tail")
+    val bucket = conv(substring(md5(idCol.cast("string")), 1, 4), 16, 10)
+      .cast("int") % 100
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  /** Context-window packing: assign documents (in `orderCol` order) to
+    * consecutive bins of ≤ `budget` tokens — the sequential-fill packing a
+    * pretraining pipeline uses to build fixed-size samples. A document
+    * whose tokens straddle the boundary starts in the bin its first token
+    * lands in (start-offset binning: bin = floor(preceding_tokens/budget)),
+    * so bins can overhang by less than one document — exactly reproducible
+    * by a SQL window.
+    *
+    * The running sum is a single global-order window: at 100 TB, range-
+    * partition by `orderCol` first (see [[Scale.sortedLayoutWrite]]), pack
+    * within partitions, and stitch bin offsets with per-partition token
+    * totals (two passes, no global sort on one task). */
+  def packBins(df: DataFrame, orderCol: String, tokensCol: String,
+               budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_cum", sum(col(tokensCol)).over(w))
+      .withColumn("bin", floor((col("_cum") - col(tokensCol)) / budget))
+      .drop("_cum")
+  }
+
   /** Per-document quality feature vector, appended as columns. */
   def withQualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
     val c = col(textCol)

@@ -69,6 +69,48 @@ object TextQueries {
         .orderBy("lang", "rnk")
     }),
 
+    // PII redaction: deterministic contact strings derived from doc_id are
+    // appended to a slice of the corpus (pure transform of driver data),
+    // then scrubbed; the oracle reproduces construction + scrub in DuckDB
+    "txt_redact" -> ((s, dir) => {
+      val aug = docs(s, dir).withColumn("aug",
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com via http://ex.com/d"), col("doc_id")))
+          .otherwise(col("text")))
+      aug
+        .withColumn("n_emails", TextAnalysis.emailCount(col("aug")))
+        .withColumn("n_urls", TextAnalysis.urlCount(col("aug")))
+        .withColumn("len_delta",
+          length(col("aug")) - length(TextAnalysis.redactPII(col("aug"))))
+        .groupBy("lang")
+        .agg(sum("n_emails").as("emails_redacted"),
+          sum("n_urls").as("urls_redacted"),
+          sum("len_delta").as("bytes_removed"),
+          sum(when(col("n_emails") + col("n_urls") > 0, 1L).otherwise(0L)).as("docs_touched"))
+        .orderBy("lang")
+    }),
+
+    // Deterministic md5-hash train/val/test split — leakage-safe, stable
+    // under reprocessing, engine-reproducible
+    "txt_train_split" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("split", TextAnalysis.trainSplit(col("doc_id")))
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+        .orderBy("split")),
+
+    // Context-window packing: sequential fill into 4096-token bins
+    "txt_pack_bins" -> ((s, dir) => {
+      val withTokens = docs(s, dir)
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      TextAnalysis.packBins(withTokens, "doc_id", "n_tokens", budget = 4096L)
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"))
+        .orderBy("bin")
+    }),
+
     // Per-document canonical fingerprint (exact-dedup key)
     "txt_fingerprint" -> ((s, dir) =>
       docs(s, dir)
@@ -229,6 +271,43 @@ object TextQueries {
         |    PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
         |    ORDER BY doc_id) AS rn
         |  FROM documents) t WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "txt_redact" ->
+      """WITH aug AS (
+        |  SELECT lang,
+        |         CASE WHEN doc_id % 5 = 0
+        |              THEN concat(text, ' contact user', doc_id, '@example.com via http://ex.com/d', doc_id)
+        |              ELSE text END AS a
+        |  FROM documents),
+        |feat AS (
+        |  SELECT lang,
+        |         len(regexp_extract_all(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |         len(regexp_extract_all(a, 'https?://[^\s]+')) AS n_urls,
+        |         length(a) - length(regexp_replace(regexp_replace(a, 'https?://[^\s]+', '<URL>', 'g'),
+        |                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS len_delta
+        |  FROM aug)
+        |SELECT lang,
+        |       CAST(sum(n_emails) AS BIGINT) AS emails_redacted,
+        |       CAST(sum(n_urls) AS BIGINT) AS urls_redacted,
+        |       CAST(sum(len_delta) AS BIGINT) AS bytes_removed,
+        |       CAST(sum(CASE WHEN n_emails + n_urls > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_touched
+        |FROM feat GROUP BY lang ORDER BY lang""".stripMargin,
+    "txt_train_split" ->
+      """SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+        |       count(*) AS n_docs,
+        |       CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens
+        |FROM (SELECT text, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,4)) AS INTEGER) % 100 AS b
+        |      FROM documents) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "txt_pack_bins" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |         sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT CAST(floor((cum - n_tokens) / 4096.0) AS BIGINT) AS bin,
+        |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, source, n_chars,

@@ -171,6 +171,46 @@ class OpsSpec extends SparkSpec {
     assert(fp1 == fp2)
   }
 
+  test("PII redaction scrubs emails and URLs, leaves clean text alone") {
+    val rows = Seq(
+      "write to alice.smith+test@sub.example.co.uk today",
+      "see https://ex.com/a?q=1#f and http://plain.org next",
+      "mail bob@ex.io at https://ex.io/bob",
+      "no pii here at all")
+    val got = rows.toDF("text")
+      .select(TextAnalysis.redactPII(col("text")),
+        TextAnalysis.emailCount(col("text")), TextAnalysis.urlCount(col("text")))
+      .as[(String, Int, Int)].collect()
+    assert(got(0) == (("write to <EMAIL> today", 1, 0)))
+    assert(got(1) == (("see <URL> and <URL> next", 0, 2)))
+    assert(got(2) == (("mail <EMAIL> at <URL>", 1, 1)))
+    assert(got(3) == (("no pii here at all", 0, 0)))
+  }
+
+  test("train split is deterministic, id-keyed, and roughly proportioned") {
+    val ids = (0L until 2000L).toDF("id")
+    val split = ids.select(col("id"), TextAnalysis.trainSplit(col("id")).as("s"))
+    val counts = split.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > 1500 && counts("train") < 1700) // ~80% of 2000
+    assert(counts("val") > 120 && counts("val") < 280)
+    // stable under re-evaluation and row order
+    val again = ids.orderBy(col("id").desc)
+      .select(col("id"), TextAnalysis.trainSplit(col("id")).as("s"))
+      .as[(Long, String)].collect().toMap
+    val first = split.as[(Long, String)].collect().toMap
+    assert(first == again)
+  }
+
+  test("context-window packing fills bins sequentially within budget") {
+    val docs = Seq((1L, 100L), (2L, 50L), (3L, 80L), (4L, 40L), (5L, 200L))
+      .toDF("doc_id", "n_tokens")
+    val bins = TextAnalysis.packBins(docs, "doc_id", "n_tokens", budget = 150L)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    // cum-starts: 0,100,150,230,270 → bins 0,0,1,1,1 at budget 150
+    assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
   test("multimodal: per-partition kernel emits deterministic features") {
     val media = Multimodal.asMediaTable(
       Seq((1L, "hello world", "en", "srcA", 11L), (2L, "other bytes", "en", "srcB", 11L))
