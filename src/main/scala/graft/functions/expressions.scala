@@ -348,6 +348,16 @@ object GraftFunctions {
   def hyperplane_sig(c: Column, planes: Int): Column = col(HyperplaneSig(expr(c), planes))
   def dateutil_timestamp(c: Column): Column = col(DateUtilTimestamp(expr(c)))
 
+  /** Mark a column as provably non-null (Catalyst's KnownNotNull). Use on
+    * derived join/filter keys whose defining expression is expensive:
+    * otherwise InferFiltersFromConstraints pushes an `isnotnull(<expr>)`
+    * check below the defining Project, re-evaluating the whole expression
+    * once in the filter and again in the projection (observed 2× per-row
+    * vector math in the LSH plans). Caller must guarantee non-nullness
+    * (e.g. null-intolerant expression over an already-filtered input). */
+  def known_not_null(c: Column): Column =
+    col(org.apache.spark.sql.catalyst.expressions.KnownNotNull(expr(c)))
+
   /** Single source of truth for the SQL function surface: (name, usage,
     * builder). Consumed by [[register]] (runtime) and
     * [[graft.GraftExtensions]] (build-time injection). */

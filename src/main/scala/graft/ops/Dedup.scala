@@ -91,9 +91,15 @@ object Dedup {
     * `common/(|A|+|B|−common)` avoids materializing the union. */
   def jaccardVerify(pairs: DataFrame, df: DataFrame, idCol: String,
                     textCol: String, n: Int = 3): DataFrame = {
+    // known_not_null: the jaccard-threshold filter downstream infers
+    // isnotnull(_n) and would re-evaluate shingle_hashes below this
+    // projection (once per row in a Filter) without the annotation
+    import graft.functions.GraftFunctions.known_not_null
     val sh = Par.spread(df.select(col(idCol), col(textCol)))
-      .select(col(idCol).as("_id"), hashedShingles(col(textCol), n).as("_sh"))
-      .withColumn("_n", size(col("_sh")))
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("_id"),
+        known_not_null(hashedShingles(col(textCol), n)).as("_sh"))
+      .withColumn("_n", known_not_null(size(col("_sh"))))
     Par.spread(pairs)
       .join(sh.toDF("id_a", "sh_a", "n_a"), "id_a")
       .join(sh.toDF("id_b", "sh_b", "n_b"), "id_b")
@@ -228,10 +234,16 @@ object Dedup {
     * sign-LSH (see [[Similarity.hyperplaneBucket]]) to avoid n². */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double = 0.95, planes: Int = 12): DataFrame = {
+    // known_not_null on the derived norm/bucket: without it the inferred
+    // join-key/filter isnotnull checks are pushed below this projection and
+    // re-evaluate the full vector expressions once per row in a Filter
+    // (observed in the physical plan: 2× the per-row math)
+    import graft.functions.GraftFunctions.known_not_null
     val e = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-      .withColumn("nrm", Similarity.l2norm(col("v")))
-      .withColumn("bucket", Similarity.hyperplaneBucket(col("v"), planes))
+      .filter(col("v").isNotNull)
+      .withColumn("nrm", known_not_null(Similarity.l2norm(col("v"))))
+      .withColumn("bucket", known_not_null(Similarity.hyperplaneBucket(col("v"), planes)))
     val a = e.as("a")
     val b = e.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))

@@ -112,10 +112,9 @@ object TextAnalysis {
     * so bins can overhang by less than one document — exactly reproducible
     * by a SQL window.
     *
-    * The running sum is a single global-order window: at 100 TB, range-
-    * partition by `orderCol` first (see [[Scale.sortedLayoutWrite]]), pack
-    * within partitions, and stitch bin offsets with per-partition token
-    * totals (two passes, no global sort on one task). */
+    * The running sum here is a single global-order window (one task holds
+    * the sorted stream) — fine to a few hundred million rows; use
+    * [[packBinsDistributed]] beyond that. */
   def packBins(df: DataFrame, orderCol: String, tokensCol: String,
                budget: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -124,6 +123,42 @@ object TextAnalysis {
     df.withColumn("_cum", sum(col(tokensCol)).over(w))
       .withColumn("bin", floor((col("_cum") - col(tokensCol)) / budget))
       .drop("_cum")
+  }
+
+  /** [[packBins]] at scale: identical bin assignment, no global-order
+    * window. Range-partition by `orderCol`, cumsum per partition, then
+    * stitch: per-partition token totals (one tiny row per partition)
+    * become prefix offsets added to each partition's local running sum.
+    * The only driver-side state is `partitions` longs; result is
+    * independent of where the range boundaries land, because the stitched
+    * sum IS the global running sum. Equivalence is spec-tested. */
+  def packBinsDistributed(df: DataFrame, orderCol: String, tokensCol: String,
+                          budget: Long, partitions: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // localCheckpoint pins the sampled range boundaries: pass 1 and pass 2
+    // must see the SAME row→partition assignment (repartitionByRange
+    // re-samples per evaluation otherwise)
+    val parted = df.repartitionByRange(partitions, col(orderCol))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    // pass 1: per-partition totals → exclusive prefix offsets (tiny)
+    val totals = parted.groupBy("_pid").agg(sum(col(tokensCol)).as("_tot"))
+      .orderBy("_pid").collect().map(r => (r.getInt(0), r.getLong(1)))
+    val offsets = totals.scanLeft((Int.MinValue, 0L)) {
+      case ((_, acc), (pid, tot)) => (pid, acc + tot)
+    }.sliding(2).map { case Array((_, prev), (pid, _)) => (pid, prev) }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetDf = offsets.toDF("_pid", "_offset")
+    // pass 2: partition-local cumsum + broadcast offset = global cumsum
+    val w = Window.partitionBy("_pid").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted
+      .join(broadcast(offsetDf), Seq("_pid"), "left")
+      .withColumn("_cum",
+        sum(col(tokensCol)).over(w) + coalesce(col("_offset"), lit(0L)))
+      .withColumn("bin", floor((col("_cum") - col(tokensCol)) / budget))
+      .drop("_pid", "_offset", "_cum")
   }
 
   /** Per-document quality feature vector, appended as columns. */

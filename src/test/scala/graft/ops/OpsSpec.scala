@@ -211,6 +211,19 @@ class OpsSpec extends SparkSpec {
     assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
   }
 
+  test("distributed packing equals the global-window variant bin-for-bin") {
+    val rnd = new scala.util.Random(11)
+    val docs = (0L until 1000L).map(i => (i, 10L + rnd.nextInt(200).toLong))
+      .toDF("doc_id", "n_tokens")
+    val global = TextAnalysis.packBins(docs, "doc_id", "n_tokens", budget = 1000L)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    val dist = TextAnalysis.packBinsDistributed(docs, "doc_id", "n_tokens",
+      budget = 1000L, partitions = 7)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    assert(dist.size == 1000)
+    assert(dist == global)
+  }
+
   test("multimodal: per-partition kernel emits deterministic features") {
     val media = Multimodal.asMediaTable(
       Seq((1L, "hello world", "en", "srcA", 11L), (2L, "other bytes", "en", "srcB", 11L))
