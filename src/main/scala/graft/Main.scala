@@ -19,6 +19,13 @@ import graft.streaming.StreamingPipeline
   *   --timezone Asia/Tokyo --whitelist nginx,app \
   *   --mode stream --checkpoint /out/ckpt
   * }}}
+  *
+  * `--es-endpoint https://host:443` switches the sink from NDJSON files to
+  * the real HTTP `_bulk` transport (the reference's ES_HOST); SigV4 signing
+  * reads the standard AWS_* environment variables when present, exactly
+  * like the reference client (lambda/main.py:47,52-58). `--source kinesis`
+  * reads via the Kinesis-shaped shim source (`--shards`, `--batch-size`,
+  * `--starting-position` map the event source mapping's Terraform vars).
   */
 object Main {
 
@@ -39,7 +46,10 @@ object Main {
       logTypeWhitelist = opt.get("whitelist").map(_.split(",").toSet),
       indexNamePrefix = opt.getOrElse("index-prefix", "logs"),
       timezone = opt.getOrElse("timezone", "UTC"),
-      deadLetterPath = opt.getOrElse("dead-letter", "/tmp/graft/dlq"))
+      deadLetterPath = opt.getOrElse("dead-letter", "/tmp/graft/dlq"),
+      sourceBatchSize = opt.getOrElse("batch-size", "100").toInt,
+      startingPosition = opt.getOrElse("starting-position", "TRIM_HORIZON"),
+      sourceShards = opt.getOrElse("shards", "4").toInt)
 
     // reuse an active session (e.g. under test / spark-shell); only stop
     // a session this run created
@@ -52,7 +62,26 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val transport = Pipeline.fileTransport(bulkOut)
+    // Sink: real HTTP _bulk when an endpoint is given (SigV4 creds from the
+    // standard AWS env vars, like the reference), NDJSON files otherwise.
+    val transport = opt.get("es-endpoint") match {
+      case Some(ep) =>
+        val creds = for {
+          ak <- sys.env.get("AWS_ACCESS_KEY_ID")
+          sk <- sys.env.get("AWS_SECRET_ACCESS_KEY")
+          region <- sys.env.get("AWS_REGION")
+        } yield graft.sink.SigV4Credentials(ak, sk, region,
+          sessionToken = sys.env.get("AWS_SESSION_TOKEN"))
+        Pipeline.httpTransport(ep, creds)
+      case None => Pipeline.fileTransport(bulkOut)
+    }
+
+    def streamSource() = opt.getOrElse("source", "json") match {
+      case "kinesis" => StreamingPipeline.kinesisShimStream(spark, input, cfg)
+      case "json" => spark.readStream.schema(Schemas.envelopeJson).json(input)
+        .withColumn("data", unbase64(col("data")))
+      case other => sys.error(s"unknown --source $other (json|kinesis)")
+    }
 
     opt.getOrElse("mode", "batch") match {
       case "batch" =>
@@ -63,9 +92,7 @@ object Main {
           s"rejected=${res.rejected} dropped=${res.dropped}")
       case "stream" =>
         val checkpoint = opt.getOrElse("checkpoint", "/tmp/graft/ckpt")
-        val raw = spark.readStream.schema(Schemas.envelopeJson).json(input)
-          .withColumn("data", unbase64(col("data")))
-        val q = StreamingPipeline.run(raw, cfg, transport, checkpoint)
+        val q = StreamingPipeline.run(streamSource(), cfg, transport, checkpoint)
         q.awaitTermination()
       case other => sys.error(s"unknown --mode $other (batch|stream)")
     }

@@ -32,4 +32,23 @@ class MainSpec extends SparkSpec {
     assert(bodies.contains("cli-1"))
     assert(spark.read.text(s"$dir/dlq/failed_validation").count() == 1)
   }
+
+  test("--es-endpoint switches the sink to the HTTP _bulk transport") {
+    spark.version
+    val es = new graft.sink.StubEsServer()
+    val dir = Files.createTempDirectory("main-http").toString
+    val log = """{"log_type":"app","time":"2020-09-15T10:21:33Z","log_id":"cli-http-1"}"""
+    val b64 = Base64.getEncoder.encodeToString(log.getBytes(UTF_8))
+    Files.writeString(java.nio.file.Paths.get(s"$dir/envelopes.json"),
+      s"""{"partitionKey":"pk","sequenceNumber":"1","data":"$b64"}""")
+    try {
+      Main.main(Array(
+        "--input", s"$dir/envelopes.json",
+        "--es-endpoint", es.endpoint,
+        "--dead-letter", s"$dir/dlq",
+        "--mode", "batch"))
+      assert(es.requestCount == 1)
+      assert(es.requests.get(0).contains("cli-http-1"))
+    } finally es.stop()
+  }
 }

@@ -37,6 +37,27 @@ class PropertySpec extends SparkSpec {
     assert(n == payloads.size && parts == n)
   }
 
+  test("day-name parse roundtrip: format(t) parses back to t for random instants") {
+    import java.time.format.DateTimeFormatter
+    import java.time.{Instant, ZoneOffset}
+    import java.util.Locale
+    val fmts = Seq(
+      DateTimeFormatter.RFC_1123_DATE_TIME,
+      DateTimeFormatter.ofPattern("EEE MMM d HH:mm:ss uuuu", Locale.US),
+      DateTimeFormatter.ofPattern("EEE MMM d HH:mm:ss 'GMT' uuuu", Locale.US),
+      DateTimeFormatter.ofPattern("EEEE, d MMMM uuuu HH:mm:ss", Locale.US))
+    val instants = samples(Gen.chooseNum(0L, 4102444800L), 50) // 1970..2100
+      .map(Instant.ofEpochSecond(_))
+    instants.foreach { t =>
+      fmts.foreach { f =>
+        val s = f.withZone(ZoneOffset.UTC).format(t)
+        val parsed = graft.functions.DateUtilParse.parseMicros(s)
+        assert(parsed != null && parsed == t.getEpochSecond * 1000000L,
+          s"roundtrip failed for '$s'")
+      }
+    }
+  }
+
   test("decode invariance: gzip(payload) decodes identically to payload") {
     val ps = samples(Gen.alphaNumStr.suchThat(_.nonEmpty), 25)
     val plain = ps.zipWithIndex.map { case (p, i) => (s"$i", s"$i", p.getBytes(UTF_8)) }
