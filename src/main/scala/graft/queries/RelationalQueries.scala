@@ -285,6 +285,37 @@ object RelationalQueries {
         .orderBy("o_custkey")
     }),
 
+    // PIVOT: status rows × priority columns in one pass (explicit value
+    // list so Catalyst skips the extra distinct-values job a dynamic
+    // pivot needs — the right call when columns are known, at any scale)
+    "q_pivot_priority" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .select(col("o_orderstatus"),
+          // absent combinations pivot to null; the relational contract
+          // (and the oracle's count FILTER) says 0
+          coalesce(col("`1-URGENT`"), lit(0L)).as("p1_urgent"),
+          coalesce(col("`2-HIGH`"), lit(0L)).as("p2_high"),
+          coalesce(col("`3-MEDIUM`"), lit(0L)).as("p3_medium"),
+          coalesce(col("`4-NOT SPECIFIED`"), lit(0L)).as("p4_not_specified"),
+          coalesce(col("`5-LOW`"), lit(0L)).as("p5_low"))
+        .orderBy("o_orderstatus")),
+
+    // UNPIVOT (melt): wide measure columns → long (metric, value) rows —
+    // one Expand node, no join, no shuffle beyond the final aggregation
+    "q_unpivot_measures" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+        .unpivot(Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "val")
+        .groupBy("metric")
+        .agg(round(sum("val"), 2).as("total"), count(lit(1)).as("n"))
+        .orderBy("metric")),
+
     // Sketch aggregates: HyperLogLog distinct estimates [rows-only —
     // approximate by design, bounds asserted in the spec suite]
     "q_approx_distinct" -> ((s, dir) => {
@@ -415,6 +446,20 @@ object RelationalQueries {
         |       count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY 1, 2""".stripMargin,
+    "q_pivot_priority" ->
+      """SELECT o_orderstatus,
+        |       CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS p1_urgent,
+        |       CAST(count(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS p2_high,
+        |       CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS p3_medium,
+        |       CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS p4_not_specified,
+        |       CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS p5_low
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_unpivot_measures" ->
+      """SELECT metric, round(sum(val), 2) AS total, count(*) AS n FROM (
+        |  SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem)
+        |GROUP BY metric ORDER BY metric""".stripMargin,
     "q_above_avg_orders" ->
       """SELECT o_custkey, count(*) AS n_above, round(max(o_totalprice), 2) AS max_price
         |FROM orders o
