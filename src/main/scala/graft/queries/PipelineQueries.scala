@@ -67,6 +67,42 @@ object PipelineQueries {
         .groupBy("route").agg(count(lit(1)).as("n"))
         .orderBy("route")),
 
+    // D4: the replay packed into CloudWatch-Logs subscription bundles
+    // (5 events per bundle, gzipped like real CWL delivery); every 10th
+    // bundle is a CONTROL_MESSAGE whose events must vanish. The oracle
+    // reproduces the surviving set relationally.
+    "pipe_cwl_bundles" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val bundles = ev
+        .withColumn("bundle", expr("event_id div 5"))
+        .groupBy("bundle")
+        .agg(
+          collect_list(struct(
+            col("event_id").cast("string").as("id"),
+            (unix_micros(col("ts")) / 1000).as("timestamp"),
+            to_json(struct(
+              col("event_type").as("log_type"),
+              date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("time"),
+              col("event_id").cast("string").as("log_id"),
+              col("user_id"), col("value"))).as("message"))).as("logEvents"),
+          min("ts").as("ts0"))
+        .select(
+          col("bundle").cast("string").as("partitionKey"),
+          col("bundle").cast("string").as("sequenceNumber"),
+          col("ts0").as("approximateArrival"),
+          gzip_compress(to_json(struct(
+            when(col("bundle") % 10 === 3, "CONTROL_MESSAGE")
+              .otherwise("DATA_MESSAGE").as("messageType"),
+            lit("000000000000").as("owner"),
+            lit("/graft/replay").as("logGroup"),
+            lit("stream0").as("logStream"),
+            array().cast("array<string>").as("subscriptionFilters"),
+            col("logEvents"))).cast("binary")).as("data"))
+      Router.good(Pipeline.transform(graft.ops.Par.spread(bundles), cfg))
+        .groupBy("index_name").agg(count(lit(1)).as("n"))
+        .orderBy("index_name")
+    }),
+
     // P3 tail: the same replay with day-name time formats dateutil accepts
     // (RFC-1123 / asctime / date(1), rotating by event_id) — every record
     // must still route GOOD with the same daily-index fan-out as the ISO
@@ -153,6 +189,9 @@ object PipelineQueries {
         s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
       "pipe_rfc_timestamps" ->
         s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
+      "pipe_cwl_bundles" ->
+        s"""SELECT $indexExpr AS index_name, count(*) AS n FROM events
+           |WHERE (event_id // 5) % 10 <> 3 GROUP BY 1 ORDER BY 1""".stripMargin,
       "pipe_route_badmix" ->
         s"SELECT $routeExpr AS route, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
       "pipe_unknown_prefix" ->
