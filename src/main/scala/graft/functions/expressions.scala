@@ -63,6 +63,37 @@ object KplDeaggregate {
     new GenericArrayData(Kpl.deaggregate(bytes).asInstanceOf[Array[Any]])
 }
 
+/** Inverse of [[KplDeaggregate]] — builds KPL aggregates inside query plans
+  * (replay/fixture construction; the engine's decode path is the consumer). */
+case class KplAggregate(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(BinaryType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires ARRAY<BINARY> input")
+  }
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "kpl_aggregate"
+
+  override protected def nullSafeEval(input: Any): Any =
+    KplAggregate.fromArrayData(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.KplAggregate.fromArrayData($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object KplAggregate {
+  def fromArrayData(a: ArrayData): Array[Byte] = {
+    val n = a.numElements()
+    val payloads = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { payloads(i) = a.getBinary(i); i += 1 }
+    Kpl.aggregate(payloads.toIndexedSeq)
+  }
+}
+
 /** Inverse of [[GunzipIfGzip]] — used to build gzip fixtures/replays inside
   * query plans (the engine's decode path is the consumer). */
 case class GzipCompress(child: Expression) extends UnaryExpression {
@@ -340,6 +371,7 @@ object GraftFunctions {
 
   def gunzip_if_gzip(c: Column): Column = col(GunzipIfGzip(expr(c)))
   def kpl_deaggregate(c: Column): Column = col(KplDeaggregate(expr(c)))
+  def kpl_aggregate(c: Column): Column = col(KplAggregate(expr(c)))
   def gzip_compress(c: Column): Column = col(GzipCompress(expr(c)))
   def simhash64(c: Column): Column = col(SimHash64(expr(c)))
   def minhash_signature(c: Column, numPerm: Int): Column =
@@ -365,6 +397,7 @@ object GraftFunctions {
     ("gunzip_if_gzip", "inflate gzip payloads, pass-through otherwise", GunzipIfGzip.apply),
     ("gzip_compress", "gzip-compress binary payloads", GzipCompress.apply),
     ("kpl_deaggregate", "split a KPL aggregate into user records", KplDeaggregate.apply),
+    ("kpl_aggregate", "pack binary payloads into one KPL aggregate", KplAggregate.apply),
     ("simhash64", "64-bit SimHash of a token array", SimHash64.apply),
     ("minhash_signature64", "64-perm MinHash signature of shingles", MinHashSignature(_, 64)),
     ("shingle_hashes3", "distinct hashed 3-gram shingles of a token array", ShingleHashes(_, 3)),

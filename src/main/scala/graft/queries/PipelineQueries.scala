@@ -67,6 +67,31 @@ object PipelineQueries {
         .groupBy("route").agg(count(lit(1)).as("n"))
         .orderBy("route")),
 
+    // D2: the replay packed into KPL aggregates (4 user records each) —
+    // the deaggregating decode path must recover every record, so the
+    // oracle is the plain per-index count
+    "pipe_kpl_aggregates" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val aggs = ev
+        .withColumn("grp", expr("event_id div 4"))
+        .groupBy("grp")
+        .agg(
+          collect_list(to_json(struct(
+            col("event_type").as("log_type"),
+            date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("time"),
+            col("event_id").cast("string").as("log_id"),
+            col("user_id"), col("value"))).cast("binary")).as("payloads"),
+          min("ts").as("ts0"))
+        .select(
+          col("grp").cast("string").as("partitionKey"),
+          col("grp").cast("string").as("sequenceNumber"),
+          col("ts0").as("approximateArrival"),
+          graft.functions.GraftFunctions.kpl_aggregate(col("payloads")).as("data"))
+      Router.good(Pipeline.transform(graft.ops.Par.spread(aggs), cfg))
+        .groupBy("index_name").agg(count(lit(1)).as("n"))
+        .orderBy("index_name")
+    }),
+
     // D4: the replay packed into CloudWatch-Logs subscription bundles
     // (5 events per bundle, gzipped like real CWL delivery); every 10th
     // bundle is a CONTROL_MESSAGE whose events must vanish. The oracle
@@ -188,6 +213,8 @@ object PipelineQueries {
       "pipe_index_counts_gzip" ->
         s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
       "pipe_rfc_timestamps" ->
+        s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
+      "pipe_kpl_aggregates" ->
         s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
       "pipe_cwl_bundles" ->
         s"""SELECT $indexExpr AS index_name, count(*) AS n FROM events
