@@ -67,6 +67,17 @@ object PipelineQueries {
         .groupBy("route").agg(count(lit(1)).as("n"))
         .orderBy("route")),
 
+    // D1: the replay in Kinesis wire format — data as base64 TEXT (the
+    // shape the event source mapping hands the Lambda, README.md:9) —
+    // must decode to the same index fan-out
+    "pipe_base64_envelopes" -> ((s, dir) => {
+      val env = envelopes(s, dir)
+        .withColumn("data", base64(col("data"))) // binary → wire text
+      Router.good(Pipeline.transform(env, cfg, base64Data = true))
+        .groupBy("index_name").agg(count(lit(1)).as("n"))
+        .orderBy("index_name")
+    }),
+
     // D2: the replay packed into KPL aggregates (4 user records each) —
     // the deaggregating decode path must recover every record, so the
     // oracle is the plain per-index count
@@ -213,6 +224,8 @@ object PipelineQueries {
       "pipe_index_counts_gzip" ->
         s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
       "pipe_rfc_timestamps" ->
+        s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
+      "pipe_base64_envelopes" ->
         s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
       "pipe_kpl_aggregates" ->
         s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
