@@ -120,6 +120,52 @@ case class GzipCompress(child: Expression) extends UnaryExpression {
   * composed from built-ins) — this is the custom-Expression preference tier
   * of the build rules: scalar function Spark lacks, codegen-friendly.
   */
+/** Shannon entropy (bits) over a string's code points — the Gopher-style
+  * gibberish/repetition quality signal. One tight loop per row; counts
+  * accumulate in code-point order so the fp summation is deterministic. */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING input")
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "char_entropy"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CharEntropy.of(input.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharEntropy.of($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharEntropy {
+  private val Log2 = math.log(2.0)
+
+  def of(s: String): Double = {
+    if (s == null || s.isEmpty) return 0.0
+    val counts = new java.util.TreeMap[Integer, Integer]()
+    var i = 0
+    var n = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val prev = counts.get(cp)
+      counts.put(cp, if (prev == null) 1 else prev + 1)
+      n += 1
+      i += Character.charCount(cp)
+    }
+    var ent = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next().doubleValue() / n
+      ent -= p * (math.log(p) / Log2)
+    }
+    ent
+  }
+}
+
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(org.apache.spark.sql.types.StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -374,6 +420,7 @@ object GraftFunctions {
   def kpl_aggregate(c: Column): Column = col(KplAggregate(expr(c)))
   def gzip_compress(c: Column): Column = col(GzipCompress(expr(c)))
   def simhash64(c: Column): Column = col(SimHash64(expr(c)))
+  def char_entropy(c: Column): Column = col(CharEntropy(expr(c)))
   def minhash_signature(c: Column, numPerm: Int): Column =
     col(MinHashSignature(expr(c), numPerm))
   def shingle_hashes(c: Column, n: Int): Column = col(ShingleHashes(expr(c), n))
@@ -399,6 +446,7 @@ object GraftFunctions {
     ("kpl_deaggregate", "split a KPL aggregate into user records", KplDeaggregate.apply),
     ("kpl_aggregate", "pack binary payloads into one KPL aggregate", KplAggregate.apply),
     ("simhash64", "64-bit SimHash of a token array", SimHash64.apply),
+    ("char_entropy", "Shannon entropy (bits) over a string's code points", CharEntropy.apply),
     ("minhash_signature64", "64-perm MinHash signature of shingles", MinHashSignature(_, 64)),
     ("shingle_hashes3", "distinct hashed 3-gram shingles of a token array", ShingleHashes(_, 3)),
     ("hyperplane_sig16", "16-plane sign-LSH signature of array<double>", HyperplaneSig(_, 16)),

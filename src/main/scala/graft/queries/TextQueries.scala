@@ -69,6 +69,32 @@ object TextQueries {
         .orderBy("lang", "rnk")
     }),
 
+    // Gopher-style quality signals: char-entropy (gibberish/repetition
+    // detector, custom codegen expression) and top-bigram share (the
+    // most-repeated word pair's fraction of all bigrams)
+    "txt_entropy" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("ent", graft.functions.GraftFunctions.char_entropy(col("text")))
+        .groupBy("lang")
+        .agg(round(avg("ent"), 4).as("avg_entropy"))
+        .orderBy("lang")),
+
+    "txt_repetition" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val bigrams = transform(
+        sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i + 1, lit(2))))
+      docs(s, dir)
+        .filter(size(toks) >= 2)
+        .select(col("doc_id"), col("lang"), explode(bigrams).as("b"))
+        .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("k"))
+        .groupBy("doc_id", "lang")
+        .agg((max("k").cast("double") / sum("k")).as("share"))
+        .groupBy("lang")
+        .agg(round(avg("share"), 4).as("avg_top_bigram_share"))
+        .orderBy("lang")
+    }),
+
     // PII redaction: deterministic contact strings derived from doc_id are
     // appended to a slice of the corpus (pure transform of driver data),
     // then scrubbed; the oracle reproduces construction + scrub in DuckDB
@@ -271,6 +297,26 @@ object TextQueries {
         |    PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
         |    ORDER BY doc_id) AS rn
         |  FROM documents) t WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "txt_entropy" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang, c, count(*) AS k FROM (
+        |    SELECT doc_id, lang, unnest(string_split_regex(text, '')) AS c FROM documents)
+        |  GROUP BY 1, 2, 3)
+        |SELECT lang, round(avg(ent), 4) AS avg_entropy FROM (
+        |  SELECT doc_id, lang, -sum(p * log2(p)) AS ent FROM (
+        |    SELECT doc_id, lang, k * 1.0 / (sum(k) OVER (PARTITION BY doc_id)) AS p FROM f) t
+        |  GROUP BY 1, 2)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "txt_repetition" ->
+      """WITH toks AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, lang, unnest(list_transform(generate_series(1, len(t) - 1),
+        |          i -> concat(t[i], ' ', t[i+1]))) AS b
+        |  FROM toks WHERE len(t) >= 2),
+        |f AS (SELECT doc_id, lang, b, count(*) AS k FROM bg GROUP BY 1, 2, 3),
+        |s AS (SELECT doc_id, lang, max(k) * 1.0 / sum(k) AS share FROM f GROUP BY 1, 2)
+        |SELECT lang, round(avg(share), 4) AS avg_top_bigram_share
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
     "txt_redact" ->
       """WITH aug AS (
         |  SELECT lang,

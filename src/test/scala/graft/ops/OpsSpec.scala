@@ -171,6 +171,19 @@ class OpsSpec extends SparkSpec {
     assert(fp1 == fp2)
   }
 
+  test("char entropy: uniform chars score high, repetition scores zero") {
+    import graft.functions.CharEntropy
+    assert(CharEntropy.of("aaaa") == 0.0)
+    assert(math.abs(CharEntropy.of("ab") - 1.0) < 1e-12)        // 2 symbols, p=0.5
+    assert(math.abs(CharEntropy.of("abcd") - 2.0) < 1e-12)      // 4 symbols
+    assert(CharEntropy.of("") == 0.0)
+    // matches the column expression through codegen
+    val viaCol = Seq("abab", "zzzz").toDF("t")
+      .select(graft.functions.GraftFunctions.char_entropy(col("t")))
+      .as[Double].collect()
+    assert(math.abs(viaCol(0) - 1.0) < 1e-12 && viaCol(1) == 0.0)
+  }
+
   test("PII redaction scrubs emails and URLs, leaves clean text alone") {
     val rows = Seq(
       "write to alice.smith+test@sub.example.co.uk today",
