@@ -166,6 +166,60 @@ object CharEntropy {
   }
 }
 
+/** Top-bigram share: the most frequent adjacent word pair's fraction of
+  * all bigrams (Gopher repetition signal). One hashmap pass per row —
+  * the exploded/groupBy formulation shuffles every bigram of the corpus
+  * twice; this ships one double per document. Exact integer ratio, so an
+  * external oracle's unnest+count formulation matches bit-for-bit. */
+case class BigramTopShare(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires ARRAY<STRING> input")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bigram_top_share"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BigramTopShare.of(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("bigramShare")
+      s"""
+         |java.lang.Double $tmp = graft.functions.BigramTopShare.of($c);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BigramTopShare {
+  /** null for < 2 tokens (no bigrams exist). */
+  def of(tokens: ArrayData): java.lang.Double = {
+    val n = tokens.numElements()
+    if (n < 2) return null
+    val counts = new java.util.HashMap[String, Integer](n * 2)
+    var maxK = 0
+    var i = 0
+    var prev = tokens.getUTF8String(0).toString
+    while (i < n - 1) {
+      val next = tokens.getUTF8String(i + 1).toString
+      val key = prev + ' ' + next
+      val k0 = counts.get(key)
+      val k = if (k0 == null) 1 else k0 + 1
+      counts.put(key, k)
+      if (k > maxK) maxK = k
+      prev = next
+      i += 1
+    }
+    maxK.toDouble / (n - 1)
+  }
+}
+
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(org.apache.spark.sql.types.StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -421,6 +475,7 @@ object GraftFunctions {
   def gzip_compress(c: Column): Column = col(GzipCompress(expr(c)))
   def simhash64(c: Column): Column = col(SimHash64(expr(c)))
   def char_entropy(c: Column): Column = col(CharEntropy(expr(c)))
+  def bigram_top_share(c: Column): Column = col(BigramTopShare(expr(c)))
   def minhash_signature(c: Column, numPerm: Int): Column =
     col(MinHashSignature(expr(c), numPerm))
   def shingle_hashes(c: Column, n: Int): Column = col(ShingleHashes(expr(c), n))
@@ -447,6 +502,7 @@ object GraftFunctions {
     ("kpl_aggregate", "pack binary payloads into one KPL aggregate", KplAggregate.apply),
     ("simhash64", "64-bit SimHash of a token array", SimHash64.apply),
     ("char_entropy", "Shannon entropy (bits) over a string's code points", CharEntropy.apply),
+    ("bigram_top_share", "top adjacent-word-pair share of all bigrams", BigramTopShare.apply),
     ("minhash_signature64", "64-perm MinHash signature of shingles", MinHashSignature(_, 64)),
     ("shingle_hashes3", "distinct hashed 3-gram shingles of a token array", ShingleHashes(_, 3)),
     ("hyperplane_sig16", "16-plane sign-LSH signature of array<double>", HyperplaneSig(_, 16)),

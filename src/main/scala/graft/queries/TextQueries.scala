@@ -79,21 +79,16 @@ object TextQueries {
         .agg(round(avg("ent"), 4).as("avg_entropy"))
         .orderBy("lang")),
 
-    "txt_repetition" -> ((s, dir) => {
-      val toks = TextAnalysis.tokens(col("text"))
-      val bigrams = transform(
-        sequence(lit(0), size(toks) - 2),
-        i => concat_ws(" ", slice(toks, i + 1, lit(2))))
+    "txt_repetition" -> ((s, dir) =>
+      // one hashmap pass per document (custom expression) — the exploded
+      // groupBy formulation shuffles every bigram in the corpus twice
       docs(s, dir)
-        .filter(size(toks) >= 2)
-        .select(col("doc_id"), col("lang"), explode(bigrams).as("b"))
-        .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("k"))
-        .groupBy("doc_id", "lang")
-        .agg((max("k").cast("double") / sum("k")).as("share"))
+        .select(col("lang"), graft.functions.GraftFunctions
+          .bigram_top_share(TextAnalysis.tokens(col("text"))).as("share"))
+        .filter(col("share").isNotNull)
         .groupBy("lang")
         .agg(round(avg("share"), 4).as("avg_top_bigram_share"))
-        .orderBy("lang")
-    }),
+        .orderBy("lang")),
 
     // PII redaction: deterministic contact strings derived from doc_id are
     // appended to a slice of the corpus (pure transform of driver data),

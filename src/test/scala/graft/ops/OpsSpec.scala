@@ -184,6 +184,18 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(viaCol(0) - 1.0) < 1e-12 && viaCol(1) == 0.0)
   }
 
+  test("bigram top share: exact ratio, null under two tokens") {
+    val got = Seq("a b a b a", "x y z", "solo", "r r r r")
+      .toDF("t")
+      .select(graft.functions.GraftFunctions
+        .bigram_top_share(TextAnalysis.tokens(col("t"))))
+      .as[Option[Double]].collect()
+    assert(got(0).contains(0.5))   // "a b"×2 of 4 bigrams
+    assert(got(1).contains(0.5))   // 2 distinct bigrams, max 1 of 2
+    assert(got(2).isEmpty)         // 1 token → no bigrams
+    assert(got(3).contains(1.0))   // "r r"×3 of 3
+  }
+
   test("PII redaction scrubs emails and URLs, leaves clean text alone") {
     val rows = Seq(
       "write to alice.smith+test@sub.example.co.uk today",
