@@ -77,6 +77,21 @@ object StreamingPipeline {
           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     Pipeline.stream(envelopes, cfg, transport, checkpointDir, trigger)
 
+  /** Switch stateful streaming to the RocksDB state store provider. The
+    * default HDFS-backed provider keeps every key in executor heap — at
+    * 100 TB-scale key cardinality (dedup over billions of log_ids) that is
+    * an OOM, not a tuning problem. RocksDB spills state to local disk with
+    * changelog checkpointing and bounds heap by block cache. Call once on
+    * the session before starting stateful queries (provider is read at
+    * query start from session conf; in-flight queries keep theirs). */
+  def useRocksDbStateStore(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // changelog checkpointing ships deltas, not full SST files, per batch
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+  }
+
   /** Engine-side exactly-once: keyed dedup state with a TTL bounded by the
     * event-time watermark. At 100 TB the watermark bound is what keeps the
     * state store finite — an unbounded dropDuplicates would grow forever.

@@ -60,6 +60,38 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq("id-1", "id-2"))
   }
 
+  test("watermark dedup runs on the RocksDB state store (the 100 TB provider)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    StreamingPipeline.useRocksDbStateStore(spark)
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[TestEnvelope]
+      val deduped = StreamingPipeline.dedupWithinWatermark(mem.toDF(), PipelineConfig())
+      val q = deduped.select("log_id").writeStream
+        .format("memory").queryName("rocks_out").outputMode("append").start()
+      try {
+        mem.addData(env(1, log(1)), env(2, log(1)), env(3, log(2)))
+        q.processAllAvailable()
+        mem.addData(env(4, log(2)), env(5, log(3))) // cross-batch dup + new
+        q.processAllAvailable()
+        // the running query's state operator really is RocksDB
+        val providers = q.lastProgress.stateOperators
+        assert(providers.nonEmpty)
+        import scala.jdk.CollectionConverters._
+        val metrics = providers(0).customMetrics.asScala
+        assert(metrics.keys.exists(_.toLowerCase.contains("rocksdb")),
+          s"expected RocksDB state metrics, got ${metrics.keys.toSeq}")
+      } finally q.stop()
+      val ids = spark.table("rocks_out").as[String].collect().toSeq.sorted
+      assert(ids == Seq("id-1", "id-2", "id-3"))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("windowed daily counts with watermark (append mode, late data)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[TestEnvelope]
