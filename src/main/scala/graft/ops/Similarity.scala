@@ -29,6 +29,23 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Symmetric per-vector int8 quantization: scale = 127/max|x|, q_i =
+    * round(x_i·scale). 4× smaller than float32 at ~0.4% reconstruction
+    * error — the standard storage/bandwidth lever for embedding corpora
+    * (a 100 TB float corpus becomes 25 TB). All built-in higher-order
+    * functions: codegen'd, shuffle-free, oracle-reproducible. */
+  def quantizeInt8(v: Column): Column = {
+    val scale = quantScale(v)
+    transform(v, x => round(x * scale).cast("tinyint"))
+  }
+
+  /** The quantization scale for [[quantizeInt8]] (store alongside q to
+    * dequantize: x ≈ q/scale). 0 for the all-zero vector. */
+  def quantScale(v: Column): Column = {
+    val mabs = array_max(transform(v, x => abs(x)))
+    when(mabs > 0, lit(127.0) / mabs).otherwise(lit(0.0))
+  }
+
   /** Sign-LSH bucket id: one bit per hyperplane = sign of <v, r_p>.
     * One custom-Expression pass ([[graft.functions.HyperplaneSig]]) —
     * plane components derived by hash-mixing (plane, dim), so no plane
@@ -82,9 +99,11 @@ object Similarity {
     val c = Par.spread(corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v")))
       .withColumn("features", array_to_vector(col("v")))
-    // a coarse quantizer needs rough cells, not converged ones: few
-    // iterations, early tol — fit cost halves, recall is probe-bounded
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5).setTol(1e-3).fit(c)
+    // a coarse quantizer needs rough cells, not converged ones: random
+    // init (k-means|| costs extra full passes), few iterations, early
+    // tol — recall is probe-bounded, not centroid-quality-bounded
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5).setTol(1e-3)
+      .setInitMode("random").fit(c)
     val assigned = model.transform(c)
       .select(col("id"), col("v"), col("prediction").as("cell"))
 

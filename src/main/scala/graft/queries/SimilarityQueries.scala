@@ -92,6 +92,24 @@ object SimilarityQueries {
         .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
         .limit(100)),
 
+    // Int8 quantization reconstruction error per label (the 4× storage
+    // lever); mse in 1e-9 units so rounding keeps signal
+    "sim_quantized_error" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      val scale = Similarity.quantScale(col("v"))
+      e.filter(array_max(transform(col("v"), x => abs(x))) > 0)
+        .withColumn("scale", scale)
+        .withColumn("q", transform(col("v"), x => round(x * col("scale"))))
+        .withColumn("mse",
+          aggregate(zip_with(col("v"), col("q"),
+            (x, qq) => pow(x - qq / col("scale"), lit(2.0))),
+            lit(0.0), (acc, x) => acc + x) / size(col("v")))
+        .groupBy("label")
+        .agg(round(avg("mse"), 9).as("avg_mse"))
+        .orderBy("label")
+    }),
+
     // Element-wise vector stats per label (array indexing + aggregation)
     "sim_vector_stats" -> ((s, dir) =>
       emb(s, dir)
@@ -129,6 +147,17 @@ object SimilarityQueries {
         |), sums AS (SELECT label, i, sum(x) AS s2 FROM ex GROUP BY label, i)
         |SELECT label, round(sqrt(sum(s2 * s2)), 4) AS centroid_norm
         |FROM sums GROUP BY label ORDER BY label""".stripMargin,
+    "sim_quantized_error" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT label, v, list_max(list_transform(v, x -> abs(x))) AS mabs FROM e),
+        |s AS (SELECT label, v, 127.0 / mabs AS scale FROM m WHERE mabs > 0),
+        |q AS (SELECT label, v, scale, list_transform(v, x -> round(x * scale)) AS qv FROM s),
+        |mse AS (
+        |  SELECT label,
+        |         list_sum(list_transform(generate_series(1, len(v)),
+        |           i -> pow(v[i] - qv[i] / scale, 2))) / len(v) AS mse
+        |  FROM q)
+        |SELECT label, round(avg(mse), 9) AS avg_mse FROM mse GROUP BY label ORDER BY label""".stripMargin,
     "sim_vector_stats" ->
       """SELECT label,
         |       round(avg(CAST(embedding[1] AS DOUBLE)), 4) AS avg_d1,

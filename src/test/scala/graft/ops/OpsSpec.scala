@@ -184,6 +184,25 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(viaCol(0) - 1.0) < 1e-12 && viaCol(1) == 0.0)
   }
 
+  test("int8 quantization: bounded values, small reconstruction error, zero-safe") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))) // all-zero: scale 0, no NaN
+      .toDF("id", "v").withColumn("v", col("v").cast("array<double>"))
+    val rows = vecs.select(col("id"),
+      Similarity.quantizeInt8(col("v")).as("q"),
+      Similarity.quantScale(col("v")).as("s"))
+      .as[(Long, Seq[Byte], Double)].collect().sortBy(_._1)
+    val (_, q1, s1) = rows(0)
+    assert(q1 == Seq[Byte](64, -127, 32, 0)) // 0.5*127, -1*127, 0.25*127
+    assert(math.abs(s1 - 127.0) < 1e-12)
+    // reconstruction error bounded by half a quantization step
+    q1.zip(Seq(0.5, -1.0, 0.25, 0.0)).foreach { case (qb, x) =>
+      assert(math.abs(qb / s1 - x) <= 0.5 / s1 + 1e-12)
+    }
+    assert(rows(1)._2 == Seq[Byte](0, 0, 0, 0) && rows(1)._3 == 0.0)
+  }
+
   test("bigram top share: exact ratio, null under two tokens") {
     val got = Seq("a b a b a", "x y z", "solo", "r r r r")
       .toDF("t")
