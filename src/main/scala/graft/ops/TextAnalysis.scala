@@ -144,9 +144,10 @@ object TextAnalysis {
     // pass 1: per-partition totals → exclusive prefix offsets (tiny)
     val totals = parted.groupBy("_pid").agg(sum(col(tokensCol)).as("_tot"))
       .orderBy("_pid").collect().map(r => (r.getInt(0), r.getLong(1)))
-    val offsets = totals.scanLeft((Int.MinValue, 0L)) {
-      case ((_, acc), (pid, tot)) => (pid, acc + tot)
-    }.sliding(2).map { case Array((_, prev), (pid, _)) => (pid, prev) }.toSeq
+    var acc = 0L
+    val offsets = totals.toSeq.map { case (pid, tot) =>
+      val o = (pid, acc); acc += tot; o
+    }
     val spark = df.sparkSession
     import spark.implicits._
     val offsetDf = offsets.toDF("_pid", "_offset")

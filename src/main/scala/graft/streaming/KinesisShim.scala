@@ -171,7 +171,16 @@ private[streaming] class KinesisShimStream(eventsPath: String, nShards: Int,
 
   override def createReaderFactory(): PartitionReaderFactory = new ShimReaderFactory
 
-  override def deserializeOffset(json: String): Offset = ShimOffset.parse(json)
+  override def deserializeOffset(json: String): Offset = {
+    val off = ShimOffset.parse(json)
+    // a checkpoint written with a different shard count cannot be resumed
+    // meaningfully — per-shard positions would map to the wrong shards
+    // (real Kinesis resharding changes shard IDENTITY, not index meaning)
+    require(off.positions.length == nShards,
+      s"checkpoint has ${off.positions.length} shards but source is configured " +
+        s"with $nShards — start a new checkpoint or restore the original nShards")
+    off
+  }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }

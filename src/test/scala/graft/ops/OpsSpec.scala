@@ -255,6 +255,15 @@ class OpsSpec extends SparkSpec {
     assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
   }
 
+  test("distributed packing handles empty and single-partition inputs") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "n_tokens")
+    assert(TextAnalysis.packBinsDistributed(empty, "doc_id", "n_tokens", 100L).count() == 0)
+    val one = Seq((1L, 10L)).toDF("doc_id", "n_tokens")
+    val got = TextAnalysis.packBinsDistributed(one, "doc_id", "n_tokens", 100L)
+      .select("doc_id", "bin").as[(Long, Long)].head()
+    assert(got == ((1L, 0L)))
+  }
+
   test("distributed packing equals the global-window variant bin-for-bin") {
     val rnd = new scala.util.Random(11)
     val docs = (0L until 1000L).map(i => (i, 10L + rnd.nextInt(200).toLong))
