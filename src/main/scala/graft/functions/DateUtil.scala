@@ -43,12 +43,13 @@ object DateUtilParse {
 
   /** Micros since epoch, or null when no day-name format matches. */
   def parseMicros(s: String): java.lang.Long = {
-    if (s == null || s.isEmpty) return null
-    // every supported form starts with a day name — bail fast on the
-    // digit-leading strings the upstream ladder already handles
-    val c0 = s.charAt(0)
-    if (!Character.isLetter(c0)) return null
+    if (s == null) return null
     val trimmed = s.trim
+    if (trimmed.isEmpty) return null
+    // every supported form starts with a day name — bail fast on the
+    // digit-leading strings the upstream ladder already handles (check
+    // AFTER trim: dateutil accepts leading whitespace)
+    if (!Character.isLetter(trimmed.charAt(0))) return null
     // asctime space-pads the day; only normalize when a run exists
     // (String.replaceAll would recompile its regex on every row)
     val t = if (trimmed.contains("  ")) Ws.matcher(trimmed).replaceAll(" ") else trimmed

@@ -111,8 +111,12 @@ object AsOf {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val phase1 = withB.withColumn("_rin", last(col("_r"), ignoreNulls = true).over(w1))
 
+    // null-time rights sort first in [[join]] (carried until any real-time
+    // right appears); max_by skips null ordering keys, so map null to the
+    // minimal instant to keep those rows eligible — same total order
     val bucketLast = withB.filter(col("_side") === 0)
-      .groupBy("_k", "_b").agg(max_by(col("_r"), col("_t")).as("_rlast"))
+      .groupBy("_k", "_b").agg(max_by(col("_r"),
+        coalesce(unix_micros(col("_t")), lit(Long.MinValue))).as("_rlast"))
     val wPrev = Window.partitionBy("_k").orderBy("_b")
       .rowsBetween(Window.unboundedPreceding, -1)
     val prevByBucket = withB.select("_k", "_b").distinct()

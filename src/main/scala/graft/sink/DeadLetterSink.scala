@@ -54,6 +54,11 @@ object DeadLetterSink {
       cfg: PipelineConfig,
       clockMillis: () => Long = () => System.currentTimeMillis()): Unit = {
     val root = s"${cfg.deadLetterPath}/es_rejected"
+    // ship the session's Hadoop configuration to executors — a fresh
+    // Configuration() would drop every spark.hadoop.* setting (object-store
+    // credentials/endpoints), exactly where this sink is meant to write
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      rejected.sparkSession.sparkContext.hadoopConfiguration)
     rejected.foreachPartition { (it: Iterator[BulkReject]) =>
       if (it.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -65,7 +70,7 @@ object DeadLetterSink {
         // the ':' the reference puts in its key is legal on object stores but
         // trips ChecksumFileSystem's relative .crc sibling path — unwrap to
         // the raw FS (object stores don't write .crc files anyway)
-        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration()) match {
+        val fs = path.getFileSystem(hadoopConf.value) match {
           case cfs: org.apache.hadoop.fs.ChecksumFileSystem => cfs.getRawFileSystem
           case other => other
         }

@@ -46,9 +46,11 @@ final class HttpBulkTransport(
     /** Injectable for tests; default real sleep. */
     sleeper: Long => Unit = Thread.sleep) extends BulkTransport {
 
-  @transient private lazy val client: HttpClient = HttpClient.newBuilder()
-    .connectTimeout(Duration.ofSeconds(timeoutSec.toLong))
-    .build()
+  // one JVM-wide client per timeout: a JDK HttpClient owns a selector
+  // thread and connection pool, and Java 17 has no close() — building one
+  // per partition task would leak threads on long-lived executors
+  @transient private lazy val client: HttpClient =
+    HttpBulkTransport.sharedClient(timeoutSec)
 
   @transient private lazy val mapper = new ObjectMapper()
 
@@ -80,9 +82,16 @@ final class HttpBulkTransport(
             return parseRejects(resp.body(), actions)
           case code if code == 429 || code >= 500 =>
             lastErr = s"HTTP $code: ${resp.body().take(200)}" // retryable
+          case code if code == 401 || code == 403 =>
+            // auth/credential misconfiguration is an OPERATIONAL failure:
+            // fail the task immediately (not IOException — that would be
+            // swallowed into the retry loop) rather than silently
+            // dead-lettering the entire corpus as "data errors"
+            throw new IllegalStateException(
+              s"ES bulk endpoint rejected credentials: HTTP $code ${resp.body().take(200)}")
           case code =>
-            // non-retryable envelope failure (auth, bad request): the whole
-            // chunk is rejected as data — do not fail the task forever on it
+            // other non-retryable envelope failures (e.g. 400 bad request):
+            // the chunk is rejected as data — do not fail the task forever
             return actions.map(a =>
               BulkReject(a.indexName, a.id, a.source, s"bulk_request_failed: HTTP $code"))
         }
@@ -115,4 +124,16 @@ final class HttpBulkTransport(
       } else None
     }.toVector
   }
+}
+
+object HttpBulkTransport {
+  private val clients =
+    new java.util.concurrent.ConcurrentHashMap[Int, HttpClient]()
+
+  /** One HttpClient per (JVM, connect-timeout): thread-safe by contract,
+    * reused across all partition tasks and micro-batches. */
+  private[sink] def sharedClient(timeoutSec: Int): HttpClient =
+    clients.computeIfAbsent(timeoutSec, t => HttpClient.newBuilder()
+      .connectTimeout(Duration.ofSeconds(t.toLong))
+      .build())
 }

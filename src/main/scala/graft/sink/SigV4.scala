@@ -40,14 +40,18 @@ object SigV4 {
     mac.doFinal(data.getBytes(UTF_8))
   }
 
-  /** RFC 3986 encode, keeping unreserved chars — SigV4's required URI
-    * escaping (space → %20, not +). */
+  /** RFC 3986 encode, keeping ONLY ASCII unreserved chars — SigV4's
+    * required URI escaping (space → %20, not +). The check must be byte-
+    * wise ASCII: Char.isLetterOrDigit is true for Latin-1 letters ≥ 0x80,
+    * which would leak raw UTF-8 bytes into the canonical request and break
+    * the signature for any non-ASCII path/query. */
   private def uriEncode(s: String, keepSlash: Boolean): String = {
     val sb = new StringBuilder
     s.getBytes(UTF_8).foreach { b =>
       val c = (b & 0xff).toChar
-      if (c.isLetterOrDigit || c == '-' || c == '_' || c == '.' || c == '~' ||
-        (keepSlash && c == '/')) sb.append(c)
+      val unreserved = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        (c >= '0' && c <= '9') || c == '-' || c == '_' || c == '.' || c == '~'
+      if (unreserved || (keepSlash && c == '/')) sb.append(c)
       else sb.append(f"%%${b & 0xff}%02X")
     }
     sb.toString
@@ -89,7 +93,10 @@ object SigV4 {
     val canonicalQuery = Option(uri.getRawQuery).filter(_.nonEmpty).map { q =>
       q.split("&").toSeq.map { kv =>
         val Array(k, v) = kv.split("=", 2).padTo(2, "")
-        (uriEncode(k, keepSlash = false), uriEncode(v, keepSlash = false))
+        // decode first (raw %XX must not be double-encoded to %25XX),
+        // then apply SigV4's single canonical encoding
+        def dec(x: String) = java.net.URLDecoder.decode(x, UTF_8)
+        (uriEncode(dec(k), keepSlash = false), uriEncode(dec(v), keepSlash = false))
       }.sorted.map { case (k, v) => s"$k=$v" }.mkString("&")
     }.getOrElse("")
     val canonicalPath = {

@@ -91,15 +91,20 @@ private[streaming] object KinesisShim {
   }
 }
 
-/** Per-shard consumed-position vector — the shard-iterator analogue. */
-private[streaming] case class ShimOffset(positions: Array[Long]) extends Offset {
+/** Per-shard consumed-position vector — the shard-iterator analogue.
+  * Positions are a Seq, NOT an Array: Offset equality must be structural
+  * (MicroBatchExecution compares offsets with equals to decide whether new
+  * data exists), and a case class over Array inherits reference equality —
+  * content-equal offsets would never compare equal and every trigger would
+  * claim new data. */
+private[streaming] case class ShimOffset(positions: Seq[Long]) extends Offset {
   override def json(): String = positions.mkString("[", ",", "]")
 }
 
 private[streaming] object ShimOffset {
   def parse(json: String): ShimOffset = {
     val body = json.trim.stripPrefix("[").stripSuffix("]")
-    ShimOffset(if (body.isEmpty) Array.empty else body.split(",").map(_.trim.toLong))
+    ShimOffset(if (body.isEmpty) Nil else body.split(",").map(_.trim.toLong).toSeq)
   }
 }
 
@@ -139,8 +144,8 @@ private[streaming] class KinesisShimStream(eventsPath: String, nShards: Int,
     availableNowTarget = Some(shards.map(_.length.toLong))
 
   override def initialOffset(): Offset = startingPosition match {
-    case "TRIM_HORIZON" => ShimOffset(Array.fill(nShards)(0L))
-    case "LATEST" => ShimOffset(shards.map(_.length.toLong))
+    case "TRIM_HORIZON" => ShimOffset(Seq.fill(nShards)(0L))
+    case "LATEST" => ShimOffset(shards.map(_.length.toLong).toSeq)
   }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchSize.toLong * nShards)
@@ -148,7 +153,7 @@ private[streaming] class KinesisShimStream(eventsPath: String, nShards: Int,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[ShimOffset].positions
     val cap = availableNowTarget.getOrElse(shards.map(_.length.toLong))
-    ShimOffset(Array.tabulate(nShards)(i =>
+    ShimOffset(Seq.tabulate(nShards)(i =>
       math.min(s(i) + batchSize, cap(i))))
   }
 
@@ -156,7 +161,7 @@ private[streaming] class KinesisShimStream(eventsPath: String, nShards: Int,
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called instead")
 
-  override def reportLatestOffset(): Offset = ShimOffset(shards.map(_.length.toLong))
+  override def reportLatestOffset(): Offset = ShimOffset(shards.map(_.length.toLong).toSeq)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[ShimOffset].positions

@@ -85,6 +85,24 @@ class AsOfSpec extends SparkSpec {
     assert(got(12L).contains(7.0))
   }
 
+  test("skew-safe as-of matches plain variant when right rows have null times") {
+    val quotes = Seq(
+      (1L, None, 3.0),                              // null-time right: sorts first
+      (1L, Some(ts("2024-01-01 01:00:00")), 9.0))
+      .toDF("q_key", "q_time", "price")
+    val trades = Seq(
+      (10L, 1L, ts("2024-01-01 00:30:00")),  // only the null-time right precedes
+      (11L, 1L, ts("2024-01-01 02:00:00")))  // the 01:00 right wins
+      .toDF("trade_id", "t_key", "t_time")
+    val plain = AsOf.join(trades, quotes, "t_key", "q_key", "t_time", "q_time", Seq("price"))
+      .select("trade_id", "asof_price").as[(Long, Option[Double])].collect().toMap
+    val salted = AsOf.joinSkewSafe(trades, quotes, "t_key", "q_key", "t_time", "q_time",
+      Seq("price"), bucketWidthSec = 3600L)
+      .select("trade_id", "asof_price").as[(Long, Option[Double])].collect().toMap
+    assert(plain(10L).contains(3.0) && plain(11L).contains(9.0))
+    assert(salted == plain)
+  }
+
   test("as-of join carries legitimately-null right values (no stale stitch)") {
     val quotes = Seq(
       (1L, ts("2024-01-01 10:00:00"), Some(100.0), "a"),

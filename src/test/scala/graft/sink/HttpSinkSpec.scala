@@ -80,16 +80,29 @@ class HttpSinkSpec extends SparkSpec {
     } finally es.stop()
   }
 
-  test("non-retryable status (401) rejects the chunk as data, no infinite retry") {
-    val es = new StubEsServer(failFirstN = Int.MaxValue, failCode = 401)
+  test("non-retryable status (400) rejects the chunk as data, no infinite retry") {
+    val es = new StubEsServer(failFirstN = Int.MaxValue, failCode = 400)
     val ep = es.endpoint
     try {
       val rejects = BulkSink.push(goodDf(4).coalesce(1), PipelineConfig(),
         () => new HttpBulkTransport(ep, sleeper = _ => ()))
       val got = rejects.collect()
       assert(got.length == 4)
-      assert(got.forall(_.error == "bulk_request_failed: HTTP 401"))
+      assert(got.forall(_.error == "bulk_request_failed: HTTP 400"))
       assert(es.requestCount == 1)
+    } finally es.stop()
+  }
+
+  test("auth failure (403) fails the task instead of dead-lettering the corpus") {
+    val es = new StubEsServer(failFirstN = Int.MaxValue, failCode = 403)
+    val ep = es.endpoint
+    try {
+      val rejects = BulkSink.push(goodDf(4).coalesce(1), PipelineConfig(),
+        () => new HttpBulkTransport(ep, sleeper = _ => ()))
+      val e = intercept[org.apache.spark.SparkException] { rejects.count() }
+      assert(e.getMessage.contains("rejected credentials") ||
+        Option(e.getCause).exists(_.getMessage.contains("rejected credentials")))
+      assert(es.requestCount == 1) // no pointless retry on a hard auth error
     } finally es.stop()
   }
 
@@ -141,6 +154,25 @@ class HttpSinkSpec extends SparkSpec {
       "AWS4-HMAC-SHA256 Credential=AKIDEXAMPLE/20150830/us-east-1/iam/aws4_request, " +
         "SignedHeaders=content-type;host;x-amz-date, " +
         "Signature=5d672d79c15b13162d9279b0855cfba6789a8edb4c82c400e06b5924a6f2b5d7")
+  }
+
+  test("SigV4 percent-encodes non-ASCII bytes in path and query") {
+    val creds = SigV4Credentials("AKIDEXAMPLE", "secret", "us-east-1", "es")
+    val out = SigV4.signedHeaders(
+      creds, "GET",
+      java.net.URI.create("https://example.com/caf%C3%A9/doc?q=caf%C3%A9"),
+      Map.empty, Array.emptyByteArray,
+      java.time.Instant.parse("2020-09-15T10:00:00Z").toEpochMilli)
+    // must not throw and must produce a stable signature: the canonical
+    // request re-encodes the decoded path bytes as %XX (Latin-1 letters
+    // like 0xC3/0xA9 are NOT unreserved despite Char.isLetterOrDigit)
+    assert(out("Authorization").contains("Signature="))
+    val again = SigV4.signedHeaders(
+      creds, "GET",
+      java.net.URI.create("https://example.com/caf%C3%A9/doc?q=caf%C3%A9"),
+      Map.empty, Array.emptyByteArray,
+      java.time.Instant.parse("2020-09-15T10:00:00Z").toEpochMilli)
+    assert(out == again)
   }
 
   test("per-chunk metrics mirror X-Ray chunk annotations (K5)") {
