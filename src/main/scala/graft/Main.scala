@@ -66,12 +66,21 @@ object Main {
     // standard AWS env vars, like the reference), NDJSON files otherwise.
     val transport = opt.get("es-endpoint") match {
       case Some(ep) =>
-        val creds = for {
-          ak <- sys.env.get("AWS_ACCESS_KEY_ID")
-          sk <- sys.env.get("AWS_SECRET_ACCESS_KEY")
-          region <- sys.env.get("AWS_REGION")
-        } yield graft.sink.SigV4Credentials(ak, sk, region,
-          sessionToken = sys.env.get("AWS_SESSION_TOKEN"))
+        // fail fast on PARTIAL credentials: silently sending unsigned
+        // requests would surface as confusing 403s mid-stream
+        val ak = sys.env.get("AWS_ACCESS_KEY_ID")
+        val sk = sys.env.get("AWS_SECRET_ACCESS_KEY")
+        val region = sys.env.get("AWS_REGION").orElse(sys.env.get("AWS_DEFAULT_REGION"))
+        val creds = (ak, sk) match {
+          case (Some(a), Some(s)) =>
+            val r = region.getOrElse(sys.error(
+              "AWS credentials present but no AWS_REGION/AWS_DEFAULT_REGION set"))
+            Some(graft.sink.SigV4Credentials(a, s, r,
+              sessionToken = sys.env.get("AWS_SESSION_TOKEN")))
+          case (None, None) => None
+          case _ => sys.error(
+            "incomplete AWS credentials: need both AWS_ACCESS_KEY_ID and AWS_SECRET_ACCESS_KEY")
+        }
         Pipeline.httpTransport(ep, creds)
       case None => Pipeline.fileTransport(bulkOut)
     }

@@ -124,8 +124,15 @@ object AsOf {
       .withColumn("_rprev", last(col("_rlast"), ignoreNulls = true).over(wPrev))
       .select(col("_k"), col("_b"), col("_rprev"))
 
-    val joined = phase1.filter(col("_side") === 1)
-      .join(prevByBucket, Seq("_k", "_b"), "left")
+    // null-SAFE equality on the stitch join: the plain variant's window
+    // groups null keys into one partition, so a null-keyed left row must
+    // still find its null-keyed preceding-bucket carry here
+    val lhs = phase1.filter(col("_side") === 1)
+    val joined = lhs
+      .join(prevByBucket,
+        lhs("_k") <=> prevByBucket("_k") && lhs("_b") <=> prevByBucket("_b"),
+        "left")
+      .drop(prevByBucket("_k")).drop(prevByBucket("_b"))
       .withColumn("_rfinal", coalesce(col("_rin"), col("_rprev")))
     project(joined, left, rightCols, "_rfinal")
   }

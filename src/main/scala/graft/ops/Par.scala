@@ -14,10 +14,12 @@ import org.apache.spark.sql.DataFrame
   * The exchange is UNCONDITIONAL and purely declarative: no
   * `df.rdd.getNumPartitions` probe (that would force physical planning and
   * splice an RDD-conversion node into every caller's plan just to read a
-  * count, defeating plan reuse and AQE). It moves only the operator's
-  * (narrow) input rows, never the heavy intermediate state — negligible
-  * against per-row compute — and AQE's coalescing handles the
-  * already-well-partitioned case at scale. */
+  * count, defeating plan reuse). A REBALANCE hint is deliberately NOT used:
+  * AQE rebalance targets partition BYTES, and compute-bound inputs are
+  * small-byte/heavy-CPU — it would coalesce them onto few cores, the exact
+  * failure this exists to prevent. The cost when the input is already wide
+  * is one shuffle of the operator's narrow input rows — negligible against
+  * the per-row compute these stages exist for. */
 private[graft] object Par {
   def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)

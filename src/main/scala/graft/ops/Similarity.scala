@@ -134,11 +134,20 @@ object Similarity {
     // has only nlist distinct values, so rely on AQE skew splitting — or
     // batch the query workload.
     val joined = assigned.join(broadcast(probeDf), Seq("cell"))
-    // self-exclusion only makes sense (and only type-checks under ANSI)
-    // when queries are drawn from the corpus id space
-    val cands = (if (assigned.schema("id").dataType == probeDf.schema("qid").dataType)
-      joined.filter(col("id") =!= col("qid")) else joined)
-      .withColumn("sim", cosine(col("v"), col("qv")))
+    // self-exclusion whenever ids are comparable: equal types directly,
+    // integral types through a widening cast (an Int qid must still
+    // exclude its own Long corpus id). Non-comparable id spaces skip it —
+    // queries not drawn from the corpus have no self to exclude.
+    import org.apache.spark.sql.types._
+    def integral(t: DataType) = Seq(ByteType, ShortType, IntegerType, LongType).contains(t)
+    val idT = assigned.schema("id").dataType
+    val qidT = probeDf.schema("qid").dataType
+    val excluded =
+      if (idT == qidT) joined.filter(col("id") =!= col("qid"))
+      else if (integral(idT) && integral(qidT))
+        joined.filter(col("id").cast("long") =!= col("qid").cast("long"))
+      else joined
+    val cands = excluded.withColumn("sim", cosine(col("v"), col("qv")))
     topKPerGroup(cands, "qid", "sim", "id", k)
   }
 

@@ -115,7 +115,9 @@ object PipelineQueries {
         .agg(
           collect_list(struct(
             col("event_id").cast("string").as("id"),
-            (unix_micros(col("ts")) / 1000).as("timestamp"),
+            // integer epoch millis — `/` is true division and would emit a
+            // double JSON number the LongType decode schema nulls out
+            (unix_micros(col("ts")) / 1000).cast("long").as("timestamp"),
             to_json(struct(
               col("event_type").as("log_type"),
               date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("time"),

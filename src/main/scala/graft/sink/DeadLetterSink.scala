@@ -61,12 +61,17 @@ object DeadLetterSink {
       rejected.sparkSession.sparkContext.hadoopConfiguration)
     rejected.foreachPartition { (it: Iterator[BulkReject]) =>
       if (it.hasNext) {
-        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
         val now = java.time.Instant.ofEpochMilli(clockMillis())
           .atZone(java.time.ZoneOffset.UTC)
         val key = java.time.format.DateTimeFormatter
           .ofPattern("yyyy-MM'/'dd'/'yyyy-MM-dd-HH:mm:ss").format(now)
-        val path = new org.apache.hadoop.fs.Path(s"$root/$key-p$pid.gz")
+        // taskAttemptId disambiguates batches landing in the same wall-
+        // clock second (the reference has one writer per invocation; a
+        // fast streaming trigger would otherwise overwrite prior rejects)
+        val path = new org.apache.hadoop.fs.Path(
+          s"$root/$key-p$pid-a${tc.taskAttemptId()}.gz")
         // the ':' the reference puts in its key is legal on object stores but
         // trips ChecksumFileSystem's relative .crc sibling path — unwrap to
         // the raw FS (object stores don't write .crc files anyway)
@@ -74,13 +79,20 @@ object DeadLetterSink {
           case cfs: org.apache.hadoop.fs.ChecksumFileSystem => cfs.getRawFileSystem
           case other => other
         }
-        val out = new java.util.zip.GZIPOutputStream(fs.create(path, true))
+        val out = new java.util.zip.GZIPOutputStream(fs.create(path, false))
         try {
-          val lines = it.map { r =>
+          // stream line-by-line: buffering a partition's rejects into one
+          // string is unbounded exactly when rejection is systemic
+          val utf8 = java.nio.charset.StandardCharsets.UTF_8
+          var first = true
+          it.foreach { r =>
+            if (!first) out.write('\n')
+            first = false
             val e = BulkSink.jsonEscape _
-            s"""{"index":{"_index":"${e(r.indexName)}","_id":"${e(r.id)}","status":400,"error":"${e(r.error)}","data":${r.source}}}"""
+            out.write(
+              s"""{"index":{"_index":"${e(r.indexName)}","_id":"${e(r.id)}","status":400,"error":"${e(r.error)}","data":${r.source}}}"""
+                .getBytes(utf8))
           }
-          out.write(lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
         } finally out.close()
       }
     }

@@ -101,7 +101,10 @@ object SigV4 {
     }.getOrElse("")
     val canonicalPath = {
       val p = Option(uri.getPath).filter(_.nonEmpty).getOrElse("/")
-      uriEncode(p, keepSlash = true)
+      val once = uriEncode(p, keepSlash = true)
+      // SigV4 canonicalizes the path ENCODED-TWICE for every service
+      // except S3 (AWS sigv4 spec: "URI-encode each path segment twice")
+      if (creds.service == "s3") once else uriEncode(once, keepSlash = true)
     }
 
     val canonicalRequest = Seq(

@@ -153,9 +153,21 @@ private[streaming] class KinesisShimStream(eventsPath: String, nShards: Int,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[ShimOffset].positions
     val cap = availableNowTarget.getOrElse(shards.map(_.length.toLong))
+    // honor the engine's admission request: Trigger.Once passes
+    // ReadLimit.allAvailable expecting EVERYTHING in one batch — capping it
+    // at batchSize would silently leave the stream tail unconsumed
+    val perShard: Long = limit match {
+      case _: org.apache.spark.sql.connector.read.streaming.ReadAllAvailable => Long.MaxValue
+      case m: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        math.max(1L, m.maxRows / nShards)
+      case _ => batchSize.toLong
+    }
     ShimOffset(Seq.tabulate(nShards)(i =>
-      math.min(s(i) + batchSize, cap(i))))
+      math.min(saturatingAdd(s(i), perShard), cap(i))))
   }
+
+  private def saturatingAdd(a: Long, b: Long): Long =
+    if (a > Long.MaxValue - b) Long.MaxValue else a + b
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(

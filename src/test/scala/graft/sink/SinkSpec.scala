@@ -61,8 +61,11 @@ class SinkSpec extends SparkSpec {
       .toDS().coalesce(1)
     val fixed = java.time.Instant.parse("2020-09-15T10:00:00Z").toEpochMilli
     DeadLetterSink.writeRejectedReferenceLayout(rejects, cfg, () => fixed)
-    val f = new java.io.File(s"$dir/es_rejected/2020-09/15/2020-09-15-10:00:00-p0.gz")
-    assert(f.isFile, s"expected reference-keyed object at ${f.getPath}")
+    val day = new java.io.File(s"$dir/es_rejected/2020-09/15")
+    val files = Option(day.listFiles()).getOrElse(Array.empty)
+    // processing-time key + partition + task-attempt disambiguator
+    val f = files.find(_.getName.matches("2020-09-15-10:00:00-p0-a\\d+\\.gz"))
+      .getOrElse(fail(s"expected reference-keyed object, found ${files.map(_.getName).toSeq}"))
     val in = new java.util.zip.GZIPInputStream(new java.io.FileInputStream(f))
     val lines = new String(in.readAllBytes(), "UTF-8").split('\n')
     in.close()
