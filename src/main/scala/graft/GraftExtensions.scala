@@ -19,6 +19,7 @@ import graft.functions.GraftFunctions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.GzipRoundtripElimination)
+    ext.injectPlannerStrategy(_ => graft.plans.OptimizationBarrier.Strategy)
     GraftFunctions.sqlFunctions.foreach { case (name, usage, build) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", null, name, usage, ""),

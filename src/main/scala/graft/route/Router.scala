@@ -79,7 +79,7 @@ object Router {
       case None => lit(true)
     }
 
-    parsed
+    val routed = parsed
       .select(col("*"),
         coalesce(rawType, lit(cfg.logTypeUnknownPrefix)).as("log_type"),
         col("_core").getField(cfg.logIdField).as("log_id"),
@@ -91,6 +91,12 @@ object Router {
           .when(!whitelisted, Route.NotWhitelisted)
           .otherwise(Route.Good).as("route"))
       .drop("_core")
+    // Fence: without it, any downstream filter on route/event_ts/log_type
+    // is pushed below this projection with the defining expressions
+    // substituted — ~20 from_json copies + two timestamp ladders in the
+    // Filter, then a re-parse above (see graft.plans.OptimizationBarrier).
+    // Filter source columns BEFORE route() if scan pushdown is needed.
+    graft.plans.OptimizationBarrier.fence(routed)
   }
 
   /** The three disjoint channels of the routed stream. */
