@@ -220,9 +220,18 @@ object BigramTopShare {
   }
 }
 
-case class SimHash64(child: Expression) extends UnaryExpression {
+/** 64-bit SimHash with a pluggable per-token hash:
+  *   - `xxh64` (default): XxHash64 seed 42 — the fast production path.
+  *   - `md5`: first 8 bytes (big-endian) of MD5 — ~10× slower per token but
+  *     portable: any engine with an `md5` function reproduces the signature
+  *     bit-for-bit (the DuckDB oracle for `dedup_simhash` recomputes it in
+  *     SQL), making the banded near-dup pipeline externally verifiable.
+  */
+case class SimHash64(child: Expression, algo: String = SimHash64.Xxh64) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(org.apache.spark.sql.types.StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      if (SimHash64.Algos(algo)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName algo must be one of ${SimHash64.Algos}")
     case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires ARRAY<STRING> input")
   }
   override def dataType: DataType = org.apache.spark.sql.types.LongType
@@ -230,26 +239,45 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash64"
 
   override protected def nullSafeEval(input: Any): Any =
-    SimHash64.fromArrayData(input.asInstanceOf[ArrayData])
+    SimHash64.fromArrayData(input.asInstanceOf[ArrayData], algo)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.fromArrayData($c)")
+    defineCodeGen(ctx, ev, c => s"""graft.functions.SimHash64.fromArrayData($c, "$algo")""")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 object SimHash64 {
-  def fromArrayData(tokens: ArrayData): Long = {
+  val Xxh64 = "xxh64"
+  val Md5 = "md5"
+  val Algos: Set[String] = Set(Xxh64, Md5)
+
+  private val md5Digest = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  private def tokenHash(t: org.apache.spark.unsafe.types.UTF8String, algo: String): Long =
+    if (algo == Md5) {
+      val d = md5Digest.get()
+      d.reset()
+      val out = d.digest(t.getBytes)
+      // First 8 digest bytes big-endian == first 16 hex chars of md5(token):
+      // the oracle side is ('0x' || substr(md5(t), 1, 16))::UBIGINT.
+      java.nio.ByteBuffer.wrap(out, 0, 8).getLong
+    } else {
+      // XxHash64 over the token bytes, seed 42 (Spark's own hash impl)
+      org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes(), 42L)
+    }
+
+  def fromArrayData(tokens: ArrayData, algo: String): Long = {
     val counts = new Array[Int](64)
     var i = 0
     val n = tokens.numElements()
     while (i < n) {
       val t = tokens.getUTF8String(i)
       if (t != null) {
-        // XxHash64 over the token bytes, seed 42 (Spark's own hash impl)
-        val h = org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes(), 42L)
+        val h = tokenHash(t, algo)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
@@ -473,7 +501,8 @@ object GraftFunctions {
   def kpl_deaggregate(c: Column): Column = col(KplDeaggregate(expr(c)))
   def kpl_aggregate(c: Column): Column = col(KplAggregate(expr(c)))
   def gzip_compress(c: Column): Column = col(GzipCompress(expr(c)))
-  def simhash64(c: Column): Column = col(SimHash64(expr(c)))
+  def simhash64(c: Column, algo: String = SimHash64.Xxh64): Column =
+    col(SimHash64(expr(c), algo))
   def char_entropy(c: Column): Column = col(CharEntropy(expr(c)))
   def bigram_top_share(c: Column): Column = col(BigramTopShare(expr(c)))
   def minhash_signature(c: Column, numPerm: Int): Column =
@@ -500,7 +529,9 @@ object GraftFunctions {
     ("gzip_compress", "gzip-compress binary payloads", GzipCompress.apply),
     ("kpl_deaggregate", "split a KPL aggregate into user records", KplDeaggregate.apply),
     ("kpl_aggregate", "pack binary payloads into one KPL aggregate", KplAggregate.apply),
-    ("simhash64", "64-bit SimHash of a token array", SimHash64.apply),
+    ("simhash64", "64-bit SimHash of a token array (xxh64)", e => SimHash64(e)),
+    ("simhash64_md5", "portable md5-based 64-bit SimHash of a token array",
+      e => SimHash64(e, SimHash64.Md5)),
     ("char_entropy", "Shannon entropy (bits) over a string's code points", CharEntropy.apply),
     ("bigram_top_share", "top adjacent-word-pair share of all bigrams", BigramTopShare.apply),
     ("minhash_signature64", "64-perm MinHash signature of shingles", MinHashSignature(_, 64)),

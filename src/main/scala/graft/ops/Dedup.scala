@@ -120,12 +120,17 @@ object Dedup {
 
   /** SimHash per document (custom expression) + banded near-dup pairs with
     * Hamming distance ≤ maxHamming. 4 bands of 16 bits: any pair within
-    * Hamming ≤ 3 shares at least one exact 16-bit band. */
+    * Hamming ≤ 3 shares at least one exact 16-bit band — pairs beyond that
+    * are found only when they happen to share a band, so recall above
+    * Hamming 3 is partial BY DESIGN (raise `bands` for a wider guarantee).
+    * `algo` picks the per-token hash ([[graft.functions.SimHash64]]):
+    * xxh64 for production speed, md5 for cross-engine-verifiable sigs. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   algo: String = graft.functions.SimHash64.Xxh64): DataFrame = {
     val sigs = Par.spread(df.select(col(idCol), col(textCol)))
       .select(col(idCol).as("id"),
-        simhash64(TextAnalysis.tokens(col(textCol))).as("sim"))
+        simhash64(TextAnalysis.tokens(col(textCol)), algo).as("sim"))
     val banded = sigs.select(col("id"), col("sim"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))

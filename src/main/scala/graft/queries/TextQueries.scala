@@ -158,9 +158,14 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // SimHash near-dup pairs (custom expression + banding) [rows-only]
+    // SimHash near-dup pairs (custom expression + banding), md5 token-hash
+    // variant so the DuckDB oracle reproduces signatures, bands, Hamming
+    // distances AND the banding's partial recall above Hamming 3 exactly
+    // (maxHamming=16 > the 4×16-band guarantee of 3 — extra pairs appear
+    // only when they share a band, identically on both engines).
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 16)
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 16,
+          algo = graft.functions.SimHash64.Md5)
         .orderBy(col("hamming"), col("id_a"), col("id_b"))
         .limit(100)),
 
