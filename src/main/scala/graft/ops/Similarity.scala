@@ -84,39 +84,57 @@ object Similarity {
     * assignment is one pass + one shuffle on cell id, and centroids are
     * tiny driver-side state (nlist × dim doubles).
     *
-    * Determinism note: k-means|| initialization depends on data
-    * partitioning, so with a fixed seed the cells (and hence the
-    * approximate result set) are stable per cluster layout but can differ
-    * across parallelism levels — inherent to learned quantizers; use
-    * [[lshTopK]] when bit-reproducibility across layouts matters.
-    */
+    * Determinism: the quantizer is LAYOUT-INVARIANT. It trains on the
+    * `trainSample` corpus rows with globally-smallest `(xxhash64(id), id)`
+    * — a distributed top-N (map-side partial sort, bounded driver merge)
+    * whose result set is a pure function of the data, not its
+    * partitioning — then runs Lloyd iterations on the driver over that
+    * fixed-order sample. Training the coarse quantizer on a bounded sample
+    * is also the 100 TB design (a full-corpus fit costs `iters` extra full
+    * passes for cells that only need to be rough — recall is probe-bounded,
+    * not centroid-quality-bounded). Cell assignment is a per-row argmin
+    * against the broadcast centroid literal: fixed evaluation order, no
+    * shuffle, codegen'd — so the full result is bit-identical across
+    * parallelism layouts. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, qidCol: String, qvecCol: String,
-              k: Int = 10, nlist: Int = 16, nProbe: Int = 4): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
+              k: Int = 10, nlist: Int = 16, nProbe: Int = 4,
+              trainSample: Int = 4096): DataFrame = {
     val c = Par.spread(corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v")))
-      .withColumn("features", array_to_vector(col("v")))
-    // a coarse quantizer needs rough cells, not converged ones: random
-    // init (k-means|| costs extra full passes), few iterations, early
-    // tol — recall is probe-bounded, not centroid-quality-bounded
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5).setTol(1e-3)
-      .setInitMode("random").fit(c)
-    val assigned = model.transform(c)
-      .select(col("id"), col("v"), col("prediction").as("cell"))
+
+    val sample: Array[Array[Double]] = corpus
+      .select(col(vecCol).cast("array<double>").as("v"),
+        xxhash64(col(idCol)).as("h"), col(idCol).as("id"))
+      .orderBy(col("h"), col("id"))
+      .limit(trainSample)
+      .select("v")
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    val centers = lloyd(sample, nlist, iters = 5)
+
+    // Per-row nearest-centroid assignment against the centroid literal:
+    // distances evaluated left-to-right over a fixed center order, ties
+    // broken by the first (lowest-cell) occurrence via array_position.
+    val ctLit = typedlit(centers.map(_.toSeq).toSeq)
+    val d2s = transform(ctLit, ct => aggregate(
+      zip_with(col("v"), ct, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x))
+    val assigned = c
+      .withColumn("d2s", d2s)
+      .withColumn("cell", (array_position(col("d2s"), array_min(col("d2s"))) - 1).cast("int"))
+      .select(col("id"), col("v"), col("cell"))
 
     // Probe assignment is fully distributed: the only driver-side state is
-    // the centroid table itself (nlist × dim doubles — KMeansModel already
-    // holds it on the driver), which becomes a broadcast dimension. Each
-    // query row ranks the nlist centroids by exact L2 and keeps its nProbe
-    // nearest — |Q| × nlist intermediate rows, shuffled once on qid for the
-    // rank window. No collect, no qid type restriction: a real query
-    // WORKLOAD (millions of rows) flows through the same plan.
+    // the centroid table itself (nlist × dim doubles), which becomes a
+    // broadcast dimension. Each query row ranks the nlist centroids by
+    // exact L2 and keeps its nProbe nearest — |Q| × nlist intermediate
+    // rows, shuffled once on qid for the rank window. No collect, no qid
+    // type restriction: a real query WORKLOAD (millions of rows) flows
+    // through the same plan.
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centersDf = model.clusterCenters.map(_.toArray).zipWithIndex
+    val centersDf = centers.zipWithIndex
       .map { case (ct, i) => (i, ct) }.toSeq.toDF("cell", "ct")
     val q = queries.select(col(qidCol).as("qid"),
       col(qvecCol).cast("array<double>").as("qv"))
@@ -126,7 +144,7 @@ object Similarity {
         lit(0.0), (acc, x) => acc + x))
       .withColumn("rk", row_number().over(
         Window.partitionBy("qid").orderBy(col("d2").asc, col("cell").asc)))
-      .filter(col("rk") <= nProbe)
+      .filter(col("rk") <= math.min(nProbe, centers.length))
       .select(col("qid"), col("cell"), col("qv"))
 
     // Query side broadcast by the IVF contract (queries ≪ corpus). For a
@@ -149,6 +167,64 @@ object Similarity {
       else joined
     val cands = excluded.withColumn("sim", cosine(col("v"), col("qv")))
     topKPerGroup(cands, "qid", "sim", "id", k)
+  }
+
+  /** Driver-side Lloyd iterations over a fixed-order sample (the sample is
+    * bounded by `trainSample`, so this is O(sample × nlist × dim × iters)
+    * scalar work — milliseconds). Init = the first `nlist` DISTINCT sample
+    * vectors in sample order; empty cells keep their previous center.
+    * Deterministic: iteration order is the sample order, accumulation is
+    * sequential — no dependence on Spark partitioning anywhere. */
+  private[graft] def lloyd(sample: Array[Array[Double]], nlist: Int,
+                           iters: Int): Array[Array[Double]] = {
+    require(sample.nonEmpty, "IVF training sample is empty")
+    val init = scala.collection.mutable.LinkedHashSet.empty[Seq[Double]]
+    sample.iterator.takeWhile(_ => init.size < nlist).foreach(v => init += v.toSeq)
+    var centers: Array[Array[Double]] = init.iterator.map(_.toArray).toArray
+    val kk = centers.length
+    val dim = sample.head.length
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Long](kk)
+      var i = 0
+      while (i < sample.length) {
+        val v = sample(i)
+        val j = nearest(v, centers)
+        counts(j) += 1
+        var d = 0
+        while (d < dim) { sums(j)(d) += v(d); d += 1 }
+        i += 1
+      }
+      centers = Array.tabulate(kk) { j =>
+        if (counts(j) == 0L) centers(j)
+        else {
+          val o = new Array[Double](dim)
+          var d = 0
+          while (d < dim) { o(d) = sums(j)(d) / counts(j); d += 1 }
+          o
+        }
+      }
+      it += 1
+    }
+    centers
+  }
+
+  /** First-wins argmin of squared L2 distance — matches the distributed
+    * assignment's array_position(first occurrence) tiebreak. */
+  private def nearest(v: Array[Double], centers: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var j = 0
+    while (j < centers.length) {
+      val ct = centers(j)
+      var d2 = 0.0
+      var d = 0
+      while (d < v.length) { val t = v(d) - ct(d); d2 += t * t; d += 1 }
+      if (d2 < bestD) { bestD = d2; best = j }
+      j += 1
+    }
+    best
   }
 
   /** groupKey → top-k rows by (score desc, id asc), exploded with ranks. */

@@ -369,6 +369,38 @@ object TextQueries {
         |  FROM sized a JOIN sized b
         |    ON a.source = b.source AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 32
         |) WHERE j >= 0.2 ORDER BY round(j, 4) DESC, id_a, id_b LIMIT 100""".stripMargin,
+    // SimHash oracle: recompute the md5-portable signatures in SQL — per
+    // token the first 16 md5 hex chars as a UBIGINT (== the engine's first
+    // 8 digest bytes big-endian), sign-sum all 64 bits, band into 4×16-bit
+    // buckets, pair within buckets, Hamming via bit_count(xor) ≤ 16.
+    // Validated bit-for-bit against an independent Python reference.
+    "dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h FROM toks),
+        |bits AS (
+        |  SELECT doc_id, bb.b AS b,
+        |         sum(CASE WHEN ((h >> bb.b) & 1) = 1 THEN 1 ELSE -1 END) AS c
+        |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bb
+        |  GROUP BY 1, 2),
+        |sigs AS (
+        |  SELECT doc_id,
+        |         bit_or(CASE WHEN c > 0 THEN (1::UBIGINT << b) ELSE 0::UBIGINT END) AS sim
+        |  FROM bits GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, sim, band.band AS band,
+        |         (sim >> (band.band * 16)) & 65535 AS bucket
+        |  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) band),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         bit_count(xor(a.sim, b.sim)) AS hamming
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+        |FROM pairs WHERE hamming <= 16
+        |ORDER BY hamming, id_a, id_b LIMIT 100""".stripMargin,
     "dedup_minhash_pairs" ->
       """WITH sh AS (
         |  SELECT doc_id,

@@ -143,6 +143,28 @@ class OpsSpec extends SparkSpec {
     assert(top.head._1 == "probe-zero" && top.head._2 == 0L) // exact vector, full probe
   }
 
+  test("IVF output is bit-identical across parallelism layouts") {
+    // The quantizer trains on a hash-ordered global sample and assigns
+    // cells per-row against a broadcast centroid literal — neither step may
+    // depend on how the corpus is partitioned. Run the same search over a
+    // 1-partition and a 13-partition layout of the same data.
+    val vecs = (0 until 240).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 13 + d * 5).toFloat))
+    }
+    def run(parts: Int): Seq[(Long, Long, Long, Double)] = {
+      val emb = vecs.toDF("vec_id", "embedding").repartition(parts)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 12),
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, nlist = 6, nProbe = 2)
+        .select("qid", "id", "rank", "sim")
+        .as[(Long, Long, Long, Double)].collect().sortBy(t => (t._1, t._3)).toSeq
+    }
+    val a = run(1)
+    val b = run(13)
+    assert(a == b, "IVF results diverged across partition layouts")
+    assert(a.size == 12 * 5)
+  }
+
   test("interval join matches pairs within tolerance, inclusive, no dups") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)
