@@ -35,7 +35,11 @@ final case class PipelineConfig(
       * starting_position, variables.tf:54-57). */
     startingPosition: String = "TRIM_HORIZON",
     /** Simulated shard count for the Kinesis-shaped shim source. */
-    sourceShards: Int = 4
+    sourceShards: Int = 4,
+    /** ES 7.x wire parity: emit `"_type":"_doc"` in every bulk action meta
+      * exactly like the reference (lambda/main.py:116). Off by default —
+      * ES 8+ rejects `_type`. */
+    esLegacyType: Boolean = false
 ) {
   require(bulkChunkSize > 0, "bulkChunkSize must be positive")
   require(sourceBatchSize > 0, "sourceBatchSize must be positive")

@@ -25,13 +25,16 @@ object Enrich {
     * `{"_index":…,"_type":"_doc","_source":…}` with no `_id`
     * (lambda/main.py:116 — duplicate docs on redelivery); we set
     * `_id = log_id` so at-least-once replay is idempotent (SURVEY.md §7.3).
-    */
-  def actionMeta(df: DataFrame): DataFrame =
-    df.withColumn("action_meta", to_json(struct(
-      struct(
-        col("index_name").as("_index"),
-        col("log_id").as("_id")
-      ).as("index"))))
+    * `legacyType = true` restores the reference's ES 7.x `_type: "_doc"`
+    * field byte-for-byte (off by default: ES 8+ rejects it). */
+  def actionMeta(df: DataFrame, legacyType: Boolean = false): DataFrame = {
+    val fields =
+      if (legacyType)
+        Seq(col("index_name").as("_index"), lit("_doc").as("_type"), col("log_id").as("_id"))
+      else
+        Seq(col("index_name").as("_index"), col("log_id").as("_id"))
+    df.withColumn("action_meta", to_json(struct(struct(fields: _*).as("index"))))
+  }
 
   /** E5: number of 500-action bulk chunks a batch needs per index
     * (reference BULK_CHUNK_SIZE, lambda/main.py:30,132). Exposed as a

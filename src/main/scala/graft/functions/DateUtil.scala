@@ -22,8 +22,11 @@ object DateUtilParse {
 
   private val Ws = java.util.regex.Pattern.compile("\\s+")
 
+  // parseLenient: text fields match ANY style regardless of pattern width
+  // (EEE accepts "Tuesday", MMMM accepts "Sep") — the dateutil behavior for
+  // mixed forms like 'Tue, 15 September 2020 10:21:33'
   private def ci(pattern: String): DateTimeFormatter =
-    new DateTimeFormatterBuilder().parseCaseInsensitive()
+    new DateTimeFormatterBuilder().parseCaseInsensitive().parseLenient()
       .appendPattern(pattern).toFormatter(Locale.US)
 
   // Grouped by shape so the hot path tries ~1 formatter, not 7: a thrown
@@ -54,21 +57,30 @@ object DateUtilParse {
     // (String.replaceAll would recompile its regex on every row)
     val t = if (trimmed.contains("  ")) Ws.matcher(trimmed).replaceAll(" ") else trimmed
     val comma = t.indexOf(',')
-    val formats =
-      if (comma < 0) asctimeFormats
-      else if (comma == 3) rfcFormats
-      else fullNameFormats
-    var i = 0
-    while (i < formats.length) {
-      try {
-        val ta = formats(i).parse(t)
-        val instant =
-          try Instant.from(ta)
-          catch { case _: java.time.DateTimeException =>
-            LocalDateTime.from(ta).toInstant(ZoneOffset.UTC) }
-        return instant.getEpochSecond * 1000000L + instant.getNano / 1000L
-      } catch { case _: Exception => }
-      i += 1
+    // dispatch on comma position for the hot path, but FALL THROUGH to the
+    // remaining groups on exhaustion (dateutil accepts mixed forms the
+    // dispatch heuristic mis-routes; correctness beats the extra throws on
+    // the already-slow unparseable path)
+    val groups: Array[Array[DateTimeFormatter]] =
+      if (comma < 0) Array(asctimeFormats, rfcFormats, fullNameFormats)
+      else if (comma == 3) Array(rfcFormats, fullNameFormats, asctimeFormats)
+      else Array(fullNameFormats, rfcFormats, asctimeFormats)
+    var g = 0
+    while (g < groups.length) {
+      val formats = groups(g)
+      var i = 0
+      while (i < formats.length) {
+        try {
+          val ta = formats(i).parse(t)
+          val instant =
+            try Instant.from(ta)
+            catch { case _: java.time.DateTimeException =>
+              LocalDateTime.from(ta).toInstant(ZoneOffset.UTC) }
+          return instant.getEpochSecond * 1000000L + instant.getNano / 1000L
+        } catch { case _: Exception => }
+        i += 1
+      }
+      g += 1
     }
     null
   }

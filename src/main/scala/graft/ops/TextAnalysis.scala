@@ -118,12 +118,23 @@ object TextAnalysis {
   def packBins(df: DataFrame, orderCol: String, tokensCol: String,
                budget: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(orderCol)
+    val withTie = withPackTie(df)
+    val w = Window.orderBy(col(orderCol), col(tokensCol), col("_tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("_cum", sum(col(tokensCol)).over(w))
+    withTie.withColumn("_cum", sum(col(tokensCol)).over(w))
       .withColumn("bin", floor((col("_cum") - col(tokensCol)) / budget))
-      .drop("_cum")
+      .drop("_cum", "_tie")
   }
+
+  /** Deterministic total-order tiebreak for the packing window: rows tied
+    * on `orderCol` are sub-ordered by token count, then by a hash of the
+    * WHOLE row — so duplicate order keys cannot split nondeterministically
+    * across range partitions or window evaluations, and [[packBins]] /
+    * [[packBinsDistributed]] agree row-for-row. Rows identical in all
+    * three keys are mutually interchangeable (equal token counts →
+    * swapping them permutes nothing observable). */
+  private def withPackTie(df: DataFrame): DataFrame =
+    df.withColumn("_tie", xxhash64(struct(df.columns.map(col): _*)))
 
   /** [[packBins]] at scale: identical bin assignment, no global-order
     * window. Range-partition by `orderCol`, cumsum per partition, then
@@ -138,7 +149,8 @@ object TextAnalysis {
     // localCheckpoint pins the sampled range boundaries: pass 1 and pass 2
     // must see the SAME row→partition assignment (repartitionByRange
     // re-samples per evaluation otherwise)
-    val parted = df.repartitionByRange(partitions, col(orderCol))
+    val parted = withPackTie(df)
+      .repartitionByRange(partitions, col(orderCol), col(tokensCol), col("_tie"))
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint()
     // pass 1: per-partition totals → exclusive prefix offsets (tiny)
@@ -152,14 +164,15 @@ object TextAnalysis {
     import spark.implicits._
     val offsetDf = offsets.toDF("_pid", "_offset")
     // pass 2: partition-local cumsum + broadcast offset = global cumsum
-    val w = Window.partitionBy("_pid").orderBy(orderCol)
+    val w = Window.partitionBy("_pid")
+      .orderBy(col(orderCol), col(tokensCol), col("_tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     parted
       .join(broadcast(offsetDf), Seq("_pid"), "left")
       .withColumn("_cum",
         sum(col(tokensCol)).over(w) + coalesce(col("_offset"), lit(0L)))
       .withColumn("bin", floor((col("_cum") - col(tokensCol)) / budget))
-      .drop("_pid", "_offset", "_cum")
+      .drop("_pid", "_offset", "_cum", "_tie")
   }
 
   /** Per-document quality feature vector, appended as columns. */

@@ -200,6 +200,14 @@ object PipelineQueries {
         .select(col("log_id"), col("index_name"), col("action_meta"))
         .orderBy(col("log_id").cast("long"))),
 
+    // E3 with ES 7.x wire parity: the reference's exact `_type: "_doc"`
+    // field in every action meta (lambda/main.py:116)
+    "pipe_action_envelope_es7" -> ((s, dir) =>
+      Enrich.actionMeta(
+        Router.good(Pipeline.transform(envelopes(s, dir), cfg)), legacyType = true)
+        .select(col("log_id"), col("index_name"), col("action_meta"))
+        .orderBy(col("log_id").cast("long"))),
+
     // K3: dead-letter partition layout {log_type}/{yyyy-MM}/{dd} for the
     // failures that still carry a parseable event time (missing_type slice)
     "pipe_deadletter_layout" -> ((s, dir) =>
@@ -253,6 +261,12 @@ object PipelineQueries {
         s"""SELECT CAST(event_id AS VARCHAR) AS log_id,
            |       $indexExpr AS index_name,
            |       concat('{"index":{"_index":"', $indexExpr, '","_id":"', event_id, '"}}')
+           |         AS action_meta
+           |FROM events ORDER BY event_id""".stripMargin,
+      "pipe_action_envelope_es7" ->
+        s"""SELECT CAST(event_id AS VARCHAR) AS log_id,
+           |       $indexExpr AS index_name,
+           |       concat('{"index":{"_index":"', $indexExpr, '","_type":"_doc","_id":"', event_id, '"}}')
            |         AS action_meta
            |FROM events ORDER BY event_id""".stripMargin,
       "pipe_deadletter_layout" ->

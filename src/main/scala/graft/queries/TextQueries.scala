@@ -73,7 +73,11 @@ object TextQueries {
     // detector, custom codegen expression) and top-bigram share (the
     // most-repeated word pair's fraction of all bigrams)
     "txt_entropy" -> ((s, dir) =>
+      // empty docs are excluded on BOTH sides: the engine would average
+      // them in as 0.0 while the oracle's unnest drops them — a real
+      // semantic divergence, not just an fp nit
       docs(s, dir)
+        .filter(length(col("text")) > 0)
         .withColumn("ent", graft.functions.GraftFunctions.char_entropy(col("text")))
         .groupBy("lang")
         .agg(round(avg("ent"), 4).as("avg_entropy"))
@@ -300,7 +304,8 @@ object TextQueries {
     "txt_entropy" ->
       """WITH f AS (
         |  SELECT doc_id, lang, c, count(*) AS k FROM (
-        |    SELECT doc_id, lang, unnest(string_split_regex(text, '')) AS c FROM documents)
+        |    SELECT doc_id, lang, unnest(string_split_regex(text, '')) AS c
+        |    FROM documents WHERE length(text) > 0)
         |  GROUP BY 1, 2, 3)
         |SELECT lang, round(avg(ent), 4) AS avg_entropy FROM (
         |  SELECT doc_id, lang, -sum(p * log2(p)) AS ent FROM (

@@ -8,8 +8,12 @@ import graft.config.PipelineConfig
 final case class BulkAction(indexName: String, id: String, source: String)
 
 /** Outcome of pushing one action (K2 partial-failure capture;
-  * reference lambda/main.py:149-153). */
-final case class BulkReject(indexName: String, id: String, source: String, error: String)
+  * reference lambda/main.py:149-153). `status` is the per-action HTTP
+  * status from the bulk response item (409/429/503/…) — the reference's
+  * `BulkIndexError.errors` entries carry it; 400 when the transport can
+  * only classify the failure as a data error. */
+final case class BulkReject(indexName: String, id: String, source: String, error: String,
+                            status: Int = 400)
 
 /** K5: per-chunk send annotation — the Spark analogue of the reference's
   * X-Ray `chunk_number`/`chunk_size` subsegment annotations
@@ -63,13 +67,15 @@ final class RejectingTransport(rejectIf: BulkAction => Boolean) extends BulkTran
 object BulkSink {
 
   /** Build the exact `_bulk` NDJSON body for a chunk. Meta matches the
-    * reference's action envelope (lambda/main.py:116) plus `_id` (F5 fix).
+    * reference's action envelope (lambda/main.py:116) plus `_id` (F5 fix);
+    * `legacyType = true` adds the reference's ES 7.x `"_type":"_doc"`.
     * JSON string escaping is delegated to the source being already-JSON and
     * ids being JSON-escaped here. */
-  def bulkBody(actions: Seq[BulkAction]): String = {
+  def bulkBody(actions: Seq[BulkAction], legacyType: Boolean = false): String = {
     val sb = new StringBuilder(actions.iterator.map(_.source.length + 64).sum)
     actions.foreach { a =>
       sb.append("{\"index\":{\"_index\":\"").append(jsonEscape(a.indexName)).append('"')
+      if (legacyType) sb.append(",\"_type\":\"_doc\"")
       if (a.id != null) sb.append(",\"_id\":\"").append(jsonEscape(a.id)).append('"')
       sb.append("}}\n").append(a.source).append('\n')
     }
@@ -107,6 +113,7 @@ object BulkSink {
            chunkMetrics: Option[org.apache.spark.util.CollectionAccumulator[ChunkMetric]] = None)
       : Dataset[BulkReject] = {
     val chunkSize = cfg.bulkChunkSize
+    val legacyType = cfg.esLegacyType
     implicit val rejectEnc = Encoders.product[BulkReject]
     implicit val actionEnc = Encoders.product[BulkAction]
     good
@@ -118,7 +125,7 @@ object BulkSink {
           val pid = org.apache.spark.TaskContext.getPartitionId()
           val t = transport()
           val rejects = it.grouped(chunkSize).zipWithIndex.flatMap { case (chunk, i) =>
-            val rs = t.sendChunk(bulkBody(chunk), chunk)
+            val rs = t.sendChunk(bulkBody(chunk, legacyType), chunk)
             chunkMetrics.foreach(_.add(ChunkMetric(pid, i, chunk.size, rs.size)))
             rs
           }

@@ -90,7 +90,7 @@ object DeadLetterSink {
             first = false
             val e = BulkSink.jsonEscape _
             out.write(
-              s"""{"index":{"_index":"${e(r.indexName)}","_id":"${e(r.id)}","status":400,"error":"${e(r.error)}","data":${r.source}}}"""
+              s"""{"index":{"_index":"${e(r.indexName)}","_id":"${e(r.id)}","status":${r.status},"error":"${e(r.error)}","data":${r.source}}}"""
                 .getBytes(utf8))
           }
         } finally out.close()

@@ -78,8 +78,19 @@ final class HttpBulkTransport(
         }
         val resp = client.send(builder.build(), HttpResponse.BodyHandlers.ofString())
         resp.statusCode() match {
-          case 200 | 201 =>
-            return parseRejects(resp.body(), actions)
+          case code @ (200 | 201) =>
+            // A 2xx means ES ACCEPTED the chunk — from here on, failure to
+            // parse the response body must NOT fall into the retry loop
+            // (JsonProcessingException extends IOException): re-POSTing an
+            // already-indexed chunk would redo the work the effectively-once
+            // `_id` story exists to avoid. Unknowable per-action outcomes are
+            // surfaced as rejects for reconciliation (replaying a reject is
+            // idempotent under `_id`), not resent.
+            return (try parseRejects(resp.body(), actions) catch {
+              case e: com.fasterxml.jackson.core.JsonProcessingException =>
+                actions.map(a => BulkReject(a.indexName, a.id, a.source,
+                  s"bulk_response_unparseable: ${e.getOriginalMessage}", code))
+            })
           case code if code == 429 || code >= 500 =>
             lastErr = s"HTTP $code: ${resp.body().take(200)}" // retryable
           case code if code == 401 || code == 403 =>
@@ -93,7 +104,7 @@ final class HttpBulkTransport(
             // other non-retryable envelope failures (e.g. 400 bad request):
             // the chunk is rejected as data — do not fail the task forever
             return actions.map(a =>
-              BulkReject(a.indexName, a.id, a.source, s"bulk_request_failed: HTTP $code"))
+              BulkReject(a.indexName, a.id, a.source, s"bulk_request_failed: HTTP $code", code))
         }
       } catch {
         case e: java.io.IOException => lastErr = s"${e.getClass.getSimpleName}: ${e.getMessage}"
@@ -120,7 +131,7 @@ final class HttpBulkTransport(
           if (err.isMissingNode || err.isNull) s"HTTP $status"
           else if (err.isTextual) err.asText()
           else s"${err.path("type").asText("unknown")}: ${err.path("reason").asText("")}"
-        Some(BulkReject(a.indexName, a.id, a.source, msg))
+        Some(BulkReject(a.indexName, a.id, a.source, msg, status))
       } else None
     }.toVector
   }

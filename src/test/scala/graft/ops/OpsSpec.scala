@@ -299,6 +299,41 @@ class OpsSpec extends SparkSpec {
     assert(dist == global)
   }
 
+  test("packing with DUPLICATE order keys is deterministic and variant-equivalent") {
+    // many rows share an order key with differing token counts — the tie
+    // hash must impose one total order on both variants and across runs
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 600L).map(i => (i % 40, 10L + rnd.nextInt(90).toLong, s"payload-$i"))
+      .toDF("grp", "n_tokens", "body")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("grp", "n_tokens", "body", "bin")
+        .as[(Long, Long, String, Long)].collect().toSet
+    val global = asMap(TextAnalysis.packBins(docs, "grp", "n_tokens", budget = 500L))
+    val dist = asMap(TextAnalysis.packBinsDistributed(docs, "grp", "n_tokens",
+      budget = 500L, partitions = 9))
+    val dist2 = asMap(TextAnalysis.packBinsDistributed(docs.repartition(13),
+      "grp", "n_tokens", budget = 500L, partitions = 5))
+    assert(global.size == 600)
+    assert(dist == global, "distributed packing diverged on duplicate order keys")
+    assert(dist2 == global, "packing depends on input partitioning")
+  }
+
+  test("txt_entropy excludes empty docs from the per-lang average (oracle parity)") {
+    // an empty doc has engine entropy 0.0 but no rows under the oracle's
+    // unnest — both sides now filter length(text) > 0, so its presence
+    // must not move the average
+    val dir = java.nio.file.Files.createTempDirectory("docs-empty").toString
+    Seq(
+      (1L, "aabb", "en", "s", 4L),
+      (2L, "", "en", "s", 0L),
+      (3L, "aabb", "en", "s", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("txt_entropy")(spark, dir)
+      .as[(String, Double)].collect().toMap
+    assert(got == Map("en" -> 1.0)) // entropy("aabb") = 1 bit; empty doc excluded
+  }
+
   test("multimodal: per-partition kernel emits deterministic features") {
     val media = Multimodal.asMediaTable(
       Seq((1L, "hello world", "en", "srcA", 11L), (2L, "other bytes", "en", "srcB", 11L))

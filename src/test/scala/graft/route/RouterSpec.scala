@@ -88,7 +88,9 @@ class RouterSpec extends SparkSpec {
       "Tue Sep 15 10:21:33 2020",             // asctime
       "Tue Sep  15 10:21:33 2020",            // asctime space-padded day
       "Tue Sep 15 10:21:33 UTC 2020",         // date(1)
-      "Tuesday, 15 September 2020 10:21:33")  // full names
+      "Tuesday, 15 September 2020 10:21:33",  // full names
+      "Tue, 15 September 2020 10:21:33",      // MIXED: abbrev day, full month
+      "Tuesday, 15 Sep 2020 10:21:33 GMT")    // MIXED: full day, abbrev month
     val got = forms.toDF("ts")
       .select(Router.lenientTimestamp(col("ts"))).as[Option[java.sql.Timestamp]].collect()
     forms.zip(got).foreach { case (f, t) =>

@@ -54,6 +54,51 @@ class HttpSinkSpec extends SparkSpec {
     } finally es.stop()
   }
 
+  test("malformed 2xx body rejects the chunk WITHOUT re-POSTing it") {
+    // JsonProcessingException extends IOException; it must not fall into
+    // the transport's retry loop — the chunk was ACCEPTED (2xx), so a
+    // resend would redo indexed work (reference fails here, main.py:145-148)
+    val es = new StubEsServer(malformedBody = true)
+    val ep = es.endpoint
+    try {
+      val rejects = BulkSink.push(goodDf(3).coalesce(1), PipelineConfig(),
+        () => new HttpBulkTransport(ep, maxRetries = 3, sleeper = _ => ()))
+      val got = rejects.collect()
+      assert(got.length == 3)
+      assert(got.forall(_.error.startsWith("bulk_response_unparseable")))
+      assert(got.forall(_.status == 200)) // the chunk-level HTTP status
+      assert(es.requestCount == 1, "an accepted chunk must never be re-POSTed")
+    } finally es.stop()
+  }
+
+  test("mixed per-action statuses (409/429) surface in rejects and the dead-letter record") {
+    val es = new StubEsServer(statusIf = s =>
+      if (s.contains("id-2")) Some(409) else if (s.contains("id-4")) Some(429) else None)
+    val ep = es.endpoint
+    try {
+      val rejects = BulkSink.push(goodDf(5).coalesce(1), PipelineConfig(),
+        () => new HttpBulkTransport(ep))
+      val got = rejects.collect().sortBy(_.id)
+      assert(got.map(r => (r.id, r.status)).toSeq == Seq(("id-2", 409), ("id-4", 429)))
+
+      // the reference-layout error record carries the real status, not a
+      // hardcoded 400 (reference BulkIndexError entries, main.py:149-153)
+      val dir = Files.createTempDirectory("dl-status").toString
+      val fixed = java.time.Instant.parse("2020-09-15T10:00:00Z").toEpochMilli
+      DeadLetterSink.writeRejectedReferenceLayout(
+        rejects.coalesce(1), PipelineConfig(deadLetterPath = dir), () => fixed)
+      val day = new java.io.File(s"$dir/es_rejected/2020-09/15")
+      val f = Option(day.listFiles()).getOrElse(Array.empty)
+        .find(_.getName.endsWith(".gz")).getOrElse(fail("no dead-letter object"))
+      val in = new java.util.zip.GZIPInputStream(new java.io.FileInputStream(f))
+      val lines = new String(in.readAllBytes(), "UTF-8").split('\n').sorted
+      in.close()
+      assert(lines.length == 2)
+      assert(lines(0).contains(""""_id":"id-2","status":409"""))
+      assert(lines(1).contains(""""_id":"id-4","status":429"""))
+    } finally es.stop()
+  }
+
   test("503s retried with exponential backoff, then succeed") {
     val es = new StubEsServer(failFirstN = 2)
     val ep = es.endpoint

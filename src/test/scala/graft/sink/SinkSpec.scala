@@ -23,6 +23,23 @@ class SinkSpec extends SparkSpec {
         "{\"index\":{\"_index\":\"logs-app-20200915\"}}\n{\"b\":2}\n")
   }
 
+  test("ES 7.x legacyType emits the reference's _type:_doc byte-for-byte") {
+    // reference meta shape (lambda/main.py:116): _index, then _type, then
+    // our idempotency _id — and through the whole sink path via cfg
+    val body = BulkSink.bulkBody(Seq(
+      BulkAction("logs-nginx-20200915", "id-1", """{"a":1}""")), legacyType = true)
+    assert(body ==
+      "{\"index\":{\"_index\":\"logs-nginx-20200915\",\"_type\":\"_doc\",\"_id\":\"id-1\"}}\n{\"a\":1}\n")
+
+    val dir = Files.createTempDirectory("bulk-es7").toString
+    val rejects = BulkSink.push(goodDf(2).coalesce(1),
+      PipelineConfig(esLegacyType = true), () => new FileBulkTransport(dir))
+    assert(rejects.count() == 0)
+    val sent = new java.io.File(dir).listFiles().toSeq
+      .map(f => new String(Files.readAllBytes(f.toPath), "UTF-8")).mkString
+    assert(sent.contains("\"_type\":\"_doc\""))
+  }
+
   test("bulk meta JSON-escapes quotes, backslashes, and control chars in ids") {
     val body = BulkSink.bulkBody(Seq(
       BulkAction("idx-\"quoted\"", "id\\with\"specials\nand\tctrl", "{}")))

@@ -16,14 +16,20 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * Knobs:
   *  - `rejectIf`: source lines matching this predicate get status 400 with a
   *    mapper_parsing_exception error object (partial failure, K2).
+  *  - `statusIf`: per-source status override — Some(409/429/…) makes the
+  *    item fail with that status (mixed-status reject plumbing).
   *  - `failFirstN`: first N requests answered 503 (retry path).
   *  - `delayMs`: per-request artificial latency (timeout path).
+  *  - `malformedBody`: answer 200 with a non-JSON body (the transport must
+  *    NOT re-POST an accepted chunk it cannot parse the outcome of).
   */
 final class StubEsServer(
     rejectIf: String => Boolean = _ => false,
+    statusIf: String => Option[Int] = _ => None,
     failFirstN: Int = 0,
     failCode: Int = 503,
-    delayMs: Long = 0) {
+    delayMs: Long = 0,
+    malformedBody: Boolean = false) {
 
   val requests = new CopyOnWriteArrayList[String]()           // bodies seen
   val headers = new CopyOnWriteArrayList[Map[String, String]]() // headers seen
@@ -51,6 +57,8 @@ final class StubEsServer(
 
     if (n <= failFirstN) {
       respond(ex, failCode, """{"error":"es_rejected_execution_exception"}""")
+    } else if (malformedBody) {
+      respond(ex, 200, "<html>definitely not a bulk response</html>")
     } else {
       // NDJSON: meta line + source line per action
       val lines = body.split('\n').filter(_.nonEmpty)
@@ -65,7 +73,11 @@ final class StubEsServer(
         val id = extract(meta, "_id")
         if (!first) items.append(',')
         first = false
-        if (rejectIf(source)) {
+        if (statusIf(source).nonEmpty) {
+          val st = statusIf(source).get
+          anyError = true
+          items.append(s"""{"index":{"_index":"$idx"${id.map(v => s""","_id":"$v"""").getOrElse("")},"status":$st,"error":{"type":"status_$st","reason":"per-action status"}}}""")
+        } else if (rejectIf(source)) {
           anyError = true
           items.append(s"""{"index":{"_index":"$idx"${id.map(v => s""","_id":"$v"""").getOrElse("")},"status":400,"error":{"type":"mapper_parsing_exception","reason":"failed to parse field","caused_by":{"type":"illegal_argument_exception"}}}}""")
         } else {
