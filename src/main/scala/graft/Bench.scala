@@ -23,30 +23,42 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
-    // Per-query minimum across repeats: local[32] timings are noisy (GC,
-    // thread contention); the min is the steady-state cost. A GC between
-    // queries keeps one query's garbage from being billed to the next.
+    // Repeats are INTERLEAVED round-robin across queries (A,B,C — A,B,C —
+    // …) rather than per-query blocks: a sustained machine-load spike then
+    // inflates every query a little instead of whichever query happened to
+    // run during it, so the per-query minimum stays comparable across
+    // rounds. The min of the repeats is the steady-state cost; the
+    // max/min spread per query is recorded so a reader can flag
+    // low-confidence numbers. A GC between queries keeps one query's
+    // garbage from being billed to the next.
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
-    val results = selected.map { case (name, fn) =>
+    val names = selected.keys.toSeq.sorted
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to repeat; name <- names) {
       System.gc()
-      val times = (1 to repeat).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+      val t0 = System.nanoTime()
+      try { selected(name)(spark, sfDir).count() } catch { case _: Throwable => () }
+      samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
     }
     // Compact, lossless artifact: 3-decimal seconds (ms resolution — below
     // run-to-run noise), sorted keys, written BOTH to stdout and to
     // bench.json on disk so a truncating log capture can never lose
-    // per-query numbers (round-2 verdict: 7 queries vanished from the tail).
-    def s3(v: Double): String = f"$v%.3f"
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + s3(v) }
+    // per-query numbers. Locale.ROOT: a comma-decimal default locale must
+    // not produce invalid JSON.
+    def s3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def s2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val mins = names.map(n => n -> samples(n).min)
+    val qs = mins.map { case (k, v) => "\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val spreads = names
+      .map { n => val t = samples(n); "\"" + n + "\":" + s2(t.max / math.max(t.min, 1e-9)) }
+      .mkString("{", ",", "}")
+    val total = mins.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"spread":$spreads,"sf":"$sfDir"}"""
     println(line)
     java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -51,8 +51,12 @@ object OptimizationBarrier {
   /** Idempotently register [[Strategy]] on a session. Runtime injection
     * (rather than only `SparkSessionExtensions`) so the fence also works on
     * sessions the library doesn't construct — e.g. a host application's own
-    * session handed to `SparkEntry.queries`. */
-  def install(spark: SparkSession): Unit = {
+    * session handed to `SparkEntry.queries`. Synchronized: the
+    * contains-then-append is not atomic, and concurrent `fence()` calls
+    * (or overlap with the extension-injected registration) could register
+    * the strategy twice. Duplicate registration is harmless but untidy —
+    * and a data race on the var is still a race. */
+  def install(spark: SparkSession): Unit = synchronized {
     val em = Bridge.experimental(spark)
     if (!em.extraStrategies.contains(Strategy))
       em.extraStrategies = em.extraStrategies :+ Strategy

@@ -57,7 +57,8 @@ object Router {
     *   - `route`:    one of [[Route]] (P2/P4)
     * Every input row lands in exactly one route (totality is property-tested).
     */
-  def route(df: DataFrame, cfg: PipelineConfig, payloadCol: String = "payload"): DataFrame = {
+  def route(df: DataFrame, cfg: PipelineConfig, payloadCol: String = "payload",
+            fence: Boolean = true): DataFrame = {
     // Parse ONCE in its own projection. All downstream field extractions
     // happen in a single select that references `_core` many times — a
     // withColumn chain would let CollapseProject inline the (expensive,
@@ -95,8 +96,10 @@ object Router {
     // is pushed below this projection with the defining expressions
     // substituted — ~20 from_json copies + two timestamp ladders in the
     // Filter, then a re-parse above (see graft.plans.OptimizationBarrier).
-    // Filter source columns BEFORE route() if scan pushdown is needed.
-    graft.plans.OptimizationBarrier.fence(routed)
+    // Filter source columns BEFORE route() if scan pushdown is needed — or
+    // pass fence = false when a downstream source-column filter must keep
+    // reaching the scan and the derived columns go unfiltered.
+    if (fence) graft.plans.OptimizationBarrier.fence(routed) else routed
   }
 
   /** The three disjoint channels of the routed stream. */

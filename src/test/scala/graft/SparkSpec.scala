@@ -14,6 +14,10 @@ object SparkSpec {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+      // plan-shape guards count expression occurrences in plan strings;
+      // default truncation (25 fields) could elide duplicates and make
+      // those assertions vacuously pass
+      .config("spark.sql.debug.maxToStringFields", "10000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -44,6 +44,27 @@ class RouterPlanSpec extends SparkSpec {
     }
   }
 
+  test("fence opt-out: unfenced route keeps source-column pushdown to the scan") {
+    import org.apache.spark.sql.functions._
+    val cfg = graft.config.PipelineConfig()
+    val src = graft.Tables.events(spark, sf).select(
+      col("user_id"),
+      to_json(struct(
+        col("event_type").as("log_type"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("time"),
+        col("event_id").cast("string").as("log_id"))).as("payload"))
+    def pushed(df: org.apache.spark.sql.DataFrame): String =
+      "PushedFilters: \\[[^\\]]*\\]".r
+        .findAllIn(df.queryExecution.executedPlan.toString).mkString("\n")
+    val fenced = Router.route(src, cfg).where(col("user_id") === 7L)
+    val unfenced = Router.route(src, cfg, fence = false).where(col("user_id") === 7L)
+    assert(pushed(unfenced).contains("user_id"),
+      s"unfenced route must let a source-column filter reach the scan:\n${pushed(unfenced)}")
+    // the fenced contract: downstream filters stop at the barrier
+    assert(!pushed(fenced).contains("user_id"))
+    assert(unfenced.count() == fenced.count())
+  }
+
   test("fence survives channel composition on a freshly routed frame") {
     import org.apache.spark.sql.functions._
     val cfg = graft.config.PipelineConfig()
