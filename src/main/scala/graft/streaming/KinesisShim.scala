@@ -65,29 +65,89 @@ private[streaming] object KinesisShim {
   /** One replayed record: (partitionKey, arrivalMicros, payload). */
   final case class Rec(pk: String, arrivalUs: Long, data: Array[Byte])
 
-  /** Load the events table as per-shard record queues, each ordered by
-    * event_id (the replay's arrival order). Driver-side eager load — the
-    * shim replays a bounded fixture; a real connector streams from the
-    * service instead. */
-  def loadShards(spark: SparkSession, eventsPath: String, nShards: Int): Array[Vector[Rec]] = {
-    import org.apache.spark.sql.functions._
+  /** Driver-side state is COUNTS ONLY (the shard-iterator end positions —
+    * nShards longs): record data never touches the driver. Computed with a
+    * tiny distributed aggregation over the events table. */
+  def shardCounts(spark: SparkSession, eventsPath: String, nShards: Int): Array[Long] = {
+    import spark.implicits._
     val dir = eventsPath.replaceAll("/events\\.parquet$", "")
-    val ev = graft.Tables.events(spark, dir).orderBy("event_id")
-    val env = graft.Pipeline.envelopeFrom(ev,
-      to_json(struct(
-        col("event_type").as("log_type"),
-        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("time"),
-        col("event_id").cast("string").as("log_id"),
-        col("user_id"), col("value"), col("props"))).cast("binary"))
-      .select(col("partitionKey"),
-        unix_micros(col("approximateArrival")).as("us"), col("data"))
-      .collect()
-    val shards = Array.fill(nShards)(Vector.newBuilder[Rec])
-    env.foreach { r =>
-      val pk = r.getString(0)
-      shards(shardOf(pk, nShards)) += Rec(pk, r.getLong(1), r.getAs[Array[Byte]](2))
+    val counts = graft.Tables.events(spark, dir)
+      .select("event_id").as[Long]
+      .map(id => shardOf(id.toString, nShards))
+      .groupByKey(identity).count()
+      .collect().toMap
+    Array.tabulate(nShards)(i => counts.getOrElse(i, 0L))
+  }
+
+  private val TsFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+    .withZone(java.time.ZoneOffset.UTC)
+
+  private def jsonStr(sb: java.lang.StringBuilder, s: String): Unit = {
+    sb.append('"')
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      i += 1
     }
-    shards.map(_.result())
+    sb.append('"')
+    ()
+  }
+
+  /** EXECUTOR-side shard read: scan the events parquet directly (plain
+    * parquet-hadoop, no SparkSession — partition readers run off-driver),
+    * keep only this shard's records, order by event_id, return the
+    * `[from, until)` slice. This is the real-connector shape: one
+    * partition = one shard's GetRecords window, fetched by the task that
+    * consumes it. The full-file scan per partition is the price of the
+    * shim's file-as-service stand-in — a real source seeks by shard
+    * iterator instead; memory stays bounded by one shard's records. */
+  def readShardSlice(eventsPath: String, nShards: Int, shard: Int,
+                     from: Long, until: Long): Array[Rec] = {
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    val reader = ParquetReader
+      .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(eventsPath))
+      .build()
+    val buf = Vector.newBuilder[(Long, Rec)]
+    try {
+      var g = reader.read()
+      while (g != null) {
+        val eventId = g.getLong("event_id", 0)
+        val pk = eventId.toString
+        if (shardOf(pk, nShards) == shard) {
+          // ns→µs truncation identical to Tables.events (`ts div 1000`)
+          val us = g.getLong("ts", 0) / 1000L
+          def has(f: String): Boolean = g.getFieldRepetitionCount(f) > 0
+          // payload mirrors Pipeline.eventsAsEnvelopes' to_json projection:
+          // same field order, null fields omitted
+          val sb = new java.lang.StringBuilder(160)
+          sb.append("{")
+          if (has("event_type")) {
+            sb.append("\"log_type\":"); jsonStr(sb, g.getString("event_type", 0)); sb.append(',')
+          }
+          sb.append("\"time\":\"").append(TsFmt.format(
+            java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+              Math.floorMod(us, 1000000L) * 1000L))).append("\",")
+          sb.append("\"log_id\":"); jsonStr(sb, pk)
+          if (has("user_id")) sb.append(",\"user_id\":").append(g.getLong("user_id", 0))
+          if (has("value")) sb.append(",\"value\":").append(g.getDouble("value", 0))
+          if (has("props")) { sb.append(",\"props\":"); jsonStr(sb, g.getString("props", 0)) }
+          sb.append('}')
+          buf += eventId -> Rec(pk, us,
+            sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        g = reader.read()
+      }
+    } finally reader.close()
+    buf.result().sortBy(_._1)
+      .slice(from.toInt, math.min(until, Int.MaxValue.toLong).toInt)
+      .map(_._2).toArray
   }
 }
 
@@ -133,26 +193,28 @@ private[streaming] class KinesisShimStream(eventsPath: String, nShards: Int,
   require(Set("TRIM_HORIZON", "LATEST").contains(startingPosition),
     s"unsupported startingPosition $startingPosition (reference variables.tf:54-57)")
 
-  private val shards: Array[Vector[KinesisShim.Rec]] =
-    KinesisShim.loadShards(SparkSession.active, eventsPath, nShards)
+  /** Driver-side state: per-shard END positions only (nShards longs) —
+    * the record data is fetched executor-side by each partition reader. */
+  private val shardEnds: Array[Long] =
+    KinesisShim.shardCounts(SparkSession.active, eventsPath, nShards)
 
   /** Fixed per-shard end captured at AvailableNow start: batches keep
     * firing (each ≤ batch_size per shard) until every shard reaches it. */
   @volatile private var availableNowTarget: Option[Array[Long]] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(shards.map(_.length.toLong))
+    availableNowTarget = Some(shardEnds.clone())
 
   override def initialOffset(): Offset = startingPosition match {
     case "TRIM_HORIZON" => ShimOffset(Seq.fill(nShards)(0L))
-    case "LATEST" => ShimOffset(shards.map(_.length.toLong).toSeq)
+    case "LATEST" => ShimOffset(shardEnds.toSeq)
   }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchSize.toLong * nShards)
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[ShimOffset].positions
-    val cap = availableNowTarget.getOrElse(shards.map(_.length.toLong))
+    val cap = availableNowTarget.getOrElse(shardEnds)
     // honor the engine's admission request: Trigger.Once passes
     // ReadLimit.allAvailable expecting EVERYTHING in one batch — capping it
     // at batchSize would silently leave the stream tail unconsumed
@@ -173,15 +235,14 @@ private[streaming] class KinesisShimStream(eventsPath: String, nShards: Int,
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called instead")
 
-  override def reportLatestOffset(): Offset = ShimOffset(shards.map(_.length.toLong).toSeq)
+  override def reportLatestOffset(): Offset = ShimOffset(shardEnds.toSeq)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[ShimOffset].positions
     val e = end.asInstanceOf[ShimOffset].positions
     (0 until nShards).flatMap { i =>
       if (e(i) > s(i))
-        Some(ShimInputPartition(i, s(i),
-          shards(i).slice(s(i).toInt, e(i).toInt).toArray): InputPartition)
+        Some(ShimInputPartition(eventsPath, nShards, i, s(i), e(i)): InputPartition)
       else None
     }.toArray
   }
@@ -202,18 +263,24 @@ private[streaming] class KinesisShimStream(eventsPath: String, nShards: Int,
   override def stop(): Unit = ()
 }
 
-/** One shard's slice for one micro-batch, already in sequence order. */
+/** One shard's slice COORDINATES for one micro-batch — no record data:
+  * the partition ships (path, shard, [from, until)) to the executor, whose
+  * reader fetches the slice itself (KinesisShim.readShardSlice). */
 private[streaming] final case class ShimInputPartition(
-    shard: Int, firstSeq: Long, recs: Array[KinesisShim.Rec]) extends InputPartition
+    eventsPath: String, nShards: Int, shard: Int,
+    firstSeq: Long, untilSeq: Long) extends InputPartition
 
 private[streaming] class ShimReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ShimInputPartition]
     new PartitionReader[InternalRow] {
+      // executor-side fetch, lazily on first advance
+      private lazy val recs: Array[KinesisShim.Rec] =
+        KinesisShim.readShardSlice(p.eventsPath, p.nShards, p.shard, p.firstSeq, p.untilSeq)
       private var i = -1
-      override def next(): Boolean = { i += 1; i < p.recs.length }
+      override def next(): Boolean = { i += 1; i < recs.length }
       override def get(): InternalRow = {
-        val r = p.recs(i)
+        val r = recs(i)
         // Kinesis sequence numbers are opaque per-shard-increasing strings;
         // zero-pad so string ordering matches numeric ordering
         val seq = f"${p.shard}%03d-${p.firstSeq + i}%019d"

@@ -127,6 +127,33 @@ class KinesisShimSpec extends SparkSpec {
     assert(nActions == nEvents)
   }
 
+  test("partitions carry coordinates only; readers fetch their own shard slice") {
+    val path = s"$sf/events.parquet"
+    // the partition object ships NO record data (compile-level: coordinates
+    // only); here: the executor-side fetch covers the stream exactly
+    val all = (0 until 4).flatMap { sh =>
+      val recs = KinesisShim.readShardSlice(path, 4, sh, 0, Long.MaxValue)
+      val ids = recs.map(_.pk.toLong)
+      assert(ids.sameElements(ids.sorted), s"shard $sh not in event order")
+      assert(ids.forall(id => KinesisShim.shardOf(id.toString, 4) == sh))
+      ids
+    }
+    assert(all.sorted == (0L until nEvents.toLong))
+    // a mid-stream slice is the contiguous window of the shard's order
+    val s0 = KinesisShim.readShardSlice(path, 4, 0, 0, Long.MaxValue).map(_.pk)
+    val win = KinesisShim.readShardSlice(path, 4, 0, 10, 25).map(_.pk)
+    assert(win.toSeq == s0.slice(10, 25).toSeq)
+    // driver-side offset state agrees with the executor-side fetches
+    val counts = KinesisShim.shardCounts(spark, path, 4)
+    assert(counts.toSeq == (0 until 4).map(sh =>
+      KinesisShim.readShardSlice(path, 4, sh, 0, Long.MaxValue).length.toLong))
+    // payload parses as a routable record
+    val payload = new String(
+      KinesisShim.readShardSlice(path, 4, 1, 0, 1).head.data, "UTF-8")
+    assert(payload.contains("\"log_type\":") && payload.contains("\"time\":") &&
+      payload.contains("\"log_id\":"))
+  }
+
   test("rejects an unknown startingPosition") {
     intercept[IllegalArgumentException] {
       PipelineConfig(startingPosition = "AT_TIMESTAMP")
