@@ -465,6 +465,15 @@ case class HyperplaneSig(child: Expression, planes: Int) extends UnaryExpression
 }
 
 object HyperplaneSig {
+
+  /** The derived plane matrix (planes × dims), exactly as [[compute]]
+    * evaluates it per row. Public so the DuckDB oracle SQL can embed the
+    * constants verbatim (shortest-round-trip double literals) and
+    * recompute signatures without reproducing splitmix64's wraparound
+    * arithmetic in SQL. */
+  def matrix(planes: Int, dims: Int): Array[Array[Double]] =
+    Array.tabulate(planes, dims)((p, d) => component(p, d))
+
   /** splitmix64 finalizer — uniform component in [-1, 1). */
   private def component(plane: Int, dim: Int): Double = {
     var z = plane.toLong * 0x9E3779B97F4A7C15L + dim.toLong * 0xC2B2AE3D27D4EB4FL + 42L

@@ -7,9 +7,12 @@ import graft.ops.Similarity
 
 /** Similarity-search queries over `embeddings` (vec_id, embedding
   * list<float>, label). Brute-force cosine is oracle-checked against
-  * DuckDB (both sides: double precision, left-to-right summation); the LSH
-  * variant is approximate by design → rows-only + an internal recall
-  * query. */
+  * DuckDB (both sides: double precision, left-to-right summation). The
+  * sign-LSH pipelines (lsh top-k, lsh recall, embedding near-dups) are
+  * ALSO oracle-checked: approximate against the exact top-k, but exactly
+  * reproducible — the oracle embeds the engine's derived plane constants
+  * and recomputes signatures/buckets/ranks relationally. Only IVF
+  * (sample-trained k-means) and HLL remain rows-only. */
 object SimilarityQueries {
 
   private def emb(s: SparkSession, dir: String): DataFrame =
@@ -47,7 +50,7 @@ object SimilarityQueries {
         .orderBy("qid", "id")
     }),
 
-    // LSH-bucketed ANN top-k [rows-only; approximate]
+    // LSH-bucketed ANN top-k — oracle-checked via embedded plane constants
     "sim_lsh_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.lshTopK(
@@ -56,7 +59,7 @@ object SimilarityQueries {
         .orderBy("qid", "rank")
     }),
 
-    // LSH recall vs brute force — the ANN quality metric [rows-only]
+    // LSH recall vs brute force — the ANN quality metric, oracle-checked
     "sim_lsh_recall" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") < 10)
@@ -83,8 +86,8 @@ object SimilarityQueries {
         Similarity.ivfTopK(e, q, "vec_id", "embedding", "vec_id", "embedding"))
     }),
 
-    // Embedding near-dup pairs via sign-LSH buckets + exact cosine
-    // [rows-only; bucket-local pair generation, no n² cross join]
+    // Embedding near-dup pairs via sign-LSH buckets + exact cosine —
+    // oracle-checked (bucket-local pair generation, no n² cross join)
     "emb_near_dups" -> ((s, dir) =>
       graft.ops.Dedup.embeddingNearDups(
           emb(s, dir), "vec_id", "embedding", threshold = 0.25, planes = 4)
@@ -139,7 +142,79 @@ object SimilarityQueries {
     })
   )
 
+  /** The sign-LSH plane matrix as a DuckDB literal: the engine derives
+    * plane components by splitmix64 hash-mixing (not expressible in SQL —
+    * 64-bit wraparound multiply), so the oracle embeds the exact constants
+    * (shortest-round-trip double literals, bit-exact on parse) and
+    * recomputes signatures/buckets/cosines relationally from them. */
+  private def planesLit(planes: Int, dims: Int): String =
+    graft.functions.HyperplaneSig.matrix(planes, dims)
+      .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  /** Shared SQL for the banded sign-LSH top-k pipeline (planes=16,
+    * bands=4×4 bits), mirroring [[Similarity.lshTopK]] stage by stage. */
+  private def lshTopKSql: String =
+    s"""WITH pl AS (SELECT ${planesLit(16, 64)}::DOUBLE[][] AS p),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |s AS (SELECT vec_id, v,
+       |        CAST(list_sum(list_transform(generate_series(1, 16),
+       |          i -> CASE WHEN list_dot_product(v, pl.p[i]) >= 0
+       |               THEN (1::BIGINT << (i-1)) ELSE 0::BIGINT END)) AS BIGINT) AS sig
+       |      FROM e CROSS JOIN pl),
+       |cb AS (SELECT vec_id, v, bb.b AS band, (sig >> (bb.b * 4)) & 15 AS bucket
+       |       FROM s CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bb),
+       |q AS (SELECT vec_id AS qid, v AS qv, band, bucket FROM cb WHERE vec_id < 10),
+       |cands AS (
+       |  SELECT qid, id, qv, v FROM (
+       |    SELECT q.qid, c.vec_id AS id, q.qv, c.v,
+       |           row_number() OVER (PARTITION BY q.qid, c.vec_id ORDER BY q.band) AS rn
+       |    FROM cb c JOIN q ON c.band = q.band AND c.bucket = q.bucket AND c.vec_id <> q.qid)
+       |  WHERE rn = 1),
+       |scored AS (SELECT qid, id,
+       |  list_dot_product(qv, v)/(sqrt(list_dot_product(v, v))*sqrt(list_dot_product(qv, qv))) AS sim
+       |  FROM cands),
+       |lsh AS (
+       |  SELECT qid, id, rank, sim FROM (
+       |    SELECT qid, id, sim,
+       |           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rank
+       |    FROM scored) t
+       |  WHERE rank <= 10)""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "emb_near_dups" ->
+      s"""WITH pl AS (SELECT ${planesLit(4, 64)}::DOUBLE[][] AS p),
+         |e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         |      FROM embeddings WHERE embedding IS NOT NULL),
+         |s AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm,
+         |        CAST(list_sum(list_transform(generate_series(1, 4),
+         |          i -> CASE WHEN list_dot_product(v, pl.p[i]) >= 0
+         |               THEN (1::BIGINT << (i-1)) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+         |      FROM e CROSS JOIN pl)
+         |SELECT id_a, id_b, round(c, 4) AS cosine FROM (
+         |  SELECT a.id AS id_a, b.id AS id_b, list_dot_product(a.v, b.v)/(a.nrm*b.nrm) AS c
+         |  FROM s a JOIN s b ON a.bucket = b.bucket AND a.id < b.id)
+         |WHERE c >= 0.25
+         |ORDER BY round(c, 4) DESC, id_a, id_b LIMIT 100""".stripMargin,
+    "sim_lsh_topk" ->
+      s"""$lshTopKSql
+         |SELECT qid, id, rank, round(sim, 4) AS sim FROM lsh ORDER BY qid, rank""".stripMargin,
+    "sim_lsh_recall" ->
+      s"""$lshTopKSql,
+         |qe AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         |exact AS (
+         |  SELECT qid, id FROM (
+         |    SELECT q.qid, e.vec_id AS id,
+         |           row_number() OVER (PARTITION BY q.qid ORDER BY
+         |             list_dot_product(q.qv, e.v) /
+         |               (sqrt(list_dot_product(e.v, e.v))*sqrt(list_dot_product(q.qv, q.qv))) DESC,
+         |             e.vec_id) AS rank
+         |    FROM e CROSS JOIN qe q WHERE e.vec_id <> q.qid) t
+         |  WHERE rank <= 10)
+         |SELECT x.qid,
+         |       CAST(sum(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |       round(sum(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END) / 10.0, 2) AS recall_at_10
+         |FROM exact x LEFT JOIN lsh a ON x.qid = a.qid AND x.id = a.id
+         |GROUP BY x.qid ORDER BY x.qid""".stripMargin,
     "sim_label_centroids" ->
       """WITH ex AS (
         |  SELECT label, r.range AS i, CAST(embedding[r.range] AS DOUBLE) AS x
