@@ -45,4 +45,51 @@ class EndToEndSpec extends SparkSpec {
       assert(bodies.contains("\"log_id\":\"7\"") && bodies.contains("\"log_id\":\"13\""))
     } finally es.stop()
   }
+
+  test("chaos: transient 503 bursts mid-stream — retries recover, no loss, no duplicates") {
+    // every 3rd POST is answered 503; the transport's chunk-local
+    // retry/backoff must re-send ONLY the failed chunk and the stream must
+    // still deliver every record exactly once to the successful requests
+    val es = new StubEsServer(failNthMod = 3)
+    val ep = es.endpoint
+    val dir = Files.createTempDirectory("e2e-chaos").toString
+    val cfg = PipelineConfig(deadLetterPath = s"$dir/dl",
+      sourceShards = 4, sourceBatchSize = 100)
+    try {
+      val q = StreamingPipeline.run(
+        StreamingPipeline.kinesisShimStream(spark, sf, cfg), cfg,
+        () => new graft.sink.HttpBulkTransport(ep, backoffBaseMs = 1),
+        s"$dir/ckpt", Trigger.AvailableNow())
+      q.awaitTermination(180000)
+
+      // chaos actually happened: some requests 503'd, and each failure was
+      // recovered by a retry (more requests than successful responses)
+      val ex = (0 until es.exchanges.size).map(es.exchanges.get)
+      assert(ex.count(_._2 == 503) > 0, "the chaos knob never fired")
+      assert(ex.count(_._2 == 200) < ex.length)
+
+      // exactly-once across the SUCCESSFUL wire traffic: every record
+      // indexed once, despite the re-POSTs of 503'd chunks
+      val okBodies = ex.filter(_._2 != 503).map(_._1)
+      val ids = okBodies.flatMap(_.split('\n').filter(_.startsWith("{\"index\":")))
+        .map(m => m.split("\"_id\":\"")(1).takeWhile(_ != '"'))
+      assert(ids.length == 1000, s"expected 1000 indexed actions, got ${ids.length}")
+      assert(ids.distinct.length == 1000, "a chunk was indexed twice")
+
+      // nothing dead-lettered: 503s are transport failures, not data
+      // errors (the sink may create the base dir; it must stay empty)
+      val dl = new java.io.File(s"$dir/dl/es_rejected")
+      val leaked = scala.collection.mutable.Buffer.empty[String]
+      if (dl.exists()) {
+        val it = Files.walk(dl.toPath).iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val n = p.getFileName.toString
+          if (p.toFile.isFile && !n.startsWith("_") && !n.startsWith("."))
+            leaked += n
+        }
+      }
+      assert(leaked.isEmpty, s"unexpected dead-letter objects: $leaked")
+    } finally es.stop()
+  }
 }

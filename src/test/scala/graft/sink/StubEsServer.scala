@@ -19,6 +19,8 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *  - `statusIf`: per-source status override — Some(409/429/…) makes the
   *    item fail with that status (mixed-status reject plumbing).
   *  - `failFirstN`: first N requests answered 503 (retry path).
+  *  - `failNthMod`: if > 0, every Nth request answered `failCode` — the
+  *    transient-chaos knob (bursty 503s mid-stream; retries must recover).
   *  - `delayMs`: per-request artificial latency (timeout path).
   *  - `malformedBody`: answer 200 with a non-JSON body (the transport must
   *    NOT re-POST an accepted chunk it cannot parse the outcome of).
@@ -27,12 +29,17 @@ final class StubEsServer(
     rejectIf: String => Boolean = _ => false,
     statusIf: String => Option[Int] = _ => None,
     failFirstN: Int = 0,
+    failNthMod: Int = 0,
     failCode: Int = 503,
     delayMs: Long = 0,
     malformedBody: Boolean = false) {
 
   val requests = new CopyOnWriteArrayList[String]()           // bodies seen
   val headers = new CopyOnWriteArrayList[Map[String, String]]() // headers seen
+  /** (request body, response code) appended atomically per exchange —
+    * `requests` and a separate code list could interleave differently
+    * under concurrent POSTs. */
+  val exchanges = new CopyOnWriteArrayList[(String, Int)]()
   private val hits = new AtomicInteger(0)
 
   private val server: HttpServer = {
@@ -55,10 +62,10 @@ final class StubEsServer(
     val keys = hs.keySet().toArray(Array.empty[String])
     headers.add(keys.map(k => k.toLowerCase -> hs.getFirst(k)).toMap)
 
-    if (n <= failFirstN) {
-      respond(ex, failCode, """{"error":"es_rejected_execution_exception"}""")
+    if (n <= failFirstN || (failNthMod > 0 && n % failNthMod == 0)) {
+      respond(ex, failCode, """{"error":"es_rejected_execution_exception"}""", body)
     } else if (malformedBody) {
-      respond(ex, 200, "<html>definitely not a bulk response</html>")
+      respond(ex, 200, "<html>definitely not a bulk response</html>", body)
     } else {
       // NDJSON: meta line + source line per action
       val lines = body.split('\n').filter(_.nonEmpty)
@@ -85,7 +92,7 @@ final class StubEsServer(
         }
         i += 2
       }
-      respond(ex, 200, s"""{"took":7,"errors":$anyError,"items":[${items.toString}]}""")
+      respond(ex, 200, s"""{"took":7,"errors":$anyError,"items":[${items.toString}]}""", body)
     }
   }
 
@@ -111,7 +118,9 @@ final class StubEsServer(
     }
   }
 
-  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+  private def respond(ex: HttpExchange, code: Int, body: String,
+                      requestBody: String = ""): Unit = {
+    exchanges.add((requestBody, code))
     val bytes = body.getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(code, bytes.length.toLong)
