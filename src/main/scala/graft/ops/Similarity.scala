@@ -85,17 +85,21 @@ object Similarity {
     * tiny driver-side state (nlist × dim doubles).
     *
     * Determinism: the quantizer is LAYOUT-INVARIANT. It trains on the
-    * `trainSample` corpus rows with globally-smallest `(xxhash64(id), id)`
-    * — a distributed top-N (map-side partial sort, bounded driver merge)
-    * whose result set is a pure function of the data, not its
-    * partitioning — then runs Lloyd iterations on the driver over that
-    * fixed-order sample. Training the coarse quantizer on a bounded sample
-    * is also the 100 TB design (a full-corpus fit costs `iters` extra full
-    * passes for cells that only need to be rough — recall is probe-bounded,
-    * not centroid-quality-bounded). Cell assignment is a per-row argmin
+    * `trainSample` corpus rows with globally-smallest `(md5(id), id)` — a
+    * distributed top-N (map-side partial sort, bounded driver merge) whose
+    * result set is a pure function of the data, not its partitioning —
+    * then runs Lloyd iterations on the driver over that fixed-order
+    * sample. Training the coarse quantizer on a bounded sample is also the
+    * 100 TB design (a full-corpus fit costs `iters` extra full passes for
+    * cells that only need to be rough — recall is probe-bounded, not
+    * centroid-quality-bounded). Cell assignment is a per-row argmin
     * against the broadcast centroid literal: fixed evaluation order, no
     * shuffle, codegen'd — so the full result is bit-identical across
-    * parallelism layouts. */
+    * parallelism layouts. The sample hash is md5 (hex-string order ==
+    * numeric order) rather than xxhash64 so an external engine can
+    * reproduce the ENTIRE pipeline — sample, Lloyd folds, assignment,
+    * probes, ranks — bit-for-bit: the DuckDB oracle does exactly that
+    * with explicitly-sequential list_reduce folds. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, qidCol: String, qvecCol: String,
               k: Int = 10, nlist: Int = 16, nProbe: Int = 4,
@@ -105,7 +109,7 @@ object Similarity {
 
     val sample: Array[Array[Double]] = corpus
       .select(col(vecCol).cast("array<double>").as("v"),
-        xxhash64(col(idCol)).as("h"), col(idCol).as("id"))
+        md5(col(idCol).cast("string")).as("h"), col(idCol).as("id"))
       .orderBy(col("h"), col("id"))
       .limit(trainSample)
       .select("v")

@@ -11,8 +11,10 @@ import graft.ops.Similarity
   * sign-LSH pipelines (lsh top-k, lsh recall, embedding near-dups) are
   * ALSO oracle-checked: approximate against the exact top-k, but exactly
   * reproducible — the oracle embeds the engine's derived plane constants
-  * and recomputes signatures/buckets/ranks relationally. Only IVF
-  * (sample-trained k-means) and HLL remain rows-only. */
+  * and recomputes signatures/buckets/ranks relationally. The IVF
+  * pipeline is oracle-checked too: its sample/Lloyd/assignment stages are
+  * deliberately portable folds the oracle unrolls in SQL. Only HLL
+  * (opaque sketch state) remains rows-only. */
 object SimilarityQueries {
 
   private def emb(s: SparkSession, dir: String): DataFrame =
@@ -68,7 +70,8 @@ object SimilarityQueries {
         Similarity.lshTopK(e, q, "vec_id", "embedding", "vec_id", "embedding"))
     }),
 
-    // IVF ANN: k-means coarse quantizer + probed exact search [rows-only]
+    // IVF ANN: k-means coarse quantizer + probed exact search —
+    // oracle-checked (the whole quantizer is reproduced in SQL)
     "sim_ivf_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.ivfTopK(
@@ -77,7 +80,7 @@ object SimilarityQueries {
         .orderBy("qid", "rank")
     }),
 
-    // IVF recall vs brute force [rows-only]
+    // IVF recall vs brute force — oracle-checked
     "sim_ivf_recall" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") < 10)
@@ -180,7 +183,104 @@ object SimilarityQueries {
        |    FROM scored) t
        |  WHERE rank <= 10)""".stripMargin
 
+  // ---- IVF oracle: the ENTIRE learned-quantizer pipeline reproduced in
+  // SQL, bit-for-bit. The engine's quantizer is deliberately portable:
+  // the training sample is the md5-hex-ordered global top-N, Lloyd runs
+  // sequential folds in sample order, and every distance/mean/cosine is a
+  // left-to-right IEEE double fold. The SQL mirrors each step with
+  // explicitly-sequential list_reduce folds (never list_sum/avg, whose
+  // accumulation order is unspecified), so argmins, probes, and ranks
+  // agree exactly — validated against an op-for-op replica. ----
+
+  private def d2Sql(v: String, c: String): String =
+    s"list_reduce(list_transform(generate_series(1, 64), j -> ($v[j]-$c[j])*($v[j]-$c[j])), (a,b)->a+b)"
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, 64), j -> $a[j]*$b[j]), (a,b)->a+b)"
+  private def nrmSql(v: String): String =
+    s"sqrt(list_reduce(list_transform(generate_series(1, 64), j -> $v[j]*$v[j]), (a,b)->a+b))"
+
+  /** One unrolled Lloyd iteration: assign sample rows to the previous
+    * centers (first-wins argmin: ORDER BY d2, cell), then per-(cell, dim)
+    * sequential-in-sample-order mean; empty cells keep their center. */
+  private def lloydIterSql(i: Int): String = {
+    val prev = if (i == 1) "init" else s"c${i - 1}"
+    s"""a$i AS (
+       |  SELECT rk, v, cell FROM (
+       |    SELECT s.rk, s.v, c.cell,
+       |           row_number() OVER (PARTITION BY s.rk ORDER BY ${d2Sql("s.v", "c.c")}, c.cell) AS w
+       |    FROM smp s CROSS JOIN $prev c) z
+       |  WHERE w = 1),
+       |m$i AS (
+       |  SELECT cell, list(m ORDER BY j) AS c FROM (
+       |    SELECT cell, jj.j AS j,
+       |           list_reduce(list(v[jj.j] ORDER BY rk), (a,b)->a+b) / count(*) AS m
+       |    FROM a$i CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) jj
+       |    GROUP BY cell, jj.j) g
+       |  GROUP BY cell),
+       |c$i AS (SELECT i.cell, COALESCE(m.c, i.c) AS c FROM init i LEFT JOIN m$i m ON i.cell = m.cell)""".stripMargin
+  }
+
+  /** Shared SQL prefix ending in `ivf AS (qid, id, rank, sim)` — the full
+    * [[Similarity.ivfTopK]] pipeline (trainSample=4096, nlist=16, 5 Lloyd
+    * iterations, nProbe=4, k=10) over the `vec_id < 10` query set. */
+  private def ivfSql: String = {
+    val iters = (1 to 5).map(lloydIterSql).mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |smp AS (
+       |  SELECT v, rk FROM (
+       |    SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+       |    FROM e) s
+       |  WHERE rk <= 4096),
+       |init AS (
+       |  SELECT c, cell FROM (
+       |    SELECT v AS c, row_number() OVER (ORDER BY rk) - 1 AS cell FROM (
+       |      SELECT v, rk, row_number() OVER (PARTITION BY v ORDER BY rk) AS dup FROM smp) d
+       |    WHERE dup = 1) x
+       |  WHERE cell < 16),
+       |$iters,
+       |asg AS (
+       |  SELECT id, v, cell FROM (
+       |    SELECT e.vec_id AS id, e.v, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY ${d2Sql("e.v", "c.c")}, c.cell) AS w
+       |    FROM e CROSS JOIN c5 c) z
+       |  WHERE w = 1),
+       |qv AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+       |probe AS (
+       |  SELECT qid, qv, cell FROM (
+       |    SELECT q.qid, q.qv, c.cell,
+       |           row_number() OVER (PARTITION BY q.qid ORDER BY ${d2Sql("q.qv", "c.c")}, c.cell) AS pr
+       |    FROM qv q CROSS JOIN c5 c) z
+       |  WHERE pr <= 4),
+       |scored AS (
+       |  SELECT p.qid, a.id,
+       |         ${dotSql("a.v", "p.qv")} / (${nrmSql("a.v")} * ${nrmSql("p.qv")}) AS sim
+       |  FROM asg a JOIN probe p ON a.cell = p.cell AND a.id <> p.qid),
+       |ivf AS (
+       |  SELECT qid, id, rank, sim FROM (
+       |    SELECT qid, id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rank
+       |    FROM scored) t
+       |  WHERE rank <= 10)""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "sim_ivf_topk" ->
+      s"""$ivfSql
+         |SELECT qid, id, rank, round(sim, 4) AS sim FROM ivf ORDER BY qid, rank""".stripMargin,
+    "sim_ivf_recall" ->
+      s"""$ivfSql,
+         |exact AS (
+         |  SELECT qid, id FROM (
+         |    SELECT q.qid, e.vec_id AS id,
+         |           row_number() OVER (PARTITION BY q.qid ORDER BY
+         |             ${dotSql("e.v", "q.qv")} / (${nrmSql("e.v")} * ${nrmSql("q.qv")}) DESC,
+         |             e.vec_id) AS rank
+         |    FROM e CROSS JOIN qv q WHERE e.vec_id <> q.qid) t
+         |  WHERE rank <= 10)
+         |SELECT x.qid,
+         |       CAST(sum(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |       round(sum(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END) / 10.0, 2) AS recall_at_10
+         |FROM exact x LEFT JOIN ivf a ON x.qid = a.qid AND x.id = a.id
+         |GROUP BY x.qid ORDER BY x.qid""".stripMargin,
     "emb_near_dups" ->
       s"""WITH pl AS (SELECT ${planesLit(4, 64)}::DOUBLE[][] AS p),
          |e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
