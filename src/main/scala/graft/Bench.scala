@@ -35,10 +35,18 @@ object Bench {
     val names = selected.keys.toSeq.sorted
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
+    // a throwing query must not masquerade as a fast one: its (meaningless)
+    // time-to-failure is still recorded, but the name is flagged in an
+    // "errors" list so the artifact can never pass silently
+    val failed = scala.collection.mutable.SortedSet.empty[String]
     for (_ <- 1 to repeat; name <- names) {
       System.gc()
       val t0 = System.nanoTime()
-      try { selected(name)(spark, sfDir).count() } catch { case _: Throwable => () }
+      try { selected(name)(spark, sfDir).count() }
+      catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"BENCH ERROR $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
       samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
     }
     // Compact, lossless artifact: 3-decimal seconds (ms resolution — below
@@ -57,8 +65,9 @@ object Bench {
       .map { n => val t = samples(n); "\"" + n + "\":" + s2(t.max / math.max(t.min, 1e-9)) }
       .mkString("{", ",", "}")
     val total = mins.map(_._2).sum
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"spread":$spreads,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"spread":$spreads,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

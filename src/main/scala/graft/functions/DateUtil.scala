@@ -22,12 +22,28 @@ object DateUtilParse {
 
   private val Ws = java.util.regex.Pattern.compile("\\s+")
 
-  // parseLenient: text fields match ANY style regardless of pattern width
-  // (EEE accepts "Tuesday", MMMM accepts "Sep") — the dateutil behavior for
-  // mixed forms like 'Tue, 15 September 2020 10:21:33'
-  private def ci(pattern: String): DateTimeFormatter =
-    new DateTimeFormatterBuilder().parseCaseInsensitive().parseLenient()
-      .appendPattern(pattern).toFormatter(Locale.US)
+  // Leniency is scoped to the TEXT fields only: a lenient text field
+  // matches any name style (EEE accepts "Tuesday", MMMM accepts "Sep" —
+  // the dateutil behavior for mixed forms like 'Tue, 15 September 2020
+  // 10:21:33'), while numeric fields stay STRICT — whole-formatter
+  // parseLenient would also relax numeric widths and silently parse
+  // 'Tue, 15 Sep 20 …' as year 20 AD instead of dead-lettering it.
+  // Pattern strings are split on the day/month-name tokens and only those
+  // segments are appended in lenient mode.
+  private val NameToken = java.util.regex.Pattern.compile("E{3,4}|M{3,4}")
+
+  private def ci(pattern: String): DateTimeFormatter = {
+    val b = new DateTimeFormatterBuilder().parseCaseInsensitive()
+    val m = NameToken.matcher(pattern)
+    var at = 0
+    while (m.find()) {
+      if (m.start() > at) b.parseStrict().appendPattern(pattern.substring(at, m.start()))
+      b.parseLenient().appendPattern(m.group()).parseStrict()
+      at = m.end()
+    }
+    if (at < pattern.length) b.parseStrict().appendPattern(pattern.substring(at))
+    b.toFormatter(Locale.US)
+  }
 
   // Grouped by shape so the hot path tries ~1 formatter, not 7: a thrown
   // DateTimeParseException per failed attempt dominates parse cost at

@@ -120,13 +120,18 @@ object Similarity {
     // Per-row nearest-centroid assignment against the centroid literal:
     // distances evaluated left-to-right over a fixed center order, ties
     // broken by the first (lowest-cell) occurrence via array_position.
+    // greatest(…, 0): an all-NaN distance row (NaN vector component) makes
+    // array_position return 0 → cell would be -1 and the row would silently
+    // vanish from every probe; clamping to cell 0 matches the driver-side
+    // first-wins loop and the SQL oracle's ORDER BY d2, cell.
     val ctLit = typedlit(centers.map(_.toSeq).toSeq)
     val d2s = transform(ctLit, ct => aggregate(
       zip_with(col("v"), ct, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x))
     val assigned = c
       .withColumn("d2s", d2s)
-      .withColumn("cell", (array_position(col("d2s"), array_min(col("d2s"))) - 1).cast("int"))
+      .withColumn("cell",
+        greatest(array_position(col("d2s"), array_min(col("d2s"))) - 1, lit(0L)).cast("int"))
       .select(col("id"), col("v"), col("cell"))
 
     // Probe assignment is fully distributed: the only driver-side state is

@@ -128,13 +128,25 @@ object TextAnalysis {
 
   /** Deterministic total-order tiebreak for the packing window: rows tied
     * on `orderCol` are sub-ordered by token count, then by a hash of the
-    * WHOLE row — so duplicate order keys cannot split nondeterministically
-    * across range partitions or window evaluations, and [[packBins]] /
-    * [[packBinsDistributed]] agree row-for-row. Rows identical in all
-    * three keys are mutually interchangeable (equal token counts →
-    * swapping them permutes nothing observable). */
-  private def withPackTie(df: DataFrame): DataFrame =
-    df.withColumn("_tie", xxhash64(struct(df.columns.map(col): _*)))
+    * row's HASHABLE columns — so duplicate order keys cannot split
+    * nondeterministically across range partitions or window evaluations,
+    * and [[packBins]] / [[packBinsDistributed]] agree row-for-row. Rows
+    * identical in all three keys are mutually interchangeable (equal token
+    * counts → swapping them permutes nothing observable). MapType columns
+    * are excluded from the hash (xxhash64 rejects maps — unordered, no
+    * canonical hash), keeping the operators type-agnostic. */
+  private def withPackTie(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    def hashable(dt: DataType): Boolean = dt match {
+      case _: MapType => false
+      case s: StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val cols = df.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+    df.withColumn("_tie",
+      if (cols.isEmpty) lit(0L) else xxhash64(struct(cols.toSeq: _*)))
+  }
 
   /** [[packBins]] at scale: identical bin assignment, no global-order
     * window. Range-partition by `orderCol`, cumsum per partition, then

@@ -161,7 +161,7 @@ object SimilarityQueries {
        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |s AS (SELECT vec_id, v,
        |        CAST(list_sum(list_transform(generate_series(1, 16),
-       |          i -> CASE WHEN list_dot_product(v, pl.p[i]) >= 0
+       |          i -> CASE WHEN ${dotSql("v", "pl.p[i]")} >= 0
        |               THEN (1::BIGINT << (i-1)) ELSE 0::BIGINT END)) AS BIGINT) AS sig
        |      FROM e CROSS JOIN pl),
        |cb AS (SELECT vec_id, v, bb.b AS band, (sig >> (bb.b * 4)) & 15 AS bucket
@@ -174,7 +174,7 @@ object SimilarityQueries {
        |    FROM cb c JOIN q ON c.band = q.band AND c.bucket = q.bucket AND c.vec_id <> q.qid)
        |  WHERE rn = 1),
        |scored AS (SELECT qid, id,
-       |  list_dot_product(qv, v)/(sqrt(list_dot_product(v, v))*sqrt(list_dot_product(qv, qv))) AS sim
+       |  ${dotSql("v", "qv")} / (${nrmSql("v")} * ${nrmSql("qv")}) AS sim
        |  FROM cands),
        |lsh AS (
        |  SELECT qid, id, rank, sim FROM (
@@ -285,13 +285,13 @@ object SimilarityQueries {
       s"""WITH pl AS (SELECT ${planesLit(4, 64)}::DOUBLE[][] AS p),
          |e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
          |      FROM embeddings WHERE embedding IS NOT NULL),
-         |s AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm,
+         |s AS (SELECT id, v, ${nrmSql("v")} AS nrm,
          |        CAST(list_sum(list_transform(generate_series(1, 4),
-         |          i -> CASE WHEN list_dot_product(v, pl.p[i]) >= 0
+         |          i -> CASE WHEN ${dotSql("v", "pl.p[i]")} >= 0
          |               THEN (1::BIGINT << (i-1)) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
          |      FROM e CROSS JOIN pl)
          |SELECT id_a, id_b, round(c, 4) AS cosine FROM (
-         |  SELECT a.id AS id_a, b.id AS id_b, list_dot_product(a.v, b.v)/(a.nrm*b.nrm) AS c
+         |  SELECT a.id AS id_a, b.id AS id_b, ${dotSql("a.v", "b.v")}/(a.nrm*b.nrm) AS c
          |  FROM s a JOIN s b ON a.bucket = b.bucket AND a.id < b.id)
          |WHERE c >= 0.25
          |ORDER BY round(c, 4) DESC, id_a, id_b LIMIT 100""".stripMargin,

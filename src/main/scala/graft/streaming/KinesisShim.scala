@@ -99,6 +99,28 @@ private[streaming] object KinesisShim {
     ()
   }
 
+  /** Raw shard row: fields only — serialization is deferred until after
+    * the slice, so records outside `[from, until)` never pay the JSON
+    * formatting cost (each micro-batch re-scans the shard; formatting
+    * every row each time would repeat the work O(batches) per record). */
+  private final case class Raw(eventId: Long, us: Long, eventType: String,
+                               userId: java.lang.Long, value: java.lang.Double,
+                               props: String)
+
+  /** The parquet data files behind `path`: the single fixture file, or a
+    * Spark-written DIRECTORY of part files (e.g. the ScaleRehearsal
+    * output), enumerated in name order. */
+  private def parquetFiles(path: String): Seq[org.apache.hadoop.fs.Path] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (fs.getFileStatus(p).isDirectory)
+      fs.listStatus(p).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName)
+        .map(_.getPath)
+    else Seq(p)
+  }
+
   /** EXECUTOR-side shard read: scan the events parquet directly (plain
     * parquet-hadoop, no SparkSession — partition readers run off-driver),
     * keep only this shard's records, order by event_id, return the
@@ -111,43 +133,49 @@ private[streaming] object KinesisShim {
                      from: Long, until: Long): Array[Rec] = {
     import org.apache.parquet.hadoop.ParquetReader
     import org.apache.parquet.hadoop.example.GroupReadSupport
-    val reader = ParquetReader
-      .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(eventsPath))
-      .build()
-    val buf = Vector.newBuilder[(Long, Rec)]
-    try {
-      var g = reader.read()
-      while (g != null) {
-        val eventId = g.getLong("event_id", 0)
-        val pk = eventId.toString
-        if (shardOf(pk, nShards) == shard) {
-          // ns→µs truncation identical to Tables.events (`ts div 1000`)
-          val us = g.getLong("ts", 0) / 1000L
-          def has(f: String): Boolean = g.getFieldRepetitionCount(f) > 0
-          // payload mirrors Pipeline.eventsAsEnvelopes' to_json projection:
-          // same field order, null fields omitted
-          val sb = new java.lang.StringBuilder(160)
-          sb.append("{")
-          if (has("event_type")) {
-            sb.append("\"log_type\":"); jsonStr(sb, g.getString("event_type", 0)); sb.append(',')
+    val buf = Vector.newBuilder[Raw]
+    parquetFiles(eventsPath).foreach { file =>
+      val reader = ParquetReader.builder(new GroupReadSupport(), file).build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          val eventId = g.getLong("event_id", 0)
+          if (shardOf(eventId.toString, nShards) == shard) {
+            def has(f: String): Boolean = g.getFieldRepetitionCount(f) > 0
+            // ns→µs truncation identical to Tables.events (`ts div 1000`)
+            buf += Raw(eventId, g.getLong("ts", 0) / 1000L,
+              if (has("event_type")) g.getString("event_type", 0) else null,
+              if (has("user_id")) Long.box(g.getLong("user_id", 0)) else null,
+              if (has("value")) Double.box(g.getDouble("value", 0)) else null,
+              if (has("props")) g.getString("props", 0) else null)
           }
-          sb.append("\"time\":\"").append(TsFmt.format(
-            java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
-              Math.floorMod(us, 1000000L) * 1000L))).append("\",")
-          sb.append("\"log_id\":"); jsonStr(sb, pk)
-          if (has("user_id")) sb.append(",\"user_id\":").append(g.getLong("user_id", 0))
-          if (has("value")) sb.append(",\"value\":").append(g.getDouble("value", 0))
-          if (has("props")) { sb.append(",\"props\":"); jsonStr(sb, g.getString("props", 0)) }
-          sb.append('}')
-          buf += eventId -> Rec(pk, us,
-            sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          g = reader.read()
         }
-        g = reader.read()
-      }
-    } finally reader.close()
-    buf.result().sortBy(_._1)
+      } finally reader.close()
+    }
+    buf.result().sortBy(_.eventId)
       .slice(from.toInt, math.min(until, Int.MaxValue.toLong).toInt)
-      .map(_._2).toArray
+      .map(serialize).toArray
+  }
+
+  /** Payload mirrors Pipeline.eventsAsEnvelopes' to_json projection: same
+    * field order, null fields omitted. */
+  private def serialize(r: Raw): Rec = {
+    val sb = new java.lang.StringBuilder(160)
+    sb.append("{")
+    if (r.eventType != null) {
+      sb.append("\"log_type\":"); jsonStr(sb, r.eventType); sb.append(',')
+    }
+    sb.append("\"time\":\"").append(TsFmt.format(
+      java.time.Instant.ofEpochSecond(Math.floorDiv(r.us, 1000000L),
+        Math.floorMod(r.us, 1000000L) * 1000L))).append("\",")
+    sb.append("\"log_id\":"); jsonStr(sb, r.eventId.toString)
+    if (r.userId != null) sb.append(",\"user_id\":").append(r.userId.longValue)
+    if (r.value != null) sb.append(",\"value\":").append(r.value.doubleValue)
+    if (r.props != null) { sb.append(",\"props\":"); jsonStr(sb, r.props) }
+    sb.append('}')
+    Rec(r.eventId.toString, r.us,
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 }
 

@@ -96,8 +96,11 @@ class RouterSpec extends SparkSpec {
     forms.zip(got).foreach { case (f, t) =>
       assert(t.contains(expect), s"'$f' parsed to $t")
     }
-    // still-unparseable day-name junk dead-letters (null), not mis-parses
-    val bad = Seq("Xyz, 15 Sep 2020 10:21:33 GMT", "Tuesday the fifteenth")
+    // still-unparseable day-name junk dead-letters (null), not mis-parses;
+    // '…Sep 20…' guards that text-leniency did NOT relax numeric widths
+    // (whole-formatter parseLenient would read it as year 20 AD)
+    val bad = Seq("Xyz, 15 Sep 2020 10:21:33 GMT", "Tuesday the fifteenth",
+      "Tue, 15 Sep 20 10:21:33")
       .toDF("ts").select(Router.lenientTimestamp(col("ts"))).as[Option[java.sql.Timestamp]].collect()
     assert(bad.forall(_.isEmpty))
   }
