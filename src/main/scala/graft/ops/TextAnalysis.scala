@@ -17,10 +17,14 @@ object TextAnalysis {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
-  /** BPE-ish subword count: word-piece regex splits on transitions, giving
-    * a crude-but-deterministic proxy for LLM token counts. */
-  def subwordCount(c: Column): Column =
-    size(split(trim(c), "(?<=[a-z])(?=[A-Z])|[\\s]+|(?<=[a-zA-Z])(?=\\d)|(?<=\\d)(?=[a-zA-Z])"))
+  /** BPE-ish subword count: letter runs, digit runs, and single
+    * punctuation marks each count as one piece (the GPT-2 pre-tokenizer's
+    * coarse shape), giving a crude-but-deterministic proxy for LLM token
+    * counts. Kept lookaround-free so RE2 engines (DuckDB's oracle among
+    * them) reproduce it byte-for-byte. */
+  val SubwordRe = "[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]"
+
+  def subwordCount(c: Column): Column = regexp_count(c, lit(SubwordRe))
 
   /** Characters that are a-z after lowercasing, as fraction of all chars. */
   def alphaRatio(c: Column): Column =

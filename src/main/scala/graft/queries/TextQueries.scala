@@ -26,6 +26,19 @@ object TextQueries {
           count(lit(1)).as("n_docs"))
         .orderBy("lang")),
 
+    // BPE-ish subword statistics: the LLM-token-count proxy next to the
+    // whitespace count — fertility (subwords per whitespace token) is the
+    // standard tokenizer-pressure signal per language bucket
+    "txt_subword_stats" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("n_sub", TextAnalysis.subwordCount(col("text")))
+        .withColumn("n_tok", TextAnalysis.tokenCount(col("text")))
+        .groupBy("lang")
+        .agg(sum("n_sub").as("total_subwords"),
+          round(avg("n_sub"), 4).as("avg_subwords"),
+          round(avg(col("n_sub").cast("double") / col("n_tok")), 4).as("fertility"))
+        .orderBy("lang")),
+
     // Quality scoring aggregates
     "txt_quality" -> ((s, dir) =>
       docs(s, dir)
@@ -253,6 +266,15 @@ object TextQueries {
         |       CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
         |       round(avg(len(string_split_regex(trim(text), '\s+'))), 4) AS avg_tokens,
         |       count(*) AS n_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "txt_subword_stats" ->
+      """SELECT lang,
+        |       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))) AS BIGINT)
+        |         AS total_subwords,
+        |       round(avg(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))), 4)
+        |         AS avg_subwords,
+        |       round(avg(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) * 1.0
+        |                 / len(string_split_regex(trim(text), '\s+'))), 4) AS fertility
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "txt_quality" ->
       """SELECT lang,

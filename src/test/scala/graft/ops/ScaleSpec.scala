@@ -9,6 +9,50 @@ import graft.SparkSpec
 class ScaleSpec extends SparkSpec {
   import spark.implicits._
 
+  test("scale rehearsal replication preserves distributions, disjoint ids") {
+    val src = "/root/testdata/sf0.001"
+    val dst = java.nio.file.Files.createTempDirectory("rehearsal").toString
+    graft.ScaleRehearsal.replicate(spark, src, dst, copies = 2)
+
+    // counts double; ids stay unique (remapped, not duplicated)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev0 = spark.read.parquet(s"$src/events.parquet")
+    val ev2 = spark.read.parquet(s"$dst/events.parquet")
+    assert(ev2.count() == 2 * ev0.count())
+    assert(ev2.select("event_id").distinct().count() == ev2.count())
+
+    // documents: per-replica token counts are preserved (suffixing tokens
+    // must not change tokenization), so total tokens exactly double
+    def totTokens(path: String) = spark.read.parquet(path)
+      .select(sum(size(split(trim(col("text")), "\\s+")))).as[Long].head()
+    assert(totTokens(s"$dst/documents.parquet") == 2 * totTokens(s"$src/documents.parquet"))
+    val d2 = spark.read.parquet(s"$dst/documents.parquet")
+    assert(d2.select("doc_id").distinct().count() == d2.count())
+    // n_chars recomputed for the perturbed text
+    assert(d2.filter(length(col("text")) =!= col("n_chars")).count() == 0)
+
+    // embeddings: cyclic rotation preserves the norm of every replica
+    def norms(path: String) = spark.read.parquet(path)
+      .select(round(aggregate(transform(col("embedding").cast("array<double>"),
+        x => x * x), lit(0.0), (a, x) => a + x), 6).as("n2"))
+      .groupBy("n2").count().orderBy("n2")
+      .as[(Double, Long)].collect().toSeq
+    val base = norms(s"$src/embeddings.parquet")
+    assert(norms(s"$dst/embeddings.parquet") == base.map { case (n, c) => (n, 2 * c) })
+
+    // passthrough tables copied byte-identically
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$src/region.parquet")),
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dst/region.parquet"))))
+  }
+
+  test("BPE-ish subword count: letter runs, digit runs, punctuation marks") {
+    val got = Seq("hello, world42 x-ray").toDF("t")
+      .select(graft.ops.TextAnalysis.subwordCount(col("t"))).as[Int].head()
+    // [hello][,][world][42][x][-][ray] = 7
+    assert(got == 7)
+  }
+
   test("salted aggregation equals direct aggregation (skew-safe)") {
     // 90% of rows share one hot key
     val df = (1 to 2000).map(i => (if (i % 10 == 0) s"k${i % 7}" else "hot", i.toDouble))
