@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.KMinStrings
+
+/** KMV (k-minimum-values) distinct-count sketch — the PORTABLE
+  * approximate-distinct (Bar-Yossef et al., "Counting distinct elements
+  * in a data stream", RANDOM 2002).
+  *
+  * HyperLogLog (`approx_count_distinct`) is engine-specific: its register
+  * layout and hash are not reproducible outside Spark, so its estimates
+  * can only be range-checked. KMV keeps the k smallest distinct hashes of
+  * the values instead; with a universal hash (md5), any engine reproduces
+  * the exact same retained set and therefore the exact same estimate —
+  * DuckDB replays it as `substr(md5(v), 1, 16)` + the same arithmetic.
+  *
+  * Estimator: with H_k = the kth smallest hash mapped to [0, 2^64), the
+  * distinct count ≈ (k-1) * 2^64 / H_k; when fewer than k distinct hashes
+  * exist the sketch is exact (it holds all of them). Standard error is
+  * about 1/sqrt(k-2) — k=64 gives ~13%, k=1024 ~3%.
+  *
+  * Scale: the group state is ≤ k 16-char strings regardless of input
+  * size, and [[KMinStrings]] is a TypedImperativeAggregate so the combine
+  * is map-side partial — each partition ships at most k hashes per group.
+  */
+object Sketch {
+
+  /** First 8 bytes of md5 as fixed-width lowercase hex. Lexicographic
+    * order on the hex equals unsigned numeric order, and DuckDB computes
+    * the identical string via substr(md5(v::VARCHAR), 1, 16). */
+  def hashHex(c: Column): Column =
+    substring(md5(c.cast("string").cast("binary")), 1, 16)
+
+  private val TwoPow64 = math.pow(2, 64) // exactly representable
+
+  /** The KMV estimate from a sorted-ascending hash array (the output of
+    * [[KMinStrings]]). Exact (= array size) below k distinct values. */
+  def kmvEstimate(arr: Column, k: Int): Column = {
+    val hk = conv(element_at(arr, k), 16, 10).cast("double")
+    when(size(arr) < k, size(arr).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(TwoPow64) / hk)
+  }
+
+  /** kmin_strings over the md5 hash of `valueCol` — the full sketch as a
+    * single aggregate Column, for use inside any groupBy. */
+  def kmvSketch(valueCol: Column, k: Int): Column =
+    KMinStrings.kmin_strings(hashHex(valueCol), k)
+}

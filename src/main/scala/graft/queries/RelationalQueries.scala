@@ -325,6 +325,74 @@ object RelationalQueries {
         approx_count_distinct("event_type").as("approx_types"))
     }),
 
+    // KMV distinct sketch: the PORTABLE approximate-distinct — unlike the
+    // HLL above, the md5-hashed k-minimum-values state is reproducible in
+    // DuckDB, so the ESTIMATE itself is oracle-checked bit-for-bit.
+    // Exact countDistinct alongside shows the estimator's error live.
+    "q_kmv_distinct" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          graft.ops.Sketch.kmvSketch(col("user_id"), 64).as("arr"),
+          countDistinct("user_id").as("n_exact"))
+        .select(col("event_type"), col("n_exact"),
+          round(graft.ops.Sketch.kmvEstimate(col("arr"), 64), 2).as("kmv_users"))
+        .orderBy("event_type")),
+
+    // GROUPING SETS: explicit grouping combinations (finer control than
+    // rollup/cube) in one Expand pass — no multi-scan union
+    "q_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy("status", "priority")),
+
+    // Skew-salted join: fact salted into 8 buckets, dim replicated 8× —
+    // the hot-key spreading technique, oracle-proven equal to the plain
+    // join (salting must never change the result multiset)
+    "q_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+      val o = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+      graft.ops.Skew.saltedEquiJoin(li, o, "l_orderkey", "o_orderkey",
+          buckets = 8, factSaltOn = Seq("l_orderkey", "l_linenumber"))
+        .groupBy("o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Tumbling event-time window (the Structured Streaming window() fn,
+    // batch-planned): 15-min epoch-aligned buckets
+    "q_tumbling_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("window_start", "event_type")),
+
+    // Native session_window(): 30-min-gap sessions per user — same
+    // semantics the streaming sessionizer uses, here batch-planned; the
+    // oracle replays it as gaps-and-islands (new session iff gap >= 30min,
+    // Spark merges sessions only on STRICT overlap)
+    "q_session_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+        .select(col("user_id"),
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"), col("total_value"))
+        .orderBy("user_id", "session_start")),
+
     // Sessionization via lag(): >30 min gap starts a new session
     "q_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -500,6 +568,53 @@ object RelationalQueries {
         |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY 1, 2""".stripMargin,
+    "q_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT event_type, substr(md5(user_id::VARCHAR), 1, 16) AS hx
+        |           FROM events),
+        |r AS (SELECT event_type, hx,
+        |             row_number() OVER (PARTITION BY event_type ORDER BY hx) AS rn,
+        |             count(*) OVER (PARTITION BY event_type) AS nd
+        |      FROM h),
+        |est AS (SELECT event_type,
+        |               CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
+        |                    ELSE 63.0 * 18446744073709551616.0 /
+        |                         (('0x' || max(CASE WHEN rn = 64 THEN hx END))::UBIGINT::DOUBLE)
+        |               END AS kmv
+        |        FROM r WHERE rn <= 64 GROUP BY event_type),
+        |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1)
+        |SELECT e.event_type, ex.n_exact, round(e.kmv, 2) AS kmv_users
+        |FROM est e JOIN ex ON e.event_type = ex.event_type
+        |ORDER BY e.event_type""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY 1, 2""".stripMargin,
+    "q_salted_join" ->
+      """SELECT o_orderpriority,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_tumbling_window" ->
+      """SELECT strftime(time_bucket(INTERVAL 15 MINUTE, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_session_window" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |              THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |                              ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM x)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
     "q_sessionize" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         |  SELECT user_id,

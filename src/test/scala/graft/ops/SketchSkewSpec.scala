@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.{KMinBuffer, KMinStrings}
+
+class SketchSkewSpec extends SparkSpec {
+
+  test("KMinBuffer keeps the k smallest distinct strings") {
+    val buf = new KMinBuffer(3)
+    Seq("d", "b", "e", "b", "a", "c", "a").foreach(buf.add)
+    assert(buf.sortedAsc.toSeq == Seq("a", "b", "c"))
+  }
+
+  test("KMinBuffer merge equals single-buffer ingest and survives serde") {
+    val all = (1 to 50).map(i => f"v$i%03d")
+    val (l, r) = scala.util.Random.shuffle(all).splitAt(25)
+    val a = new KMinBuffer(8); l.foreach(a.add)
+    val b = new KMinBuffer(8); r.foreach(b.add)
+    val roundTripped = KMinBuffer.fromBytes(8, b.toBytes)
+    a.addAll(roundTripped)
+    val whole = new KMinBuffer(8); all.foreach(whole.add)
+    assert(a.sortedAsc.toSeq == whole.sortedAsc.toSeq)
+  }
+
+  test("kmin_strings is exact below k and bounded at k") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => s"u${i % 10}").toDF("v")
+      .agg(KMinStrings.kmin_strings(col("v"), 64).as("arr"),
+        KMinStrings.kmin_strings(col("v"), 4).as("arr4"))
+    val row = df.head()
+    assert(row.getSeq[String](0).sorted == (0 to 9).map(i => s"u$i"))
+    assert(row.getSeq[String](1).size == 4)
+  }
+
+  test("KMV estimate lands within 4 standard errors of the truth") {
+    import spark.implicits._
+    val k = 64
+    val n = 5000
+    val est = (1 to n).map(i => s"user-$i").toDF("v")
+      .agg(Sketch.kmvSketch(col("v"), k).as("arr"))
+      .select(Sketch.kmvEstimate(col("arr"), k).as("est"))
+      .head().getDouble(0)
+    val se = n / math.sqrt(k - 2) // ~12.7% of n at k=64
+    assert(math.abs(est - n) < 4 * se, s"estimate $est too far from $n")
+  }
+
+  test("KMV estimate is invariant to partitioning layout") {
+    import spark.implicits._
+    val data = (1 to 2000).map(i => s"id-${i % 700}")
+    def estimate(parts: Int): Double =
+      data.toDF("v").repartition(parts)
+        .agg(Sketch.kmvSketch(col("v"), 32).as("arr"))
+        .select(Sketch.kmvEstimate(col("arr"), 32).as("est"))
+        .head().getDouble(0)
+    assert(estimate(1) == estimate(13))
+  }
+
+  test("salted equi-join equals the plain join result") {
+    import spark.implicits._
+    // skewed fact: key 1 carries half the rows
+    val fact = ((1 to 500).map(i => (1L, i.toLong)) ++
+      (1 to 500).map(i => ((i % 50 + 2).toLong, i.toLong + 1000)))
+      .toDF("k", "payload")
+    val dim = (1L to 60L).map(i => (i, s"dim-$i")).toDF("dk", "name")
+    val plain = fact.join(dim, col("k") === col("dk"))
+      .groupBy("name").agg(count(lit(1)).as("n"), sum("payload").as("s"))
+    val salted = Skew.saltedEquiJoin(fact, dim, "k", "dk",
+        buckets = 8, factSaltOn = Seq("k", "payload"))
+      .groupBy("name").agg(count(lit(1)).as("n"), sum("payload").as("s"))
+    assert(plain.except(salted).isEmpty && salted.except(plain).isEmpty)
+    assert(salted.count() == plain.count())
+  }
+}
