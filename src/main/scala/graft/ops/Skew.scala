@@ -30,8 +30,12 @@ object Skew {
                      factKey: String, dimKey: String,
                      buckets: Int, factSaltOn: Seq[String]): DataFrame = {
     require(buckets > 1 && buckets <= 4096, "buckets must be in (1, 4096]")
+    // known_not_null: without it InferFiltersFromConstraints pushes
+    // isnotnull(pmod(xxhash64(...))) below this projection and the salt
+    // hash is evaluated twice per row (once in a Filter, once here)
     val salted = fact.withColumn("__fact_salt",
-      pmod(xxhash64(factSaltOn.map(col): _*), lit(buckets.toLong)))
+      graft.functions.GraftFunctions.known_not_null(
+        pmod(xxhash64(factSaltOn.map(col): _*), lit(buckets.toLong))))
     val replicated = dim.withColumn("__dim_salt",
       explode(lit((0L until buckets.toLong).toArray)))
     salted

@@ -329,15 +329,21 @@ object RelationalQueries {
     // HLL above, the md5-hashed k-minimum-values state is reproducible in
     // DuckDB, so the ESTIMATE itself is oracle-checked bit-for-bit.
     // Exact countDistinct alongside shows the estimator's error live.
-    "q_kmv_distinct" -> ((s, dir) =>
-      t(s, dir, "events")
-        .groupBy("event_type")
-        .agg(
-          graft.ops.Sketch.kmvSketch(col("user_id"), 64).as("arr"),
-          countDistinct("user_id").as("n_exact"))
-        .select(col("event_type"), col("n_exact"),
+    // NB: the exact count is a SEPARATE aggregation joined on the (tiny)
+    // group key — countDistinct in the same agg makes Spark pre-aggregate
+    // by (group, value), shipping one sketch buffer per distinct value
+    // across the first exchange and defeating the ≤k-per-group bound.
+    "q_kmv_distinct" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val sketch = ev.groupBy("event_type")
+        .agg(graft.ops.Sketch.kmvSketch(col("user_id"), 64).as("arr"))
+        .select(col("event_type"),
           round(graft.ops.Sketch.kmvEstimate(col("arr"), 64), 2).as("kmv_users"))
-        .orderBy("event_type")),
+      val exact = ev.groupBy("event_type").agg(countDistinct("user_id").as("n_exact"))
+      sketch.join(exact, "event_type")
+        .select("event_type", "n_exact", "kmv_users")
+        .orderBy("event_type")
+    }),
 
     // GROUPING SETS: explicit grouping combinations (finer control than
     // rollup/cube) in one Expand pass — no multi-scan union

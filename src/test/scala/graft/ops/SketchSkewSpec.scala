@@ -57,6 +57,34 @@ class SketchSkewSpec extends SparkSpec {
     assert(estimate(1) == estimate(13))
   }
 
+  private def planOf(name: String): String =
+    org.apache.spark.sql.graft.Bridge.executedPlan(
+      graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")).toString
+
+  private def occurrences(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("q_kmv_distinct plan keeps the sketch bounded per group") {
+    val plan = planOf("q_kmv_distinct")
+    // one partial + one final sketch agg, both keyed by the group column
+    // alone — a (group, value) pre-agg key (the plan shape countDistinct
+    // forces when it shares the sketch's aggregation) would ship one
+    // buffer per distinct value across the exchange instead of <=k hashes
+    // per group. The exact-count branch may keep its own (group, value)
+    // pre-agg; the sketch must not ride in it.
+    assert(occurrences(plan, "partial_kmin_strings") == 1, plan.take(2000))
+    val offending = plan.linesIterator.filter(l =>
+      l.contains("kmin_strings") && l.matches(".*keys=\\[event_type#\\d+, user_id.*"))
+    assert(offending.isEmpty, offending.mkString("\n"))
+  }
+
+  test("q_salted_join plan evaluates the salt hash once per fact row") {
+    val plan = planOf("q_salted_join")
+    // without KnownNotNull, InferFiltersFromConstraints duplicates the
+    // pmod(xxhash64(...)) expression into a pushed-down isnotnull Filter
+    assert(occurrences(plan, "xxhash64") == 1, plan.take(2000))
+  }
+
   test("salted equi-join equals the plain join result") {
     import spark.implicits._
     // skewed fact: key 1 carries half the rows
