@@ -108,6 +108,25 @@ object TextAnalysis {
       .otherwise("test")
   }
 
+  /** Deterministic stratified downsampling: keep a row iff its id-hash
+    * bucket (first 4 md5 hex chars → [0, 65536)) falls below the
+    * stratum's target rate. The decision is a pure function of the id, so
+    * it is stable under reprocessing, independent of row order and
+    * partitioning, and reproducible by any engine with md5 — the standard
+    * majority-class rebalancing step of a training-data pipeline. At
+    * scale this is a shuffle-free codegen'd filter (the rate ladder is a
+    * constant expression, no join against a rates table). */
+  def stratifiedKeep(idCol: Column, stratumCol: Column,
+                     rates: Map[String, Double], defaultRate: Double = 1.0): Column = {
+    require((defaultRate +: rates.values.toSeq).forall(r => r >= 0.0 && r <= 1.0),
+      "rates must be in [0, 1]")
+    val bucket = conv(substring(md5(idCol.cast("string")), 1, 4), 16, 10).cast("int")
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (k, v)) => when(stratumCol === k, lit(v)).otherwise(acc)
+    }
+    bucket < rate * lit(65536.0)
+  }
+
   /** Context-window packing: assign documents (in `orderCol` order) to
     * consecutive bins of ≤ `budget` tokens — the sequential-fill packing a
     * pretraining pipeline uses to build fixed-size samples. A document

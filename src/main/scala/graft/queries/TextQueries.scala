@@ -139,6 +139,16 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
         .orderBy("split")),
 
+    // Stratified sample: majority-language downsampling (en 30%, zh 60%,
+    // rest kept) via the deterministic id-hash rate filter
+    "txt_stratified_sample" -> ((s, dir) =>
+      docs(s, dir)
+        .filter(TextAnalysis.stratifiedKeep(col("doc_id"), col("lang"),
+          Map("en" -> 0.3, "zh" -> 0.6)))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+        .orderBy("lang")),
+
     // Context-window packing: sequential fill into 4096-token bins
     "txt_pack_bins" -> ((s, dir) => {
       val withTokens = docs(s, dir)
@@ -370,6 +380,14 @@ object TextQueries {
         |       CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens
         |FROM (SELECT text, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,4)) AS INTEGER) % 100 AS b
         |      FROM documents) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "txt_stratified_sample" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM (SELECT lang, n_chars,
+        |             ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INTEGER AS b,
+        |             CASE lang WHEN 'en' THEN 0.3 WHEN 'zh' THEN 0.6 ELSE 1.0 END AS r
+        |      FROM documents) t
+        |WHERE b < r * 65536
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "txt_pack_bins" ->
       """WITH t AS (

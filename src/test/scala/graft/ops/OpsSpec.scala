@@ -355,4 +355,18 @@ class OpsSpec extends SparkSpec {
       .select("frame_idx").as[Int].collect().toSeq.sorted
     assert(frames == Seq(0, 2)) // 4 frames, every 2nd
   }
+
+  test("stratified sampling: deterministic, rate-respecting, layout-independent") {
+    val docs = (1L to 2000L).map(i => (i, if (i % 4 == 0L) "minor" else "major"))
+      .toDF("id", "stratum")
+    def kept(parts: Int): Seq[Long] = docs.repartition(parts)
+      .filter(TextAnalysis.stratifiedKeep(col("id"), col("stratum"),
+        Map("major" -> 0.25), defaultRate = 1.0))
+      .select("id").as[Long].collect().toSeq.sorted
+    val once = kept(1)
+    assert(once == kept(7)) // pure function of the id — layout-independent
+    val majorKept = once.count(_ % 4 != 0L).toDouble / 1500
+    assert(math.abs(majorKept - 0.25) < 0.05, s"major keep rate $majorKept")
+    assert(once.count(_ % 4 == 0L) == 500) // default rate 1.0 keeps every minor row
+  }
 }
