@@ -375,6 +375,19 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // Bloom-pruned semi join: a ~100 KB sketch of the dim keys evaluated
+    // inside the fact scan drops non-matching rows BEFORE the exchange;
+    // the exact semi join after removes false positives, so the result
+    // equals the plain semi join (which is what the oracle runs)
+    "q_bloom_semi_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      graft.ops.BloomJoin.semiJoinPruned(t(s, dir, "orders"), cust,
+          "o_custkey", "c_custkey", expectedItems = 100000L, numBits = 800000L)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Tumbling event-time window (the Structured Streaming window() fn,
     // batch-planned): 15-min epoch-aligned buckets
     "q_tumbling_window" -> ((s, dir) =>
@@ -603,6 +616,12 @@ object RelationalQueries {
         |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
         |       count(*) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_bloom_semi_join" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM customer
+        |              WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_tumbling_window" ->
       """SELECT strftime(time_bucket(INTERVAL 15 MINUTE, ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -85,6 +85,28 @@ class SketchSkewSpec extends SparkSpec {
     assert(occurrences(plan, "xxhash64") == 1, plan.take(2000))
   }
 
+  test("bloom-pruned semi join equals the plain semi join, prune in plan") {
+    import spark.implicits._
+    val fact = (1L to 3000L).map(i => (i % 500, i)).toDF("k", "payload")
+    val dim = (1L to 40L).map(i => i * 7).toDF("dk") // sparse key subset
+    val plain = fact.join(dim, col("k") === col("dk"), "left_semi")
+    val pruned = BloomJoin.semiJoinPruned(fact, dim, "k", "dk",
+      expectedItems = 100L, numBits = 4096L)
+    assert(pruned.except(plain).isEmpty && plain.except(pruned).isEmpty)
+    assert(pruned.count() == plain.count())
+    // plan shape over the parquet-backed query (local Seq fixtures get
+    // constant-folded by ConvertToLocalRelation, hiding the filter):
+    // the bloom-probe Filter must sit BELOW the semi join, directly over
+    // the fact scan — pruning before the join, not after
+    val lines = planOf("q_bloom_semi_join").linesIterator.toVector
+    val joinIdx = lines.indexWhere(_.contains("LeftSemi"))
+    val probeIdx = lines.indexWhere(_.contains("might_contain"))
+    val scanIdx = lines.indexWhere(l =>
+      l.contains("FileScan") && l.contains("orders.parquet"))
+    assert(joinIdx >= 0 && probeIdx > joinIdx && scanIdx == probeIdx + 1,
+      lines.map(_.take(120)).mkString("\n"))
+  }
+
   test("salted equi-join equals the plain join result") {
     import spark.implicits._
     // skewed fact: key 1 carries half the rows
