@@ -42,4 +42,34 @@ object IntervalJoin {
             <= lit(toleranceMs * 1000L))
       .drop("_bin", "_rbin")
   }
+
+  /** Integer-value sibling of [[within]]: pairs with equal keys whose
+    * numeric columns differ by at most `tolerance` (inclusive).
+    *
+    * Same bin-explode construction — a raw `|v_l − v_r| <= tol` is a
+    * non-equi predicate, so Spark would fall back to key-equality plus
+    * post-filter: all-pairs within each key. Bucketing the value into
+    * tolerance-width bins restores an equi-join on (key, bin); each true
+    * pair matches in exactly one exploded bin (the right row's own), so
+    * no dedup is needed and per-bucket work is local density × 3. */
+  def withinValue(left: DataFrame, right: DataFrame,
+                  leftKey: String, rightKey: String,
+                  leftVal: String, rightVal: String,
+                  tolerance: Long): DataFrame = {
+    require(tolerance > 0)
+    def binOf(v: Column): Column = floor(v / lit(tolerance)).cast("long")
+
+    val l = left
+      .withColumn("_bin0", binOf(col(leftVal)))
+      .withColumn("_bin", explode(array(col("_bin0") - 1, col("_bin0"), col("_bin0") + 1)))
+      .drop("_bin0")
+    val r = right.columns.foldLeft(right) { (df, c) =>
+      df.withColumnRenamed(c, s"r_$c")
+    }.withColumn("_rbin", binOf(col(s"r_$rightVal")))
+
+    l.join(r,
+        col(leftKey) === col(s"r_$rightKey") && col("_bin") === col("_rbin") &&
+          abs(col(leftVal) - col(s"r_$rightVal")) <= lit(tolerance))
+      .drop("_bin", "_rbin")
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, TextAnalysis}
+import graft.ops.{Dedup, IntervalJoin, Multimodal, TextAnalysis}
 
 /** Text-analysis / dedup / multimodal queries over `documents`.
   * Oracle-checked where DuckDB can express the same computation; the
@@ -198,18 +198,23 @@ object TextQueries {
 
     // n-gram Jaccard near-dups with blocking (same source + similar
     // length) — candidate universe stays near-linear in corpus size, the
-    // verifier scales with |pairs|. Oracle-checked: the blocking is
-    // relational and the Jaccard arithmetic is exact integer division,
-    // identical across engines (shingle-hash collisions aside).
+    // verifier scales with |pairs|. The length band is a non-equi
+    // predicate, so it rides on IntervalJoin.withinValue: n_chars bucketed
+    // into width-32 bins, equi-join on (source, bin) with ±1-bin explode,
+    // exact |Δn_chars| <= 32 kept as the post-filter — per-source work is
+    // local length-density × 3, not all-pairs. Oracle-checked: the
+    // blocking is relational and the Jaccard arithmetic is exact integer
+    // division, identical across engines (shingle-hash collisions aside).
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val d = docs(s, dir)
       val keyed = d.select(col("doc_id"), col("source"), col("n_chars"))
-      val a = keyed.toDF("id_a", "source", "nc_a")
-      val b = keyed.toDF("id_b", "source_b", "nc_b")
-      val pairs = a.join(b,
-          col("source") === col("source_b") && col("id_a") < col("id_b") &&
-            abs(col("nc_a") - col("nc_b")) <= 32)
-        .select("id_a", "id_b")
+      val pairs = IntervalJoin.withinValue(
+          keyed.toDF("id_a", "source", "nc_a"),
+          keyed.toDF("id_b", "source", "nc_b"),
+          leftKey = "source", rightKey = "source",
+          leftVal = "nc_a", rightVal = "nc_b", tolerance = 32)
+        .filter(col("id_a") < col("r_id_b"))
+        .select(col("id_a"), col("r_id_b").as("id_b"))
       Dedup.jaccardVerify(pairs, d, "doc_id", "text")
         .filter(col("jaccard") >= 0.2)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))

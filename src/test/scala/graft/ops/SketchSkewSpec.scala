@@ -107,6 +107,18 @@ class SketchSkewSpec extends SparkSpec {
       lines.map(_.take(120)).mkString("\n"))
   }
 
+  test("dedup_ngram_jaccard blocks on (source, length-bin) equi-keys") {
+    val plan = planOf("dedup_ngram_jaccard")
+    // the candidate join must be an equi-join whose keys include the
+    // width-32 length bin — source-only equi-keys would plan the length
+    // band as a post-filter, making candidate generation per-source
+    // all-pairs (quadratic in the dominant source at scale)
+    val joinLine = plan.linesIterator.find(l =>
+      l.contains("Join") && l.contains("_bin") && l.contains("_rbin"))
+    assert(joinLine.isDefined, plan.take(3000))
+    assert(joinLine.get.contains("source"), joinLine.get)
+  }
+
   test("salted equi-join equals the plain join result") {
     import spark.implicits._
     // skewed fact: key 1 carries half the rows
