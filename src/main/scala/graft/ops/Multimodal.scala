@@ -7,13 +7,14 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed batch-wise per partition.
   *
-  * The decode kernels are STUBBED (this container has no image/audio
-  * codecs): [[StubKernels]] produces deterministic fake features from the
-  * bytes. Everything Spark-side — the schema contract, the per-partition
-  * batch iteration (the Scala analog of `mapInPandas`: one kernel instance
-  * per partition, streamed row batches, no driver collect), partitioning,
-  * and the typed output — is real and tested. A production deployment
-  * swaps `Kernel` implementations only.
+  * Two kernel families ship: [[JdkKernels]] are REAL decoders — PNG/JPEG/
+  * BMP/GIF via `javax.imageio` and 16-bit PCM WAV via `javax.sound.sampled`,
+  * both part of the JDK, zero added dependencies — and [[StubKernels]]
+  * keeps a deterministic bytes-only kernel for plumbing tests that must not
+  * depend on any codec. The Spark side — the schema contract, the
+  * per-partition batch iteration (the Scala analog of `mapInPandas`: one
+  * kernel instance per partition, streamed row batches, no driver collect),
+  * partitioning, and the typed output — is shared by both.
   */
 object Multimodal {
 
@@ -36,9 +37,10 @@ object Multimodal {
     def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures]
   }
 
-  /** Deterministic stand-in for real codecs: feature = 8 floats derived
-    * from xxhash of content windows; n_frames = byte-length-based. A real
-    * implementation would decode image/audio here (`???` seam). */
+  /** Deterministic codec-free kernel: feature = 8 floats derived from an
+    * MD5 of the content; n_frames = byte-length-based. Kept for plumbing
+    * tests that must be independent of any codec ([[JdkKernels]] holds the
+    * real decoders). */
   object StubKernels {
     val imageFeature: Kernel = new Kernel {
       override def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
@@ -52,7 +54,175 @@ object Multimodal {
             n_frames = (r.content.length / 1024) + 1)
         }
     }
-    // def realImageDecode: Kernel = ??? // would wrap an image codec library
+  }
+
+  /** Per-image decoded features. Undecodable content (truncated file,
+    * unknown format) is reported, not thrown: `decodable = false` with
+    * zeroed features — a reject channel the caller can route, mirroring
+    * the pipeline's dead-letter discipline. */
+  final case class ImageFeatures(media_id: Long, width: Int, height: Int,
+                                 mean_r: Double, mean_g: Double, mean_b: Double,
+                                 decodable: Boolean)
+
+  /** Per-clip decoded audio features (16-bit PCM via `javax.sound`). */
+  final case class AudioFeatures(media_id: Long, sample_rate: Int, channels: Int,
+                                 n_samples: Long, rms: Double, decodable: Boolean)
+
+  /** Real decode kernels on JDK-shipped codecs — `javax.imageio`
+    * (PNG/JPEG/BMP/GIF/TIFF) and `javax.sound.sampled` (WAV/PCM). No
+    * external dependency; the same per-partition batching discipline as
+    * every other kernel. */
+  object JdkKernels {
+
+    def decodeImage(r: MediaRow): ImageFeatures =
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+        if (img == null) ImageFeatures(r.media_id, 0, 0, 0.0, 0.0, 0.0, decodable = false)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          ImageFeatures(r.media_id, w, h,
+            sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, decodable = true)
+        }
+      } catch {
+        case _: Exception => ImageFeatures(r.media_id, 0, 0, 0.0, 0.0, 0.0, decodable = false)
+      }
+
+    def decodeAudio(r: MediaRow): AudioFeatures =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.content))
+        try {
+          val fmt = in.getFormat
+          val bytes = in.readAllBytes()
+          val bits = fmt.getSampleSizeInBits
+          require(bits == 16, s"only 16-bit PCM supported, got $bits")
+          val big = fmt.isBigEndian
+          val n = bytes.length / 2
+          var sumSq = 0L
+          var i = 0
+          while (i < n) {
+            val lo = bytes(2 * i) & 0xff
+            val hi = bytes(2 * i + 1) & 0xff
+            val s = (if (big) (lo << 8) | hi else (hi << 8) | lo).toShort.toInt
+            sumSq += s.toLong * s
+            i += 1
+          }
+          val frames = n / fmt.getChannels
+          AudioFeatures(r.media_id, fmt.getSampleRate.toInt, fmt.getChannels,
+            frames.toLong, if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n),
+            decodable = true)
+        } finally in.close()
+      } catch {
+        case _: Exception => AudioFeatures(r.media_id, 0, 0, 0L, 0.0, decodable = false)
+      }
+
+    /** [[Kernel]]-conforming real image kernel for the generic
+      * `extractFeatures` seam: feature = [w, h, meanR, meanG, meanB]. */
+    val imageFeature: Kernel = new Kernel {
+      override def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] = {
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val md = java.security.MessageDigest.getInstance("MD5").digest(r.content)
+          val f = decodeImage(r)
+          MediaFeatures(r.media_id, r.content.length.toLong,
+            md.map("%02x".format(_)).mkString,
+            Array(f.width.toFloat, f.height.toFloat,
+              f.mean_r.toFloat, f.mean_g.toFloat, f.mean_b.toFloat),
+            n_frames = if (f.decodable) 1 else 0)
+        }
+      }
+    }
+  }
+
+  /** Deterministic media synthesizers for fixtures and oracled probes: the
+    * raster/sample values are pure integer functions of the id, so an
+    * external engine can compute the EXPECTED decoded features analytically
+    * while Spark proves the real encode→decode codec round-trip (PNG and
+    * PCM are lossless). */
+  object Synth {
+    def rasterPixel(id: Long, x: Int, y: Int): (Int, Int, Int) = (
+      ((id * 31 + x * 7 + y * 13) % 256).toInt,
+      ((id * 17 + x * 11 + y * 3) % 256).toInt,
+      ((id * 23 + x * 5 + y * 19) % 256).toInt)
+
+    def rasterWidth(id: Long): Int = 8 + (id % 9).toInt
+    def rasterHeight(id: Long): Int = 8 + (id % 5).toInt
+
+    def png(id: Long): Array[Byte] = {
+      val w = rasterWidth(id)
+      val h = rasterHeight(id)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val (r, g, b) = rasterPixel(id, x, y)
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    def wavSampleCount(id: Long): Int = 1000 + (id % 7).toInt * 100
+    def wavSample(id: Long, i: Int): Int =
+      (((id * 131 + i.toLong * 7919) % 65536) - 32768).toInt
+
+    /** 16-bit little-endian mono PCM at 8 kHz in a standard 44-byte RIFF
+      * wrapper (the public WAV container layout). */
+    def wav(id: Long, sampleRate: Int = 8000): Array[Byte] = {
+      val n = wavSampleCount(id)
+      val dataLen = n * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(sampleRate).putInt(sampleRate * 2)
+        .putShort(2).putShort(16) // block align, bits/sample
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var i = 0
+      while (i < n) {
+        buf.putShort(wavSample(id, i).toShort)
+        i += 1
+      }
+      buf.array()
+    }
+  }
+
+  /** Real image decode as a dataset stage: per-partition ImageIO setup
+    * (file-cache off — decodes stay on-heap), one decode per row,
+    * reject-channel output for undecodable blobs. */
+  def decodeImages(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+    implicit val enc = Encoders.product[ImageFeatures]
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map(JdkKernels.decodeImage)
+    }
+  }
+
+  /** Real WAV/PCM decode as a dataset stage. */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    implicit val enc = Encoders.product[AudioFeatures]
+    media.mapPartitions(rows => rows.map(JdkKernels.decodeAudio))
   }
 
   /** Attach media columns to a table carrying text (the driver testdata has

@@ -272,7 +272,43 @@ object TextQueries {
         Multimodal.StubKernels.imageFeature)
         .toDF()
         .select(col("media_id"), col("n_bytes"), col("checksum"), col("n_frames"))
-        .orderBy("media_id"))
+        .orderBy("media_id")),
+
+    // REAL image decode through javax.imageio: deterministic rasters
+    // (pure integer functions of doc_id) are PNG-encoded executor-side,
+    // then decoded by the JDK codec and reduced to width/height/mean-RGB.
+    // Oracle-checked: PNG is lossless, so DuckDB reproduces the decoded
+    // features analytically from the same raster formula — the codec
+    // round-trip is what the hash match proves.
+    "mm_features_real" -> ((s, dir) => {
+      import s.implicits._
+      val ids = docs(s, dir).select(col("doc_id")).orderBy("doc_id")
+        .limit(20).as[Long]
+      val media = ids.map(id =>
+        Multimodal.MediaRow(id, Multimodal.Synth.png(id), "image/png", "synth"))
+      Multimodal.decodeImages(media).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          round(col("mean_r"), 4).as("mean_r"),
+          round(col("mean_g"), 4).as("mean_g"),
+          round(col("mean_b"), 4).as("mean_b"))
+        .orderBy("media_id")
+    }),
+
+    // REAL WAV/PCM decode through javax.sound.sampled: 16-bit mono PCM
+    // clips synthesized from a deterministic sample formula, decoded by
+    // the JDK audio codec, reduced to rate/channels/length/RMS. PCM is
+    // lossless → DuckDB reproduces the features analytically.
+    "mm_audio_real" -> ((s, dir) => {
+      import s.implicits._
+      val ids = docs(s, dir).select(col("doc_id")).orderBy("doc_id")
+        .limit(20).as[Long]
+      val media = ids.map(id =>
+        Multimodal.MediaRow(id, Multimodal.Synth.wav(id), "audio/wav", "synth"))
+      Multimodal.decodeAudio(media).toDF()
+        .select(col("media_id"), col("sample_rate"), col("channels"),
+          col("n_samples"), round(col("rms"), 4).as("rms"))
+        .orderBy("media_id")
+    })
   )
 
   val sql: Map[String, String] = Map(
@@ -507,6 +543,41 @@ object TextQueries {
     "mm_manifest" ->
       """SELECT source, count(*) AS n_blobs,
         |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // Analytic replica of the javax.imageio decode: same raster formula as
+    // Multimodal.Synth (PNG lossless ⇒ decoded pixels == generated pixels)
+    "mm_features_real" ->
+      """WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 20),
+        |dims AS (SELECT doc_id,
+        |                CAST(8 + doc_id % 9 AS INTEGER) AS w,
+        |                CAST(8 + doc_id % 5 AS INTEGER) AS h FROM d),
+        |px AS (
+        |  SELECT doc_id, w, h, xs.x AS x, ys.y AS y
+        |  FROM dims
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 16)) AS x) xs
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 12)) AS y) ys
+        |  WHERE xs.x < w AND ys.y < h)
+        |SELECT doc_id AS media_id, w AS width, h AS height,
+        |       round(sum((doc_id*31 + x*7 + y*13) % 256)::DOUBLE / (w*h), 4) AS mean_r,
+        |       round(sum((doc_id*17 + x*11 + y*3) % 256)::DOUBLE / (w*h), 4) AS mean_g,
+        |       round(sum((doc_id*23 + x*5 + y*19) % 256)::DOUBLE / (w*h), 4) AS mean_b
+        |FROM px GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    // Analytic replica of the javax.sound WAV decode: same PCM sample
+    // formula as Multimodal.Synth.wav (16-bit PCM lossless)
+    "mm_audio_real" ->
+      """WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 20),
+        |dims AS (SELECT doc_id,
+        |                1000 + CAST(doc_id % 7 AS INTEGER) * 100 AS n FROM d),
+        |sm AS (
+        |  SELECT doc_id, n, ((doc_id*131 + i.i*7919) % 65536) - 32768 AS s
+        |  FROM dims
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 1599)) AS i) i
+        |  WHERE i.i < n)
+        |SELECT doc_id AS media_id,
+        |       CAST(8000 AS INTEGER) AS sample_rate,
+        |       CAST(1 AS INTEGER) AS channels,
+        |       CAST(n AS BIGINT) AS n_samples,
+        |       round(sqrt(sum(s*s)::DOUBLE / n), 4) AS rms
+        |FROM sm GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
   )
 }

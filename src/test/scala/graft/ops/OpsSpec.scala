@@ -356,6 +356,88 @@ class OpsSpec extends SparkSpec {
     assert(frames == Seq(0, 2)) // 4 frames, every 2nd
   }
 
+  test("jdk image kernel: PNG round-trip recovers exact raster features") {
+    // generator-recorded truth, computed straight from the raster formula
+    def expected(id: Long): (Int, Int, Double, Double, Double) = {
+      val w = Multimodal.Synth.rasterWidth(id)
+      val h = Multimodal.Synth.rasterHeight(id)
+      val px = for { x <- 0 until w; y <- 0 until h }
+        yield Multimodal.Synth.rasterPixel(id, x, y)
+      (w, h,
+        px.map(_._1).sum.toDouble / (w * h),
+        px.map(_._2).sum.toDouble / (w * h),
+        px.map(_._3).sum.toDouble / (w * h))
+    }
+    val ids = Seq(0L, 3L, 17L, 44L)
+    val media = ids.toDF("id").as[Long]
+      .map(id => Multimodal.MediaRow(id, Multimodal.Synth.png(id), "image/png", "s"))
+    val got = Multimodal.decodeImages(media).collect().sortBy(_.media_id)
+    got.zip(ids.sorted).foreach { case (f, id) =>
+      val (w, h, r, g, b) = expected(id)
+      assert(f.decodable && f.width == w && f.height == h, s"id=$id $f")
+      assert(f.mean_r == r && f.mean_g == g && f.mean_b == b, s"id=$id $f")
+    }
+  }
+
+  test("jdk image kernel: BMP decodes identically, garbage rejects cleanly") {
+    val id = 7L
+    val w = Multimodal.Synth.rasterWidth(id)
+    val h = Multimodal.Synth.rasterHeight(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for { x <- 0 until w; y <- 0 until h } {
+      val (r, g, b) = Multimodal.Synth.rasterPixel(id, x, y)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    val png = Multimodal.JdkKernels.decodeImage(
+      Multimodal.MediaRow(id, Multimodal.Synth.png(id), "image/png", "s"))
+    val bmp = Multimodal.JdkKernels.decodeImage(
+      Multimodal.MediaRow(id, bos.toByteArray, "image/bmp", "s"))
+    assert(bmp == png.copy(media_id = bmp.media_id)) // both lossless codecs
+    val bad = Multimodal.JdkKernels.decodeImage(
+      Multimodal.MediaRow(9L, Array[Byte](1, 2, 3, 4), "image/png", "s"))
+    assert(!bad.decodable && bad.width == 0 && bad.height == 0)
+    val truncated = Multimodal.JdkKernels.decodeImage(
+      Multimodal.MediaRow(10L, Multimodal.Synth.png(3L).take(40), "image/png", "s"))
+    assert(!truncated.decodable)
+  }
+
+  test("jdk image kernel: JPEG decodes real dimensions (lossy means close)") {
+    val id = 12L
+    val w = Multimodal.Synth.rasterWidth(id)
+    val h = Multimodal.Synth.rasterHeight(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for { x <- 0 until w; y <- 0 until h }
+      img.setRGB(x, y, 0x808080) // flat gray — JPEG preserves it closely
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val f = Multimodal.JdkKernels.decodeImage(
+      Multimodal.MediaRow(id, bos.toByteArray, "image/jpeg", "s"))
+    assert(f.decodable && f.width == w && f.height == h)
+    assert(math.abs(f.mean_r - 0x80) < 4 && math.abs(f.mean_b - 0x80) < 4, f)
+  }
+
+  test("jdk audio kernel: WAV round-trip recovers rate, length and RMS") {
+    val ids = Seq(0L, 5L, 13L)
+    val media = ids.toDF("id").as[Long]
+      .map(id => Multimodal.MediaRow(id, Multimodal.Synth.wav(id), "audio/wav", "s"))
+    val got = Multimodal.decodeAudio(media).collect().sortBy(_.media_id)
+    got.zip(ids.sorted).foreach { case (f, id) =>
+      val n = Multimodal.Synth.wavSampleCount(id)
+      val sumSq = (0 until n).map { i =>
+        val s = Multimodal.Synth.wavSample(id, i).toLong; s * s
+      }.sum
+      assert(f.decodable && f.sample_rate == 8000 && f.channels == 1, f)
+      assert(f.n_samples == n && f.rms == math.sqrt(sumSq.toDouble / n), f)
+    }
+    val bad = Multimodal.JdkKernels.decodeAudio(
+      Multimodal.MediaRow(9L, Array[Byte](82, 73, 70, 70), "audio/wav", "s"))
+    assert(!bad.decodable)
+  }
+
   test("stratified sampling: deterministic, rate-respecting, layout-independent") {
     val docs = (1L to 2000L).map(i => (i, if (i % 4 == 0L) "minor" else "major"))
       .toDF("id", "stratum")
