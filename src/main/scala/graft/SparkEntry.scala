@@ -28,6 +28,14 @@ object SparkEntry {
     PipelineQueries.queries ++ RelationalQueries.queries ++
       TextQueries.queries ++ SimilarityQueries.queries
 
+  /** Queries that are deliberate EXACT DIAGNOSTICS, not scale paths: their
+    * cost model is quadratic-with-corpus by construction and they exist to
+    * calibrate the sub-quadratic counterparts (e.g. `sim_threshold_pairs`
+    * measures the exact threshold-pair set that `emb_near_dups` — the
+    * production path — approximates). `Similarity.bruteForceTopK` refuses
+    * corpus-scale query sets unless explicitly opted in. */
+  val diagnostic: Set[String] = Set("sim_threshold_pairs")
+
   def oracleSql: Map[String, String] =
     PipelineQueries.sql ++ RelationalQueries.sql ++
       TextQueries.sql ++ SimilarityQueries.sql

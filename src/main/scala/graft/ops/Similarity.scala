@@ -53,9 +53,25 @@ object Similarity {
   def hyperplaneBucket(v: Column, planes: Int): Column =
     graft.functions.GraftFunctions.hyperplane_sig(v, planes)
 
+  /** Broadcast-safe query-set bound for [[bruteForceTopK]]: above this the
+    * scan cost |corpus|×|queries| is quadratic with corpus size whenever
+    * the query set is a corpus sample, and the query side stops fitting a
+    * broadcast. 64k rows × a few-hundred-dim double vector ≈ tens of MB —
+    * the edge of sane broadcast territory. */
+  val BruteForceMaxQueryRows: Int = 65536
+
   /** Brute-force cosine top-k: every query (small, broadcast) against the
     * whole corpus. Returns (qid, id, rank, sim). Deterministic tiebreak on
     * id.
+    *
+    * SCALE GATE: this is the exact BASELINE, not the scale path — work is
+    * |corpus| × |queries|. Query sets larger than `maxQueryRows`
+    * (default [[BruteForceMaxQueryRows]]) are refused unless the caller
+    * passes `acceptQuadraticCost = true`; corpus-scale workloads belong on
+    * [[lshTopK]] / [[ivfTopK]] (top-k) or
+    * [[Dedup.embeddingNearDups]] (threshold pairs). The size probe is a
+    * `limit(bound+1).count()` — it never scans more than bound+1 query
+    * rows.
     *
     * Top-k selection is a map-side-combinable bounded-heap aggregate
     * ([[graft.functions.TopKByScore]]), NOT a row_number window: the
@@ -65,7 +81,17 @@ object Similarity {
     * and shuffling kilobytes at 100 TB. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, qidCol: String, qvecCol: String,
-                     k: Int = 10): DataFrame = {
+                     k: Int = 10,
+                     maxQueryRows: Int = BruteForceMaxQueryRows,
+                     acceptQuadraticCost: Boolean = false): DataFrame = {
+    if (!acceptQuadraticCost) {
+      val n = queries.limit(maxQueryRows + 1).count()
+      require(n <= maxQueryRows,
+        s"bruteForceTopK query set exceeds $maxQueryRows rows — the scan is " +
+          "|corpus| x |queries| and the query side must broadcast. Use " +
+          "lshTopK/ivfTopK (top-k) or Dedup.embeddingNearDups (threshold " +
+          "pairs) at scale, or opt in with acceptQuadraticCost = true.")
+    }
     val c = Par.spread(corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v")))
       .withColumn("nrm", l2norm(col("v")))
     val q = queries.select(col(qidCol).as("qid"), col(qvecCol).cast("array<double>").as("qv"))
@@ -104,12 +130,18 @@ object Similarity {
               vecCol: String, qidCol: String, qvecCol: String,
               k: Int = 10, nlist: Int = 16, nProbe: Int = 4,
               trainSample: Int = 4096): DataFrame = {
+    // null embeddings carry no geometry: drop them from corpus, sample and
+    // queries alike (a null row in the sample would NPE the driver Lloyd;
+    // outside it, a null vector would clamp into cell 0 with null
+    // distances). Mirrored in the oracle SQL.
     val c = Par.spread(corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v")))
+      .filter(col("v").isNotNull)
 
     val sample: Array[Array[Double]] = corpus
       .select(col(vecCol).cast("array<double>").as("v"),
         md5(col(idCol).cast("string")).as("h"), col(idCol).as("id"))
+      .filter(col("v").isNotNull)
       .orderBy(col("h"), col("id"))
       .limit(trainSample)
       .select("v")
@@ -147,6 +179,7 @@ object Similarity {
       .map { case (ct, i) => (i, ct) }.toSeq.toDF("cell", "ct")
     val q = queries.select(col(qidCol).as("qid"),
       col(qvecCol).cast("array<double>").as("qv"))
+      .filter(col("qv").isNotNull)
     val probeDf = q.crossJoin(broadcast(centersDf))
       .withColumn("d2", aggregate(
         zip_with(col("qv"), col("ct"), (x, y) => (x - y) * (x - y)),

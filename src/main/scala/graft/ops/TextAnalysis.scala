@@ -21,8 +21,10 @@ object TextAnalysis {
     * punctuation marks each count as one piece (the GPT-2 pre-tokenizer's
     * coarse shape), giving a crude-but-deterministic proxy for LLM token
     * counts. Kept lookaround-free so RE2 engines (DuckDB's oracle among
-    * them) reproduce it byte-for-byte. */
-  val SubwordRe = "[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]"
+    * them) reproduce it byte-for-byte; the whitespace class is spelled out
+    * explicitly because Java's `\s` includes vertical tab while RE2's
+    * does not — an explicit class means both engines agree on every byte. */
+  val SubwordRe = "[A-Za-z]+|[0-9]+|[^ \\t\\n\\x0B\\f\\rA-Za-z0-9]"
 
   def subwordCount(c: Column): Column = regexp_count(c, lit(SubwordRe))
 

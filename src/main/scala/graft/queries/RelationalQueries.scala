@@ -589,7 +589,7 @@ object RelationalQueries {
         |ORDER BY 1, 2""".stripMargin,
     "q_kmv_distinct" ->
       """WITH h AS (SELECT DISTINCT event_type, substr(md5(user_id::VARCHAR), 1, 16) AS hx
-        |           FROM events),
+        |           FROM events WHERE user_id IS NOT NULL),
         |r AS (SELECT event_type, hx,
         |             row_number() OVER (PARTITION BY event_type ORDER BY hx) AS rn,
         |             count(*) OVER (PARTITION BY event_type) AS nd

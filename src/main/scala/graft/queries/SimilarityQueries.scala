@@ -42,7 +42,11 @@ object SimilarityQueries {
         .orderBy("qid", "rank")
     }),
 
-    // Threshold pairs on a deterministic query sample (near-dup at scale)
+    // Threshold pairs on a deterministic 5% query sample. DIAGNOSTIC
+    // (SparkEntry.diagnostic): the query set grows with the corpus, so the
+    // scan is quadratic by construction — it calibrates emb_near_dups,
+    // the sub-quadratic sign-LSH production path for threshold pairs.
+    // bruteForceTopK's scale gate would refuse a corpus-scale query set.
     "sim_threshold_pairs" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") % 20 === 0)
@@ -225,7 +229,8 @@ object SimilarityQueries {
     * iterations, nProbe=4, k=10) over the `vec_id < 10` query set. */
   private def ivfSql: String = {
     val iters = (1 to 5).map(lloydIterSql).mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE embedding IS NOT NULL),
        |smp AS (
        |  SELECT v, rk FROM (
        |    SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk

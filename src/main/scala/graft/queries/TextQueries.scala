@@ -320,11 +320,11 @@ object TextQueries {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "txt_subword_stats" ->
       """SELECT lang,
-        |       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))) AS BIGINT)
+        |       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^ \t\n\x0B\f\rA-Za-z0-9]'))) AS BIGINT)
         |         AS total_subwords,
-        |       round(avg(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))), 4)
+        |       round(avg(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^ \t\n\x0B\f\rA-Za-z0-9]'))), 4)
         |         AS avg_subwords,
-        |       round(avg(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) * 1.0
+        |       round(avg(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^ \t\n\x0B\f\rA-Za-z0-9]')) * 1.0
         |                 / len(string_split_regex(trim(text), '\s+'))), 4) AS fertility
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "txt_quality" ->

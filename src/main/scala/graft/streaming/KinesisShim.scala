@@ -90,6 +90,13 @@ private[streaming] object KinesisShim {
       s.charAt(i) match {
         case '"' => sb.append("\\\"")
         case '\\' => sb.append("\\\\")
+        // Jackson's two-char short escapes, so the payload mirrors
+        // Spark's to_json byte-for-byte for control characters too
+        case '\b' => sb.append("\\b")
+        case '\t' => sb.append("\\t")
+        case '\n' => sb.append("\\n")
+        case '\f' => sb.append("\\f")
+        case '\r' => sb.append("\\r")
         case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
         case c => sb.append(c)
       }

@@ -46,6 +46,24 @@ class ScaleSpec extends SparkSpec {
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dst/region.parquet"))))
   }
 
+  test("brute-force similarity refuses an oversized query set unless opted in") {
+    val emb = (0L until 40L).map(i => (i, Array.tabulate(4)(d => (i + d).toDouble)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding",
+        "vec_id", "embedding", k = 3, maxQueryRows = 16)
+    }
+    assert(e.getMessage.contains("acceptQuadraticCost"))
+    // explicit opt-in runs the same call
+    val rows = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding",
+      "vec_id", "embedding", k = 3, maxQueryRows = 16, acceptQuadraticCost = true)
+    assert(rows.count() == 40 * 3)
+    // under the bound: no opt-in needed
+    val ok = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", "vec_id", "embedding", k = 3, maxQueryRows = 16)
+    assert(ok.count() == 5 * 3)
+  }
+
   test("BPE-ish subword count: letter runs, digit runs, punctuation marks") {
     val got = Seq("hello, world42 x-ray").toDF("t")
       .select(graft.ops.TextAnalysis.subwordCount(col("t"))).as[Int].head()
