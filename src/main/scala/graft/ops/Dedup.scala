@@ -171,11 +171,18 @@ object Dedup {
     // The edge set is the REDUCED output of LSH + verification — usually
     // tiny relative to the corpus. Below the threshold, exact union-find
     // on the driver beats rounds of distributed jobs; above it, fall
-    // through to the propagation loop. limit(N+1) probes the size and
-    // fetches the edges in ONE job (a separate count would re-run the
-    // whole candidate-generation lineage). Ids keep their original type
-    // on both paths (min by natural Spark ordering / Scala Ordering).
-    val probe = edges.limit(driverThreshold.toInt + 1).collect()
+    // through to the propagation loop.
+    //
+    // Materialize the (expensive) candidate lineage ONCE before probing:
+    // limit().collect() executes INCREMENTALLY (one partition first, then
+    // scaleUpFactor× more per retry), so probing the raw lineage re-runs
+    // LSH + verification several times over growing partition subsets —
+    // measured as both excess cost and high bench variance. After the
+    // checkpoint, the probe and the propagation loop read materialized
+    // blocks. Ids keep their original type on both paths (min by natural
+    // Spark ordering / Scala Ordering).
+    val matEdges = edges.localCheckpoint()
+    val probe = matEdges.limit(driverThreshold.toInt + 1).collect()
     if (probe.length <= driverThreshold) {
       implicit val anyOrd: Ordering[Any] = (a: Any, b: Any) => (a, b) match {
         case (x: Long, y: Long) => java.lang.Long.compare(x, y)
@@ -204,8 +211,6 @@ object Dedup {
           org.apache.spark.sql.types.StructField("id", idType),
           org.apache.spark.sql.types.StructField("cluster", idType))))
     }
-    // materialize the (expensive) candidate lineage once for the loop
-    val matEdges = edges.localCheckpoint()
     var labels = matEdges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint()
