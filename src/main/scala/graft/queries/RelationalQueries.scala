@@ -316,13 +316,25 @@ object RelationalQueries {
         .agg(round(sum("val"), 2).as("total"), count(lit(1)).as("n"))
         .orderBy("metric")),
 
-    // Sketch aggregates: HyperLogLog distinct estimates [rows-only —
-    // approximate by design, bounds asserted in the spec suite]
+    // Sketch aggregates: HyperLogLog distinct estimates. The HLL++ state
+    // is engine-opaque, so instead of emitting the raw estimate the query
+    // emits a MACHINE-CHECKED verdict: the exact counts plus bound flags
+    // |est/exact − 1| <= 3·rsd (rsd = 0.05, Spark's documented default).
+    // The DuckDB oracle reproduces the exact counts and literal TRUE
+    // flags — a drifting estimator flips a flag and fails the hash match,
+    // so the last formerly-unoracled row now carries a checkable bound.
     "q_approx_distinct" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       ev.agg(
-        approx_count_distinct("user_id").as("approx_users"),
-        approx_count_distinct("event_type").as("approx_types"))
+          approx_count_distinct("user_id").as("au"),
+          approx_count_distinct("event_type").as("at"),
+          countDistinct(col("user_id")).as("n_users_exact"),
+          countDistinct(col("event_type")).as("n_types_exact"))
+        .select(col("n_users_exact"), col("n_types_exact"),
+          (abs(col("au") / col("n_users_exact").cast("double") - 1.0) <= 0.15)
+            .as("users_bounded"),
+          (abs(col("at") / col("n_types_exact").cast("double") - 1.0) <= 0.15)
+            .as("types_bounded"))
     }),
 
     // KMV distinct sketch: the PORTABLE approximate-distinct — unlike the
@@ -587,6 +599,11 @@ object RelationalQueries {
         |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY 1, 2""".stripMargin,
+    "q_approx_distinct" ->
+      """SELECT count(DISTINCT user_id) AS n_users_exact,
+        |       count(DISTINCT event_type) AS n_types_exact,
+        |       TRUE AS users_bounded, TRUE AS types_bounded
+        |FROM events""".stripMargin,
     "q_kmv_distinct" ->
       """WITH h AS (SELECT DISTINCT event_type, substr(md5(user_id::VARCHAR), 1, 16) AS hx
         |           FROM events WHERE user_id IS NOT NULL),
