@@ -159,6 +159,25 @@ object TextQueries {
         .orderBy("bin")
     }),
 
+    // Exact heavy-hitter bigrams per language (boilerplate-phrase
+    // detection): two-phase Misra-Gries — bounded candidate summary
+    // (≤ k counters per group cross the exchange, NOT the full bigram
+    // vocabulary) + exact recount of candidates only. Oracle-checked:
+    // the two-phase output is EXACT, so DuckDB reproduces it with a
+    // plain group-count + threshold.
+    "txt_heavy_bigrams" -> ((s, dir) => {
+      val t = TextAnalysis.tokens(col("text"))
+      val bg = docs(s, dir)
+        .select(col("lang"), t.as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("lang"), explode(transform(
+          sequence(lit(1), size(col("t")) - 1),
+          i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1))))
+          .as("bigram"))
+      graft.ops.HeavyHitters.frequentValues(bg, "lang", "bigram", support = 0.0023)
+        .orderBy("lang", "bigram")
+    }),
+
     // Per-document canonical fingerprint (exact-dedup key)
     "txt_fingerprint" -> ((s, dir) =>
       docs(s, dir)
@@ -544,6 +563,17 @@ object TextQueries {
       """SELECT source, count(*) AS n_blobs,
         |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "txt_heavy_bigrams" ->
+      """WITH toks AS (SELECT lang, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |bg AS (SELECT lang, unnest(list_transform(generate_series(1, len(t)-1),
+        |                             i -> t[i] || ' ' || t[i+1])) AS bigram
+        |       FROM toks WHERE len(t) >= 2),
+        |tot AS (SELECT lang, count(*) AS total FROM bg GROUP BY lang),
+        |c AS (SELECT lang, bigram, count(*) AS cnt FROM bg GROUP BY lang, bigram)
+        |SELECT c.lang, c.bigram, c.cnt, round(c.cnt / tot.total, 6) AS freq
+        |FROM c JOIN tot USING (lang)
+        |WHERE c.cnt >= tot.total * 0.0023
+        |ORDER BY lang, bigram""".stripMargin,
     // Analytic replica of the javax.imageio decode: same raster formula as
     // Multimodal.Synth (PNG lossless ⇒ decoded pixels == generated pixels)
     "mm_features_real" ->
