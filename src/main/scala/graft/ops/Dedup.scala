@@ -240,6 +240,56 @@ object Dedup {
     labels
   }
 
+  /** Cross-snapshot dedup: incoming documents that near-duplicate ANY
+    * document of a REFERENCE corpus (the previous crawl/snapshot) — the
+    * incremental-ingest counterpart of [[minhashNearDupPairs]]. Candidate
+    * generation is the same banded-LSH equi-join (incoming bands join
+    * reference bands on (band, bucket) — never incoming × reference), then
+    * exact Jaccard verification of the candidate pairs only.
+    *
+    * @return one row per CONTAMINATED incoming id: (idCol, n_ref_matches,
+    *         max_jaccard) — anti-join incoming against this to keep the
+    *         survivors. */
+  def againstReference(incoming: DataFrame, reference: DataFrame,
+                       idCol: String, textCol: String,
+                       threshold: Double = 0.8,
+                       numPerm: Int = 64, bands: Int = 32): DataFrame = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val rowsPerBand = numPerm / bands
+    def banded(df: DataFrame, pfx: String): DataFrame =
+      Par.spread(df.select(col(idCol), col(textCol)))
+        .select(col(idCol).as(s"${pfx}id"),
+          minhashSignature(hashedShingles(col(textCol)), numPerm).as("sig"))
+        .select(col(s"${pfx}id"),
+          posexplode(array((0 until bands).map(b =>
+            xxhash64(slice(col("sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand)))): _*)))
+        .toDF(s"${pfx}id", "band", "bucket")
+
+    val cands = banded(incoming, "inc_")
+      .join(banded(reference, "ref_"), Seq("band", "bucket"))
+      .select(col("inc_id"), col("ref_id"))
+      .distinct()
+
+    import graft.functions.GraftFunctions.known_not_null
+    def sh(df: DataFrame, id: String, shc: String, nc: String): DataFrame =
+      Par.spread(df.select(col(idCol), col(textCol)))
+        .filter(col(textCol).isNotNull)
+        .select(col(idCol).as(id),
+          known_not_null(hashedShingles(col(textCol))).as(shc))
+        .withColumn(nc, known_not_null(size(col(shc))))
+
+    cands
+      .join(sh(incoming, "inc_id", "sh_i", "n_i"), "inc_id")
+      .join(sh(reference, "ref_id", "sh_r", "n_r"), "ref_id")
+      .withColumn("common", size(array_intersect(col("sh_i"), col("sh_r"))))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n_i") + col("n_r") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("inc_id").as(idCol))
+      .agg(count(lit(1)).as("n_ref_matches"),
+        round(max(col("jaccard")), 4).as("max_jaccard"))
+  }
+
   /** Embedding near-dup: cosine ≥ threshold pairs. Exact within-bucket via
     * sign-LSH (see [[Similarity.hyperplaneBucket]]) to avoid n². */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,

@@ -129,6 +129,67 @@ object TextAnalysis {
     bucket < rate * lit(65536.0)
   }
 
+  /** Eval-set contamination report: for every corpus document, the
+    * fraction of its word n-gram shingles that appear anywhere in a
+    * BENCHMARK set — the pretraining-hygiene check that a training corpus
+    * does not contain the eval data. Shingles are md5-hashed (portable —
+    * an external engine reproduces the report exactly); the benchmark
+    * shingle set is distinct-ed and broadcast (eval sets are small by
+    * nature; at 100 TB the corpus side stays shuffle-free and the join is
+    * a broadcast hash probe below any exchange).
+    *
+    * @return (idCol, n_shingles, n_hits, overlap) for corpus docs with
+    *         overlap ≥ minOverlap (overlap rounded to 6 places). */
+  def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
+                          idCol: String, textCol: String,
+                          n: Int = 3, minOverlap: Double = 0.5): DataFrame = {
+    def sh(df: DataFrame): DataFrame = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("_id"),
+        explode(transform(Dedup.wordShingles(col(textCol), n), x => md5(x)))
+          .as("_sh"))
+    val bench = sh(benchmark).select("_sh").distinct()
+      .withColumn("_hit", lit(1L))
+    sh(corpus)
+      .join(broadcast(bench), Seq("_sh"), "left")
+      .groupBy("_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_hits"))
+      .withColumn("overlap", round(col("n_hits") / col("n_shingles"), 6))
+      .filter(col("overlap") >= minOverlap)
+      .select(col("_id").as(idCol), col("n_shingles"), col("n_hits"), col("overlap"))
+  }
+
+  /** Token-budget mixture sampling: admit documents per stratum, in
+    * deterministic md5-of-id order, until the stratum's token budget is
+    * exhausted — the "epoch mixture" builder that turns per-source
+    * sampling weights into an actual document selection. A document is
+    * admitted iff the budget was not yet spent BEFORE it (so the last
+    * admitted document may overhang its budget by less than one doc —
+    * same start-offset rule as [[packBins]]). Pure function of
+    * (id, stratum, token counts): layout-invariant, stable under
+    * reprocessing, reproducible by any engine with md5 and a window.
+    *
+    * Scale: one shuffle on the stratum for the per-stratum running sum.
+    * A stratum is typically a source/language — if one stratum dominates
+    * at extreme scale, pre-aggregate candidates per (stratum, hash
+    * prefix) the way [[packBinsDistributed]] stitches offsets. */
+  def tokenBudgetSample(df: DataFrame, idCol: String, tokensCol: String,
+                        stratumCol: String, budgets: Map[String, Long],
+                        defaultBudget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require((defaultBudget +: budgets.values.toSeq).forall(_ >= 0), "budgets must be >= 0")
+    val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_cum", sum(col(tokensCol)).over(w))
+      .filter(col("_cum") - col(tokensCol) < budget)
+      .drop("_cum")
+  }
+
   /** Context-window packing: assign documents (in `orderCol` order) to
     * consecutive bins of ≤ `budget` tokens — the sequential-fill packing a
     * pretraining pipeline uses to build fixed-size samples. A document

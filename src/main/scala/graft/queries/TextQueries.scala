@@ -241,6 +241,44 @@ object TextQueries {
         .limit(100)
     }),
 
+    // Cross-snapshot dedup: incoming docs (doc_id % 7 != 0) that
+    // near-duplicate any reference-corpus doc (doc_id % 7 == 0) at
+    // Jaccard ≥ 0.8. Candidates come from banded LSH (incoming bands ×
+    // reference bands, never incoming × reference); the oracle reproduces
+    // the exact ≥0.8 cross-corpus pair set with an all-pairs scan (same
+    // 4e-15 LSH miss-probability argument as dedup_minhash_pairs).
+    "dedup_against_snapshot" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.againstReference(
+        d.filter(col("doc_id") % 7 =!= 0), d.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", threshold = 0.8)
+        .orderBy("doc_id")
+    }),
+
+    // Eval-contamination report: corpus docs (doc_id % 13 != 0) whose
+    // trigram-shingle overlap with the benchmark slice (doc_id % 13 == 0)
+    // reaches 50%. md5-hashed shingles keep the report engine-portable.
+    "txt_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.contaminationReport(
+        d.filter(col("doc_id") % 13 =!= 0), d.filter(col("doc_id") % 13 === 0),
+        "doc_id", "text", n = 3, minOverlap = 0.5)
+        .orderBy("doc_id")
+    }),
+
+    // Token-budget mixture: admit docs per language in deterministic
+    // md5-of-id order until the language's token budget is spent — the
+    // epoch-mixture builder. Aggregated per language for the check.
+    "txt_token_budget" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      TextAnalysis.tokenBudgetSample(d, "doc_id", "n_tokens", "lang",
+          Map("en" -> 3000L, "zh" -> 1500L), defaultBudget = 2000L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens_kept"))
+        .orderBy("lang")
+    }),
+
     // Dedup clusters: connected components over the MinHash-verified ≥0.8
     // pair set — cluster sizes tell how much the corpus shrinks.
     // Oracle-checked: same exact edge set as dedup_minhash_pairs (see
@@ -563,6 +601,53 @@ object TextQueries {
       """SELECT source, count(*) AS n_blobs,
         |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // Exact cross-corpus ≥0.8 pair set via all-pairs scan (the banded-LSH
+    // candidate generator's miss probability at j=0.8 is (1−0.8²)³² ≈
+    // 4e-15 — same lossless-recall argument as dedup_minhash_pairs)
+    "dedup_against_snapshot" ->
+      """WITH sh AS (
+        |  SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |       ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |              i -> array_to_string(t[i:i+2], ' ')))
+        |       END AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)
+        |), sized AS (SELECT doc_id, s, len(s) AS n FROM sh),
+        |pairs AS (
+        |  SELECT i.doc_id AS doc_id,
+        |         CAST(len(list_intersect(i.s, r.s)) AS DOUBLE)
+        |           / (i.n + r.n - len(list_intersect(i.s, r.s))) AS j
+        |  FROM sized i JOIN sized r ON i.doc_id % 7 <> 0 AND r.doc_id % 7 = 0)
+        |SELECT doc_id, count(*) AS n_ref_matches, round(max(j), 4) AS max_jaccard
+        |FROM pairs WHERE j >= 0.8 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "txt_contamination" ->
+      """WITH sh AS (
+        |  SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |       ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |              i -> array_to_string(t[i:i+2], ' ')))
+        |       END AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)
+        |), hs AS (SELECT doc_id, list_transform(s, x -> md5(x)) AS s FROM sh),
+        |bench AS (SELECT DISTINCT unnest(s) AS h FROM hs WHERE doc_id % 13 = 0),
+        |corp AS (SELECT doc_id, unnest(s) AS h FROM hs WHERE doc_id % 13 <> 0),
+        |agg AS (
+        |  SELECT c.doc_id, count(*) AS n_shingles,
+        |         sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS hits
+        |  FROM corp c LEFT JOIN bench b ON c.h = b.h GROUP BY 1)
+        |SELECT doc_id, n_shingles, CAST(hits AS BIGINT) AS n_hits,
+        |       round(hits / n_shingles, 6) AS overlap
+        |FROM agg WHERE round(hits / n_shingles, 6) >= 0.5 ORDER BY doc_id""".stripMargin,
+    "txt_token_budget" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |                  len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT lang, n_tokens,
+        |             sum(n_tokens) OVER (PARTITION BY lang
+        |               ORDER BY md5(doc_id::VARCHAR), doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |             CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 1500 ELSE 2000 END AS b
+        |      FROM d)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
+        |FROM c WHERE cum - n_tokens < b GROUP BY 1 ORDER BY 1""".stripMargin,
     "txt_heavy_bigrams" ->
       """WITH toks AS (SELECT lang, string_split_regex(trim(text), '\s+') AS t FROM documents),
         |bg AS (SELECT lang, unnest(list_transform(generate_series(1, len(t)-1),

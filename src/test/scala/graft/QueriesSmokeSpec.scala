@@ -12,7 +12,8 @@ class QueriesSmokeSpec extends SparkSpec {
   // Tiny-SF corner cases where an empty (but schema-valid) result is
   // legitimate for threshold queries.
   private val mayBeEmpty = Set("sim_threshold_pairs", "dedup_ngram_jaccard",
-    "dedup_minhash_pairs", "dedup_simhash", "emb_near_dups", "dedup_clusters")
+    "dedup_minhash_pairs", "dedup_simhash", "emb_near_dups", "dedup_clusters",
+    "dedup_against_snapshot", "txt_contamination", "txt_heavy_bigrams")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"query $name runs at sf0.001") {

@@ -356,6 +356,65 @@ class OpsSpec extends SparkSpec {
     assert(frames == Seq(0, 2)) // 4 frames, every 2nd
   }
 
+  test("cross-snapshot dedup flags only incoming docs near-duplicating the reference") {
+    val mk = (id: Long, words: Seq[String]) => (id, words.mkString(" "))
+    val base = (1 to 40).map(i => s"w$i")
+    val ref = Seq(mk(100L, base), mk(101L, (1 to 40).map(i => s"x$i"))).toDF("doc_id", "text")
+    val inc = Seq(
+      mk(1L, base),                              // verbatim dup of ref 100
+      mk(2L, base.updated(0, "CHANGED")),        // near-dup (j ~ 0.92)
+      mk(3L, (1 to 40).map(i => s"z$i")),        // unrelated
+      mk(4L, (1 to 40).map(i => s"x$i").updated(5, "ALT")) // near-dup of 101
+    ).toDF("doc_id", "text")
+    val flagged = Dedup.againstReference(inc, ref, "doc_id", "text", threshold = 0.8)
+      .orderBy("doc_id").collect()
+    assert(flagged.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
+    assert(flagged.head.getDouble(2) == 1.0) // verbatim: max_jaccard 1.0
+    // survivors via anti-join: only the unrelated doc remains
+    val survivors = inc.join(
+      Dedup.againstReference(inc, ref, "doc_id", "text", threshold = 0.8),
+      Seq("doc_id"), "left_anti").select("doc_id").as[Long].collect().toSeq
+    assert(survivors == Seq(3L))
+  }
+
+  test("contamination report: verbatim benchmark doc scores 1.0, unrelated below") {
+    val words = (1 to 30).map(i => s"tok$i")
+    val bench = Seq((900L, words.mkString(" "))).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, words.mkString(" ")),                       // the benchmark doc itself
+      (2L, (words.take(15) ++ (1 to 15).map(i => s"other$i")).mkString(" ")), // ~half
+      (3L, (1 to 30).map(i => s"none$i").mkString(" "))) // no overlap
+      .toDF("doc_id", "text")
+    val all = TextAnalysis.contaminationReport(corpus, bench, "doc_id", "text",
+      n = 3, minOverlap = 0.0).orderBy("doc_id").collect()
+    assert(all.length == 3)
+    assert(all(0).getDouble(3) == 1.0)
+    assert(all(1).getDouble(3) > 0.3 && all(1).getDouble(3) < 0.7)
+    assert(all(2).getDouble(3) == 0.0)
+    val gated = TextAnalysis.contaminationReport(corpus, bench, "doc_id", "text",
+      n = 3, minOverlap = 0.9).select("doc_id").as[Long].collect().toSeq
+    assert(gated == Seq(1L))
+  }
+
+  test("token-budget sampling: budget rule exact, deterministic, layout-invariant") {
+    val docs = (1L to 300L).map(i => (i, if (i % 3 == 0L) "a" else "b", 10 + (i % 7).toInt))
+      .toDF("id", "stratum", "n_tok")
+    def run(parts: Int): Seq[Long] =
+      TextAnalysis.tokenBudgetSample(docs.repartition(parts), "id", "n_tok", "stratum",
+        Map("a" -> 200L), defaultBudget = 400L)
+        .select("id").as[Long].collect().toSeq.sorted
+    val ids = run(1)
+    assert(ids == run(13)) // pure function of (id, stratum, tokens)
+    // the admission rule: tokens BEFORE each admitted doc < budget, and
+    // every non-admitted doc would start at/after the budget
+    val kept = docs.filter(col("id").isin(ids: _*))
+      .groupBy("stratum").agg(sum("n_tok").as("t"))
+      .as[(String, Long)].collect().toMap
+    // budget a=200: kept tokens in [200, 200 + max doc) ; b=400 likewise
+    assert(kept("a") >= 200L && kept("a") < 200L + 17)
+    assert(kept("b") >= 400L && kept("b") < 400L + 17)
+  }
+
   test("jdk image kernel: PNG round-trip recovers exact raster features") {
     // generator-recorded truth, computed straight from the raster formula
     def expected(id: Long): (Int, Int, Double, Double, Double) = {
