@@ -93,6 +93,26 @@ object SimilarityQueries {
         Similarity.ivfTopK(e, q, "vec_id", "embedding", "vec_id", "embedding"))
     }),
 
+    // Binary-quantized ANN: sign-bit signatures (32× compression), top-64
+    // Hamming pre-filter, exact cosine re-rank — oracle-checked (the
+    // signature fold, xor/popcount and both rank stages are relational)
+    "sim_binary_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.binaryTopK(
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding", "vec_id", "embedding")
+        .select(col("qid"), col("id"), col("rank"), round(col("sim"), 4).as("sim"))
+        .orderBy("qid", "rank")
+    }),
+
+    // Binary-ANN recall vs brute force — oracle-checked
+    "sim_binary_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      recallAt10(
+        Similarity.bruteForceTopK(e, q, "vec_id", "embedding", "vec_id", "embedding"),
+        Similarity.binaryTopK(e, q, "vec_id", "embedding", "vec_id", "embedding"))
+    }),
+
     // Embedding near-dup pairs via sign-LSH buckets + exact cosine —
     // oracle-checked (bucket-local pair generation, no n² cross join)
     "emb_near_dups" -> ((s, dir) =>
@@ -157,6 +177,37 @@ object SimilarityQueries {
   private def planesLit(planes: Int, dims: Int): String =
     graft.functions.HyperplaneSig.matrix(planes, dims)
       .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  /** Shared SQL for the binary-signature ANN pipeline (32-bit words,
+    * Hamming top-64 pre-filter, exact cosine re-rank), mirroring
+    * [[Similarity.binaryTopK]] stage by stage. The signature fold doubles
+    * the accumulator per element — list_reduce without an init seeds with
+    * the first bit, which yields the identical big-endian word. */
+  private def binaryTopKSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |s AS (SELECT vec_id, v,
+       |        list_transform(generate_series(0, CAST(ceil(len(v)/32.0) AS INT) - 1),
+       |          w -> list_reduce(list_transform(v[w*32+1 : w*32+32],
+       |                 x -> CASE WHEN x > 0 THEN 1::BIGINT ELSE 0::BIGINT END),
+       |               (a, b) -> a*2 + b)) AS sig
+       |      FROM e),
+       |q AS (SELECT vec_id AS qid, v AS qv, sig AS qsig FROM s WHERE vec_id < 10),
+       |h AS (SELECT q.qid, s.vec_id AS id, s.v, q.qv,
+       |        list_sum(list_transform(generate_series(1, len(s.sig)),
+       |          w -> bit_count(xor(s.sig[w], q.qsig[w])))) AS ham
+       |      FROM s CROSS JOIN q WHERE s.vec_id <> q.qid),
+       |cand AS (SELECT qid, id, v, qv FROM (
+       |    SELECT qid, id, v, qv, row_number() OVER (PARTITION BY qid ORDER BY ham, id) AS r
+       |    FROM h) t
+       |  WHERE r <= 64),
+       |bin AS (
+       |  SELECT qid, id, rank, sim FROM (
+       |    SELECT qid, id, sim,
+       |           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rank
+       |    FROM (SELECT qid, id,
+       |            ${dotSql("v", "qv")} / (${nrmSql("v")} * ${nrmSql("qv")}) AS sim
+       |          FROM cand) sc) t
+       |  WHERE rank <= 10)""".stripMargin
 
   /** Shared SQL for the banded sign-LSH top-k pipeline (planes=16,
     * bands=4×4 bits), mirroring [[Similarity.lshTopK]] stage by stage. */
@@ -285,6 +336,25 @@ object SimilarityQueries {
          |       CAST(sum(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
          |       round(sum(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END) / 10.0, 2) AS recall_at_10
          |FROM exact x LEFT JOIN ivf a ON x.qid = a.qid AND x.id = a.id
+         |GROUP BY x.qid ORDER BY x.qid""".stripMargin,
+    "sim_binary_topk" ->
+      s"""$binaryTopKSql
+         |SELECT qid, id, rank, round(sim, 4) AS sim FROM bin ORDER BY qid, rank""".stripMargin,
+    "sim_binary_recall" ->
+      s"""$binaryTopKSql,
+         |qv2 AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         |exact AS (
+         |  SELECT qid, id FROM (
+         |    SELECT q.qid, e.vec_id AS id,
+         |           row_number() OVER (PARTITION BY q.qid ORDER BY
+         |             ${dotSql("e.v", "q.qv")} / (${nrmSql("e.v")} * ${nrmSql("q.qv")}) DESC,
+         |             e.vec_id) AS rank
+         |    FROM e CROSS JOIN qv2 q WHERE e.vec_id <> q.qid) t
+         |  WHERE rank <= 10)
+         |SELECT x.qid,
+         |       CAST(sum(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |       round(sum(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END) / 10.0, 2) AS recall_at_10
+         |FROM exact x LEFT JOIN bin a ON x.qid = a.qid AND x.id = a.id
          |GROUP BY x.qid ORDER BY x.qid""".stripMargin,
     "emb_near_dups" ->
       s"""WITH pl AS (SELECT ${planesLit(4, 64)}::DOUBLE[][] AS p),

@@ -356,6 +356,33 @@ class OpsSpec extends SparkSpec {
     assert(frames == Seq(0, 2)) // 4 frames, every 2nd
   }
 
+  test("binary signature packs sign bits into 32-bit words, big-endian") {
+    val df = Seq(Tuple1(Array.tabulate(64)(i => if (i == 0 || i == 63) 1.0 else -1.0)))
+      .toDF("v")
+    val sig = df.select(Similarity.binarySignature(col("v"))).as[Seq[Long]].head()
+    // dim 0 is the leftmost bit of word 0; dim 63 the last bit of word 1
+    assert(sig == Seq(1L << 31, 1L))
+    val zeros = Seq(Tuple1(Array.fill(5)(0.0))).toDF("v") // d % 32 != 0, all non-positive
+      .select(Similarity.binarySignature(col("v"))).as[Seq[Long]].head()
+    assert(zeros == Seq(0L))
+  }
+
+  test("binary ANN with full-corpus rerank equals the brute-force top-k") {
+    val emb = (0L until 60L).map { i =>
+      (i, Array.tabulate(64)(d => math.sin(i * 7.3 + d * 1.7)))
+    }.toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 5)
+    // rerank >= corpus: the Hamming pre-filter cannot drop a true
+    // neighbour, so the result must be EXACTLY the brute-force answer
+    val bin = Similarity.binaryTopK(emb, q, "vec_id", "embedding",
+      "vec_id", "embedding", k = 10, rerank = 60)
+      .orderBy("qid", "rank").collect().toSeq
+    val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
+      "vec_id", "embedding", k = 10)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(bin == bf)
+  }
+
   test("cross-snapshot dedup flags only incoming docs near-duplicating the reference") {
     val mk = (id: Long, words: Seq[String]) => (id, words.mkString(" "))
     val base = (1 to 40).map(i => s"w$i")
