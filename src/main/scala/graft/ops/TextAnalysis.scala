@@ -132,11 +132,16 @@ object TextAnalysis {
   /** Eval-set contamination report: for every corpus document, the
     * fraction of its word n-gram shingles that appear anywhere in a
     * BENCHMARK set — the pretraining-hygiene check that a training corpus
-    * does not contain the eval data. Shingles are md5-hashed (portable —
-    * an external engine reproduces the report exactly); the benchmark
-    * shingle set is distinct-ed and broadcast (eval sets are small by
-    * nature; at 100 TB the corpus side stays shuffle-free and the join is
-    * a broadcast hash probe below any exchange).
+    * does not contain the eval data. Shingles are xxhash64'd in ONE
+    * custom-Expression pass per doc ([[Dedup.hashedShingles]] — the
+    * composed string form re-evaluates the token split per lambda
+    * element); an external oracle reproduces the report with string
+    * shingles, since only set-membership COUNTS enter the output and
+    * those are hash-invariant (collisions aside — the [[Dedup]] Jaccard
+    * argument). The benchmark shingle set is distinct-ed and broadcast
+    * (eval sets are small by nature; at 100 TB the corpus side stays
+    * shuffle-free and the join is a broadcast hash probe below any
+    * exchange).
     *
     * @return (idCol, n_shingles, n_hits, overlap) for corpus docs with
     *         overlap ≥ minOverlap (overlap rounded to 6 places). */
@@ -146,8 +151,7 @@ object TextAnalysis {
     def sh(df: DataFrame): DataFrame = df
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("_id"),
-        explode(transform(Dedup.wordShingles(col(textCol), n), x => md5(x)))
-          .as("_sh"))
+        explode(Dedup.hashedShingles(col(textCol), n)).as("_sh"))
     val bench = sh(benchmark).select("_sh").distinct()
       .withColumn("_hit", lit(1L))
     sh(corpus)

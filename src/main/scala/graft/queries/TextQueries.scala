@@ -167,13 +167,14 @@ object TextQueries {
     // plain group-count + threshold.
     "txt_heavy_bigrams" -> ((s, dir) => {
       val t = TextAnalysis.tokens(col("text"))
-      val bg = docs(s, dir)
-        .select(col("lang"), t.as("t"))
-        .filter(size(col("t")) >= 2)
-        .select(col("lang"), explode(transform(
-          sequence(lit(1), size(col("t")) - 1),
-          i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1))))
-          .as("bigram"))
+      // fence after tokenizing: without it CollapseProject inlines the
+      // split into every per-element lambda reference (2 splits/bigram)
+      val toks = graft.plans.OptimizationBarrier.fence(
+        docs(s, dir).select(col("lang"), t.as("t")).filter(size(t) >= 2))
+      val bg = toks.select(col("lang"), explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("bigram"))
       graft.ops.HeavyHitters.frequentValues(bg, "lang", "bigram", support = 0.0023)
         .orderBy("lang", "bigram")
     }),
@@ -257,7 +258,8 @@ object TextQueries {
 
     // Eval-contamination report: corpus docs (doc_id % 13 != 0) whose
     // trigram-shingle overlap with the benchmark slice (doc_id % 13 == 0)
-    // reaches 50%. md5-hashed shingles keep the report engine-portable.
+    // reaches 50%. Engine hashes shingles (one-pass expression); the
+    // oracle uses string shingles — overlap counts are hash-invariant.
     "txt_contamination" -> ((s, dir) => {
       val d = docs(s, dir)
       TextAnalysis.contaminationReport(
@@ -626,9 +628,8 @@ object TextQueries {
         |              i -> array_to_string(t[i:i+2], ' ')))
         |       END AS s
         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)
-        |), hs AS (SELECT doc_id, list_transform(s, x -> md5(x)) AS s FROM sh),
-        |bench AS (SELECT DISTINCT unnest(s) AS h FROM hs WHERE doc_id % 13 = 0),
-        |corp AS (SELECT doc_id, unnest(s) AS h FROM hs WHERE doc_id % 13 <> 0),
+        |), bench AS (SELECT DISTINCT unnest(s) AS h FROM sh WHERE doc_id % 13 = 0),
+        |corp AS (SELECT doc_id, unnest(s) AS h FROM sh WHERE doc_id % 13 <> 0),
         |agg AS (
         |  SELECT c.doc_id, count(*) AS n_shingles,
         |         sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS hits
