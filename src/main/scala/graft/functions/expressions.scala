@@ -546,7 +546,12 @@ object GraftFunctions {
     ("minhash_signature64", "64-perm MinHash signature of shingles", MinHashSignature(_, 64)),
     ("shingle_hashes3", "distinct hashed 3-gram shingles of a token array", ShingleHashes(_, 3)),
     ("hyperplane_sig16", "16-plane sign-LSH signature of array<double>", HyperplaneSig(_, 16)),
-    ("dateutil_timestamp", "parse day-name timestamp forms (RFC-1123/asctime)", DateUtilTimestamp.apply))
+    ("dateutil_timestamp", "parse day-name timestamp forms (RFC-1123/asctime)", DateUtilTimestamp.apply),
+    // bounded-state aggregates (fixed-k variants for the 1-arg SQL surface)
+    ("kmin_strings64", "64 smallest distinct strings (KMV sketch state)",
+      e => KMinStrings(e, 64).toAggregateExpression()),
+    ("mg_candidates256", "Misra-Gries frequent-item candidates, 256 counters",
+      e => MisraGries(e, 256).toAggregateExpression()))
 
   /** Register every custom expression as a SQL temp function on an
     * existing session (the build-time path is [[graft.GraftExtensions]]). */

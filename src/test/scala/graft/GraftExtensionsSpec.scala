@@ -31,6 +31,19 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(kpl == 1)
   }
 
+  test("bounded aggregates are callable from pure SQL") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Seq("u1", "u2", "u1", "u3", "u1").toDF("v").createOrReplaceTempView("agg_in")
+    val km = spark.sql("SELECT kmin_strings64(md5(v)) AS ks FROM agg_in")
+      .collect().head.getSeq[String](0)
+    assert(km.size == 3 && km == km.sorted) // 3 distinct hashes, ascending
+    val mg = spark.sql("SELECT mg_candidates256(v) AS c FROM agg_in")
+      .collect().head.getSeq[String](0)
+    assert(mg.head == "u1") // most frequent first
+    assert(mg.toSet == Set("u1", "u2", "u3"))
+  }
+
   test("GraftExtensions injects without error (build-time wiring)") {
     new GraftExtensions().apply(new SparkSessionExtensions) // must not throw
   }
