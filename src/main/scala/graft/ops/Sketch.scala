@@ -47,4 +47,25 @@ object Sketch {
     * single aggregate Column, for use inside any groupBy. */
   def kmvSketch(valueCol: Column, k: Int): Column =
     KMinStrings.kmin_strings(hashHex(valueCol), k)
+
+  /** Deterministic uniform sample of up to k `value`s per group: the
+    * values attached to the k smallest md5 hashes of a UNIQUE row key
+    * ([[graft.functions.KMinPairs]] — ≤ k pairs per group cross the
+    * exchange). Order statistics of a universal hash are a uniform
+    * sample, but a reproducible one: any engine ranking rows by the same
+    * md5 retains the identical sample, so quantile ESTIMATES from it are
+    * oracle-checkable bit-for-bit — unlike engine-opaque percentile
+    * sketches. */
+  def hashSample(uniqueKeyCol: Column, value: Column, k: Int): Column =
+    graft.functions.KMinPairs.kmin_pairs(
+      md5(uniqueKeyCol.cast("string").cast("binary")), value.cast("double"), k)
+
+  /** Discrete p-quantile of a sampled-values array: the ceil(p·n)-th
+    * smallest element (1-indexed, clamped to ≥ 1) — the definition any
+    * SQL engine reproduces as sorted_list[greatest(1, ceil(p*n))]. */
+  def sampleQuantile(vals: Column, p: Double): Column = {
+    require(p > 0.0 && p <= 1.0, s"quantile must be in (0, 1], got $p")
+    element_at(array_sort(vals),
+      greatest(lit(1), ceil(lit(p) * size(vals)).cast("int")))
+  }
 }

@@ -357,6 +357,22 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // Deterministic-sample quantiles: a bounded k-min-hash uniform sample
+    // per group (≤128 (hash,value) pairs cross the exchange) + discrete
+    // quantiles of the sample — the PORTABLE approximate-percentile
+    // (percentile_approx is engine-opaque). Oracle-checked bit-for-bit:
+    // DuckDB re-ranks rows by the same md5 and picks the same order
+    // statistics.
+    "q_sampled_quantiles" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+      ev.groupBy("event_type")
+        .agg(graft.ops.Sketch.hashSample(col("event_id"), col("value"), 128).as("smp"))
+        .select(col("event_type"), size(col("smp")).as("n_sample"),
+          round(graft.ops.Sketch.sampleQuantile(col("smp"), 0.5), 4).as("p50_est"),
+          round(graft.ops.Sketch.sampleQuantile(col("smp"), 0.9), 4).as("p90_est"))
+        .orderBy("event_type")
+    }),
+
     // GROUPING SETS: explicit grouping combinations (finer control than
     // rollup/cube) in one Expand pass — no multi-scan union
     "q_grouping_sets" -> ((s, dir) =>
@@ -599,6 +615,18 @@ object RelationalQueries {
         |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY 1, 2""".stripMargin,
+    "q_sampled_quantiles" ->
+      """WITH h AS (SELECT event_type, value, md5(event_id::VARCHAR) AS hx
+        |           FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT event_type, value,
+        |             row_number() OVER (PARTITION BY event_type ORDER BY hx) AS rn
+        |      FROM h),
+        |smp AS (SELECT event_type, list_sort(list(value)) AS s
+        |        FROM r WHERE rn <= 128 GROUP BY event_type)
+        |SELECT event_type, CAST(len(s) AS INT) AS n_sample,
+        |       round(s[GREATEST(1, CAST(ceil(0.5 * len(s)) AS INT))], 4) AS p50_est,
+        |       round(s[GREATEST(1, CAST(ceil(0.9 * len(s)) AS INT))], 4) AS p90_est
+        |FROM smp ORDER BY event_type""".stripMargin,
     "q_approx_distinct" ->
       """SELECT count(DISTINCT user_id) AS n_users_exact,
         |       count(DISTINCT event_type) AS n_types_exact,

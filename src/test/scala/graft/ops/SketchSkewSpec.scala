@@ -57,6 +57,41 @@ class SketchSkewSpec extends SparkSpec {
     assert(estimate(1) == estimate(13))
   }
 
+  test("kmin_pairs keeps values of the k smallest hashes; sample is layout-invariant") {
+    import spark.implicits._
+    val rows = (1L to 3000L).map(i => (s"ev${i % 3}", i, (i % 97).toDouble))
+      .toDF("g", "id", "value")
+    def sample(parts: Int) = rows.repartition(parts)
+      .groupBy("g")
+      .agg(Sketch.hashSample(col("id"), col("value"), 32).as("smp"))
+      .select(col("g"), col("smp"))
+      .as[(String, Seq[Double])].collect().sortBy(_._1).toSeq
+    val once = sample(1)
+    assert(once == sample(13)) // pure function of the data
+    assert(once.forall(_._2.size == 32))
+    // below k the sample is exhaustive → quantiles exact
+    val small = (1L to 10L).map(i => (i, i.toDouble)).toDF("id", "value")
+      .agg(Sketch.hashSample(col("id"), col("value"), 128).as("smp"))
+      .select(Sketch.sampleQuantile(col("smp"), 0.5).as("p50"),
+        Sketch.sampleQuantile(col("smp"), 1.0).as("p100"))
+      .head()
+    assert(small.getDouble(0) == 5.0 && small.getDouble(1) == 10.0)
+  }
+
+  test("KMinPairsBuffer serde round-trips and merge equals single ingest") {
+    val all = (1 to 200).map(i => (f"h$i%04d", i.toDouble))
+    val (l, r) = scala.util.Random.shuffle(all).splitAt(100)
+    val a = new graft.functions.KMinPairsBuffer(16)
+    l.foreach { case (h, v) => a.add(h, v) }
+    val b = new graft.functions.KMinPairsBuffer(16)
+    r.foreach { case (h, v) => b.add(h, v) }
+    a.addAll(graft.functions.KMinPairsBuffer.fromBytes(16, b.toBytes))
+    val whole = new graft.functions.KMinPairsBuffer(16)
+    all.foreach { case (h, v) => whole.add(h, v) }
+    assert(a.valuesByHash.toSeq == whole.valuesByHash.toSeq)
+    assert(a.valuesByHash.toSeq == (1 to 16).map(_.toDouble))
+  }
+
   private def planOf(name: String): String =
     org.apache.spark.sql.graft.Bridge.executedPlan(
       graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")).toString
