@@ -140,6 +140,28 @@ object StreamingPipeline {
         col("ts_b") <= col("ts_a") + expr(s"INTERVAL $within"))
   }
 
+  /** Streaming frequent-value monitor per (event-time window, log_type):
+    * the bounded Misra-Gries summary as a watermarked windowed
+    * aggregation. Per-window state is ≤ k counters no matter the value
+    * cardinality — the property that keeps the state store finite where a
+    * naive per-value count would grow with the vocabulary — and windows
+    * are evicted as the watermark passes. Candidates are ordered by
+    * estimated count; if exact frequencies are needed, recount a closed
+    * window exactly (the [[graft.ops.HeavyHitters]] two-phase rule). */
+  def frequentValuesPerWindow(envelopes: DataFrame, cfg: PipelineConfig,
+                              jsonPath: String, k: Int = 64,
+                              windowLen: String = "1 hour",
+                              watermark: String = "1 hour"): DataFrame = {
+    val good = Router.good(Pipeline.transform(envelopes, cfg))
+    good
+      .select(col("event_ts"), col("log_type"),
+        get_json_object(col("payload"), jsonPath).as("v"))
+      .filter(col("v").isNotNull)
+      .withWatermark("event_ts", watermark)
+      .groupBy(window(col("event_ts"), windowLen), col("log_type"))
+      .agg(graft.functions.MisraGries.mg_candidates(col("v"), k).as("candidates"))
+  }
+
   /** Streaming daily rollup per (log_type, day window): the E2 index
     * fan-out as a watermarked windowed aggregation — late data beyond the
     * watermark is dropped, per-key state is bounded. */

@@ -113,6 +113,13 @@ class SketchSkewSpec extends SparkSpec {
     assert(offending.isEmpty, offending.mkString("\n"))
   }
 
+  test("q_sampled_quantiles plan runs the sample partially (bounded per group)") {
+    val plan = planOf("q_sampled_quantiles")
+    // one partial + one final kmin_pairs keyed by event_type alone: the
+    // partial combine is what bounds the exchange to <=k pairs per group
+    assert(occurrences(plan, "partial_kmin_pairs") == 1, plan.take(2000))
+  }
+
   test("q_salted_join plan evaluates the salt hash once per fact row") {
     val plan = planOf("q_salted_join")
     // without KnownNotNull, InferFiltersFromConstraints duplicates the

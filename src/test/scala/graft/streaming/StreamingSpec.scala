@@ -60,6 +60,32 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq("id-1", "id-2"))
   }
 
+  test("streaming frequent-value monitor surfaces the heavy value per window") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TestEnvelope]
+    val freq = StreamingPipeline.frequentValuesPerWindow(
+      mem.toDF(), PipelineConfig(), jsonPath = "$.user", k = 4)
+    val q = freq.writeStream
+      .format("memory").queryName("freq_out").outputMode("complete").start()
+    try {
+      // skewed: "hot" dominates; 8 distinct users exceed the k=4 counters
+      val payloads = (1 to 40).map { i =>
+        val u = if (i % 2 == 0) "hot" else s"u${i % 8}"
+        s"""{"log_type":"nginx","time":"2020-09-15T10:0${i % 6}:00Z","log_id":"id-$i","user":"$u"}"""
+      }
+      mem.addData(payloads.zipWithIndex.map { case (p, i) => env(i, p) }: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("freq_out")
+      .selectExpr("log_type", "candidates").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cands = r.getSeq[String](1)
+      assert(cands.size <= 4, s"state not bounded: $cands")
+      assert(cands.head == "hot", s"heavy value lost: $cands") // freq > n/k survives MG
+    }
+  }
+
   test("watermark dedup runs on the RocksDB state store (the 100 TB provider)") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     StreamingPipeline.useRocksDbStateStore(spark)
