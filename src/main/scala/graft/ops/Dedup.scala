@@ -240,6 +240,27 @@ object Dedup {
     labels
   }
 
+  /** Canonical-document retention: given near-dup cluster labels
+    * ([[nearDupClusters]] output: id, cluster) and a numeric quality
+    * score, keep the BEST-scoring document of every cluster (ties →
+    * smallest id); documents in no cluster survive as singletons. This is
+    * the policy that turns a dedup clustering into an actual corpus
+    * reduction — "drop duplicates, keep the best copy" rather than the
+    * arbitrary min-id survivor. One `min_by` aggregation over the
+    * labeled corpus: map-side combinable, a single shuffle on the
+    * cluster label. */
+  def keepBestPerCluster(docs: DataFrame, clusters: DataFrame,
+                         idCol: String, scoreCol: String): DataFrame = {
+    val cols = docs.columns
+    val labeled = docs
+      .join(clusters.select(col("id").as(idCol), col("cluster")), Seq(idCol), "left")
+      .withColumn("_cl", coalesce(col("cluster"), col(idCol)))
+    labeled.groupBy("_cl")
+      .agg(min_by(struct(cols.map(col): _*),
+        struct((-col(scoreCol)).as("ns"), col(idCol).as("i"))).as("_row"))
+      .select(col("_row.*"))
+  }
+
   /** Cross-snapshot dedup: incoming documents that near-duplicate ANY
     * document of a REFERENCE corpus (the previous crawl/snapshot) — the
     * incremental-ingest counterpart of [[minhashNearDupPairs]]. Candidate

@@ -356,6 +356,19 @@ class OpsSpec extends SparkSpec {
     assert(frames == Seq(0, 2)) // 4 frames, every 2nd
   }
 
+  test("keepBestPerCluster retains the best copy per cluster plus singletons") {
+    val docs = Seq(
+      (1L, "a", 50L), (2L, "a", 90L), (3L, "a", 90L), // cluster {1,2,3}: 2 wins (score tie → min id)
+      (4L, "b", 10L),                                 // singleton
+      (5L, "c", 30L), (6L, "c", 70L)                  // cluster {5,6}: 6 wins
+    ).toDF("doc_id", "text", "score")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("id", "cluster")
+    val kept = Dedup.keepBestPerCluster(docs, clusters, "doc_id", "score")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(2L, 4L, 6L))
+  }
+
   test("binary signature packs sign bits into 32-bit words, big-endian") {
     val df = Seq(Tuple1(Array.tabulate(64)(i => if (i == 0 || i == 63) 1.0 else -1.0)))
       .toDF("v")
