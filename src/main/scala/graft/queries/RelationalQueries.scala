@@ -373,6 +373,18 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // Single-pass bounded-state table profile (the ANALYZE primitive):
+    // per column, non-null/null counts + md5-KMV distinct estimate — one
+    // scan for every column at once, ≤k hashes per column cross the
+    // exchange. Oracle-checked bit-for-bit (the KMV estimate is
+    // portable); `value` reports NULL distinct (double string rendering
+    // is not engine-portable, documented in Profile).
+    "q_profile_events" -> ((s, dir) =>
+      graft.ops.Profile.table(
+        t(s, dir, "events").select("event_id", "user_id", "event_type", "value", "props"),
+        distinctCols = Set("event_id", "user_id", "event_type", "props"))
+        .orderBy("col_name")),
+
     // GROUPING SETS: explicit grouping combinations (finer control than
     // rollup/cube) in one Expand pass — no multi-scan union
     "q_grouping_sets" -> ((s, dir) =>
@@ -453,6 +465,34 @@ object RelationalQueries {
         .orderBy("user_id")
     })
   )
+
+  /** One UNION ALL branch per profiled column, each replaying the
+    * ungrouped KMV estimate (the q_kmv_distinct oracle's formula). */
+  private def profileEventsSql: String = {
+    def one(c: String, distinct: Boolean): String = {
+      val est =
+        if (distinct)
+          s"""(WITH h AS (SELECT DISTINCT substr(md5($c::VARCHAR), 1, 16) AS hx
+             |            FROM events WHERE $c IS NOT NULL),
+             |  r AS (SELECT hx, row_number() OVER (ORDER BY hx) AS rn,
+             |               count(*) OVER () AS nd FROM h)
+             |  SELECT round(CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
+             |               ELSE 63.0 * 18446744073709551616.0 /
+             |                    (('0x' || max(CASE WHEN rn = 64 THEN hx END))::UBIGINT::DOUBLE)
+             |          END, 2)
+             |  FROM r WHERE rn <= 64)""".stripMargin
+        else "NULL::DOUBLE"
+      s"""SELECT '$c' AS col_name,
+         |       count($c) AS n_non_null,
+         |       count(*) - count($c) AS n_nulls,
+         |       $est AS approx_distinct
+         |FROM events""".stripMargin
+    }
+    Seq("event_id" -> true, "user_id" -> true, "event_type" -> true,
+      "value" -> false, "props" -> true)
+      .map { case (c, d) => one(c, d) }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
 
   val sql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -615,6 +655,7 @@ object RelationalQueries {
         |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY 1, 2""".stripMargin,
+    "q_profile_events" -> profileEventsSql,
     "q_sampled_quantiles" ->
       """WITH h AS (SELECT event_type, value, md5(event_id::VARCHAR) AS hx
         |           FROM events WHERE value IS NOT NULL),
