@@ -149,6 +149,15 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
         .orderBy("lang")),
 
+    // Weighted sample: 40 documents drawn with probability proportional
+    // to n_chars (length-proportional mixture construction) via the
+    // deterministic A-ES key — bounded top-k agg, corpus never sorted
+    "txt_weighted_sample" -> ((s, dir) =>
+      graft.ops.Sampling.weightedSample(
+          docs(s, dir).select("doc_id", "lang", "source", "n_chars"),
+          "doc_id", col("n_chars"), k = 40)
+        .orderBy("doc_id")),
+
     // Context-window packing: sequential fill into 4096-token bins
     "txt_pack_bins" -> ((s, dir) => {
       val withTokens = docs(s, dir)
@@ -505,6 +514,16 @@ object TextQueries {
         |      FROM documents) t
         |WHERE b < r * 65536
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "txt_weighted_sample" ->
+      """WITH keyed AS (
+        |  SELECT doc_id,
+        |         ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT::DOUBLE + 0.5)
+        |            / 4294967296.0) / n_chars::DOUBLE AS k
+        |  FROM documents WHERE n_chars > 0 AND doc_id IS NOT NULL),
+        |win AS (SELECT doc_id FROM keyed ORDER BY k DESC, doc_id ASC LIMIT 40)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d JOIN win USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "txt_pack_bins" ->
       """WITH t AS (
         |  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens FROM documents),
