@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics over event streams: ordered funnels and cohort
+  * retention — the OLAP staples a log-analytics engine is asked for first.
+  *
+  * Scale design: the funnel's chained stage windows all partition by the
+  * user key with an unbounded frame, so Catalyst plans ONE exchange on
+  * `userCol` reused by every Window operator AND by the per-user rollup
+  * that follows (its required distribution is already satisfied) — the
+  * events table crosses the network once regardless of stage count.
+  * Cohort retention is shuffle-linear: a partial-agg distinct of
+  * (user, period) pairs, a user-level first-period table, one equi-join.
+  */
+object Analytics {
+
+  /** Per-user funnel stage timestamps. Stage 0's time is the user's first
+    * `stages(0)` event; stage i's time is the first `stages(i)` event
+    * STRICTLY AFTER stage i-1's time (the conversion-ordering semantics —
+    * a click before the first view does not convert). Output: one row per
+    * user with a nullable `t_<stage>` timestamp per stage.
+    */
+  def funnelStageTimes(df: DataFrame, userCol: String, typeCol: String,
+                       tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty && stages.distinct == stages,
+      "stages must be nonempty and distinct")
+    val w = Window.partitionBy(userCol)
+    val staged = stages.zipWithIndex.foldLeft(
+      df.select(userCol, typeCol, tsCol)) { case (acc, (stage, i)) =>
+        val hit = col(typeCol) === stage
+        val cond = if (i == 0) hit else hit && col(tsCol) > col(s"_t${i - 1}")
+        acc.withColumn(s"_t$i", min(when(cond, col(tsCol))).over(w))
+    }
+    val aggs = stages.zipWithIndex.map { case (stage, i) =>
+      max(s"_t$i").as(s"t_$stage") // constant per user; max picks it
+    }
+    staged.groupBy(userCol).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Cohort retention: users bucketed by the period of their first event
+    * (`date_trunc(unit)`), activity counted per (cohort period, periods
+    * elapsed). `periodDays` converts the day difference to the offset —
+    * 7 for 'week', 1 for 'day'. Output: (cohort_<unit>, offset, n_active).
+    */
+  def cohortRetention(df: DataFrame, userCol: String, tsCol: String,
+                      unit: String = "week", periodDays: Int = 7): DataFrame = {
+    val ev = df.select(col(userCol),
+      date_trunc(unit, col(tsCol)).cast("date").as("wk"))
+    val cohort = ev.groupBy(userCol).agg(min("wk").as(s"cohort_$unit"))
+    // (user, wk) pairs are distinct-ed, so count(*) below counts users
+    ev.distinct()
+      .join(cohort, userCol)
+      .groupBy(col(s"cohort_$unit"),
+        (datediff(col("wk"), col(s"cohort_$unit")) / periodDays)
+          .cast("long").as(s"${unit}_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+}

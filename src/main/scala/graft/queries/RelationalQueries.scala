@@ -463,7 +463,27 @@ object RelationalQueries {
         .groupBy("user_id")
         .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy("user_id")
-    })
+    }),
+
+    // Ordered funnel view -> click -> purchase: each stage's timestamp is
+    // the user's FIRST qualifying event STRICTLY AFTER the previous stage.
+    // Three chained unbounded-frame window aggs share ONE exchange on
+    // user_id (same partitioning — Catalyst reuses the shuffle), then a
+    // user-level rollup; the events table is shuffled once, not per stage.
+    "q_funnel" -> ((s, dir) =>
+      graft.ops.Analytics.funnelStageTimes(t(s, dir, "events"),
+          "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+        .agg(count(col("t_view")).as("n_view"),
+          count(col("t_click")).as("n_view_click"),
+          count(col("t_purchase")).as("n_view_click_purchase"))),
+
+    // Weekly cohort retention: users grouped by first-activity week,
+    // activity counted per (cohort_week, week_offset). Shuffle-linear:
+    // distinct (user, week) pairs via partial agg, a user-level cohort
+    // table, one equi-join on user_id.
+    "q_cohort_retention" -> ((s, dir) =>
+      graft.ops.Analytics.cohortRetention(t(s, dir, "events"), "user_id", "ts")
+        .orderBy("cohort_week", "week_offset"))
   )
 
   /** One UNION ALL branch per profiled column, each replaying the
@@ -656,6 +676,27 @@ object RelationalQueries {
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY 1, 2""".stripMargin,
     "q_profile_events" -> profileEventsSql,
+    "q_funnel" ->
+      """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN t1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN t2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1)
+        |SELECT (SELECT count(*) FROM t1) AS n_view,
+        |       (SELECT count(*) FROM t2) AS n_view_click,
+        |       (SELECT count(*) FROM t3) AS n_view_click_purchase""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS wk
+        |            FROM events),
+        |cohort AS (SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY 1)
+        |SELECT cohort_week,
+        |       CAST(date_diff('day', cohort_week, wk) / 7 AS BIGINT) AS week_offset,
+        |       count(*) AS n_active
+        |FROM ev JOIN cohort USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_sampled_quantiles" ->
       """WITH h AS (SELECT event_type, value, md5(event_id::VARCHAR) AS hx
         |           FROM events WHERE value IS NOT NULL),

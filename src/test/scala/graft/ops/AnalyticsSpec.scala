@@ -1,0 +1,70 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class AnalyticsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private def fixture = Seq(
+    // user 1: full ordered funnel
+    (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "purchase", ts(3)),
+    // user 2: click BEFORE the first view — must not convert
+    (2L, "click", ts(1)), (2L, "view", ts(2)), (2L, "purchase", ts(3)),
+    // user 3: skips the click stage — purchase must not count
+    (3L, "view", ts(1)), (3L, "purchase", ts(2)),
+    // user 4: converts through click only
+    (4L, "view", ts(1)), (4L, "click", ts(2)),
+    // user 5: never enters the funnel
+    (5L, "purchase", ts(1))
+  ).toDF("user_id", "event_type", "ts")
+
+  test("funnel requires stages strictly ordered per user") {
+    val st = Analytics.funnelStageTimes(fixture,
+      "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+    val counts = st.agg(count(col("t_view")), count(col("t_click")),
+      count(col("t_purchase"))).head()
+    assert((counts.getLong(0), counts.getLong(1), counts.getLong(2)) == ((4L, 2L, 1L)))
+    // user 2's pre-view click is not a conversion, but a LATER click would be
+    val u2 = st.filter(col("user_id") === 2L).head()
+    assert(u2.isNullAt(u2.fieldIndex("t_click")))
+    assert(u2.isNullAt(u2.fieldIndex("t_purchase")))
+  }
+
+  test("funnel shuffles the event table once: one exchange on the user key") {
+    val plan = org.apache.spark.sql.graft.Bridge.executedPlan(
+      graft.SparkEntry.queries("q_funnel")(
+        spark, "/root/testdata/sf0.001")).toString
+    // three chained stage windows + the per-user rollup must share a
+    // single hashpartitioning(user_id) exchange; a per-stage reshuffle
+    // would scan-shuffle the events table once per funnel stage
+    val userExchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(user_id"))
+    assert(userExchanges == 1, plan.take(4000))
+  }
+
+  test("cohort retention buckets users by first-activity period") {
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 09:00:00")), // cohort wk of Jan 1
+      (1L, Timestamp.valueOf("2024-01-10 09:00:00")), // +1 week
+      (1L, Timestamp.valueOf("2024-01-16 09:00:00")), // +2 weeks
+      (2L, Timestamp.valueOf("2024-01-02 09:00:00")), // same cohort
+      (2L, Timestamp.valueOf("2024-01-11 09:00:00")), // +1 week
+      (3L, Timestamp.valueOf("2024-01-09 09:00:00"))  // cohort wk of Jan 8
+    ).toDF("user_id", "ts")
+    val got = Analytics.cohortRetention(df, "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
+      .as[(java.sql.Date, Long, Long)].collect().toSeq
+    val jan1 = java.sql.Date.valueOf("2024-01-01")
+    val jan8 = java.sql.Date.valueOf("2024-01-08")
+    assert(got == Seq((jan1, 0L, 2L), (jan1, 1L, 2L), (jan1, 2L, 1L),
+      (jan8, 0L, 1L)))
+  }
+}
