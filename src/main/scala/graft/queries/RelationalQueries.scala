@@ -477,6 +477,15 @@ object RelationalQueries {
           count(col("t_click")).as("n_view_click"),
           count(col("t_purchase")).as("n_view_click_purchase"))),
 
+    // Entity resolution: all part-name pairs within edit distance 2 via
+    // PassJoin segment blocking — candidates from a pure equi-join on
+    // (length, slot, segment), exact levenshtein only on candidates; the
+    // oracle is the all-pairs scan, so a hash match proves the blocking
+    // is COMPLETE (no lost pair), not just fast
+    "q_fuzzy_name_pairs" -> ((s, dir) =>
+      graft.ops.EntityResolution.fuzzySelfJoin(t(s, dir, "part"), "p_name", tau = 2)
+        .orderBy("name_a", "name_b")),
+
     // Weekly cohort retention: users grouped by first-activity week,
     // activity counted per (cohort_week, week_offset). Shuffle-linear:
     // distinct (user, week) pairs via partial agg, a user-level cohort
@@ -688,6 +697,14 @@ object RelationalQueries {
         |SELECT (SELECT count(*) FROM t1) AS n_view,
         |       (SELECT count(*) FROM t2) AS n_view_click,
         |       (SELECT count(*) FROM t3) AS n_view_click_purchase""".stripMargin,
+    "q_fuzzy_name_pairs" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part
+        |           WHERE p_name IS NOT NULL AND len(p_name) >= 3)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM n a JOIN n b ON a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY 1, 2""".stripMargin,
     "q_cohort_retention" ->
       """WITH ev AS (SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS wk
         |            FROM events),
