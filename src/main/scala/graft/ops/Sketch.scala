@@ -48,6 +48,29 @@ object Sketch {
   def kmvSketch(valueCol: Column, k: Int): Column =
     KMinStrings.kmin_strings(hashHex(valueCol), k)
 
+  /** Sketch set-algebra (the theta-sketch trick on KMV): two groups'
+    * sketches combine WITHOUT rescanning their data. The k smallest
+    * hashes of the union of two k-min sets are exactly the union's k-min
+    * set, so [[kmvMerge]] + [[kmvEstimate]] estimates |A ∪ B|; and within
+    * that union k-min set, the fraction of hashes present in BOTH input
+    * sketches is an unbiased Jaccard estimate (each union-k-min hash is a
+    * uniform draw from A ∪ B), giving |A ∩ B| ≈ Ĵ · est(A ∪ B). All of it
+    * is deterministic array arithmetic over md5 hashes — an external
+    * engine reproduces every estimate bit-for-bit. */
+  def kmvMerge(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_distinct(concat(a, b))), 1, k)
+
+  /** Jaccard estimate |A∩B| / |A∪B| from two k-min sketches. */
+  def kmvJaccard(a: Column, b: Column, k: Int): Column = {
+    val u = kmvMerge(a, b, k)
+    val common = size(filter(u, h => array_contains(a, h) && array_contains(b, h)))
+    common.cast("double") / size(u).cast("double")
+  }
+
+  /** Intersection-size estimate Ĵ · est(A ∪ B) from two k-min sketches. */
+  def kmvIntersectEstimate(a: Column, b: Column, k: Int): Column =
+    kmvJaccard(a, b, k) * kmvEstimate(kmvMerge(a, b, k), k)
+
   /** Deterministic uniform sample of up to k `value`s per group: the
     * values attached to the k smallest md5 hashes of a UNIQUE row key
     * ([[graft.functions.KMinPairs]] — ≤ k pairs per group cross the

@@ -357,6 +357,32 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // KMV sketch SET ALGEBRA (theta-sketch style): audience overlap
+    // between event-type segments estimated from the per-type sketches
+    // ALONE — union, Jaccard and intersection need no rescan and no
+    // distinct-join of the data. The pair join is sketch-level (|types|
+    // rows per side, broadcast), never data-level; at 100 TB the sketches
+    // are the only thing that moves.
+    "q_kmv_overlap" -> ((s, dir) => {
+      import graft.ops.Sketch
+      val k = 64
+      val sk = t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(Sketch.kmvSketch(col("user_id"), k).as("sk"))
+      val a = sk.select(col("event_type").as("type_a"), col("sk").as("ska"))
+      val b = sk.select(col("event_type").as("type_b"), col("sk").as("skb"))
+      a.join(b, col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"),
+          round(Sketch.kmvEstimate(col("ska"), k), 2).as("est_a"),
+          round(Sketch.kmvEstimate(col("skb"), k), 2).as("est_b"),
+          round(Sketch.kmvEstimate(Sketch.kmvMerge(col("ska"), col("skb"), k), k), 2)
+            .as("est_union"),
+          round(Sketch.kmvJaccard(col("ska"), col("skb"), k), 4).as("jaccard_est"),
+          round(Sketch.kmvIntersectEstimate(col("ska"), col("skb"), k), 2)
+            .as("est_intersect"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // Deterministic-sample quantiles: a bounded k-min-hash uniform sample
     // per group (≤128 (hash,value) pairs cross the exchange) + discrete
     // quantiles of the sample — the PORTABLE approximate-percentile
@@ -748,6 +774,35 @@ object RelationalQueries {
         |SELECT e.event_type, ex.n_exact, round(e.kmv, 2) AS kmv_users
         |FROM est e JOIN ex ON e.event_type = ex.event_type
         |ORDER BY e.event_type""".stripMargin,
+    "q_kmv_overlap" ->
+      """WITH h AS (SELECT DISTINCT event_type, substr(md5(user_id::VARCHAR), 1, 16) AS hx
+        |           FROM events WHERE user_id IS NOT NULL),
+        |r AS (SELECT event_type, hx,
+        |             row_number() OVER (PARTITION BY event_type ORDER BY hx) AS rn FROM h),
+        |sk AS (SELECT event_type, list(hx ORDER BY hx) AS sk
+        |       FROM r WHERE rn <= 64 GROUP BY 1),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |             a.sk AS ska, b.sk AS skb,
+        |             list_sort(list_distinct(list_concat(a.sk, b.sk)))[1:64] AS u
+        |      FROM sk a JOIN sk b ON a.event_type < b.event_type),
+        |q AS (SELECT type_a, type_b,
+        |             len(list_filter(u, x -> list_contains(ska, x)
+        |                                 AND list_contains(skb, x)))::DOUBLE
+        |               / len(u)::DOUBLE AS jac,
+        |             CASE WHEN len(ska) < 64 THEN len(ska)::DOUBLE
+        |                  ELSE 63.0 * 18446744073709551616.0 /
+        |                       (('0x' || ska[64])::UBIGINT::DOUBLE) END AS ea,
+        |             CASE WHEN len(skb) < 64 THEN len(skb)::DOUBLE
+        |                  ELSE 63.0 * 18446744073709551616.0 /
+        |                       (('0x' || skb[64])::UBIGINT::DOUBLE) END AS eb,
+        |             CASE WHEN len(u) < 64 THEN len(u)::DOUBLE
+        |                  ELSE 63.0 * 18446744073709551616.0 /
+        |                       (('0x' || u[64])::UBIGINT::DOUBLE) END AS eu
+        |      FROM p)
+        |SELECT type_a, type_b, round(ea, 2) AS est_a, round(eb, 2) AS est_b,
+        |       round(eu, 2) AS est_union, round(jac, 4) AS jaccard_est,
+        |       round(jac * eu, 2) AS est_intersect
+        |FROM q ORDER BY 1, 2""".stripMargin,
     "q_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |       coalesce(o_orderpriority, 'ALL') AS priority,

@@ -57,6 +57,44 @@ class SketchSkewSpec extends SparkSpec {
     assert(estimate(1) == estimate(13))
   }
 
+  test("KMV set algebra is exact below k and tracks truth above it") {
+    import spark.implicits._
+    val k = 64
+    // small sets: sketches hold everything -> union/intersection exact
+    val small = (1 to 30).map(i => ("a", s"u$i")) ++
+      (21 to 50).map(i => ("b", s"u$i")) // |A|=30 |B|=30 |A∩B|=10 |A∪B|=50
+    val skSmall = small.toDF("g", "v").groupBy("g")
+      .agg(Sketch.kmvSketch(col("v"), k).as("sk"))
+    val rowS = skSmall.groupBy()
+      .agg(first(when(col("g") === "a", col("sk")), ignoreNulls = true).as("ska"),
+        first(when(col("g") === "b", col("sk")), ignoreNulls = true).as("skb"))
+      .select(
+        Sketch.kmvEstimate(Sketch.kmvMerge(col("ska"), col("skb"), k), k).as("u"),
+        Sketch.kmvIntersectEstimate(col("ska"), col("skb"), k).as("i"))
+      .head()
+    assert(rowS.getDouble(0) == 50.0 && rowS.getDouble(1) == 10.0)
+
+    // large sets: estimates within 4 standard errors (~13% at k=64)
+    val nA = 4000; val nOverlap = 2000; val nB = 4000
+    val large = (1 to nA).map(i => ("a", s"x$i")) ++
+      (nA - nOverlap + 1 to nA - nOverlap + nB).map(i => ("b", s"x$i"))
+    val rowL = large.toDF("g", "v").groupBy("g")
+      .agg(Sketch.kmvSketch(col("v"), k).as("sk"))
+      .groupBy()
+      .agg(first(when(col("g") === "a", col("sk")), ignoreNulls = true).as("ska"),
+        first(when(col("g") === "b", col("sk")), ignoreNulls = true).as("skb"))
+      .select(
+        Sketch.kmvEstimate(Sketch.kmvMerge(col("ska"), col("skb"), k), k).as("u"),
+        Sketch.kmvIntersectEstimate(col("ska"), col("skb"), k).as("i"))
+      .head()
+    val trueUnion = nA + nB - nOverlap
+    assert(math.abs(rowL.getDouble(0) - trueUnion) < 4 * trueUnion / math.sqrt(k - 2),
+      s"union est ${rowL.getDouble(0)} vs $trueUnion")
+    // intersection compounds union + jaccard error; allow a loose 3x band
+    assert(rowL.getDouble(1) > nOverlap / 3.0 && rowL.getDouble(1) < nOverlap * 3.0,
+      s"intersect est ${rowL.getDouble(1)} vs $nOverlap")
+  }
+
   test("kmin_pairs keeps values of the k smallest hashes; sample is layout-invariant") {
     import spark.implicits._
     val rows = (1L to 3000L).map(i => (s"ev${i % 3}", i, (i % 97).toDouble))
