@@ -357,6 +357,23 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // Declarative data-quality gate: six constraints (completeness,
+    // exact uniqueness, bounds, set membership) fused into ONE
+    // aggregation over one scan — includes a deliberately failing check
+    // (user_id uniqueness) to exercise the failure path
+    "q_quality_checks" -> ((s, dir) => {
+      import graft.ops.Checks
+      Checks.run(t(s, dir, "events"), Seq(
+          Checks.Completeness("user_id", 0.99),
+          Checks.Completeness("value", 0.5),
+          Checks.Uniqueness("event_id", 0.999999),
+          Checks.Uniqueness("user_id", 0.5),
+          Checks.FractionBetween("value", -1e6, 1e6, 0.999),
+          Checks.FractionInSet("event_type",
+            Seq("click", "view", "purchase", "signup", "error"), 1.0)))
+        .orderBy("kind", "col_name")
+    }),
+
     // KMV sketch SET ALGEBRA (theta-sketch style): audience overlap
     // between event-type segments estimated from the per-type sketches
     // ALONE — union, Jaccard and intersection need no rescan and no
@@ -774,6 +791,47 @@ object RelationalQueries {
         |SELECT e.event_type, ex.n_exact, round(e.kmv, 2) AS kmv_users
         |FROM est e JOIN ex ON e.event_type = ex.event_type
         |ORDER BY e.event_type""".stripMargin,
+    "q_quality_checks" ->
+      """SELECT 'completeness' AS kind, 'user_id' AS col_name,
+        |       round(count(user_id)::DOUBLE / count(*)::DOUBLE, 6) AS metric,
+        |       0.99::DOUBLE AS threshold,
+        |       (count(user_id)::DOUBLE / count(*)::DOUBLE) >= 0.99 AS passed
+        |FROM events
+        |UNION ALL
+        |SELECT 'completeness', 'value',
+        |       round(count(value)::DOUBLE / count(*)::DOUBLE, 6),
+        |       0.5::DOUBLE,
+        |       (count(value)::DOUBLE / count(*)::DOUBLE) >= 0.5
+        |FROM events
+        |UNION ALL
+        |SELECT 'uniqueness', 'event_id',
+        |       round(count(DISTINCT event_id)::DOUBLE / count(event_id)::DOUBLE, 6),
+        |       0.999999::DOUBLE,
+        |       (count(DISTINCT event_id)::DOUBLE / count(event_id)::DOUBLE) >= 0.999999
+        |FROM events
+        |UNION ALL
+        |SELECT 'uniqueness', 'user_id',
+        |       round(count(DISTINCT user_id)::DOUBLE / count(user_id)::DOUBLE, 6),
+        |       0.5::DOUBLE,
+        |       (count(DISTINCT user_id)::DOUBLE / count(user_id)::DOUBLE) >= 0.5
+        |FROM events
+        |UNION ALL
+        |SELECT 'fraction_between', 'value',
+        |       round(sum(CASE WHEN value BETWEEN -1000000.0 AND 1000000.0
+        |                      THEN 1 ELSE 0 END)::DOUBLE / count(value)::DOUBLE, 6),
+        |       0.999::DOUBLE,
+        |       (sum(CASE WHEN value BETWEEN -1000000.0 AND 1000000.0
+        |            THEN 1 ELSE 0 END)::DOUBLE / count(value)::DOUBLE) >= 0.999
+        |FROM events
+        |UNION ALL
+        |SELECT 'fraction_in_set', 'event_type',
+        |       round(sum(CASE WHEN event_type IN ('click','view','purchase','signup','error')
+        |                      THEN 1 ELSE 0 END)::DOUBLE / count(event_type)::DOUBLE, 6),
+        |       1.0::DOUBLE,
+        |       (sum(CASE WHEN event_type IN ('click','view','purchase','signup','error')
+        |            THEN 1 ELSE 0 END)::DOUBLE / count(event_type)::DOUBLE) >= 1.0
+        |FROM events
+        |ORDER BY 1, 2""".stripMargin,
     "q_kmv_overlap" ->
       """WITH h AS (SELECT DISTINCT event_type, substr(md5(user_id::VARCHAR), 1, 16) AS hx
         |           FROM events WHERE user_id IS NOT NULL),
