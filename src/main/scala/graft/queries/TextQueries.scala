@@ -149,6 +149,15 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
         .orderBy("lang")),
 
+    // BM25 keyword search: top-20 documents for a 3-term query, planned
+    // inverted-index style (explode filtered to query terms at the
+    // generator, term stats broadcast, bounded top-k heap — no corpus
+    // sort, no full posting materialization)
+    "txt_bm25_topk" -> ((s, dir) =>
+      graft.ops.Search.bm25TopK(docs(s, dir), "doc_id", "text",
+          Seq("spark", "vector", "merge"), k = 20)
+        .orderBy("doc_id")),
+
     // Weighted sample: 40 documents drawn with probability proportional
     // to n_chars (length-proportional mixture construction) via the
     // deterministic A-ES key — bounded top-k agg, corpus never sorted
@@ -514,6 +523,28 @@ object TextQueries {
         |      FROM documents) t
         |WHERE b < r * 65536
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "txt_bm25_topk" ->
+      """WITH base AS (
+        |  SELECT doc_id, lower(text) AS txt,
+        |         len(string_split_regex(trim(lower(text)), '\s+')) AS dl
+        |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+        |p AS (SELECT doc_id, dl,
+        |             unnest(string_split_regex(trim(txt), '\s+')) AS term
+        |      FROM base),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM p
+        |       WHERE term IN ('spark', 'vector', 'merge') GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base),
+        |sc AS (SELECT tf.doc_id,
+        |              ln(((n_docs - df)::DOUBLE + 0.5) / (df::DOUBLE + 0.5) + 1.0)
+        |                * tf::DOUBLE * 2.2::DOUBLE
+        |                / (tf::DOUBLE + 1.2::DOUBLE *
+        |                   (0.25::DOUBLE + 0.75::DOUBLE * dl::DOUBLE / avgdl)) AS s
+        |       FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN stats),
+        |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY 1),
+        |top AS (SELECT doc_id, score FROM agg
+        |        ORDER BY score DESC, doc_id ASC LIMIT 20)
+        |SELECT doc_id, round(score, 4) AS score FROM top ORDER BY doc_id""".stripMargin,
     "txt_weighted_sample" ->
       """WITH keyed AS (
         |  SELECT doc_id,

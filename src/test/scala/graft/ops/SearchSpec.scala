@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SearchSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("bm25 ranks exact-match and term-dense docs first") {
+    val docs = Seq(
+      (1L, "spark spark spark"),          // dense in the rare term
+      (2L, "spark table table table"),    // one hit, longer doc
+      (3L, "table row column filter"),    // no hits
+      (4L, "spark"),                      // one hit, shortest doc
+      (5L, "row row row row row row")     // no hits
+    ).toDF("doc_id", "text")
+    val got = Search.bm25TopK(docs, "doc_id", "text", Seq("spark"), k = 10)
+      .orderBy(desc("score"), col("doc_id"))
+      .as[(Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 4L, 2L)) // only matching docs appear
+    assert(got.forall(_._2 > 0))
+    // tf saturation: doc 1 (tf=3) beats doc 4 (tf=1), but not by 3x
+    assert(got.head._2 < 3 * got(1)._2)
+  }
+
+  test("bm25 is layout-invariant") {
+    val docs = (1L to 400L)
+      .map(i => (i, s"term${i % 13} term${i % 7} filler word number$i"))
+      .toDF("doc_id", "text")
+    def run(parts: Int) =
+      Search.bm25TopK(docs.repartition(parts), "doc_id", "text",
+        Seq("term3", "term5"), k = 15).orderBy("doc_id")
+        .as[(Long, Double)].collect().toSeq
+    assert(run(1) == run(13))
+  }
+
+  test("txt_bm25_topk plan: filter on the generator, bounded final top-k") {
+    val plan = org.apache.spark.sql.graft.Bridge.executedPlan(
+      graft.SparkEntry.queries("txt_bm25_topk")(
+        spark, "/root/testdata/sf0.001")).toString
+    // the query-term filter must sit inside/directly over the Generate so
+    // only matching postings materialize, and the ranking must be the
+    // partial (map-side) bounded heap, not a global sort of all scores
+    val genIdx = plan.linesIterator.indexWhere(_.contains("Generate explode"))
+    assert(genIdx >= 0, plan.take(3000))
+    assert(plan.contains("partial_topk_by_score"), plan.take(3000))
+    val globalSorts = plan.linesIterator.count(l =>
+      l.contains("Sort ") && l.contains("score"))
+    assert(globalSorts == 0, plan.take(3000))
+  }
+}
