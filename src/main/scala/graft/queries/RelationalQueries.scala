@@ -357,6 +357,30 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // SCD2 merge: apply an update batch (changed segments, no-op echoes,
+    // brand-new keys) to a customer dimension history — superseded open
+    // rows close, new versions open, no-ops are dropped (idempotent)
+    "q_scd2_merge" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val hist = c.select(col("c_custkey").as("cust_id"),
+        col("c_mktsegment").as("segment"), col("c_acctbal").as("acctbal"),
+        lit("2024-01-01").cast("date").as("valid_from"),
+        lit(null).cast("date").as("valid_to"))
+      val ts = lit("2024-06-01").cast("date")
+      val changed = c.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey").as("cust_id"), lit("MOVED").as("segment"),
+          (col("c_acctbal") + 50.0).as("acctbal"), ts.as("uts"))
+      val echo = c.filter(col("c_custkey") % 5 === 0 && col("c_custkey") % 7 =!= 0)
+        .select(col("c_custkey").as("cust_id"), col("c_mktsegment").as("segment"),
+          col("c_acctbal").as("acctbal"), ts.as("uts"))
+      val fresh = c.filter(col("c_custkey") % 13 === 0)
+        .select((col("c_custkey") + 1000000L).as("cust_id"),
+          lit("NEWSEG").as("segment"), lit(0.0).as("acctbal"), ts.as("uts"))
+      graft.ops.Scd2.merge(hist, changed.unionByName(echo).unionByName(fresh),
+          "cust_id", "uts", Seq("segment", "acctbal"))
+        .orderBy("cust_id", "valid_from")
+    }),
+
     // Declarative data-quality gate: six constraints (completeness,
     // exact uniqueness, bounds, set membership) fused into ONE
     // aggregation over one scan — includes a deliberately failing check
@@ -791,6 +815,41 @@ object RelationalQueries {
         |SELECT e.event_type, ex.n_exact, round(e.kmv, 2) AS kmv_users
         |FROM est e JOIN ex ON e.event_type = ex.event_type
         |ORDER BY e.event_type""".stripMargin,
+    "q_scd2_merge" ->
+      """WITH hist AS (
+        |  SELECT c_custkey AS cust_id, c_mktsegment AS segment,
+        |         c_acctbal AS acctbal, DATE '2024-01-01' AS valid_from,
+        |         CAST(NULL AS DATE) AS valid_to
+        |  FROM customer),
+        |upd AS (
+        |  SELECT c_custkey AS cust_id, 'MOVED' AS segment,
+        |         c_acctbal + 50.0 AS acctbal, DATE '2024-06-01' AS uts
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, c_acctbal, DATE '2024-06-01'
+        |  FROM customer WHERE c_custkey % 5 = 0 AND c_custkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'NEWSEG', 0.0, DATE '2024-06-01'
+        |  FROM customer WHERE c_custkey % 13 = 0),
+        |app AS (
+        |  SELECT u.* FROM upd u LEFT JOIN hist h ON u.cust_id = h.cust_id
+        |  WHERE h.cust_id IS NULL
+        |     OR u.segment IS DISTINCT FROM h.segment
+        |     OR u.acctbal IS DISTINCT FROM h.acctbal),
+        |closed AS (
+        |  SELECT h.cust_id, h.segment, h.acctbal, h.valid_from,
+        |         a.uts AS valid_to
+        |  FROM hist h JOIN app a ON h.cust_id = a.cust_id),
+        |still AS (
+        |  SELECT h.* FROM hist h LEFT JOIN app a ON h.cust_id = a.cust_id
+        |  WHERE a.cust_id IS NULL),
+        |ins AS (
+        |  SELECT cust_id, segment, acctbal, uts AS valid_from,
+        |         CAST(NULL AS DATE) AS valid_to
+        |  FROM app)
+        |SELECT * FROM still UNION ALL SELECT * FROM closed
+        |UNION ALL SELECT * FROM ins
+        |ORDER BY cust_id, valid_from""".stripMargin,
     "q_quality_checks" ->
       """SELECT 'completeness' AS kind, 'user_id' AS col_name,
         |       round(count(user_id)::DOUBLE / count(*)::DOUBLE, 6) AS metric,
