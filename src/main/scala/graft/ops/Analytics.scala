@@ -40,6 +40,25 @@ object Analytics {
     staged.groupBy(userCol).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * counts and row-normalized probabilities of each (state → next state)
+    * step, ordered by time with a unique tiebreak column. One exchange on
+    * the user key for the lag window; the (from, to) count table is
+    * |states|² — tiny — so the normalizing row-sum window costs nothing.
+    */
+  def transitionMatrix(df: DataFrame, userCol: String, typeCol: String,
+                       tsCol: String, tieBreakCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieBreakCol))
+    val counts = df
+      .withColumn("_next", lead(col(typeCol), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("_next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    counts.withColumn("p",
+      round(col("n").cast("double") /
+        sum("n").over(Window.partitionBy("from_type")).cast("double"), 6))
+  }
+
   /** Cohort retention: users bucketed by the period of their first event
     * (`date_trunc(unit)`), activity counted per (cohort period, periods
     * elapsed). `periodDays` converts the day difference to the offset —

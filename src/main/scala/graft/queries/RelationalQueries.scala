@@ -357,6 +357,23 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // Time-series regularization: 15-min resample of event values per
+    // type, gap-densified with a per-key spine, LOCF + linear interp
+    "q_ts_resample" -> ((s, dir) =>
+      graft.ops.TimeSeries.resample(t(s, dir, "events"),
+          "event_type", "ts", "value", stepSeconds = 900L)
+        .select(col("event_type"),
+          date_format(col("b"), "yyyy-MM-dd HH:mm:ss").as("bucket_ts"),
+          col("v_obs"), col("v_locf"), col("v_interp"))
+        .orderBy("event_type", "bucket_ts")),
+
+    // Path analysis: first-order Markov transition matrix of per-user
+    // event sequences (counts + row-normalized probabilities)
+    "q_event_transitions" -> ((s, dir) =>
+      graft.ops.Analytics.transitionMatrix(t(s, dir, "events"),
+          "user_id", "event_type", "ts", "event_id")
+        .orderBy("from_type", "to_type")),
+
     // SCD2 merge: apply an update batch (changed segments, no-op echoes,
     // brand-new keys) to a customer dimension history — superseded open
     // rows close, new versions open, no-ops are dropped (idempotent)
@@ -815,6 +832,55 @@ object RelationalQueries {
         |SELECT e.event_type, ex.n_exact, round(e.kmv, 2) AS kmv_users
         |FROM est e JOIN ex ON e.event_type = ex.event_type
         |ORDER BY e.event_type""".stripMargin,
+    "q_ts_resample" ->
+      """WITH obs AS (
+        |  SELECT event_type,
+        |         make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS b,
+        |         round(avg(value), 6) AS v_obs
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT event_type, min(b) AS lo, max(b) AS hi FROM obs GROUP BY 1),
+        |spine AS (SELECT event_type,
+        |                 unnest(generate_series(lo, hi, INTERVAL 900 SECOND)) AS b
+        |          FROM span),
+        |j AS (SELECT s.event_type, s.b, o.v_obs
+        |      FROM spine s LEFT JOIN obs o
+        |        ON s.event_type = o.event_type AND s.b = o.b),
+        |w AS (SELECT event_type, b, v_obs,
+        |        last_value(v_obs IGNORE NULLS) OVER
+        |          (PARTITION BY event_type ORDER BY b
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vp,
+        |        first_value(v_obs IGNORE NULLS) OVER
+        |          (PARTITION BY event_type ORDER BY b
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn,
+        |        last_value(CASE WHEN v_obs IS NOT NULL THEN b END IGNORE NULLS) OVER
+        |          (PARTITION BY event_type ORDER BY b
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+        |        first_value(CASE WHEN v_obs IS NOT NULL THEN b END IGNORE NULLS) OVER
+        |          (PARTITION BY event_type ORDER BY b
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tn
+        |      FROM j)
+        |SELECT event_type, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_ts, v_obs,
+        |       vp AS v_locf,
+        |       CASE WHEN v_obs IS NOT NULL THEN v_obs
+        |            WHEN vp IS NOT NULL AND vn IS NOT NULL AND tn <> tp THEN
+        |              floor(round(vp * 1000000.0) +
+        |                    (round(vn * 1000000.0) - round(vp * 1000000.0)) *
+        |                    ((epoch_us(b) - epoch_us(tp))::DOUBLE /
+        |                     (epoch_us(tn) - epoch_us(tp))::DOUBLE)
+        |                    + 0.5) / 1000000.0
+        |            ELSE coalesce(vp, vn) END AS v_interp
+        |FROM w ORDER BY 1, 2""".stripMargin,
+    "q_event_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type, 1) OVER (PARTITION BY user_id
+        |                                   ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM seq
+        |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |       round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type)::DOUBLE, 6) AS p
+        |FROM c ORDER BY 1, 2""".stripMargin,
     "q_scd2_merge" ->
       """WITH hist AS (
         |  SELECT c_custkey AS cust_id, c_mktsegment AS segment,
