@@ -357,6 +357,31 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // Rolling event-time window: per-event trailing-hour count and sum
+    // via a RANGE frame on integer microseconds (value-based frame, so
+    // peers with equal timestamps aggregate identically in any engine)
+    "q_rolling_hour" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0L)
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h", round(sum("value").over(w), 4))
+        .select("event_id", "event_type", "n_1h", "sum_1h")
+        .orderBy("event_id")
+    }),
+
+    // Market-basket affinity: top part pairs by co-occurrence across
+    // orders with lift — pair explode bounded by basket size (equi-join
+    // on the order key), top-20 via TakeOrderedAndProject (bounded heap,
+    // no global sort materialization)
+    "q_basket_pairs" -> ((s, dir) =>
+      graft.ops.Affinity.coOccurrence(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minSupport = 2L)
+        .orderBy(desc("n_ab"), col("item_a"), col("item_b"))
+        .limit(20)),
+
     // Time-series regularization: 15-min resample of event values per
     // type, gap-densified with a per-key spine, LOCF + linear interp
     "q_ts_resample" -> ((s, dir) =>
@@ -832,6 +857,31 @@ object RelationalQueries {
         |SELECT e.event_type, ex.n_exact, round(e.kmv, 2) AS kmv_users
         |FROM est e JOIN ex ON e.event_type = ex.event_type
         |ORDER BY e.event_type""".stripMargin,
+    "q_rolling_hour" ->
+      """SELECT event_id, event_type,
+        |       count(*) OVER w AS n_1h,
+        |       round(sum(value) OVER w, 4) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q_basket_pairs" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |               FROM lineitem
+        |               WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |pairs AS (SELECT a.it AS item_a, b.it AS item_b, count(*) AS n_ab
+        |          FROM items a JOIN items b
+        |            ON a.bk = b.bk AND a.it < b.it
+        |          GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ic AS (SELECT it, count(*) AS n FROM items GROUP BY 1),
+        |tot AS (SELECT count(DISTINCT bk) AS n_baskets FROM items)
+        |SELECT item_a, item_b, n_ab,
+        |       round(n_ab::DOUBLE * n_baskets::DOUBLE /
+        |             (ia.n::DOUBLE * ib.n::DOUBLE), 6) AS lift
+        |FROM pairs JOIN ic ia ON pairs.item_a = ia.it
+        |           JOIN ic ib ON pairs.item_b = ib.it
+        |           CROSS JOIN tot
+        |ORDER BY n_ab DESC, item_a, item_b LIMIT 20""".stripMargin,
     "q_ts_resample" ->
       """WITH obs AS (
         |  SELECT event_type,

@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class AffinitySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("co-occurrence counts unordered pairs once per basket with lift") {
+    val baskets = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 20L), (3L, 10L), // duplicate line: still one pair
+      (4L, 30L)
+    ).toDF("bk", "it")
+    val got = Affinity.coOccurrence(baskets, "bk", "it")
+      .orderBy("item_a", "item_b")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // 4 baskets; n(10)=3, n(20)=3, n(30)=2
+    // lift(10,20) = (3 co / ...) = 3*4/(3*3)
+    assert(got == Seq(
+      (10L, 20L, 3L, round6(3.0 * 4.0 / 9.0)),
+      (10L, 30L, 1L, round6(1.0 * 4.0 / 6.0)),
+      (20L, 30L, 1L, round6(1.0 * 4.0 / 6.0))))
+  }
+
+  private def round6(d: Double): Double =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("q_basket_pairs plan: pair generation is an equi-join on the basket key") {
+    val plan = org.apache.spark.sql.graft.Bridge.executedPlan(
+      graft.SparkEntry.queries("q_basket_pairs")(
+        spark, "/root/testdata/sf0.001")).toString
+    // the item_a < item_b predicate must ride ON the basket equi-join,
+    // never a cartesian; and the final top-20 must be the bounded
+    // TakeOrderedAndProject, not a global Sort + Limit
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+}
