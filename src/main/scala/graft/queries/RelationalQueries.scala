@@ -357,6 +357,26 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // Z-order layout diagnostic: Morton-interleave (o_custkey, order-day)
+    // and cut the z-ordering into 16 rank buckets — per-bucket min/max of
+    // BOTH dims shows each bucket is a bounding box (a linear sort would
+    // leave one dim spanning its full range in every bucket, skipping
+    // nothing). The write path is Layout.zOrdered (range partition by z).
+    "q_zorder_buckets" -> ((s, dir) => {
+      val d = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+          .cast("long").as("dday"))
+      val withZ = d.withColumn("zv",
+        graft.ops.Layout.zValue2(col("o_custkey"), col("dday")))
+      val w = Window.orderBy(col("zv"), col("o_orderkey"))
+      withZ.withColumn("bucket", ntile(16).over(w))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("o_custkey").as("min_cust"), max("o_custkey").as("max_cust"),
+          min("dday").as("min_day"), max("dday").as("max_day"))
+        .orderBy("bucket")
+    }),
+
     // Rolling event-time window: per-event trailing-hour count and sum
     // via a RANGE frame on integer microseconds (value-based frame, so
     // peers with equal timestamps aggregate identically in any engine)
@@ -857,6 +877,25 @@ object RelationalQueries {
         |SELECT e.event_type, ex.n_exact, round(e.kmv, 2) AS kmv_users
         |FROM est e JOIN ex ON e.event_type = ex.event_type
         |ORDER BY e.event_type""".stripMargin,
+    "q_zorder_buckets" ->
+      """WITH d AS (SELECT o_orderkey, o_custkey,
+        |                  date_diff('day', DATE '1992-01-01', o_orderdate::DATE) AS dday
+        |           FROM orders),
+        |s1 AS (SELECT *, (o_custkey & 65535) AS xm, (dday & 65535) AS ym FROM d),
+        |s2 AS (SELECT *, ((xm | (xm << 8)) & 16711935) AS xa,
+        |                 ((ym | (ym << 8)) & 16711935) AS ya FROM s1),
+        |s3 AS (SELECT *, ((xa | (xa << 4)) & 252645135) AS xb,
+        |                 ((ya | (ya << 4)) & 252645135) AS yb FROM s2),
+        |s4 AS (SELECT *, ((xb | (xb << 2)) & 858993459) AS xc,
+        |                 ((yb | (yb << 2)) & 858993459) AS yc FROM s3),
+        |s5 AS (SELECT *, ((xc | (xc << 1)) & 1431655765) AS xd,
+        |                 ((yc | (yc << 1)) & 1431655765) AS yd FROM s4),
+        |z AS (SELECT o_orderkey, o_custkey, dday, (xd | (yd << 1)) AS zv FROM s5),
+        |b AS (SELECT *, ntile(16) OVER (ORDER BY zv, o_orderkey) AS bucket FROM z)
+        |SELECT bucket, count(*) AS n,
+        |       min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+        |       min(dday) AS min_day, max(dday) AS max_day
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_rolling_hour" ->
       """SELECT event_id, event_type,
         |       count(*) OVER w AS n_1h,
