@@ -357,6 +357,71 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // Equi-depth binning: global quartile boundaries from the
+    // deterministic k-min-hash sample (portable order statistics, no
+    // engine-opaque percentile sketch), broadcast to a shuffle-free
+    // bucket ladder — the feature-bucketizer primitive
+    "q_value_buckets" -> ((s, dir) => {
+      import graft.ops.Sketch
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+      val bounds = ev
+        .agg(Sketch.hashSample(col("event_id"), col("value"), 1024).as("smp"))
+        .select(Sketch.sampleQuantile(col("smp"), 0.25).as("q1"),
+          Sketch.sampleQuantile(col("smp"), 0.5).as("q2"),
+          Sketch.sampleQuantile(col("smp"), 0.75).as("q3"))
+      ev.crossJoin(broadcast(bounds))
+        .withColumn("bucket", when(col("value") <= col("q1"), 0)
+          .when(col("value") <= col("q2"), 1)
+          .when(col("value") <= col("q3"), 2).otherwise(3))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min("value").as("lo"), max("value").as("hi"))
+        .orderBy("bucket")
+    }),
+
+    // Robust anomaly detection: per-type Tukey fences (q3 ± 1.5·IQR) from
+    // the deterministic sample — no sums/stddev, so the flag comparison
+    // is bit-identical in any engine; fences broadcast, one scan recount
+    "q_value_outliers" -> ((s, dir) => {
+      import graft.ops.Sketch
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+      val fences = ev.groupBy("event_type")
+        .agg(Sketch.hashSample(col("event_id"), col("value"), 512).as("smp"))
+        .select(col("event_type"),
+          Sketch.sampleQuantile(col("smp"), 0.25).as("q1"),
+          Sketch.sampleQuantile(col("smp"), 0.75).as("q3"))
+        .withColumn("hi_fence", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+        .withColumn("lo_fence", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+      ev.join(broadcast(fences), "event_type")
+        .withColumn("is_out",
+          col("value") > col("hi_fence") || col("value") < col("lo_fence"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"),
+          max(when(col("is_out"), col("value"))).as("max_outlier"))
+        .orderBy("event_type")
+    }),
+
+    // Last-touch attribution: each purchase credits the user's most
+    // recent view/click within 7 days — the as-of join (one union-scan
+    // window pass, no range cross join) plus an attribution-window filter
+    "q_attribution" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val touches = ev.filter(col("event_type").isin("view", "click"))
+        .groupBy("user_id", "ts").agg(max("event_type").as("touch"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      graft.ops.AsOf.join(purchases, touches,
+          "user_id", "user_id", "ts", "ts", Seq("touch", "ts"))
+        .withColumn("channel",
+          when(col("asof_ts").isNotNull &&
+              col("asof_ts") >= col("ts") - expr("INTERVAL 7 DAYS"),
+            col("asof_touch")).otherwise(lit("none")))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum("value"), 2).as("revenue"))
+        .orderBy("channel")
+    }),
+
     // Z-order layout diagnostic: Morton-interleave (o_custkey, order-day)
     // and cut the z-ordering into 16 rank buckets — per-bucket min/max of
     // BOTH dims shows each bucket is a bounding box (a linear sort would
@@ -877,6 +942,63 @@ object RelationalQueries {
         |SELECT e.event_type, ex.n_exact, round(e.kmv, 2) AS kmv_users
         |FROM est e JOIN ex ON e.event_type = ex.event_type
         |ORDER BY e.event_type""".stripMargin,
+    "q_value_buckets" ->
+      """WITH h AS (SELECT value, md5(event_id::VARCHAR) AS hx
+        |           FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT value, row_number() OVER (ORDER BY hx) AS rn FROM h),
+        |smp AS (SELECT list_sort(list(value)) AS s FROM r WHERE rn <= 1024),
+        |b AS (SELECT s[GREATEST(1, CAST(ceil(0.25 * len(s)) AS INT))] AS q1,
+        |             s[GREATEST(1, CAST(ceil(0.5 * len(s)) AS INT))] AS q2,
+        |             s[GREATEST(1, CAST(ceil(0.75 * len(s)) AS INT))] AS q3
+        |      FROM smp),
+        |t AS (SELECT e.value,
+        |             CASE WHEN e.value <= b.q1 THEN 0
+        |                  WHEN e.value <= b.q2 THEN 1
+        |                  WHEN e.value <= b.q3 THEN 2 ELSE 3 END AS bucket
+        |      FROM events e CROSS JOIN b WHERE e.value IS NOT NULL)
+        |SELECT bucket, count(*) AS n, min(value) AS lo, max(value) AS hi
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_value_outliers" ->
+      """WITH h AS (SELECT event_type, value, md5(event_id::VARCHAR) AS hx
+        |           FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT event_type, value,
+        |             row_number() OVER (PARTITION BY event_type ORDER BY hx) AS rn
+        |      FROM h),
+        |smp AS (SELECT event_type, list_sort(list(value)) AS s
+        |        FROM r WHERE rn <= 512 GROUP BY event_type),
+        |f AS (SELECT event_type,
+        |             s[GREATEST(1, CAST(ceil(0.25 * len(s)) AS INT))] AS q1,
+        |             s[GREATEST(1, CAST(ceil(0.75 * len(s)) AS INT))] AS q3
+        |      FROM smp),
+        |g AS (SELECT event_type, q1, q3,
+        |             q3 + 1.5 * (q3 - q1) AS hi_fence,
+        |             q1 - 1.5 * (q3 - q1) AS lo_fence
+        |      FROM f),
+        |e AS (SELECT ev.event_type, ev.value,
+        |             (ev.value > g.hi_fence OR ev.value < g.lo_fence) AS is_out
+        |      FROM events ev JOIN g ON ev.event_type = g.event_type
+        |      WHERE ev.value IS NOT NULL)
+        |SELECT event_type, count(*) AS n,
+        |       sum(CASE WHEN is_out THEN 1 ELSE 0 END) AS n_outliers,
+        |       max(CASE WHEN is_out THEN value END) AS max_outlier
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_attribution" ->
+      """WITH touches AS (SELECT user_id, ts, max(event_type) AS touch
+        |                 FROM events WHERE event_type IN ('view', 'click')
+        |                 GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, ts, value FROM events
+        |      WHERE event_type = 'purchase'),
+        |m AS (SELECT p.event_id, p.ts, p.value,
+        |             max(t.ts) AS touch_ts, max_by(t.touch, t.ts) AS touch
+        |      FROM p LEFT JOIN touches t
+        |        ON p.user_id = t.user_id AND t.ts <= p.ts
+        |      GROUP BY 1, 2, 3),
+        |c AS (SELECT CASE WHEN touch_ts IS NOT NULL
+        |                   AND touch_ts >= ts - INTERVAL 7 DAY
+        |                  THEN touch ELSE 'none' END AS channel, value
+        |      FROM m)
+        |SELECT channel, count(*) AS n_purchases, round(sum(value), 2) AS revenue
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_zorder_buckets" ->
       """WITH d AS (SELECT o_orderkey, o_custkey,
         |                  date_diff('day', DATE '1992-01-01', o_orderdate::DATE) AS dday

@@ -50,6 +50,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(userExchanges == 1, plan.take(4000))
   }
 
+  test("attribution credits the last touch inside the window only") {
+    // replicate q_attribution's composition on a hand-built fixture
+    val ev = Seq(
+      (1L, 1L, "view", ts(1), 5.0), (2L, 1L, "click", ts(2), 0.0),
+      (3L, 1L, "purchase", ts(3), 100.0), // last touch = click
+      (4L, 2L, "purchase", ts(5), 50.0),  // no touch at all -> none
+      (5L, 3L, "view", ts(1), 0.0),
+      (6L, 3L, "purchase", ts(2), 25.0)   // view is last touch
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .groupBy("user_id", "ts").agg(max("event_type").as("touch"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val got = AsOf.join(purchases, touches,
+        "user_id", "user_id", "ts", "ts", Seq("touch", "ts"))
+      .withColumn("channel",
+        when(col("asof_ts").isNotNull &&
+            col("asof_ts") >= col("ts") - expr("INTERVAL 7 DAYS"),
+          col("asof_touch")).otherwise(lit("none")))
+      .groupBy("channel").agg(sum("value").as("rev"))
+      .as[(String, Double)].collect().toMap
+    assert(got == Map("click" -> 100.0, "none" -> 50.0, "view" -> 25.0))
+  }
+
   test("cohort retention buckets users by first-activity period") {
     val df = Seq(
       (1L, Timestamp.valueOf("2024-01-01 09:00:00")), // cohort wk of Jan 1
