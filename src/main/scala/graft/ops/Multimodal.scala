@@ -181,6 +181,31 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** A NEAR-DUPLICATE of `baseId`'s raster: the (7,7) red channel is
+      * nudged by +8 (mod 256) — a perceptual-hash distance of a few bits
+      * at most, for exercising image near-dup detection with a
+      * formula-reproducible perturbation. */
+    def pngNear(baseId: Long): Array[Byte] = {
+      val w = rasterWidth(baseId)
+      val h = rasterHeight(baseId)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val (r0, g, b) = rasterPixel(baseId, x, y)
+          val r = if (x == 7 && y == 7) (r0 + 8) % 256 else r0
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
     def wavSampleCount(id: Long): Int = 1000 + (id % 7).toInt * 100
     def wavSample(id: Long, i: Int): Int =
       (((id * 131 + i.toLong * 7919) % 65536) - 32768).toInt
@@ -205,6 +230,56 @@ object Multimodal {
         i += 1
       }
       buf.array()
+    }
+  }
+
+  /** 64-bit perceptual hash of a decoded image (aHash over the top-left
+    * 8×8 block — every fixture raster is ≥ 8×8). Split into two unsigned
+    * 32-bit halves so an external engine can assemble the identical value
+    * without two's-complement gymnastics. Integer-only: the threshold is
+    * `gray·64 > Σgray` (no division), so the bit pattern is exactly
+    * reproducible from the raster formula. */
+  final case class ImagePHash(media_id: Long, hi: Long, lo: Long,
+                              decodable: Boolean)
+
+  object JdkPHash {
+    def phash(r: MediaRow): ImagePHash =
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.content))
+        if (img == null || img.getWidth < 8 || img.getHeight < 8)
+          ImagePHash(r.media_id, 0L, 0L, decodable = false)
+        else {
+          val gray = new Array[Int](64)
+          var sum = 0
+          var i = 0
+          while (i < 64) {
+            val p = img.getRGB(i % 8, i / 8)
+            val g = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+            gray(i) = g; sum += g
+            i += 1
+          }
+          var hi = 0L; var lo = 0L
+          i = 0
+          while (i < 64) {
+            if (gray(i) * 64 > sum) {
+              if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+            }
+            i += 1
+          }
+          ImagePHash(r.media_id, hi, lo, decodable = true)
+        }
+      } catch {
+        case _: Exception => ImagePHash(r.media_id, 0L, 0L, decodable = false)
+      }
+  }
+
+  /** Per-partition perceptual hashing through the real JDK decoder. */
+  def phashImages(media: Dataset[MediaRow]): Dataset[ImagePHash] = {
+    implicit val enc = Encoders.product[ImagePHash]
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map(JdkPHash.phash)
     }
   }
 

@@ -387,6 +387,49 @@ object TextQueries {
         .orderBy("media_id")
     }),
 
+    // Image near-dup detection on REAL decodes: perceptual aHash (64-bit,
+    // integer-only threshold) through javax.imageio, then banded pairing —
+    // 4 × 16-bit bands make Hamming ≤ 3 candidates an EQUI-join by
+    // pigeonhole (≥ 1 band untouched), exact bit_count verify after.
+    // Every 5th image is a formula-perturbed copy of its predecessor; the
+    // oracle recomputes all hashes analytically and scans all pairs, so
+    // the hash match proves codec round-trip + banding completeness.
+    "mm_image_neardups" -> ((s, dir) => {
+      import s.implicits._
+      val ids = docs(s, dir).select(col("doc_id")).orderBy("doc_id")
+        .limit(20).as[Long]
+      val media = ids.map { id =>
+        val bytes = if (id % 5 == 4) Multimodal.Synth.pngNear(id - 1)
+                    else Multimodal.Synth.png(id)
+        Multimodal.MediaRow(id, bytes, "image/png", "synth")
+      }
+      val hashed = Multimodal.phashImages(media).toDF()
+        .filter(col("decodable"))
+        .select("media_id", "hi", "lo")
+      val banded = hashed.select(col("media_id"), col("hi"), col("lo"),
+        explode(array(
+          struct(lit(0).as("bi"), col("lo").bitwiseAND(lit(0xFFFFL)).as("bv")),
+          struct(lit(1).as("bi"), shiftright(col("lo"), 16).bitwiseAND(lit(0xFFFFL)).as("bv")),
+          struct(lit(2).as("bi"), col("hi").bitwiseAND(lit(0xFFFFL)).as("bv")),
+          struct(lit(3).as("bi"), shiftright(col("hi"), 16).bitwiseAND(lit(0xFFFFL)).as("bv"))
+        )).as("band"))
+        .select(col("media_id"), col("hi"), col("lo"),
+          col("band.bi").as("bi"), col("band.bv").as("bv"))
+      val a = banded.select(col("media_id").as("id_a"), col("hi").as("hi_a"),
+        col("lo").as("lo_a"), col("bi"), col("bv"))
+      val b = banded.select(col("media_id").as("id_b"), col("hi").as("hi_b"),
+        col("lo").as("lo_b"), col("bi"), col("bv"))
+      a.join(b, Seq("bi", "bv"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b").distinct()
+        .withColumn("hamming",
+          bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+            bit_count(col("lo_a").bitwiseXOR(col("lo_b"))))
+        .filter(col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    }),
+
     // REAL WAV/PCM decode through javax.sound.sampled: 16-bit mono PCM
     // clips synthesized from a deterministic sample formula, decoded by
     // the JDK audio codec, reduced to rate/channels/length/RMS. PCM is
@@ -776,6 +819,44 @@ object TextQueries {
         |       round(sum((doc_id*17 + x*11 + y*3) % 256)::DOUBLE / (w*h), 4) AS mean_g,
         |       round(sum((doc_id*23 + x*5 + y*19) % 256)::DOUBLE / (w*h), 4) AS mean_b
         |FROM px GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    // Analytic replica of the perceptual-hash pipeline: hashes recomputed
+    // from the raster formula (incl. the +8 perturbation), ALL pairs
+    // scanned — a hash match proves the engine's banded candidate
+    // generation loses no pair within the threshold
+    "mm_image_neardups" ->
+      """WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 20),
+        |cells AS (SELECT doc_id,
+        |                 CASE WHEN doc_id % 5 = 4 THEN doc_id - 1
+        |                      ELSE doc_id END AS rid,
+        |                 CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END AS pert,
+        |                 xs.x AS x, ys.y AS y
+        |          FROM d
+        |          CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS x) xs
+        |          CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y) ys),
+        |gray AS (SELECT doc_id, x, y,
+        |           (CASE WHEN pert = 1 AND x = 7 AND y = 7
+        |                 THEN ((rid*31 + x*7 + y*13) % 256 + 8) % 256
+        |                 ELSE (rid*31 + x*7 + y*13) % 256 END)
+        |           + (rid*17 + x*11 + y*3) % 256
+        |           + (rid*23 + x*5 + y*19) % 256 AS gv
+        |         FROM cells),
+        |s AS (SELECT doc_id, sum(gv) AS total FROM gray GROUP BY 1),
+        |bits AS (SELECT gray.doc_id,
+        |                CASE WHEN gv * 64 > total THEN 1 ELSE 0 END AS b,
+        |                y * 8 + x AS pos
+        |         FROM gray JOIN s ON gray.doc_id = s.doc_id),
+        |h AS (SELECT doc_id,
+        |             sum(CASE WHEN pos < 32 THEN b * (1::BIGINT << pos)
+        |                      ELSE 0 END) AS lo,
+        |             sum(CASE WHEN pos >= 32 THEN b * (1::BIGINT << (pos - 32))
+        |                      ELSE 0 END) AS hi
+        |      FROM bits GROUP BY 1)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.hi, b.hi)) +
+        |            bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+        |ORDER BY 1, 2""".stripMargin,
     // Analytic replica of the javax.sound WAV decode: same PCM sample
     // formula as Multimodal.Synth.wav (16-bit PCM lossless)
     "mm_audio_real" ->

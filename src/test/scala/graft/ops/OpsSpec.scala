@@ -478,6 +478,38 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("perceptual hash matches the raster-formula reference; near-dup is close") {
+    // reference aHash computed straight from the formula (no codec)
+    def refHash(id: Long, perturb: Boolean): (Long, Long) = {
+      val gray = (0 until 64).map { i =>
+        val (x, y) = (i % 8, i / 8)
+        val (r0, g, b) = Multimodal.Synth.rasterPixel(id, x, y)
+        val r = if (perturb && x == 7 && y == 7) (r0 + 8) % 256 else r0
+        r + g + b
+      }
+      val sum = gray.sum
+      var hi = 0L; var lo = 0L
+      for (i <- 0 until 64 if gray(i) * 64 > sum)
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      (hi, lo)
+    }
+    def hamming(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    for (id <- Seq(0L, 3L, 18L, 44L)) {
+      val got = Multimodal.JdkPHash.phash(
+        Multimodal.MediaRow(id, Multimodal.Synth.png(id), "image/png", "s"))
+      assert(got.decodable && (got.hi, got.lo) == refHash(id, perturb = false),
+        s"id=$id $got")
+      val near = Multimodal.JdkPHash.phash(
+        Multimodal.MediaRow(id, Multimodal.Synth.pngNear(id), "image/png", "s"))
+      assert((near.hi, near.lo) == refHash(id, perturb = true), s"id=$id $near")
+      assert(hamming((got.hi, got.lo), (near.hi, near.lo)) <= 3, s"id=$id")
+    }
+    val junk = Multimodal.JdkPHash.phash(
+      Multimodal.MediaRow(1L, Array[Byte](1, 2, 3), "image/png", "s"))
+    assert(!junk.decodable)
+  }
+
   test("jdk image kernel: BMP decodes identically, garbage rejects cleanly") {
     val id = 7L
     val w = Multimodal.Synth.rasterWidth(id)
