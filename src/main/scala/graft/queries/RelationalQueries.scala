@@ -357,6 +357,20 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // Top-k per group WITHOUT a window sort: the k-bounded heap aggregate
+    // ships ≤3 candidates per group per partition (map-side combine) —
+    // the row_number()-window equivalent shuffles every row to its
+    // group's reducer and sorts there
+    "q_top_customers" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(graft.functions.TopKByScore.topk_by_score(
+          struct(col("c_acctbal"), col("c_custkey")), 3).as("top"))
+        .select(col("c_nationkey"), posexplode(col("top")))
+        .select(col("c_nationkey"), (col("pos") + 1).as("rank"),
+          col("col.id").as("c_custkey"), col("col.score").as("acctbal"))
+        .orderBy("c_nationkey", "rank")),
+
     // Equi-depth binning: global quartile boundaries from the
     // deterministic k-min-hash sample (portable order statistics, no
     // engine-opaque percentile sketch), broadcast to a shuffle-free
@@ -942,6 +956,13 @@ object RelationalQueries {
         |SELECT e.event_type, ex.n_exact, round(e.kmv, 2) AS kmv_users
         |FROM est e JOIN ex ON e.event_type = ex.event_type
         |ORDER BY e.event_type""".stripMargin,
+    "q_top_customers" ->
+      """SELECT c_nationkey, CAST(rank AS INT) AS rank, c_custkey, acctbal
+        |FROM (SELECT c_nationkey, c_custkey, c_acctbal AS acctbal,
+        |             row_number() OVER (PARTITION BY c_nationkey
+        |                                ORDER BY c_acctbal DESC, c_custkey) AS rank
+        |      FROM customer) t
+        |WHERE rank <= 3 ORDER BY c_nationkey, rank""".stripMargin,
     "q_value_buckets" ->
       """WITH h AS (SELECT value, md5(event_id::VARCHAR) AS hx
         |           FROM events WHERE value IS NOT NULL),

@@ -158,6 +158,14 @@ class SketchSkewSpec extends SparkSpec {
     assert(occurrences(plan, "partial_kmin_pairs") == 1, plan.take(2000))
   }
 
+  test("q_top_customers plan: grouped heap runs partially, no window sort") {
+    val plan = planOf("q_top_customers")
+    // <=k candidates per group per partition cross the exchange; the
+    // window formulation would shuffle and sort EVERY customer row
+    assert(occurrences(plan, "partial_topk_by_score") == 1, plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
+  }
+
   test("q_salted_join plan evaluates the salt hash once per fact row") {
     val plan = planOf("q_salted_join")
     // without KnownNotNull, InferFiltersFromConstraints duplicates the

@@ -12,6 +12,8 @@ import graft.config.PipelineConfig
 final case class TestEnvelope(partitionKey: String, sequenceNumber: String,
                               data: Array[Byte])
 
+final case class DimUpdate(cust_id: Long, tier: String, uts: java.sql.Date)
+
 /** Streaming semantics (SURVEY.md §2.6): micro-batch boundaries, replayed
   * duplicates, watermark-bounded dedup state, windowed rollups. */
 class StreamingSpec extends SparkSpec {
@@ -42,6 +44,40 @@ class StreamingSpec extends SparkSpec {
       .map(f => new String(Files.readAllBytes(f.toPath), UTF_8)).mkString
     Seq(1, 2, 4).foreach(i => assert(bodies.contains(s"id-$i")))
     assert(spark.read.text(s"$dir/dl/failed_validation").count() == 1)
+  }
+
+  test("streaming CDC apply: per-batch SCD2 merge keeps full version history") {
+    implicit val sqlCtx = spark.sqlContext
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    val d2 = java.sql.Date.valueOf("2024-06-01")
+    val d3 = java.sql.Date.valueOf("2024-09-01")
+    var hist = Seq((1L, "silver", Option(d1), Option.empty[java.sql.Date]))
+      .toDF("cust_id", "tier", "valid_from", "valid_to").localCheckpoint()
+    val mem = MemoryStream[DimUpdate]
+    val q = mem.toDS().toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the streaming CDC loop: each micro-batch merges into the
+        // dimension; localCheckpoint materializes the new version so
+        // lineage doesn't grow across batches
+        hist = graft.ops.Scd2.merge(hist, batch, "cust_id", "uts", Seq("tier"))
+          .localCheckpoint()
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      mem.addData(DimUpdate(1L, "gold", d2), DimUpdate(2L, "new", d2))
+      q.processAllAvailable()
+      mem.addData(DimUpdate(1L, "platinum", d3),
+        DimUpdate(2L, "new", d3)) // no-op echo for key 2
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = hist.orderBy("cust_id", "valid_from")
+      .as[(Long, String, Option[java.sql.Date], Option[java.sql.Date])]
+      .collect().toSeq
+    assert(rows == Seq(
+      (1L, "silver", Some(d1), Some(d2)),
+      (1L, "gold", Some(d2), Some(d3)),
+      (1L, "platinum", Some(d3), None),
+      (2L, "new", Some(d2), None)))
   }
 
   test("watermark dedup collapses redelivered log_ids across batches") {
