@@ -357,6 +357,61 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // Hopping (sliding) event-time window: 1-hour windows every 15 min —
+    // each event lands in exactly 4 overlapping windows (native window()
+    // with slide; completes tumbling/session/sliding parity)
+    "q_hopping_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"))
+        .orderBy("window_start", "event_type")),
+
+    // Session path mining: 30-min-gap sessions -> ordered journey string
+    // -> top journeys. The path builds from a per-session sorted
+    // collect_list (bounded by session length), counts shuffle on the
+    // path string.
+    "q_session_paths" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess_id", sum("new_s").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess_id")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))),
+          x => x("event_type")), ">").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(desc("n_sessions"), col("path")).limit(15)
+    }),
+
+    // Snapshot diff: change-data-feed between two dimension versions
+    // (inserted / deleted / changed with old+new values) via one
+    // full-outer equi-join — the no-CDC-log audit primitive
+    "q_snapshot_diff" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val oldV = c.select(col("c_custkey").as("cust_id"),
+        col("c_mktsegment").as("segment"), col("c_acctbal").as("acctbal"))
+      val newV = c
+        .filter(col("c_custkey") % 11 =!= 0) // deletions
+        .select(col("c_custkey").as("cust_id"),
+          when(col("c_custkey") % 7 === 0, lit("MOVED"))
+            .otherwise(col("c_mktsegment")).as("segment"),
+          col("c_acctbal").as("acctbal"))
+        .unionByName(c.filter(col("c_custkey") % 13 === 0) // insertions
+          .select((col("c_custkey") + 1000000L).as("cust_id"),
+            lit("NEWSEG").as("segment"), col("c_acctbal").as("acctbal")))
+      graft.ops.Diff.snapshotDiff(oldV, newV, "cust_id", Seq("segment", "acctbal"))
+        .orderBy("cust_id")
+    }),
+
     // Top-k per group WITHOUT a window sort: the k-bounded heap aggregate
     // ships ≤3 candidates per group per partition (map-side combine) —
     // the row_number()-window equivalent shuffles every row to its
@@ -956,6 +1011,60 @@ object RelationalQueries {
         |SELECT e.event_type, ex.n_exact, round(e.kmv, 2) AS kmv_users
         |FROM est e JOIN ex ON e.event_type = ex.event_type
         |ORDER BY e.event_type""".stripMargin,
+    "q_hopping_window" ->
+      """SELECT strftime(make_timestamp((epoch_us(ts) // 900000000) * 900000000
+        |                               - k.k * 900000000),
+        |                '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       event_type, count(*) AS n
+        |FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_session_paths" ->
+      """WITH x AS (SELECT user_id, event_id, event_type, ts,
+        |                  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                          ORDER BY ts, event_id) AS prev_us
+        |           FROM events),
+        |y AS (SELECT *, CASE WHEN prev_us IS NULL
+        |                       OR epoch_us(ts) - prev_us > 1800000000
+        |                     THEN 1 ELSE 0 END AS new_s FROM x),
+        |z AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+        |                                 ORDER BY ts, event_id
+        |                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+        |      FROM y),
+        |p AS (SELECT user_id, sess_id,
+        |             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |      FROM z GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions FROM p
+        |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 15""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH oldv AS (SELECT c_custkey AS cust_id, c_mktsegment AS segment,
+        |                     c_acctbal AS acctbal FROM customer),
+        |newv AS (
+        |  SELECT c_custkey AS cust_id,
+        |         CASE WHEN c_custkey % 7 = 0 THEN 'MOVED'
+        |              ELSE c_mktsegment END AS segment,
+        |         c_acctbal AS acctbal
+        |  FROM customer WHERE c_custkey % 11 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'NEWSEG', c_acctbal
+        |  FROM customer WHERE c_custkey % 13 = 0),
+        |j AS (SELECT coalesce(o.cust_id, n.cust_id) AS cust_id,
+        |             o.cust_id IS NOT NULL AS in_old,
+        |             n.cust_id IS NOT NULL AS in_new,
+        |             o.segment AS old_segment, o.acctbal AS old_acctbal,
+        |             n.segment AS new_segment, n.acctbal AS new_acctbal
+        |      FROM oldv o FULL OUTER JOIN newv n ON o.cust_id = n.cust_id)
+        |SELECT cust_id,
+        |       CASE WHEN NOT in_old THEN 'inserted'
+        |            WHEN NOT in_new THEN 'deleted'
+        |            WHEN old_segment IS DISTINCT FROM new_segment
+        |              OR old_acctbal IS DISTINCT FROM new_acctbal
+        |            THEN 'changed' END AS change_type,
+        |       old_segment, old_acctbal, new_segment, new_acctbal
+        |FROM j
+        |WHERE (NOT in_old) OR (NOT in_new)
+        |   OR old_segment IS DISTINCT FROM new_segment
+        |   OR old_acctbal IS DISTINCT FROM new_acctbal
+        |ORDER BY cust_id""".stripMargin,
     "q_top_customers" ->
       """SELECT c_nationkey, CAST(rank AS INT) AS rank, c_custkey, acctbal
         |FROM (SELECT c_nationkey, c_custkey, c_acctbal AS acctbal,
