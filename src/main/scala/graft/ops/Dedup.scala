@@ -261,6 +261,23 @@ object Dedup {
       .select(col("_row.*"))
   }
 
+  /** Leakage-safe train/val/test split: near-duplicate documents MUST
+    * land in the same split — a train/test straddle leaks eval content
+    * into training verbatim-ish, the contamination every pretraining
+    * pipeline screens for. The split hashes the dedup-CLUSTER label (min
+    * reachable id) instead of the document id; unclustered documents hash
+    * their own id, so the assignment stays a pure, layout-invariant
+    * function of the data and reduces to [[TextAnalysis.trainSplit]] on a
+    * dup-free corpus. One left join on the (tiny) cluster table, then the
+    * shuffle-free hash-bucket filter. */
+  def leakageSafeSplit(docs: DataFrame, clusters: DataFrame, idCol: String,
+                      trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    docs
+      .join(clusters.select(col("id").as(idCol), col("cluster")), Seq(idCol), "left")
+      .withColumn("split", TextAnalysis.trainSplit(
+        coalesce(col("cluster"), col(idCol)), trainPct, valPct))
+      .drop("cluster")
+
   /** Cross-snapshot dedup: incoming documents that near-duplicate ANY
     * document of a REFERENCE corpus (the previous crawl/snapshot) — the
     * incremental-ingest counterpart of [[minhashNearDupPairs]]. Candidate

@@ -332,6 +332,21 @@ object TextQueries {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // Leakage-safe split: near-dups land in the SAME split (hash the
+    // cluster label, not the doc id) — the contamination-proof version
+    // of txt_train_split; same verified >=0.8 edge set as dedup_clusters
+    "txt_leakage_split" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.jaccardVerify(
+        Dedup.minhashCandidatePairs(d, "doc_id", "text", numPerm = 64, bands = 32),
+        d, "doc_id", "text")
+        .filter(col("jaccard") >= 0.8)
+        .select("id_a", "id_b")
+      Dedup.leakageSafeSplit(d, Dedup.nearDupClusters(pairs), "doc_id")
+        .groupBy("split").agg(count(lit(1)).as("n_docs"))
+        .orderBy("split")
+    }),
+
     // Multimodal manifest: blob accounting per source (real plumbing,
     // bytes == UTF-8 text bytes so the oracle can reproduce it)
     "mm_manifest" -> ((s, dir) =>
@@ -697,6 +712,38 @@ object TextQueries {
         |SELECT cluster, count(*) AS size FROM (
         |  SELECT id, min(r) AS cluster FROM reach GROUP BY id
         |) GROUP BY cluster ORDER BY size DESC, cluster LIMIT 100""".stripMargin,
+    "txt_leakage_split" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |              ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |                     i -> array_to_string(t[i:i+2], ' ')))
+        |         END AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)
+        |), sized AS (SELECT doc_id, s, len(s) AS n FROM sh),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / (a.n + b.n - len(list_intersect(a.s, b.s))) AS j
+        |    FROM sized a JOIN sized b
+        |      ON a.doc_id < b.doc_id AND least(a.n, b.n) >= 0.8 * greatest(a.n, b.n)
+        |  ) WHERE j >= 0.8
+        |),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id
+        |),
+        |lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+        |g AS (SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS gk
+        |      FROM documents d LEFT JOIN lab l ON d.doc_id = l.id),
+        |b AS (SELECT ('0x' || substr(md5(gk::VARCHAR), 1, 4))::INTEGER % 100 AS bk FROM g)
+        |SELECT CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       count(*) AS n_docs
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_keep_best" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id,

@@ -478,6 +478,44 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("leakage-safe split never straddles a near-dup pair across splits") {
+    import spark.implicits._
+    // three dup clusters + singletons; ids chosen so a PLAIN id-hash
+    // split WOULD straddle at least one cluster (asserted below)
+    val docs = ((1L to 60L).map(i => (i, s"unique doc number $i text")) ++
+      Seq((101L, "alpha beta gamma delta"), (102L, "alpha beta gamma delta"),
+        (103L, "alpha beta gamma delta epsilon"),
+        (201L, "one two three four five"), (202L, "one two three four five"),
+        (301L, "red green blue yellow"), (302L, "red green blue yellow")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.jaccardVerify(
+        Dedup.minhashCandidatePairs(docs, "doc_id", "text", 64, 32),
+        docs, "doc_id", "text")
+      .filter(col("jaccard") >= 0.8).select("id_a", "id_b")
+    val clusters = Dedup.nearDupClusters(pairs)
+    val split = Dedup.leakageSafeSplit(docs, clusters, "doc_id")
+      .select("doc_id", "split")
+    val straddling = pairs
+      .join(split.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("split", "sa"), "id_a")
+      .join(split.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("split", "sb"), "id_b")
+      .filter(col("sa") =!= col("sb"))
+    assert(straddling.isEmpty)
+    // the naive id-hash split DOES straddle on this fixture — the
+    // property above is meaningful, not vacuous
+    val naive = docs.withColumn("split", TextAnalysis.trainSplit(col("doc_id")))
+      .select("doc_id", "split")
+    val naiveStraddle = pairs
+      .join(naive.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("split", "sa"), "id_a")
+      .join(naive.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("split", "sb"), "id_b")
+      .filter(col("sa") =!= col("sb"))
+    assert(!naiveStraddle.isEmpty,
+      "fixture too weak: naive split did not straddle any pair")
+  }
+
   test("perceptual hash matches the raster-formula reference; near-dup is close") {
     // reference aHash computed straight from the formula (no codec)
     def refHash(id: Long, perturb: Boolean): (Long, Long) = {
