@@ -332,6 +332,32 @@ object TextQueries {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // Hybrid retrieval: reciprocal-rank fusion (RRF, Cormack et al. 2009)
+    // of the BM25 keyword arm and the vector-similarity arm — the modern
+    // two-tower search pattern. Each arm is its own bounded top-k
+    // pipeline; fusion is a full-outer join of two 20-row rank lists, so
+    // the fuse step costs nothing at any scale.
+    "txt_hybrid_rrf" -> ((s, dir) => {
+      val textArm = graft.ops.Search.bm25TopK(docs(s, dir), "doc_id", "text",
+          Seq("spark", "vector", "merge"), k = 20)
+        .withColumn("r_text", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(desc("score"), col("doc_id"))))
+        .select(col("doc_id"), col("r_text"))
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val vecArm = graft.ops.Similarity.bruteForceTopK(
+          e, q, "vec_id", "embedding", "qid", "qv", k = 20)
+        .select(col("id").as("doc_id"), col("rank").as("r_vec"))
+      textArm.join(vecArm, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60.0) + col("r_text")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("r_vec")), lit(0.0)), 6))
+        .orderBy(desc("rrf"), col("doc_id")).limit(10)
+        .select("doc_id", "r_text", "r_vec", "rrf")
+    }),
+
     // Leakage-safe split: near-dups land in the SAME split (hash the
     // cluster label, not the doc id) — the contamination-proof version
     // of txt_train_split; same verified >=0.8 edge set as dedup_clusters
@@ -712,6 +738,48 @@ object TextQueries {
         |SELECT cluster, count(*) AS size FROM (
         |  SELECT id, min(r) AS cluster FROM reach GROUP BY id
         |) GROUP BY cluster ORDER BY size DESC, cluster LIMIT 100""".stripMargin,
+    "txt_hybrid_rrf" ->
+      """WITH base AS (
+        |  SELECT doc_id, lower(text) AS txt,
+        |         len(string_split_regex(trim(lower(text)), '\s+')) AS dl
+        |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+        |p AS (SELECT doc_id, dl,
+        |             unnest(string_split_regex(trim(txt), '\s+')) AS term
+        |      FROM base),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM p
+        |       WHERE term IN ('spark', 'vector', 'merge') GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base),
+        |sc AS (SELECT tf.doc_id,
+        |              ln(((n_docs - df)::DOUBLE + 0.5) / (df::DOUBLE + 0.5) + 1.0)
+        |                * tf::DOUBLE * 2.2::DOUBLE
+        |                / (tf::DOUBLE + 1.2::DOUBLE *
+        |                   (0.25::DOUBLE + 0.75::DOUBLE * dl::DOUBLE / avgdl)) AS s
+        |       FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN stats),
+        |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY 1),
+        |toptext AS (SELECT doc_id, round(score, 4) AS score FROM agg
+        |            ORDER BY score DESC, doc_id ASC LIMIT 20),
+        |tr AS (SELECT doc_id,
+        |              row_number() OVER (ORDER BY score DESC, doc_id) AS r_text
+        |       FROM toptext),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |vs AS (SELECT vec_id,
+        |              list_dot_product(qv, v) /
+        |                (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS sim
+        |       FROM e, q WHERE vec_id <> 0),
+        |vr AS (SELECT vec_id AS doc_id, rank AS r_vec FROM (
+        |         SELECT vec_id,
+        |                row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
+        |         FROM vs) t WHERE rank <= 20),
+        |f AS (SELECT coalesce(tr.doc_id, vr.doc_id) AS doc_id,
+        |             CAST(tr.r_text AS INT) AS r_text,
+        |             CAST(vr.r_vec AS INT) AS r_vec,
+        |             round(coalesce(1.0::DOUBLE / (60.0::DOUBLE + tr.r_text), 0.0) +
+        |                   coalesce(1.0::DOUBLE / (60.0::DOUBLE + vr.r_vec), 0.0), 6) AS rrf
+        |      FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id)
+        |SELECT doc_id, r_text, r_vec, rrf FROM f
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     "txt_leakage_split" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id,
