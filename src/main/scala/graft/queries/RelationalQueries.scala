@@ -546,6 +546,26 @@ object RelationalQueries {
           col("v_obs"), col("v_locf"), col("v_interp"))
         .orderBy("event_type", "bucket_ts")),
 
+    // Outage detection: maximal runs of ≥2 consecutive EMPTY buckets on
+    // the regularized series (gaps-and-islands over the resample spine —
+    // pure integer window logic, no arithmetic portability risk)
+    "q_gap_incidents" -> ((s, dir) => {
+      val rs = graft.ops.TimeSeries.resample(t(s, dir, "events"),
+        "event_type", "ts", "value", stepSeconds = 900L)
+      val w = Window.partitionBy("event_type").orderBy("b")
+      rs.withColumn("rn", row_number().over(w))
+        .filter(col("v_obs").isNull)
+        .withColumn("rn2", row_number().over(w))
+        .withColumn("grp", col("rn") - col("rn2"))
+        .groupBy(col("event_type"), col("grp"))
+        .agg(count(lit(1)).as("n_buckets"),
+          date_format(min("b"), "yyyy-MM-dd HH:mm:ss").as("gap_start"),
+          date_format(max("b"), "yyyy-MM-dd HH:mm:ss").as("gap_end"))
+        .filter(col("n_buckets") >= 2)
+        .select("event_type", "gap_start", "gap_end", "n_buckets")
+        .orderBy("event_type", "gap_start")
+    }),
+
     // Path analysis: first-order Markov transition matrix of per-user
     // event sequences (counts + row-normalized probabilities)
     "q_event_transitions" -> ((s, dir) =>
@@ -1211,6 +1231,30 @@ object RelationalQueries {
         |                    + 0.5) / 1000000.0
         |            ELSE coalesce(vp, vn) END AS v_interp
         |FROM w ORDER BY 1, 2""".stripMargin,
+    "q_gap_incidents" ->
+      """WITH obs AS (
+        |  SELECT event_type,
+        |         make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS b,
+        |         round(avg(value), 6) AS v_obs
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT event_type, min(b) AS lo, max(b) AS hi FROM obs GROUP BY 1),
+        |spine AS (SELECT event_type,
+        |                 unnest(generate_series(lo, hi, INTERVAL 900 SECOND)) AS b
+        |          FROM span),
+        |j AS (SELECT s.event_type, s.b, o.v_obs
+        |      FROM spine s LEFT JOIN obs o
+        |        ON s.event_type = o.event_type AND s.b = o.b),
+        |r AS (SELECT event_type, b, v_obs,
+        |             row_number() OVER (PARTITION BY event_type ORDER BY b) AS rn
+        |      FROM j),
+        |fl AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY b) AS rn2
+        |       FROM r WHERE v_obs IS NULL),
+        |g AS (SELECT event_type, rn - rn2 AS grp, count(*) AS n_buckets,
+        |             strftime(min(b), '%Y-%m-%d %H:%M:%S') AS gap_start,
+        |             strftime(max(b), '%Y-%m-%d %H:%M:%S') AS gap_end
+        |      FROM fl GROUP BY 1, 2)
+        |SELECT event_type, gap_start, gap_end, n_buckets FROM g
+        |WHERE n_buckets >= 2 ORDER BY 1, 2""".stripMargin,
     "q_event_transitions" ->
       """WITH seq AS (
         |  SELECT event_type AS from_type,
