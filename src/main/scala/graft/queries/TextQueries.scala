@@ -332,6 +332,35 @@ object TextQueries {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // Statistical LM quality scoring (the CCNet-style perplexity filter):
+    // every document scored by its average bigram log-probability under
+    // the corpus's own add-1-smoothed bigram model. Count tables are
+    // vocabulary-bounded aggregates; scoring is an equi-join on the
+    // bigram — no model artifact, no UDF, one pass to train + one to
+    // score.
+    "txt_lm_quality" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("t"))
+      val bigrams = toks.select(col("doc_id"), explode(expr(
+        "transform(slice(t, 2, size(t) - 1), (w, i) -> struct(t[i] AS w1, w AS w2))"))
+        .as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val bgCounts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c_bg"))
+      val prefCounts = bigrams.groupBy("w1").agg(count(lit(1)).as("c_w1"))
+      val vocab = toks.select(explode(col("t")).as("w"))
+        .agg(countDistinct("w").as("v"))
+      bigrams
+        .join(bgCounts, Seq("w1", "w2"))
+        .join(prefCounts, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("logp", log(
+          (col("c_bg") + 1L).cast("double") / (col("c_w1") + col("v")).cast("double")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), round(avg("logp"), 6).as("avg_logp"))
+        .orderBy("doc_id")
+    }),
+
     // Hybrid retrieval: reciprocal-rank fusion (RRF, Cormack et al. 2009)
     // of the BM25 keyword arm and the vector-similarity arm — the modern
     // two-tower search pattern. Each arm is its own bounded top-k
@@ -738,6 +767,27 @@ object TextQueries {
         |SELECT cluster, count(*) AS size FROM (
         |  SELECT id, min(r) AS cluster FROM reach GROUP BY id
         |) GROUP BY cluster ORDER BY size DESC, cluster LIMIT 100""".stripMargin,
+    "txt_lm_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(t[2:], (w, i) ->
+        |           struct_pack(w1 := t[i], w2 := w))) AS p
+        |  FROM toks),
+        |bigrams AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg),
+        |bgc AS (SELECT w1, w2, count(*) AS c_bg FROM bigrams GROUP BY 1, 2),
+        |pref AS (SELECT w1, count(*) AS c_w1 FROM bigrams GROUP BY 1),
+        |voc AS (SELECT count(DISTINCT w) AS v
+        |        FROM (SELECT unnest(t) AS w FROM toks)),
+        |sc AS (SELECT b.doc_id,
+        |              ln((c_bg + 1)::DOUBLE / (c_w1 + v)::DOUBLE) AS logp
+        |       FROM bigrams b
+        |       JOIN bgc ON b.w1 = bgc.w1 AND b.w2 = bgc.w2
+        |       JOIN pref ON b.w1 = pref.w1
+        |       CROSS JOIN voc)
+        |SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 6) AS avg_logp
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
     "txt_hybrid_rrf" ->
       """WITH base AS (
         |  SELECT doc_id, lower(text) AS txt,
