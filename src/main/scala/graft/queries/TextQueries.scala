@@ -332,6 +332,23 @@ object TextQueries {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // BPE merge-candidate mining — one byte-pair-encoding iteration: the
+    // most frequent adjacent character pairs, counted over the WORD
+    // VOCABULARY weighted by word frequency (the BPE trick: work is
+    // vocab-bounded, the corpus is never rescanned per iteration)
+    "txt_bpe_pairs" -> ((s, dir) => {
+      val words = docs(s, dir)
+        .filter(col("text").isNotNull)
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      words.select(col("freq"), explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum("freq").as("n"))
+        .orderBy(desc("n"), col("pair")).limit(20)
+    }),
+
     // Statistical LM quality scoring (the CCNet-style perplexity filter):
     // every document scored by its average bigram log-probability under
     // the corpus's own add-1-smoothed bigram model. Count tables are
@@ -767,6 +784,17 @@ object TextQueries {
         |SELECT cluster, count(*) AS size FROM (
         |  SELECT id, min(r) AS cluster FROM reach GROUP BY id
         |) GROUP BY cluster ORDER BY size DESC, cluster LIMIT 100""".stripMargin,
+    "txt_bpe_pairs" ->
+      """WITH wd AS (SELECT w, count(*) AS freq FROM (
+        |              SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |              FROM documents WHERE text IS NOT NULL) t
+        |            WHERE len(w) >= 2 GROUP BY 1),
+        |p AS (SELECT freq,
+        |             unnest(list_transform(generate_series(1, len(w) - 1),
+        |                    i -> substr(w, i, 2))) AS pair
+        |      FROM wd)
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p
+        |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin,
     "txt_lm_quality" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
