@@ -123,6 +123,32 @@ case class GzipCompress(child: Expression) extends UnaryExpression {
 /** Shannon entropy (bits) over a string's code points — the Gopher-style
   * gibberish/repetition quality signal. One tight loop per row; counts
   * accumulate in code-point order so the fp summation is deterministic. */
+/** Unicode NFC normalization as a codegen'd expression — Spark ships no
+  * normalization builtin, and a canonically-composed form is the
+  * precondition for any text equality/dedup step (e.g. "é" as U+00E9 vs
+  * "e"+U+0301 must fingerprint identically). DuckDB's `nfc_normalize`
+  * reproduces it exactly, so normalized outputs stay oracle-checkable. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING input")
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nfc_normalize"
+
+  override protected def nullSafeEval(input: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(input.toString, java.text.Normalizer.Form.NFC))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"java.text.Normalizer.normalize($c.toString(), java.text.Normalizer.Form.NFC))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class CharEntropy(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == org.apache.spark.sql.types.StringType) TypeCheckResult.TypeCheckSuccess
@@ -513,6 +539,7 @@ object GraftFunctions {
   def simhash64(c: Column, algo: String = SimHash64.Xxh64): Column =
     col(SimHash64(expr(c), algo))
   def char_entropy(c: Column): Column = col(CharEntropy(expr(c)))
+  def nfc_normalize(c: Column): Column = col(NfcNormalize(expr(c)))
   def bigram_top_share(c: Column): Column = col(BigramTopShare(expr(c)))
   def minhash_signature(c: Column, numPerm: Int): Column =
     col(MinHashSignature(expr(c), numPerm))
@@ -542,6 +569,7 @@ object GraftFunctions {
     ("simhash64_md5", "portable md5-based 64-bit SimHash of a token array",
       e => SimHash64(e, SimHash64.Md5)),
     ("char_entropy", "Shannon entropy (bits) over a string's code points", CharEntropy.apply),
+    ("nfc_normalize", "Unicode NFC canonical composition", NfcNormalize.apply),
     ("bigram_top_share", "top adjacent-word-pair share of all bigrams", BigramTopShare.apply),
     ("minhash_signature64", "64-perm MinHash signature of shingles", MinHashSignature(_, 64)),
     ("shingle_hashes3", "distinct hashed 3-gram shingles of a token array", ShingleHashes(_, 3)),

@@ -93,6 +93,17 @@ object TextAnalysis {
   def redactPII(c: Column): Column =
     regexp_replace(regexp_replace(c, UrlRe, "<URL>"), EmailRe, "<EMAIL>")
 
+  /** Canonical text form for matching/dedup: Unicode NFC (custom codegen
+    * expression — Spark has no builtin), lowercase, C0/DEL control chars
+    * stripped, whitespace collapsed to single spaces, trimmed. The
+    * whitespace class is spelled out because Java's `\s` and RE2's
+    * disagree on vertical tab. */
+  def canonicalize(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(graft.functions.GraftFunctions.nfc_normalize(c)),
+        "[\\x00-\\x08\\x0E-\\x1F\\x7F]", ""),
+      "[ \\t\\n\\x0B\\f\\r]+", " "))
+
   def emailCount(c: Column): Column = regexp_count(c, lit(EmailRe))
   def urlCount(c: Column): Column = regexp_count(c, lit(UrlRe))
 

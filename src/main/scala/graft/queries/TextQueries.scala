@@ -332,6 +332,17 @@ object TextQueries {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // Canonical text form: NFC (custom codegen expr) + lower + control
+    // strip + whitespace collapse, fingerprinted per doc — the
+    // normalization step before any equality-based dedup
+    "txt_canonicalize" -> ((s, dir) =>
+      docs(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          md5(TextAnalysis.canonicalize(col("text"))).as("canon_md5"),
+          length(TextAnalysis.canonicalize(col("text"))).as("n_canon_chars"))
+        .orderBy("doc_id")),
+
     // BPE merge-candidate mining — one byte-pair-encoding iteration: the
     // most frequent adjacent character pairs, counted over the WORD
     // VOCABULARY weighted by word frequency (the BPE trick: work is
@@ -784,6 +795,18 @@ object TextQueries {
         |SELECT cluster, count(*) AS size FROM (
         |  SELECT id, min(r) AS cluster FROM reach GROUP BY id
         |) GROUP BY cluster ORDER BY size DESC, cluster LIMIT 100""".stripMargin,
+    "txt_canonicalize" ->
+      """SELECT doc_id,
+        |       md5(trim(regexp_replace(
+        |         regexp_replace(lower(nfc_normalize(text)),
+        |                        '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'),
+        |         '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS canon_md5,
+        |       CAST(len(trim(regexp_replace(
+        |         regexp_replace(lower(nfc_normalize(text)),
+        |                        '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'),
+        |         '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS INT) AS n_canon_chars
+        |FROM documents WHERE text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
     "txt_bpe_pairs" ->
       """WITH wd AS (SELECT w, count(*) AS freq FROM (
         |              SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w

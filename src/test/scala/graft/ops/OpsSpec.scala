@@ -478,6 +478,25 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("canonicalize: NFC composes, controls strip, whitespace collapses") {
+    import spark.implicits._
+    val composed = "café"             // é as one code point
+    val decomposed = "café"          // e + combining acute
+    val rows = Seq(
+      ("nfc_a", composed + " X"), ("nfc_b", decomposed + " X"),
+      ("ctrl", "abc"),
+      ("ws", "  Mixed\tSpaceAnd\r\nNewlines  "),
+      ("case", "UPPER lower")
+    ).toDF("k", "t")
+      .select(col("k"), TextAnalysis.canonicalize(col("t")).as("c"))
+      .as[(String, String)].collect().toMap
+    assert(rows("nfc_a") == rows("nfc_b"), // the whole point of NFC
+      s"${rows("nfc_a")} != ${rows("nfc_b")}")
+    assert(rows("ctrl") == "abc")
+    assert(rows("ws") == "mixed space and newlines")
+    assert(rows("case") == "upper lower")
+  }
+
   test("leakage-safe split never straddles a near-dup pair across splits") {
     import spark.implicits._
     // three dup clusters + singletons; ids chosen so a PLAIN id-hash
