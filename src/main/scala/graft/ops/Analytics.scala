@@ -24,14 +24,26 @@ object Analytics {
     * user with a nullable `t_<stage>` timestamp per stage.
     */
   def funnelStageTimes(df: DataFrame, userCol: String, typeCol: String,
-                       tsCol: String, stages: Seq[String]): DataFrame = {
+                       tsCol: String, stages: Seq[String],
+                       maxGapSeconds: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty && stages.distinct == stages,
       "stages must be nonempty and distinct")
+    require(maxGapSeconds.forall(_ > 0), "maxGapSeconds must be positive")
     val w = Window.partitionBy(userCol)
     val staged = stages.zipWithIndex.foldLeft(
       df.select(userCol, typeCol, tsCol)) { case (acc, (stage, i)) =>
         val hit = col(typeCol) === stage
-        val cond = if (i == 0) hit else hit && col(tsCol) > col(s"_t${i - 1}")
+        val cond =
+          if (i == 0) hit
+          else {
+            val after = hit && col(tsCol) > col(s"_t${i - 1}")
+            // conversion deadline: stage i must land within the gap of
+            // stage i-1 (real funnels expire; gap in whole seconds so the
+            // µs comparison is exact in any engine)
+            maxGapSeconds.fold(after)(g => after &&
+              unix_micros(col(tsCol)) <=
+                unix_micros(col(s"_t${i - 1}")) + g * 1000000L)
+          }
         acc.withColumn(s"_t$i", min(when(cond, col(tsCol))).over(w))
     }
     val aggs = stages.zipWithIndex.map { case (stage, i) =>

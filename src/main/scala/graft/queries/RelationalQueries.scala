@@ -760,6 +760,16 @@ object RelationalQueries {
           count(col("t_click")).as("n_view_click"),
           count(col("t_purchase")).as("n_view_click_purchase"))),
 
+    // Deadline-bounded funnel: each conversion must land within 48h of
+    // the previous stage (real funnels expire)
+    "q_funnel_windowed" -> ((s, dir) =>
+      graft.ops.Analytics.funnelStageTimes(t(s, dir, "events"),
+          "user_id", "event_type", "ts", Seq("view", "click", "purchase"),
+          maxGapSeconds = Some(172800L))
+        .agg(count(col("t_view")).as("n_view"),
+          count(col("t_click")).as("n_view_click"),
+          count(col("t_purchase")).as("n_view_click_purchase"))),
+
     // Entity resolution: all part-name pairs within edit distance 2 via
     // PassJoin segment blocking — candidates from a pure equi-join on
     // (length, slot, segment), exact levenshtein only on candidates; the
@@ -988,6 +998,22 @@ object RelationalQueries {
         |FROM n a JOIN n b ON a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) <= 2
         |ORDER BY 1, 2""".stripMargin,
+    "q_funnel_windowed" ->
+      """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN t1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > t1.t1
+        |         AND epoch_us(e.ts) <= epoch_us(t1.t1) + 172800000000
+        |       GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN t2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+        |         AND epoch_us(e.ts) <= epoch_us(t2.t2) + 172800000000
+        |       GROUP BY 1)
+        |SELECT (SELECT count(*) FROM t1) AS n_view,
+        |       (SELECT count(*) FROM t2) AS n_view_click,
+        |       (SELECT count(*) FROM t3) AS n_view_click_purchase""".stripMargin,
     "q_cohort_retention" ->
       """WITH ev AS (SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS wk
         |            FROM events),

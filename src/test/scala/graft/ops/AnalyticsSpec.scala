@@ -38,6 +38,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(u2.isNullAt(u2.fieldIndex("t_purchase")))
   }
 
+  test("windowed funnel expires conversions past the deadline") {
+    def counts(gap: Option[Long]): (Long, Long, Long) = {
+      val r = Analytics.funnelStageTimes(fixture,
+          "user_id", "event_type", "ts", Seq("view", "click", "purchase"), gap)
+        .agg(count(col("t_view")), count(col("t_click")),
+          count(col("t_purchase"))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // fixture stage gaps are exactly 60s: a 30s deadline kills every
+    // conversion, a 90s deadline readmits them all
+    assert(counts(Some(30L)) == ((4L, 0L, 0L)))
+    assert(counts(Some(90L)) == ((4L, 2L, 1L)))
+    assert(counts(None) == ((4L, 2L, 1L)))
+  }
+
   test("funnel shuffles the event table once: one exchange on the user key") {
     val plan = org.apache.spark.sql.graft.Bridge.executedPlan(
       graft.SparkEntry.queries("q_funnel")(

@@ -14,6 +14,8 @@ final case class TestEnvelope(partitionKey: String, sequenceNumber: String,
 
 final case class DimUpdate(cust_id: Long, tier: String, uts: java.sql.Date)
 
+final case class IncomingDoc(doc_id: Long, text: String)
+
 /** Streaming semantics (SURVEY.md §2.6): micro-batch boundaries, replayed
   * duplicates, watermark-bounded dedup state, windowed rollups. */
 class StreamingSpec extends SparkSpec {
@@ -78,6 +80,37 @@ class StreamingSpec extends SparkSpec {
       (1L, "gold", Some(d2), Some(d3)),
       (1L, "platinum", Some(d3), None),
       (2L, "new", Some(d2), None)))
+  }
+
+  test("streaming incremental dedup: near-dups of the growing reference drop") {
+    implicit val sqlCtx = spark.sqlContext
+    def doc(prefix: String, last: String): String =
+      (1 to 11).map(i => s"$prefix$i").mkString(" ") + " " + last
+    var reference = Seq((1L, doc("w", "w12"))).toDF("doc_id", "text")
+      .localCheckpoint()
+    val mem = MemoryStream[IncomingDoc]
+    val q = mem.toDS().toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the incremental-ingest dedup loop: LSH-screen each micro-batch
+        // against everything accepted so far, append only the survivors
+        val contaminated = graft.ops.Dedup.againstReference(
+          batch, reference, "doc_id", "text")
+        val fresh = batch.join(contaminated.select("doc_id"),
+          Seq("doc_id"), "left_anti")
+        reference = reference.unionByName(fresh.select("doc_id", "text"))
+          .localCheckpoint()
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      mem.addData(IncomingDoc(2L, doc("w", "CHANGED")), // near-dup of ref 1
+        IncomingDoc(3L, doc("x", "x12")))               // novel
+      q.processAllAvailable()
+      mem.addData(IncomingDoc(4L, doc("x", "ALTERED")), // near-dup of 3 (accepted last batch)
+        IncomingDoc(5L, doc("y", "y12")))               // novel
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = reference.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 3L, 5L))
   }
 
   test("watermark dedup collapses redelivered log_ids across batches") {
