@@ -31,15 +31,15 @@ object Checks {
   /** fraction of rows with a non-null value ≥ threshold */
   final case class Completeness(column: String, threshold: Double) extends Check {
     val kind = "completeness"
-    def metric: Column =
-      count(col(column)).cast("double") / count(lit(1)).cast("double")
+    def metric: Column = try_divide(
+      count(col(column)).cast("double"), count(lit(1)).cast("double"))
   }
 
   /** exact distinct values / non-null values ≥ threshold */
   final case class Uniqueness(column: String, threshold: Double) extends Check {
     val kind = "uniqueness"
-    def metric: Column =
-      countDistinct(col(column)).cast("double") / count(col(column)).cast("double")
+    def metric: Column = try_divide(
+      countDistinct(col(column)).cast("double"), count(col(column)).cast("double"))
   }
 
   /** KMV-estimated uniqueness — bounded state, no Expand; the 100 TB
@@ -47,27 +47,27 @@ object Checks {
   final case class ApproxUniqueness(column: String, threshold: Double,
                                     k: Int = 1024) extends Check {
     val kind = "approx_uniqueness"
-    def metric: Column =
-      Sketch.kmvEstimate(Sketch.kmvSketch(col(column), k), k) /
-        count(col(column)).cast("double")
+    def metric: Column = try_divide(
+      Sketch.kmvEstimate(Sketch.kmvSketch(col(column), k), k),
+      count(col(column)).cast("double"))
   }
 
   /** fraction of non-null values inside [lo, hi] ≥ threshold */
   final case class FractionBetween(column: String, lo: Double, hi: Double,
                                    threshold: Double) extends Check {
     val kind = "fraction_between"
-    def metric: Column =
-      sum(when(col(column).between(lo, hi), 1L).otherwise(0L)).cast("double") /
-        count(col(column)).cast("double")
+    def metric: Column = try_divide(
+      sum(when(col(column).between(lo, hi), 1L).otherwise(0L)).cast("double"),
+      count(col(column)).cast("double"))
   }
 
   /** fraction of non-null values in the allowed set ≥ threshold */
   final case class FractionInSet(column: String, allowed: Seq[String],
                                  threshold: Double) extends Check {
     val kind = "fraction_in_set"
-    def metric: Column =
-      sum(when(col(column).isin(allowed: _*), 1L).otherwise(0L)).cast("double") /
-        count(col(column)).cast("double")
+    def metric: Column = try_divide(
+      sum(when(col(column).isin(allowed: _*), 1L).otherwise(0L)).cast("double"),
+      count(col(column)).cast("double"))
   }
 
   /** One row per check: (kind, col_name, metric, threshold, passed). */
@@ -79,7 +79,8 @@ object Checks {
         struct(lit(c.kind).as("kind"), lit(c.column).as("col_name"),
           round(col(s"_m$i"), 6).as("metric"),
           lit(c.threshold).as("threshold"),
-          (col(s"_m$i") >= c.threshold).as("passed"))
+          // empty input → null metric; a gate must FAIL, not pass vacuously
+          coalesce(col(s"_m$i") >= c.threshold, lit(false)).as("passed"))
       }: _*)).as("c"))
       .select("c.*")
   }

@@ -28,8 +28,12 @@ object Scd2 {
   def merge(history: DataFrame, updates: DataFrame, keyCol: String,
             tsCol: String, attrCols: Seq[String]): DataFrame = {
     require(attrCols.nonEmpty, "need at least one attribute column")
+    // latest update per key; ties on the timestamp resolve by the attr
+    // tuple (lexicographic) so the winner is deterministic, not
+    // whichever partition merged last
     val latest = updates.groupBy(keyCol)
-      .agg(max_by(struct((attrCols :+ tsCol).map(col): _*), col(tsCol)).as("_u"))
+      .agg(max_by(struct((attrCols :+ tsCol).map(col): _*),
+        struct(col(tsCol) +: attrCols.map(col): _*)).as("_u"))
       .select(col(keyCol) +: (attrCols :+ tsCol).map(c => col(s"_u.$c").as(c)): _*)
 
     val open = history.filter(col("valid_to").isNull)

@@ -41,6 +41,13 @@ class ChecksSpec extends SparkSpec {
     assert(math.abs(row.getDouble(2) - 0.5) < 0.15, row.toString)
   }
 
+  test("checks on an empty table fail rather than pass vacuously") {
+    val empty = fixture.filter(col("id") === -1L)
+    val rows = Checks.run(empty, Seq(Checks.Completeness("id", 0.5))).collect()
+    assert(rows.length == 1 && !rows.head.getBoolean(4))
+    assert(rows.head.isNullAt(2)) // metric is honestly null, not 0
+  }
+
   test("q_quality_checks plan reads events once") {
     val plan = org.apache.spark.sql.graft.Bridge.executedPlan(
       graft.SparkEntry.queries("q_quality_checks")(
