@@ -332,6 +332,43 @@ object TextQueries {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // Dedup yield report: docs and tokens before vs after canonical-copy
+    // retention — the number every corpus-reduction decision is based on
+    "txt_effective_tokens" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.jaccardVerify(
+        Dedup.minhashCandidatePairs(d, "doc_id", "text", numPerm = 64, bands = 32),
+        d, "doc_id", "text")
+        .filter(col("jaccard") >= 0.8)
+        .select("id_a", "id_b")
+      val kept = Dedup.keepBestPerCluster(d, Dedup.nearDupClusters(pairs),
+        "doc_id", "n_chars")
+      def stats(df: org.apache.spark.sql.DataFrame, stage: String) =
+        df.agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"))
+          .withColumn("stage", lit(stage))
+      stats(d, "raw").unionByName(stats(kept, "deduped"))
+        .select("stage", "n_docs", "total_tokens")
+        .orderBy("stage")
+    }),
+
+    // Per-dimension robust stats of the embedding corpus (median + IQR
+    // from the portable k-min-hash sample): the robust-scaler fit for
+    // feature normalization, with no engine-opaque percentile sketch
+    "sim_dim_stats" -> ((s, dir) => {
+      import graft.ops.Sketch
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("dim")
+        .agg(Sketch.hashSample(
+          concat(col("vec_id"), lit(":"), col("dim")), col("x"), 256).as("smp"))
+        .select(col("dim"),
+          round(Sketch.sampleQuantile(col("smp"), 0.5), 6).as("median"),
+          round(Sketch.sampleQuantile(col("smp"), 0.75) -
+            Sketch.sampleQuantile(col("smp"), 0.25), 6).as("iqr"))
+        .orderBy("dim")
+    }),
+
     // Canonical text form: NFC (custom codegen expr) + lower + control
     // strip + whitespace collapse, fingerprinted per doc — the
     // normalization step before any equality-based dedup
@@ -795,6 +832,63 @@ object TextQueries {
         |SELECT cluster, count(*) AS size FROM (
         |  SELECT id, min(r) AS cluster FROM reach GROUP BY id
         |) GROUP BY cluster ORDER BY size DESC, cluster LIMIT 100""".stripMargin,
+    "txt_effective_tokens" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |              ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |                     i -> array_to_string(t[i:i+2], ' ')))
+        |         END AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)
+        |), sized AS (SELECT doc_id, s, len(s) AS n FROM sh),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / (a.n + b.n - len(list_intersect(a.s, b.s))) AS j
+        |    FROM sized a JOIN sized b
+        |      ON a.doc_id < b.doc_id AND least(a.n, b.n) >= 0.8 * greatest(a.n, b.n)
+        |  ) WHERE j >= 0.8
+        |),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id
+        |),
+        |lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+        |labeled AS (
+        |  SELECT d.doc_id, d.n_chars, coalesce(l.cluster, d.doc_id) AS cl
+        |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.id),
+        |best AS (
+        |  SELECT doc_id, row_number() OVER (PARTITION BY cl ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM labeled),
+        |kept AS (SELECT doc_id FROM best WHERE rn = 1)
+        |SELECT 'deduped' AS stage, count(*) AS n_docs,
+        |       CAST(sum(len(string_split_regex(trim(d.text), '\s+'))) AS BIGINT) AS total_tokens
+        |FROM kept k JOIN documents d ON k.doc_id = d.doc_id
+        |UNION ALL
+        |SELECT 'raw', count(*),
+        |       CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |FROM documents
+        |ORDER BY stage""".stripMargin,
+    "sim_dim_stats" ->
+      """WITH p AS (SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+        |                  CAST(embedding[i] AS DOUBLE) AS x
+        |           FROM embeddings,
+        |                (SELECT unnest(generate_series(1, 64)) AS i) s
+        |           WHERE i <= len(embedding)),
+        |h AS (SELECT dim, x,
+        |             md5(vec_id::VARCHAR || ':' || dim::VARCHAR) AS hx FROM p),
+        |r AS (SELECT dim, x,
+        |             row_number() OVER (PARTITION BY dim ORDER BY hx) AS rn FROM h),
+        |smp AS (SELECT dim, list_sort(list(x)) AS s
+        |        FROM r WHERE rn <= 256 GROUP BY 1)
+        |SELECT dim,
+        |       round(s[GREATEST(1, CAST(ceil(0.5 * len(s)) AS INT))], 6) AS median,
+        |       round(s[GREATEST(1, CAST(ceil(0.75 * len(s)) AS INT))]
+        |             - s[GREATEST(1, CAST(ceil(0.25 * len(s)) AS INT))], 6) AS iqr
+        |FROM smp ORDER BY dim""".stripMargin,
     "txt_canonicalize" ->
       """SELECT doc_id,
         |       md5(trim(regexp_replace(
