@@ -131,4 +131,91 @@ class PropertySpec extends SparkSpec {
     val re = "^logs-[a-z]+-\\d{8}$".r
     assert(names.nonEmpty && names.forall(n => re.findFirstIn(n).isDefined))
   }
+
+  test("morton z-value round-trips through a reference deinterleave") {
+    import org.apache.spark.sql.functions.col
+    def deinterleave(z: Long): (Long, Long) = {
+      var x = 0L; var y = 0L
+      for (i <- 0 until 32) {
+        if (((z >> (2 * i)) & 1L) == 1L) x |= 1L << i
+        if (((z >> (2 * i + 1)) & 1L) == 1L) y |= 1L << i
+      }
+      (x, y)
+    }
+    val rnd = new java.util.Random(11)
+    val pts = (0 until 300).map(_ =>
+      (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val zs = pts.toDF("x", "y")
+      .select(graft.ops.Layout.zValue2(col("x"), col("y")).as("z"))
+      .as[Long].collect().toSeq
+    assert(zs.map(deinterleave) == pts)
+  }
+
+  test("edit-distance blocking is complete on randomly perturbed strings") {
+    import org.apache.spark.sql.functions.col
+    // random base words + <=2 random edits each: every true pair within
+    // distance 2 must come out of the segment-blocked join
+    val rnd = new java.util.Random(23)
+    val alpha = "abcdefgh"
+    def word(len: Int): String =
+      (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    def edit(s: String): String = rnd.nextInt(3) match {
+      case 0 if s.length > 3 => // delete
+        val i = rnd.nextInt(s.length); s.take(i) + s.drop(i + 1)
+      case 1 => // insert
+        val i = rnd.nextInt(s.length + 1)
+        s.take(i) + alpha(rnd.nextInt(alpha.length)) + s.drop(i)
+      case _ => // substitute
+        val i = rnd.nextInt(s.length)
+        s.updated(i, alpha(rnd.nextInt(alpha.length)))
+    }
+    val names = (0 until 60).flatMap { _ =>
+      val base = word(5 + rnd.nextInt(8))
+      Seq(base, edit(base), edit(edit(base)))
+    }.distinct.filter(_.length >= 3)
+    def ed(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      a <- names; b <- names if a < b
+      dd = ed(a, b) if dd <= 2
+    } yield (a, b, dd)).toSet
+    val got = graft.ops.EntityResolution.fuzzySelfJoin(
+        names.toDF("n"), "n", tau = 2)
+      .as[(String, String, Int)].collect().toSet
+    assert(got == want, s"missing=${want -- got}\nextra=${got -- want}")
+  }
+
+  test("scd2 invariants: one open row per key, ordered validity, idempotent") {
+    import org.apache.spark.sql.functions.col
+    val d0 = java.sql.Date.valueOf("2024-01-01")
+    val rnd = new java.util.Random(31)
+    val hist = (1L to 40L).map(i =>
+        (i, s"t${rnd.nextInt(4)}", Some(d0), Option.empty[java.sql.Date]))
+      .toDF("k", "attr", "valid_from", "valid_to")
+    val batches = (1 to 3).map { b =>
+      (1L to 50L).filter(_ => rnd.nextBoolean()).map(i =>
+        (i, s"t${rnd.nextInt(4)}",
+          java.sql.Date.valueOf(s"2024-0${b + 1}-15")))
+        .toDF("k", "attr", "uts")
+    }
+    val merged = batches.foldLeft(hist) { (h, b) =>
+      graft.ops.Scd2.merge(h, b, "k", "uts", Seq("attr")).localCheckpoint()
+    }
+    val openPerKey = merged.filter(col("valid_to").isNull)
+      .groupBy("k").count().filter(col("count") > 1).count()
+    assert(openPerKey == 0, "a key has multiple open rows")
+    val disordered = merged.filter(col("valid_to").isNotNull &&
+      col("valid_from") >= col("valid_to")).count()
+    assert(disordered == 0, "closed row with valid_from >= valid_to")
+    // replaying the last batch changes nothing
+    val replay = graft.ops.Scd2.merge(merged, batches.last, "k", "uts", Seq("attr"))
+    assert(replay.except(merged).isEmpty && merged.except(replay).isEmpty)
+  }
 }
