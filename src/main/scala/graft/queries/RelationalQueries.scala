@@ -546,6 +546,55 @@ object RelationalQueries {
           col("v_obs"), col("v_locf"), col("v_interp"))
         .orderBy("event_type", "bucket_ts")),
 
+    // Feature hashing (the hashing trick, Weinberger et al. 2009): each
+    // user's event types hashed into a fixed 8-bucket count vector via
+    // md5 — dimensionality is constant regardless of category
+    // cardinality, and the md5 bucket is engine-portable
+    "q_feature_hash" -> ((s, dir) => {
+      val bucket = conv(substring(md5(col("event_type")), 1, 4), 16, 10)
+        .cast("int") % 8
+      t(s, dir, "events")
+        .withColumn("b", bucket)
+        .groupBy("user_id")
+        .agg(array_join(array((0 until 8).map(i =>
+          sum(when(col("b") === i, 1L).otherwise(0L))): _*), "|").as("features"))
+        .orderBy("user_id")
+    }),
+
+    // Join-key skew report: the diagnostic that decides whether a join
+    // needs salting — key cardinality, head shares, and count quantiles
+    // from the portable sample (key-cardinality-sized work, one scan)
+    "q_skew_report" -> ((s, dir) => {
+      import graft.ops.Sketch
+      val counts = t(s, dir, "lineitem")
+        .groupBy("l_orderkey").agg(count(lit(1)).as("c"))
+      val total = counts.agg(sum("c").as("n_rows"),
+        count(lit(1)).as("n_keys"), max("c").as("max_c"))
+      val smp = counts.agg(
+        Sketch.hashSample(col("l_orderkey"), col("c").cast("double"), 1024).as("s"))
+      total.crossJoin(smp)
+        .select(col("n_rows"), col("n_keys"),
+          round(col("max_c").cast("double") / col("n_rows").cast("double"), 6)
+            .as("top_key_share"),
+          Sketch.sampleQuantile(col("s"), 0.5).cast("long").as("p50_count"),
+          Sketch.sampleQuantile(col("s"), 0.99).cast("long").as("p99_count"))
+    }),
+
+    // Incremental rollup chain: monthly totals RE-AGGREGATED from the
+    // daily rollup (never from raw) — the aggregate-table maintenance
+    // pattern; the oracle computes monthly straight from raw, so a hash
+    // match proves the re-aggregation is lossless
+    "q_rollup_chain" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+      daily
+        .groupBy(substring(col("day"), 1, 7).as("month"), col("event_type"))
+        .agg(sum("n").as("n_events"), round(sum("sv"), 2).as("total_value"))
+        .orderBy("month", "event_type")
+    }),
+
     // Outage detection: maximal runs of ≥2 consecutive EMPTY buckets on
     // the regularized series (gaps-and-islands over the resample spine —
     // pure integer window logic, no arithmetic portability risk)
@@ -1257,6 +1306,37 @@ object RelationalQueries {
         |                    + 0.5) / 1000000.0
         |            ELSE coalesce(vp, vn) END AS v_interp
         |FROM w ORDER BY 1, 2""".stripMargin,
+    "q_feature_hash" ->
+      """SELECT user_id,
+        |       array_to_string(
+        |       [CAST(sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |        CAST(sum(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |        CAST(sum(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS BIGINT),
+        |        CAST(sum(CASE WHEN b = 3 THEN 1 ELSE 0 END) AS BIGINT),
+        |        CAST(sum(CASE WHEN b = 4 THEN 1 ELSE 0 END) AS BIGINT),
+        |        CAST(sum(CASE WHEN b = 5 THEN 1 ELSE 0 END) AS BIGINT),
+        |        CAST(sum(CASE WHEN b = 6 THEN 1 ELSE 0 END) AS BIGINT),
+        |        CAST(sum(CASE WHEN b = 7 THEN 1 ELSE 0 END) AS BIGINT)], '|') AS features
+        |FROM (SELECT user_id,
+        |             ('0x' || substr(md5(event_type), 1, 4))::INTEGER % 8 AS b
+        |      FROM events) t
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_skew_report" ->
+      """WITH counts AS (SELECT l_orderkey, count(*) AS c FROM lineitem GROUP BY 1),
+        |total AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_keys,
+        |                 max(c) AS max_c FROM counts),
+        |h AS (SELECT c::DOUBLE AS v, md5(l_orderkey::VARCHAR) AS hx FROM counts),
+        |r AS (SELECT v, row_number() OVER (ORDER BY hx) AS rn FROM h),
+        |smp AS (SELECT list_sort(list(v)) AS s FROM r WHERE rn <= 1024)
+        |SELECT n_rows, n_keys,
+        |       round(max_c::DOUBLE / n_rows::DOUBLE, 6) AS top_key_share,
+        |       CAST(s[GREATEST(1, CAST(ceil(0.5 * len(s)) AS INT))] AS BIGINT) AS p50_count,
+        |       CAST(s[GREATEST(1, CAST(ceil(0.99 * len(s)) AS INT))] AS BIGINT) AS p99_count
+        |FROM total CROSS JOIN smp""".stripMargin,
+    "q_rollup_chain" ->
+      """SELECT strftime(ts, '%Y-%m') AS month, event_type,
+        |       count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_gap_incidents" ->
       """WITH obs AS (
         |  SELECT event_type,
