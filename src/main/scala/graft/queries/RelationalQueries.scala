@@ -546,6 +546,35 @@ object RelationalQueries {
           col("v_obs"), col("v_locf"), col("v_interp"))
         .orderBy("event_type", "bucket_ts")),
 
+    // Sliding distinct count WITHOUT rescanning: per 15-min bucket, the
+    // trailing-hour distinct users estimated by MERGING the four bucket
+    // KMV sketches in a window frame (sketch algebra over windows — the
+    // pre-aggregated sliding-distinct pattern; exact sliding distinct
+    // would rescan every window). Estimates oracle bit-for-bit.
+    "q_sliding_distinct" -> ((s, dir) => {
+      import graft.ops.Sketch
+      val k = 64
+      val bucketed = t(s, dir, "events")
+        .withColumn("b", timestamp_micros(
+          expr("(unix_micros(ts) div 900000000) * 900000000")))
+        .groupBy("b")
+        .agg(Sketch.kmvSketch(col("user_id"), k).as("sk"),
+          count(lit(1)).as("n_events"))
+      // RANGE frame on µs (not 4 ROWS): empty buckets are absent, and a
+      // row frame would silently reach back past the hour across gaps
+      val w = Window.orderBy(unix_micros(col("b")))
+        .rangeBetween(-2700000000L, 0L)
+      bucketed
+        .withColumn("merged", aggregate(
+          collect_list(col("sk")).over(w),
+          array().cast("array<string>"),
+          (acc, x) => Sketch.kmvMerge(acc, x, k)))
+        .select(date_format(col("b"), "yyyy-MM-dd HH:mm:ss").as("bucket_ts"),
+          col("n_events"),
+          round(Sketch.kmvEstimate(col("merged"), k), 2).as("est_hour_users"))
+        .orderBy("bucket_ts")
+    }),
+
     // Feature hashing (the hashing trick, Weinberger et al. 2009): each
     // user's event types hashed into a fixed 8-bucket count vector via
     // md5 — dimensionality is constant regardless of category
@@ -1306,6 +1335,34 @@ object RelationalQueries {
         |                    + 0.5) / 1000000.0
         |            ELSE coalesce(vp, vn) END AS v_interp
         |FROM w ORDER BY 1, 2""".stripMargin,
+    "q_sliding_distinct" ->
+      """WITH h AS (SELECT DISTINCT
+        |             make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS b,
+        |             substr(md5(user_id::VARCHAR), 1, 16) AS hx
+        |           FROM events WHERE user_id IS NOT NULL),
+        |r AS (SELECT b, hx, row_number() OVER (PARTITION BY b ORDER BY hx) AS rn
+        |      FROM h),
+        |sk AS (SELECT b, hx FROM r WHERE rn <= 64),
+        |ne AS (SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS b,
+        |              count(*) AS n_events
+        |       FROM events GROUP BY 1),
+        |u AS (SELECT DISTINCT t.b AS tb, s.hx
+        |      FROM (SELECT DISTINCT b FROM sk) t JOIN sk s
+        |        ON s.b <= t.b AND s.b >= t.b - INTERVAL 45 MINUTE),
+        |r2 AS (SELECT tb, hx,
+        |              row_number() OVER (PARTITION BY tb ORDER BY hx) AS rn,
+        |              count(*) OVER (PARTITION BY tb) AS nd
+        |       FROM u),
+        |est AS (SELECT tb,
+        |               CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
+        |                    ELSE 63.0 * 18446744073709551616.0 /
+        |                         (('0x' || max(CASE WHEN rn = 64 THEN hx END))::UBIGINT::DOUBLE)
+        |               END AS e
+        |        FROM r2 WHERE rn <= 64 GROUP BY tb)
+        |SELECT strftime(e2.tb, '%Y-%m-%d %H:%M:%S') AS bucket_ts, ne.n_events,
+        |       round(e2.e, 2) AS est_hour_users
+        |FROM est e2 JOIN ne ON e2.tb = ne.b
+        |ORDER BY 1""".stripMargin,
     "q_feature_hash" ->
       """SELECT user_id,
         |       array_to_string(
