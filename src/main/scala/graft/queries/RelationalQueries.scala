@@ -675,6 +675,30 @@ object RelationalQueries {
         .orderBy("cust_id", "valid_from")
     }),
 
+    // Temporal dimension join: each event resolves the customer segment
+    // VALID AT its event time against the SCD2 history (mid-January
+    // update, so events genuinely straddle two versions) — point-in-time
+    // lookup via the as-of join on valid_from; no range cross join
+    "q_temporal_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val hist = c.select(col("c_custkey").as("cust_id"),
+        col("c_mktsegment").as("segment"),
+        lit("2024-01-01").cast("date").as("valid_from"),
+        lit(null).cast("date").as("valid_to"))
+      val updates = c.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("cust_id"), lit("MIDMONTH").as("segment"),
+          lit("2024-01-15").cast("date").as("uts"))
+      val dim = graft.ops.Scd2.merge(hist, updates, "cust_id", "uts", Seq("segment"))
+        .withColumn("vf_ts", col("valid_from").cast("timestamp"))
+      graft.ops.AsOf.join(
+          t(s, dir, "events").select("event_id", "user_id", "ts", "event_type"),
+          dim.select("cust_id", "vf_ts", "segment"),
+          "user_id", "cust_id", "ts", "vf_ts", Seq("segment"))
+        .groupBy(col("asof_segment").as("segment"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("segment", "event_type")
+    }),
+
     // Declarative data-quality gate: six constraints (completeness,
     // exact uniqueness, bounds, set membership) fused into ONE
     // aggregation over one scan — includes a deliberately failing check
@@ -1429,6 +1453,24 @@ object RelationalQueries {
         |SELECT from_type, to_type, n,
         |       round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type)::DOUBLE, 6) AS p
         |FROM c ORDER BY 1, 2""".stripMargin,
+    "q_temporal_join" ->
+      """WITH hist AS (
+        |  SELECT c_custkey AS cust_id, c_mktsegment AS segment,
+        |         DATE '2024-01-01' AS valid_from
+        |  FROM customer),
+        |upd AS (
+        |  SELECT c_custkey AS cust_id, 'MIDMONTH' AS segment,
+        |         DATE '2024-01-15' AS valid_from
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |dim AS (SELECT * FROM hist UNION ALL SELECT * FROM upd),
+        |m AS (SELECT e.event_id, e.event_type,
+        |             max_by(d.segment, d.valid_from) AS segment
+        |      FROM events e LEFT JOIN dim d
+        |        ON e.user_id = d.cust_id
+        |       AND d.valid_from::TIMESTAMP <= e.ts
+        |      GROUP BY 1, 2)
+        |SELECT segment, event_type, count(*) AS n
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_scd2_merge" ->
       """WITH hist AS (
         |  SELECT c_custkey AS cust_id, c_mktsegment AS segment,
