@@ -546,6 +546,58 @@ object RelationalQueries {
           col("v_obs"), col("v_locf"), col("v_interp"))
         .orderBy("event_type", "bucket_ts")),
 
+    // Rolling correlation of two metric series (clicks vs purchases per
+    // 15-min bucket, trailing 24h): all window sums are exact integers —
+    // the only floating point is the final Pearson formula, so the
+    // 2.7k correlations reproduce bit-for-bit in any engine
+    "q_rolling_corr" -> ((s, dir) => {
+      val counts = t(s, dir, "events")
+        .withColumn("b", timestamp_micros(
+          expr("(unix_micros(ts) div 900000000) * 900000000")))
+        .groupBy("b").agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      val spine = counts.agg(min("b").as("lo"), max("b").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("INTERVAL 900 SECOND"))).as("b"))
+      val dense = spine.join(counts, Seq("b"), "left")
+        .select(col("b"), coalesce(col("x"), lit(0L)).as("x"),
+          coalesce(col("y"), lit(0L)).as("y"))
+      val w = Window.orderBy("b").rowsBetween(-95, 0)
+      dense
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", sum("x").over(w)).withColumn("sy", sum("y").over(w))
+        .withColumn("sxy", sum(col("x") * col("y")).over(w))
+        .withColumn("sxx", sum(col("x") * col("x")).over(w))
+        .withColumn("syy", sum(col("y") * col("y")).over(w))
+        .filter(col("n") === 96) // full windows only
+        .withColumn("num", (col("n") * col("sxy") - col("sx") * col("sy")).cast("double"))
+        .withColumn("den",
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+        .select(date_format(col("b"), "yyyy-MM-dd HH:mm:ss").as("bucket_ts"),
+          round(when(col("den") =!= 0.0, col("num") / col("den")), 6).as("corr_24h"))
+        .orderBy("bucket_ts")
+    }),
+
+    // Exact Gini concentration of rows over join keys — the single-number
+    // skew verdict next to q_skew_report's quantiles. Rank-sum formula on
+    // the key-cardinality count table (a global sort of THAT table, not
+    // the data; sampled quantiles are the no-sort alternative).
+    "q_key_gini" -> ((s, dir) => {
+      val counts = t(s, dir, "lineitem")
+        .groupBy("l_orderkey").agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("c"), col("l_orderkey"))
+      counts.withColumn("i", row_number().over(w))
+        .agg(count(lit(1)).as("n_keys"), sum("c").as("n_rows"),
+          sum(col("i") * col("c")).as("ric"))
+        .select(col("n_keys"), col("n_rows"),
+          round(lit(2.0) * col("ric").cast("double") /
+              (col("n_keys").cast("double") * col("n_rows").cast("double")) -
+            (col("n_keys") + 1L).cast("double") / col("n_keys").cast("double"),
+            6).as("gini"))
+    }),
+
     // Sliding distinct count WITHOUT rescanning: per 15-min bucket, the
     // trailing-hour distinct users estimated by MERGING the four bucket
     // KMV sketches in a window frame (sketch algebra over windows — the
@@ -1359,6 +1411,42 @@ object RelationalQueries {
         |                    + 0.5) / 1000000.0
         |            ELSE coalesce(vp, vn) END AS v_interp
         |FROM w ORDER BY 1, 2""".stripMargin,
+    "q_rolling_corr" ->
+      """WITH ev AS (SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS b,
+        |                   event_type
+        |            FROM events),
+        |c AS (SELECT b,
+        |             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+        |      FROM ev GROUP BY 1),
+        |span AS (SELECT min(b) AS lo, max(b) AS hi FROM c),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 900 SECOND)) AS b
+        |          FROM span),
+        |d AS (SELECT s.b, coalesce(c.x, 0) AS x, coalesce(c.y, 0) AS y
+        |      FROM spine s LEFT JOIN c USING (b)),
+        |wnd AS (SELECT b,
+        |               count(*) OVER w AS n,
+        |               sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+        |               sum(x * y) OVER w AS sxy,
+        |               sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy
+        |        FROM d
+        |        WINDOW w AS (ORDER BY b ROWS BETWEEN 95 PRECEDING AND CURRENT ROW))
+        |SELECT strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+        |       round(CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+        |                  THEN (n * sxy - sx * sy)::DOUBLE /
+        |                       (sqrt((n * sxx - sx * sx)::DOUBLE) *
+        |                        sqrt((n * syy - sy * sy)::DOUBLE))
+        |             END, 6) AS corr_24h
+        |FROM wnd WHERE n = 96 ORDER BY 1""".stripMargin,
+    "q_key_gini" ->
+      """WITH c AS (SELECT l_orderkey, count(*) AS c FROM lineitem GROUP BY 1),
+        |r AS (SELECT c, l_orderkey,
+        |             row_number() OVER (ORDER BY c, l_orderkey) AS i FROM c)
+        |SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+        |       round(2.0 * sum(i * c)::DOUBLE /
+        |               (count(*)::DOUBLE * sum(c)::DOUBLE) -
+        |             (count(*) + 1)::DOUBLE / count(*)::DOUBLE, 6) AS gini
+        |FROM r""".stripMargin,
     "q_sliding_distinct" ->
       """WITH h AS (SELECT DISTINCT
         |             make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS b,
