@@ -546,6 +546,43 @@ object RelationalQueries {
           col("v_obs"), col("v_locf"), col("v_interp"))
         .orderBy("event_type", "bucket_ts")),
 
+    // RFM segmentation: per-user recency/frequency/monetary scored into
+    // tertiles whose boundaries come from the deterministic sample
+    // (portable — no engine percentile sketch), segment = "R{r}F{f}M{m}"
+    "q_rfm_segments" -> ((s, dir) => {
+      import graft.ops.Sketch
+      val p = t(s, dir, "events").filter(col("event_type") === "purchase")
+      val anchor = p.agg(max(unix_micros(col("ts"))).as("t_max"))
+      val rfm = p.groupBy("user_id").agg(
+          max(unix_micros(col("ts"))).as("t_last"),
+          count(lit(1)).as("f"),
+          round(sum("value"), 2).as("m"))
+        .crossJoin(broadcast(anchor))
+        .withColumn("r_days", expr("(t_max - t_last) div 86400000000"))
+      val bounds = rfm.agg(
+          Sketch.hashSample(col("user_id"), col("r_days").cast("double"), 512).as("rs"),
+          Sketch.hashSample(col("user_id"), col("f").cast("double"), 512).as("fs"),
+          Sketch.hashSample(col("user_id"), col("m"), 512).as("ms"))
+        .select(
+          Sketch.sampleQuantile(col("rs"), 1.0 / 3).as("r1"),
+          Sketch.sampleQuantile(col("rs"), 2.0 / 3).as("r2"),
+          Sketch.sampleQuantile(col("fs"), 1.0 / 3).as("f1"),
+          Sketch.sampleQuantile(col("fs"), 2.0 / 3).as("f2"),
+          Sketch.sampleQuantile(col("ms"), 1.0 / 3).as("m1"),
+          Sketch.sampleQuantile(col("ms"), 2.0 / 3).as("m2"))
+      def tertile(v: org.apache.spark.sql.Column, lo: org.apache.spark.sql.Column,
+                  hi: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(v <= lo, 1).when(v <= hi, 2).otherwise(3)
+      rfm.crossJoin(broadcast(bounds))
+        .withColumn("segment", concat(
+          lit("R"), tertile(col("r_days").cast("double"), col("r1"), col("r2")),
+          lit("F"), tertile(col("f").cast("double"), col("f1"), col("f2")),
+          lit("M"), tertile(col("m"), col("m1"), col("m2"))))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_users"), round(sum("m"), 2).as("revenue"))
+        .orderBy("segment")
+    }),
+
     // Rolling correlation of two metric series (clicks vs purchases per
     // 15-min bucket, trailing 24h): all window sums are exact integers —
     // the only floating point is the final Pearson formula, so the
@@ -1411,6 +1448,45 @@ object RelationalQueries {
         |                    + 0.5) / 1000000.0
         |            ELSE coalesce(vp, vn) END AS v_interp
         |FROM w ORDER BY 1, 2""".stripMargin,
+    "q_rfm_segments" ->
+      """WITH p AS (SELECT user_id, ts, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |anchor AS (SELECT max(epoch_us(ts)) AS t_max FROM p),
+        |rfm AS (SELECT user_id, max(epoch_us(ts)) AS t_last,
+        |               count(*) AS f, round(sum(value), 2) AS m
+        |        FROM p GROUP BY 1),
+        |rfm2 AS (SELECT user_id, (t_max - t_last) // 86400000000 AS r_days, f, m
+        |         FROM rfm CROSS JOIN anchor),
+        |h AS (SELECT user_id, r_days, f, m,
+        |             md5(user_id::VARCHAR) AS hx FROM rfm2),
+        |rr AS (SELECT r_days::DOUBLE AS v,
+        |              row_number() OVER (ORDER BY hx) AS rn FROM h),
+        |rf AS (SELECT f::DOUBLE AS v,
+        |              row_number() OVER (ORDER BY hx) AS rn FROM h),
+        |rm AS (SELECT m AS v, row_number() OVER (ORDER BY hx) AS rn FROM h),
+        |bs AS (SELECT
+        |  (SELECT list_sort(list(v)) FROM rr WHERE rn <= 512) AS rs,
+        |  (SELECT list_sort(list(v)) FROM rf WHERE rn <= 512) AS fs,
+        |  (SELECT list_sort(list(v)) FROM rm WHERE rn <= 512) AS ms),
+        |b AS (SELECT
+        |  rs[GREATEST(1, CAST(ceil(0.3333333333333333 * len(rs)) AS INT))] AS r1,
+        |  rs[GREATEST(1, CAST(ceil(0.6666666666666666 * len(rs)) AS INT))] AS r2,
+        |  fs[GREATEST(1, CAST(ceil(0.3333333333333333 * len(fs)) AS INT))] AS f1,
+        |  fs[GREATEST(1, CAST(ceil(0.6666666666666666 * len(fs)) AS INT))] AS f2,
+        |  ms[GREATEST(1, CAST(ceil(0.3333333333333333 * len(ms)) AS INT))] AS m1,
+        |  ms[GREATEST(1, CAST(ceil(0.6666666666666666 * len(ms)) AS INT))] AS m2
+        |  FROM bs),
+        |seg AS (SELECT
+        |  'R' || CAST(CASE WHEN r_days::DOUBLE <= r1 THEN 1
+        |                   WHEN r_days::DOUBLE <= r2 THEN 2 ELSE 3 END AS VARCHAR) ||
+        |  'F' || CAST(CASE WHEN f::DOUBLE <= f1 THEN 1
+        |                   WHEN f::DOUBLE <= f2 THEN 2 ELSE 3 END AS VARCHAR) ||
+        |  'M' || CAST(CASE WHEN m <= m1 THEN 1
+        |                   WHEN m <= m2 THEN 2 ELSE 3 END AS VARCHAR) AS segment,
+        |  m
+        |  FROM rfm2 CROSS JOIN b)
+        |SELECT segment, count(*) AS n_users, round(sum(m), 2) AS revenue
+        |FROM seg GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_rolling_corr" ->
       """WITH ev AS (SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS b,
         |                   event_type
