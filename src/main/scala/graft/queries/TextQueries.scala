@@ -412,12 +412,16 @@ object TextQueries {
         .as("bg"))
         .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       val bgCounts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c_bg"))
-      val prefCounts = bigrams.groupBy("w1").agg(count(lit(1)).as("c_w1"))
+      // prefix counts derive from the bigram counts (c_w1 = Σ_w2 c_bg) and
+      // pre-join them vocab-side, so the CORPUS-sized bigram table joins
+      // exactly once — joining it per count table doubles the corpus
+      // shuffle as soon as the vocab outgrows the broadcast threshold
+      val prefCounts = bgCounts.groupBy("w1").agg(sum("c_bg").as("c_w1"))
+      val counts = bgCounts.join(prefCounts, Seq("w1"))
       val vocab = toks.select(explode(col("t")).as("w"))
         .agg(countDistinct("w").as("v"))
       bigrams
-        .join(bgCounts, Seq("w1", "w2"))
-        .join(prefCounts, Seq("w1"))
+        .join(counts, Seq("w1", "w2"))
         .crossJoin(broadcast(vocab))
         .withColumn("logp", log(
           (col("c_bg") + 1L).cast("double") / (col("c_w1") + col("v")).cast("double")))
