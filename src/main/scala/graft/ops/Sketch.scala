@@ -91,4 +91,23 @@ object Sketch {
     element_at(array_sort(vals),
       greatest(lit(1), ceil(lit(p) * size(vals)).cast("int")))
   }
+
+  /** Count-Min sketch of `valueCol` frequencies as one aggregate Column:
+    * a fixed d×w counter array per group (see
+    * [[graft.functions.CountMinLongs]]). Point estimates come from
+    * [[cmsEstimate]]; sketches of disjoint inputs merge by element-wise
+    * array addition (`zip_with(a, b, _ + _)`). */
+  def cmsSketch(valueCol: Column, d: Int, w: Int): Column =
+    graft.functions.CountMinLongs.count_min(valueCol.cast("string"), d, w)
+
+  /** CMS point-frequency estimate: min over the d rows of the counter at
+    * the value's bucket. Every term is the md5-derived bucket an external
+    * engine recomputes, so estimates (not just bounds) oracle-check. */
+  def cmsEstimate(sketch: Column, valueCol: Column, d: Int, w: Int): Column =
+    (0 until d).map { i =>
+      val b = (conv(substring(md5(
+          concat(lit(s"$i:"), valueCol.cast("string")).cast("binary")), 1, 4),
+        16, 10).cast("int") % w).cast("int")
+      element_at(sketch, lit(i * w + 1) + b)
+    }.reduce(least(_, _))
 }

@@ -357,6 +357,27 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // Count-Min sketch heavy-hitter estimates: one fixed 4×256 counter
+    // array summarizes ALL user frequencies (memory independent of key
+    // cardinality — the sketch for 100 TB of events is the same 8 KiB),
+    // then the exact top-20 keys are point-queried against it. The md5
+    // bucket hash makes every counter — and so every ESTIMATE — portable;
+    // overcount ≥ 0 is the CMS guarantee, checked live in the output.
+    // The exact groupBy exists only to pick candidates and show error;
+    // the sketch side is one map-side-combined aggregation.
+    "q_cms_topk" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+        .select(col("user_id").cast("string").as("v"))
+      val sk = ev.agg(graft.ops.Sketch.cmsSketch(col("v"), 4, 256).as("sk"))
+      val exact = ev.groupBy("v").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("v").cast("long")).limit(20)
+      exact.crossJoin(broadcast(sk))
+        .select(col("v").cast("long").as("user_id"), col("exact_n"),
+          graft.ops.Sketch.cmsEstimate(col("sk"), col("v"), 4, 256).as("cms_est"))
+        .withColumn("overcount", col("cms_est") - col("exact_n"))
+        .orderBy(col("exact_n").desc, col("user_id"))
+    }),
+
     // Hopping (sliding) event-time window: 1-hour windows every 15 min —
     // each event lands in exactly 4 overlapping windows (native window()
     // with slide; completes tumbling/session/sliding parity)
@@ -1248,6 +1269,21 @@ object RelationalQueries {
         |SELECT e.event_type, ex.n_exact, round(e.kmv, 2) AS kmv_users
         |FROM est e JOIN ex ON e.event_type = ex.event_type
         |ORDER BY e.event_type""".stripMargin,
+    "q_cms_topk" ->
+      """WITH ev AS (SELECT user_id::VARCHAR AS v FROM events WHERE user_id IS NOT NULL),
+        |g AS (SELECT unnest(generate_series(0, 3)) AS i),
+        |bkt AS (SELECT g.i AS i,
+        |               ('0x' || substr(md5(g.i::VARCHAR || ':' || ev.v), 1, 4))::INTEGER % 256 AS b,
+        |               count(*) AS c
+        |        FROM ev CROSS JOIN g GROUP BY 1, 2),
+        |exact AS (SELECT v, count(*) AS exact_n FROM ev GROUP BY 1
+        |          ORDER BY exact_n DESC, v::BIGINT LIMIT 20),
+        |est AS (SELECT e.v, e.exact_n, min(k.c) AS cms_est
+        |        FROM exact e JOIN bkt k
+        |          ON k.b = ('0x' || substr(md5(k.i::VARCHAR || ':' || e.v), 1, 4))::INTEGER % 256
+        |        GROUP BY 1, 2)
+        |SELECT v::BIGINT AS user_id, exact_n, cms_est, cms_est - exact_n AS overcount
+        |FROM est ORDER BY exact_n DESC, user_id""".stripMargin,
     "q_hopping_window" ->
       """SELECT strftime(make_timestamp((epoch_us(ts) // 900000000) * 900000000
         |                               - k.k * 900000000),
