@@ -223,6 +223,22 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Prefix-filtered near-dup pairs: the LOSSLESS candidate generator
+    // (rare-first global shingle order, |x|−ceil(t|x|)+1 prefixes,
+    // equi-join on prefix shingles — see Dedup.prefixJaccardCandidates).
+    // Where MinHash banding argues a 4e-15 miss bound, prefix filtering
+    // PROVES exact recall, so the oracle is the naive all-pairs scan: a
+    // hash match certifies the optimization drops no qualifying pair.
+    "dedup_prefix_jaccard" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.jaccardVerify(
+        Dedup.prefixJaccardCandidates(d, "doc_id", "text", threshold = 0.5),
+        d, "doc_id", "text")
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // SimHash near-dup pairs (custom expression + banding), md5 token-hash
     // variant so the DuckDB oracle reproduces signatures, bands, Hamming
     // distances AND the banding's partial recall above Hamming 3 exactly
@@ -809,6 +825,21 @@ object TextQueries {
         |  FROM sized a JOIN sized b
         |    ON a.doc_id < b.doc_id AND least(a.n, b.n) >= 0.8 * greatest(a.n, b.n)
         |) WHERE j >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+    "dedup_prefix_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |              ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |                     i -> array_to_string(t[i:i+2], ' ')))
+        |         END AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)
+        |), sized AS (SELECT doc_id, s, len(s) AS n FROM sh)
+        |SELECT id_a, id_b, round(j, 4) AS jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / (a.n + b.n - len(list_intersect(a.s, b.s))) AS j
+        |  FROM sized a JOIN sized b
+        |    ON a.doc_id < b.doc_id AND least(a.n, b.n) >= 0.5 * greatest(a.n, b.n)
+        |) WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
     "dedup_clusters" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id,

@@ -32,6 +32,40 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("prefix-filtering candidates are lossless: every jaccard>=t pair survives") {
+    // brute-force truth: all pairs with jaccard >= 0.5
+    val n = docs.count().toInt
+    val all = (for (a <- 1 to n; b <- a + 1 to n) yield (a.toLong, b.toLong))
+      .toDF("id_a", "id_b")
+    val truth = Dedup.jaccardVerify(all, docs, "doc_id", "text")
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty) // (1,2) identical at least
+    val got = Dedup.jaccardVerify(
+        Dedup.prefixJaccardCandidates(docs, "doc_id", "text", threshold = 0.5),
+        docs, "doc_id", "text")
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == truth)
+  }
+
+  test("prefix filtering excludes globally-hot shingles from candidate generation") {
+    // every doc shares one hot phrase; each also has a unique rare tail.
+    // At t=0.9 the prefix is 1 shingle — the rarest — so the hot shingle
+    // generates no candidate pairs at all (the skew defense).
+    val hot = Seq.tabulate(6)(i => (i.toLong, s"alpha beta gamma unique$i tail$i end$i"))
+      .toDF("doc_id", "text")
+    val cands = Dedup.prefixJaccardCandidates(hot, "doc_id", "text", threshold = 0.9)
+    assert(cands.count() == 0)
+  }
+
+  test("prefix candidate plan is an equi-join on the shingle, never a cross product") {
+    val plan = org.apache.spark.sql.graft.Bridge.executedPlan(
+      Dedup.prefixJaccardCandidates(docs, "doc_id", "text", threshold = 0.5)).toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("jaccard verify: identical docs = 1.0, disjoint docs ≈ 0") {
     val pairs = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
     val j = Dedup.jaccardVerify(pairs, docs, "doc_id", "text")
