@@ -557,6 +557,25 @@ object RelationalQueries {
         .orderBy(desc("n_ab"), col("item_a"), col("item_b"))
         .limit(20)),
 
+    // Weighted PageRank over the part co-purchase graph (5 synchronous
+    // rounds, damping 0.85) — the iterative Pregel-style pattern: edges
+    // materialize once, each round is one join + one re-aggregate on node
+    // keys. Exact integer fixed-point (1e-12 mass units) makes the
+    // iterated sums associative, hence layout-invariant AND oracle-able
+    // bit-for-bit — no floating-point reduction-order leak.
+    "q_pagerank" -> ((s, dir) => {
+      import graft.ops.{Affinity, Graph}
+      val pairs = Affinity.basketPairCounts(
+        Affinity.basketItems(t(s, dir, "lineitem"), "l_orderkey", "l_partkey"))
+      val edges = pairs.select(col("item_a").as("src"), col("item_b").as("dst"),
+          col("n_ab").as("w"))
+        .union(pairs.select(col("item_b"), col("item_a"), col("n_ab")))
+      Graph.pageRank(edges, "src", "dst", "w", iters = 5)
+        .select(col("id").as("part_id"), col("pr").as("rank_fp"))
+        .orderBy(col("rank_fp").desc, col("part_id"))
+        .limit(50)
+    }),
+
     // Time-series regularization: 15-min resample of event values per
     // type, gap-densified with a per-key spine, LOCF + linear interp
     "q_ts_resample" -> ((s, dir) =>
@@ -1028,7 +1047,36 @@ object RelationalQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** q_pagerank oracle: the 5 synchronous rounds unrolled as CTEs. Every
+    * step is BIGINT/HUGEINT arithmetic with positive operands, so
+    * DuckDB's `//` and Spark's `div` agree exactly — the rank values
+    * hash-match bit-for-bit despite 5 chained reductions. */
+  private def pagerankSql: String = {
+    def round(i: Int): String = {
+      val prev = if (i == 1) "p0" else s"p${i - 1}"
+      s"""p$i AS (SELECT e.dst AS id,
+         |             150000000000 // nn.n
+         |               + CAST(sum((p.pr * 85 * e.w) // (100 * e.tw)) AS BIGINT) AS pr
+         |      FROM e JOIN $prev p ON p.id = e.src, nn
+         |      GROUP BY e.dst, nn.n)""".stripMargin
+    }
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+       |            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |pp AS (SELECT a.it AS src, b.it AS dst, count(*) AS w
+       |       FROM li a JOIN li b ON a.bk = b.bk AND a.it < b.it GROUP BY 1, 2),
+       |edges AS (SELECT src, dst, w FROM pp UNION ALL SELECT dst, src, w FROM pp),
+       |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS tw FROM edges GROUP BY 1),
+       |e AS (SELECT edges.src, edges.dst, edges.w, ow.tw
+       |      FROM edges JOIN ow ON ow.src = edges.src),
+       |nn AS (SELECT count(*) AS n FROM ow),
+       |p0 AS (SELECT ow.src AS id, 1000000000000 // nn.n AS pr FROM ow, nn),
+       |${(1 to 5).map(round).mkString(",\n")}
+       |SELECT id AS part_id, CAST(pr AS BIGINT) AS rank_fp FROM p5
+       |ORDER BY rank_fp DESC, part_id LIMIT 50""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "q_pagerank" -> pagerankSql,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,
