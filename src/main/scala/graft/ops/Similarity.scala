@@ -211,6 +211,91 @@ object Similarity {
     topKPerGroup(cands, "qid", "sim", "id", k)
   }
 
+  /** Product-quantization ANN (Jégou, Douze & Schmid, TPAMI 2011): split
+    * each vector into `m` subvectors, learn a `ks`-centroid codebook per
+    * subspace (same deterministic hash-sample + driver-Lloyd as
+    * [[ivfTopK]]), and store each corpus vector as just `m` codes —
+    * 64 dims × 4 bytes becomes 4 bytes, a 64× compression that is the
+    * difference between an in-memory index and a disk-bound one at
+    * 100 TB. Search is Asymmetric Distance Computation: each query
+    * precomputes its m×ks table of exact subspace distances ONCE, then
+    * every corpus vector's approximate L2² is m table lookups summed —
+    * no per-pair float math over raw vectors.
+    *
+    * Scale: the corpus is scanned once over its 4-byte codes (never
+    * re-shuffled — queries with their distance tables broadcast), top-k
+    * per query via the bounded-heap aggregate, so ≤ k candidates per
+    * query per partition cross the exchange. Codebooks are m×ks×(dim/m)
+    * doubles of driver state — the same bounded-training contract as IVF.
+    *
+    * Determinism: sample order, per-subspace Lloyd folds, first-wins
+    * argmin encoding, and the fixed-length ADC fold are all sequential —
+    * bit-identical across layouts, and the DuckDB oracle replays the
+    * entire pipeline (4 codebooks trained in SQL) to an exact hash
+    * match. Returns (qid, id, rank, adc) with adc = approximate L2². */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, qidCol: String, qvecCol: String,
+             k: Int = 10, m: Int = 4, ks: Int = 16,
+             trainSample: Int = 4096): DataFrame = {
+    val c = Par.spread(corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v")))
+      .filter(col("v").isNotNull)
+
+    val sample: Array[Array[Double]] = corpus
+      .select(col(vecCol).cast("array<double>").as("v"),
+        md5(col(idCol).cast("string")).as("h"), col(idCol).as("id"))
+      .filter(col("v").isNotNull)
+      .orderBy(col("h"), col("id"))
+      .limit(trainSample)
+      .select("v")
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "PQ training sample is empty")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+
+    val books: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
+      lloyd(sample.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub)),
+        ks, iters = 5).map(_.toSeq).toSeq
+    }
+    val bookLit = typedlit(books)
+
+    // subspace argmin code, first-wins tiebreak (same clamp rationale as
+    // IVF: an all-NaN distance row folds to code 0 instead of vanishing)
+    def code(vec: Column, s: Column): Column = {
+      val subv = slice(vec, s * sub + 1, lit(sub))
+      val d2s = transform(element_at(bookLit, s + 1), ct => aggregate(
+        zip_with(subv, ct, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x))
+      greatest(array_position(d2s, array_min(d2s)) - 1, lit(0L))
+    }
+    val enc = c.select(col("id"),
+      transform(sequence(lit(0), lit(m - 1)), s => code(col("v"), s)).as("codes"))
+
+    // per-query ADC lookup table: dtab[s][j] = ‖q_s − book[s][j]‖²
+    val q = queries.select(col(qidCol).as("qid"),
+      col(qvecCol).cast("array<double>").as("qv"))
+      .filter(col("qv").isNotNull)
+    val dtab = transform(sequence(lit(0), lit(m - 1)), s => {
+      val subq = slice(col("qv"), s * sub + 1, lit(sub))
+      transform(element_at(bookLit, s + 1), ct => aggregate(
+        zip_with(subq, ct, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x))
+    })
+    val qt = q.select(col("qid"), dtab.as("dtab"))
+
+    val joined = enc.crossJoin(broadcast(qt))
+      .filter(col("id").cast("long") =!= col("qid").cast("long"))
+      .withColumn("adc", aggregate(
+        zip_with(col("codes"), col("dtab"),
+          (cd, tab) => element_at(tab, cd.cast("int") + 1)),
+        lit(0.0), (acc, x) => acc + x))
+    // bounded-heap top-k ranks by score DESC: negate so smallest ADC wins
+    topKPerGroup(joined.withColumn("nadc", -col("adc")), "qid", "nadc", "id", k)
+      .select(col("qid"), col("id"), col("rank"), (-col("sim")).as("adc"))
+  }
+
   /** Driver-side Lloyd iterations over a fixed-order sample (the sample is
     * bounded by `trainSample`, so this is O(sample × nlist × dim × iters)
     * scalar work — milliseconds). Init = the first `nlist` DISTINCT sample

@@ -93,6 +93,38 @@ object SimilarityQueries {
         Similarity.ivfTopK(e, q, "vec_id", "embedding", "vec_id", "embedding"))
     }),
 
+    // Product-quantization ANN: 4 subspace codebooks (trained by the
+    // same deterministic hash-sample Lloyd as IVF), corpus stored as
+    // 4 codes/vector (64× compression), search via asymmetric distance
+    // tables — oracle-checked (all four codebooks are TRAINED IN SQL and
+    // the ADC ranking replayed to an exact hash match)
+    "sim_pq_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.pqTopK(
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding", "vec_id", "embedding")
+        .select(col("qid"), col("id"), col("rank"), round(col("adc"), 4).as("adc"))
+        .orderBy("qid", "rank")
+    }),
+
+    // PQ recall vs the exact-L2 baseline (ADC approximates L2², so the
+    // honest reference ranking is L2, not cosine) — oracle-checked
+    "sim_pq_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val c = e.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v")).filter(col("v").isNotNull)
+      val qq = q.select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qv")).filter(col("qv").isNotNull)
+      val scored = c.crossJoin(broadcast(qq))
+        .filter(col("id") =!= col("qid"))
+        .withColumn("nd2", -aggregate(
+          zip_with(col("v"), col("qv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x))
+      val exact = Similarity.topKPerGroup(scored, "qid", "nd2", "id", 10)
+      recallAt10(exact,
+        Similarity.pqTopK(e, q, "vec_id", "embedding", "vec_id", "embedding"))
+    }),
+
     // Binary-quantized ANN: sign-bit signatures (32× compression), top-64
     // Hamming pre-filter, exact cosine re-rank — oracle-checked (the
     // signature fold, xor/popcount and both rank stages are relational)
@@ -318,7 +350,97 @@ object SimilarityQueries {
        |  WHERE rank <= 10)""".stripMargin
   }
 
+  // ---- PQ oracle: FOUR 16-dim codebooks trained in SQL (same sample,
+  // same sequential Lloyd folds as the IVF oracle, per subvector slice),
+  // corpus encoded by first-wins argmin, queries expanded to per-cell
+  // distance tables, ADC summed left-associatively to mirror Spark's
+  // fixed-length fold — every float op identical, so ranks hash-match. ----
+  private def pqSql: String = {
+    val m = 4; val sub = 16; val ks = 16
+    def d2N(v: String, c: String): String =
+      s"list_reduce(list_transform(generate_series(1, $sub), j -> ($v[j]-$c[j])*($v[j]-$c[j])), (a,b)->a+b)"
+    def lloydIter(p: String, i: Int): String = {
+      val prev = if (i == 1) s"${p}init" else s"${p}c${i - 1}"
+      s"""${p}a$i AS (
+         |  SELECT rk, v, cell FROM (
+         |    SELECT s.rk, s.v, c.cell,
+         |           row_number() OVER (PARTITION BY s.rk ORDER BY ${d2N("s.v", "c.c")}, c.cell) AS w
+         |    FROM ${p}smp s CROSS JOIN $prev c) z
+         |  WHERE w = 1),
+         |${p}m$i AS (
+         |  SELECT cell, list(m ORDER BY j) AS c FROM (
+         |    SELECT cell, jj.j AS j,
+         |           list_reduce(list(v[jj.j] ORDER BY rk), (a,b)->a+b) / count(*) AS m
+         |    FROM ${p}a$i CROSS JOIN (SELECT unnest(generate_series(1, $sub)) AS j) jj
+         |    GROUP BY cell, jj.j) g
+         |  GROUP BY cell),
+         |${p}c$i AS (SELECT i.cell, COALESCE(m.c, i.c) AS c FROM ${p}init i LEFT JOIN ${p}m$i m ON i.cell = m.cell)""".stripMargin
+    }
+    def subspace(s: Int): String = {
+      val p = s"s$s"
+      val off = s * sub
+      val sliced = s"[${off + 1}:${off + sub}]"
+      s"""${p}smp AS (SELECT v$sliced AS v, rk FROM smp),
+         |${p}init AS (
+         |  SELECT c, cell FROM (
+         |    SELECT v AS c, row_number() OVER (ORDER BY rk) - 1 AS cell FROM (
+         |      SELECT v, rk, row_number() OVER (PARTITION BY v ORDER BY rk) AS dup FROM ${p}smp) d
+         |    WHERE dup = 1) x
+         |  WHERE cell < $ks),
+         |${(1 to 5).map(i => lloydIter(p, i)).mkString(",\n")},
+         |${p}asg AS (
+         |  SELECT id, cell FROM (
+         |    SELECT e.vec_id AS id, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY ${d2N(s"e.v$sliced", "c.c")}, c.cell) AS w
+         |    FROM e CROSS JOIN ${p}c5 c) z
+         |  WHERE w = 1),
+         |${p}qd AS (SELECT q.qid, c.cell, ${d2N(s"q.qv$sliced", "c.c")} AS ds
+         |           FROM qv q CROSS JOIN ${p}c5 c),
+         |${p}ct AS (SELECT q.qid, a.id, q.ds FROM ${p}asg a JOIN ${p}qd q ON q.cell = a.cell)""".stripMargin
+    }
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE embedding IS NOT NULL),
+       |smp AS (
+       |  SELECT v, rk FROM (
+       |    SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+       |    FROM e) s
+       |  WHERE rk <= 4096),
+       |qv AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+       |${(0 until m).map(subspace).mkString(",\n")},
+       |adc AS (
+       |  SELECT s0ct.qid, s0ct.id,
+       |         s0ct.ds + s1ct.ds + s2ct.ds + s3ct.ds AS adc
+       |  FROM s0ct
+       |  JOIN s1ct ON s1ct.qid = s0ct.qid AND s1ct.id = s0ct.id
+       |  JOIN s2ct ON s2ct.qid = s0ct.qid AND s2ct.id = s0ct.id
+       |  JOIN s3ct ON s3ct.qid = s0ct.qid AND s3ct.id = s0ct.id
+       |  WHERE s0ct.id <> s0ct.qid),
+       |pq AS (
+       |  SELECT qid, id, rank, adc FROM (
+       |    SELECT qid, id, adc,
+       |           row_number() OVER (PARTITION BY qid ORDER BY adc ASC, id) AS rank
+       |    FROM adc) t
+       |  WHERE rank <= 10)""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "sim_pq_topk" ->
+      s"""$pqSql
+         |SELECT qid, id, rank, round(adc, 4) AS adc FROM pq ORDER BY qid, rank""".stripMargin,
+    "sim_pq_recall" ->
+      s"""$pqSql,
+         |exact AS (
+         |  SELECT qid, id FROM (
+         |    SELECT q.qid, e.vec_id AS id,
+         |           row_number() OVER (PARTITION BY q.qid ORDER BY
+         |             ${d2Sql("e.v", "q.qv")} ASC, e.vec_id) AS rank
+         |    FROM e CROSS JOIN qv q WHERE e.vec_id <> q.qid) t
+         |  WHERE rank <= 10)
+         |SELECT x.qid,
+         |       CAST(sum(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |       round(sum(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END) / 10.0, 2) AS recall_at_10
+         |FROM exact x LEFT JOIN pq a ON x.qid = a.qid AND x.id = a.id
+         |GROUP BY x.qid ORDER BY x.qid""".stripMargin,
     "sim_ivf_topk" ->
       s"""$ivfSql
          |SELECT qid, id, rank, round(sim, 4) AS sim FROM ivf ORDER BY qid, rank""".stripMargin,

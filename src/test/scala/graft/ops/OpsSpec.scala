@@ -199,6 +199,43 @@ class OpsSpec extends SparkSpec {
     assert(a.size == 12 * 5)
   }
 
+  test("PQ gives an exact duplicate vector the minimal ADC in the top-k") {
+    // duplicate of vector 0 at id 100: identical subvectors take identical
+    // codes, so the duplicate attains the minimal asymmetric distance —
+    // other corpus vectors may TIE (quantization collapses near vectors
+    // onto the same codes) but none may beat it
+    val vecs = (0 until 120).map { i =>
+      val src = if (i == 100) 0 else i
+      (i.toLong, Array.tabulate(8)(d => math.cos(src * 7 + d * 3).toFloat))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val top = Similarity.pqTopK(emb, emb.filter(col("vec_id") === 0L),
+        "vec_id", "embedding", "vec_id", "embedding", k = 5, m = 2, ks = 8)
+      .select("qid", "id", "rank", "adc")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._3)
+    val dup = top.find(_._2 == 100L)
+    assert(dup.isDefined, s"duplicate missing from top-k: ${top.toSeq}")
+    assert(dup.get._4 == top.head._4, "duplicate ADC is not minimal")
+  }
+
+  test("PQ output is bit-identical across parallelism layouts") {
+    val vecs = (0 until 240).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 13 + d * 5).toFloat))
+    }
+    def run(parts: Int): Seq[(Long, Long, Long, Double)] = {
+      val emb = vecs.toDF("vec_id", "embedding").repartition(parts)
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 12),
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, m = 4, ks = 8)
+        .select("qid", "id", "rank", "adc")
+        .as[(Long, Long, Long, Double)].collect().sortBy(t => (t._1, t._3)).toSeq
+    }
+    val a = run(1)
+    val b = run(13)
+    assert(a == b, "PQ results diverged across partition layouts")
+    assert(a.size == 12 * 5)
+  }
+
   test("interval join matches pairs within tolerance, inclusive, no dups") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)
