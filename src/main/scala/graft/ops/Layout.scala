@@ -45,4 +45,18 @@ object Layout {
       .sortWithinPartitions("_z")
       .drop("_z")
   }
+
+  /** Write `df` as a hash-BUCKETED, per-bucket-sorted managed table —
+    * the write-once layout that removes the join shuffle from every
+    * downstream query on `key`: two tables bucketed the same way
+    * sort-merge-join with NO Exchange on either side (Spark's
+    * HashPartitioning(key, buckets) is satisfied by the scan itself).
+    * At 100 TB this converts the recurring fact-to-fact join from the
+    * cluster's dominant shuffle into a local per-bucket merge — the
+    * bucketed-table counterpart of [[zOrdered]]'s skipping layout. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
 }

@@ -557,6 +557,30 @@ object RelationalQueries {
         .orderBy(desc("n_ab"), col("item_a"), col("item_b"))
         .limit(20)),
 
+    // Bucketed co-located join: both sides written ONCE as 8-bucket
+    // hash-bucketed tables on the order key, then sort-merge-joined with
+    // NO join-side Exchange (the scan's bucketing satisfies the required
+    // HashPartitioning — plan-guarded in LayoutSpec). The write-amortized
+    // layout that deletes the dominant shuffle from every recurring
+    // fact-to-fact join at 100 TB; result provably identical to the
+    // plain join (same oracle SQL).
+    "q_bucketed_join" -> ((s, dir) => {
+      import graft.ops.Layout
+      Layout.writeBucketed(t(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount"),
+        "graft_b_lineitem", "l_orderkey", 8)
+      Layout.writeBucketed(t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority"),
+        "graft_b_orders", "o_orderkey", 8)
+      s.table("graft_b_lineitem").hint("merge")
+        .join(s.table("graft_b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Weighted PageRank over the part co-purchase graph (5 synchronous
     // rounds, damping 0.85) — the iterative Pregel-style pattern: edges
     // materialize once, each round is one join + one re-aggregate on node
@@ -1077,6 +1101,12 @@ object RelationalQueries {
 
   val sql: Map[String, String] = Map(
     "q_pagerank" -> pagerankSql,
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,

@@ -27,6 +27,20 @@ class LayoutSpec extends SparkSpec {
     assert(got == pts.map { case (x, y) => mortonRef(x, y) })
   }
 
+  test("bucketed tables sort-merge-join with zero Exchange in the join subtree") {
+    val facts = (1L to 400L).map(i => (i % 50, i)).toDF("k", "v")
+    val dims = (0L until 50L).map(i => (i, s"d$i")).toDF("k", "name")
+    Layout.writeBucketed(facts, "graft_t_facts", "k", 4)
+    Layout.writeBucketed(dims, "graft_t_dims", "k", 4)
+    val joined = spark.table("graft_t_facts").hint("merge")
+      .join(spark.table("graft_t_dims").withColumnRenamed("k", "k2"),
+        col("k") === col("k2"))
+    val plan = org.apache.spark.sql.graft.Bridge.executedPlan(joined).toString
+    assert(plan.contains("SortMergeJoin"), s"not a sort-merge join:\n$plan")
+    assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+    assert(joined.count() == 400L)
+  }
+
   test("z-ordered partitions are bounding boxes in BOTH dimensions") {
     // 64x64 grid; 16 partitions -> a perfect z-layout confines each
     // partition to a quadrant-ish box, while a linear x-sort leaves y
