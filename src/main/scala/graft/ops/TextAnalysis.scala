@@ -107,6 +107,39 @@ object TextAnalysis {
   def emailCount(c: Column): Column = regexp_count(c, lit(EmailRe))
   def urlCount(c: Column): Column = regexp_count(c, lit(UrlRe))
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+    * the MOSS algorithm): hash every character k-gram, then keep the
+    * MINIMUM hash of each sliding window of `w` consecutive k-grams.
+    * GUARANTEE: any substring shared by two documents of length
+    * ≥ w + k − 1 contributes at least one common fingerprint (the window
+    * covering it selects the same minimal hash in both), while no match
+    * shorter than k is ever detected — exact-substring-overlap detection
+    * with ~2/(w+1) of the k-gram density.
+    *
+    * The set of window minima is tie-order-independent (values, not
+    * positions, are retained), so the output is deterministic and, with
+    * md5 as the k-gram hash, reproducible by any engine — DuckDB replays
+    * it as list_min over list slices. A production variant would swap
+    * md5 for a Karp-Rabin rolling hash in a custom codegen expression;
+    * md5 keeps the whole operator oracle-checkable.
+    *
+    * Scale: per-row higher-order-function work, no shuffle; the
+    * downstream pair join is the only exchange, and hot fingerprints are
+    * handled there (document-frequency cap, same rationale as prefix
+    * filtering's rare-first order). */
+  def winnowFingerprints(c: Column, k: Int, w: Int): Column = {
+    require(k >= 2 && w >= 1)
+    val grams = transform(sequence(lit(1), length(c) - (k - 1)),
+      i => conv(substring(md5(c.substr(i, lit(k)).cast("binary")), 1, 8), 16, 10)
+        .cast("long"))
+    val mins = transform(sequence(lit(1), greatest(size(grams) - (w - 1), lit(1))),
+      i => array_min(slice(grams, i, lit(w))))
+    // texts shorter than k have no k-gram: empty set (sequence(1, n<=0)
+    // would otherwise count DOWN in Spark)
+    when(length(c) >= k, array_distinct(mins))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
   /** Deterministic train/val/test assignment from a hash of the id — the
     * standard leakage-safe split: stable under reprocessing, independent
     * of row order or partitioning, reproducible by any engine with md5

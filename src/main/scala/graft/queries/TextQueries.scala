@@ -223,6 +223,36 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Winnowing (MOSS) shared-substring pairs: window-min k-gram
+    // fingerprints guarantee any shared run of >= w+k-1 chars yields a
+    // common fingerprint — substring-level overlap detection that
+    // Jaccard-style whole-set measures can't see. Boilerplate
+    // fingerprints (df > 20) are dropped before the pair join (MOSS's
+    // common-fingerprint filter — the same skew/bucket-blowup defense as
+    // prefix filtering's rare-first order).
+    "txt_winnow_pairs" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("text").isNotNull)
+      val fps = d.select(col("doc_id"),
+        explode(TextAnalysis.winnowFingerprints(col("text"), k = 8, w = 8)).as("fp"))
+      val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 20).select("fp")
+      val f = fps.join(rare, "fp")
+      val sizes = f.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
+      val shared = f.as("a").join(f.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 5)
+      shared
+        .join(sizes.select(col("doc_id").as("id_a"), col("nfp").as("nfp_a")), "id_a")
+        .join(sizes.select(col("doc_id").as("id_b"), col("nfp").as("nfp_b")), "id_b")
+        .select(col("id_a"), col("id_b"), col("n_shared"),
+          round(col("n_shared").cast("double") / least(col("nfp_a"), col("nfp_b")), 4)
+            .as("containment"))
+        .orderBy(desc("n_shared"), col("id_a"), col("id_b"))
+        .limit(100)
+    }),
+
     // Prefix-filtered near-dup pairs: the LOSSLESS candidate generator
     // (rare-first global shingle order, |x|−ceil(t|x|)+1 prefixes,
     // equi-join on prefix shingles — see Dedup.prefixJaccardCandidates).
@@ -825,6 +855,27 @@ object TextQueries {
         |  FROM sized a JOIN sized b
         |    ON a.doc_id < b.doc_id AND least(a.n, b.n) >= 0.8 * greatest(a.n, b.n)
         |) WHERE j >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+    "txt_winnow_pairs" ->
+      """WITH f AS (
+        |  SELECT doc_id, fp FROM (
+        |    SELECT doc_id,
+        |           unnest(list_distinct(list_transform(generate_series(1, greatest(len(g)-7, 1)),
+        |             i -> list_min(g[i:i+7])))) AS fp
+        |    FROM (SELECT doc_id,
+        |                 list_transform(generate_series(1, length(text)-7),
+        |                   i -> (('0x' || substr(md5(text[i:i+7]), 1, 8))::BIGINT)) AS g
+        |          FROM documents WHERE text IS NOT NULL AND length(text) >= 8) t)),
+        |rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM f GROUP BY 1) WHERE df <= 20),
+        |ff AS (SELECT f.doc_id, f.fp FROM f JOIN rare USING (fp)),
+        |sizes AS (SELECT doc_id, count(*) AS nfp FROM ff GROUP BY 1),
+        |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |           FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT s.id_a, s.id_b, s.n_shared,
+        |       round(s.n_shared / least(na.nfp, nb.nfp), 4) AS containment
+        |FROM shared s JOIN sizes na ON na.doc_id = s.id_a
+        |              JOIN sizes nb ON nb.doc_id = s.id_b
+        |ORDER BY s.n_shared DESC, s.id_a, s.id_b LIMIT 100""".stripMargin,
     "dedup_prefix_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id,

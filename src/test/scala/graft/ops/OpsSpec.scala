@@ -59,6 +59,31 @@ class OpsSpec extends SparkSpec {
     assert(cands.count() == 0)
   }
 
+  test("winnowing: any shared substring of length >= w+k-1 yields a shared fingerprint") {
+    import graft.ops.TextAnalysis.winnowFingerprints
+    val sharedRun = "zqxjvkwpyf" + "mntbgd" // 16 chars >= w+k-1 = 15 for k=8, w=8
+    val df = Seq(
+      (1L, "aaaa" + sharedRun + "bbbb"),
+      (2L, "cccccccc" + sharedRun + "dddd"),
+      (3L, "totally unrelated content here with no common run at all")
+    ).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"),
+        winnowFingerprints(col("text"), 8, 8).as("fps"))
+      .as[(Long, Seq[Long])].collect().map(r => r._1 -> r._2.toSet).toMap
+    assert(fps(1L).intersect(fps(2L)).nonEmpty, "guaranteed shared fingerprint missing")
+    assert(fps(1L).intersect(fps(3L)).isEmpty)
+  }
+
+  test("winnowing: short texts fingerprint to the empty set, never a phantom") {
+    import graft.ops.TextAnalysis.winnowFingerprints
+    val df = Seq((1L, "short"), (2L, ""), (3L, "exactly8")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), winnowFingerprints(col("text"), 8, 8).as("fps"))
+      .as[(Long, Seq[Long])].collect().map(r => r._1 -> r._2.size).toMap
+    assert(got(1L) == 0)
+    assert(got(2L) == 0)
+    assert(got(3L) == 1) // single k-gram -> single window minimum
+  }
+
   test("prefix candidate plan is an equi-join on the shingle, never a cross product") {
     val plan = org.apache.spark.sql.graft.Bridge.executedPlan(
       Dedup.prefixJaccardCandidates(docs, "doc_id", "text", threshold = 0.5)).toString
