@@ -55,8 +55,18 @@ object Layout {
     * cluster's dominant shuffle into a local per-bucket merge — the
     * bucketed-table counterpart of [[zOrdered]]'s skipping layout. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int): Unit =
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // a FRESH session's in-memory catalog does not know a previous run's
+    // managed table, but its warehouse directory survives on disk —
+    // CREATE would fail with LOCATION_ALREADY_EXISTS. Drop both.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
+  }
 }

@@ -19,6 +19,17 @@ object RelationalQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.Tables.table(s, dir, name)
 
+  /** EWMA decay weights (1-α)^j, α = 0.3, j = 0..7 — most-recent first.
+    * Computed by repeated exact double multiplication (never pow(),
+    * whose libm rounding is platform-defined) and embedded as
+    * round-trip literals in the oracle SQL so both engines fold the
+    * identical constants. */
+  private val EwmaWeights: Seq[Double] = Seq.iterate(1.0, 8)(_ * 0.7)
+  private def ewmaWeightsSqlList: String =
+    EwmaWeights.map(java.lang.Double.toString).mkString("[", ", ", "]")
+  private def ewmaWeightSumSql: String =
+    java.lang.Double.toString(EwmaWeights.sum)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // TPC-H Q1 shape: scan-heavy partial aggregation
@@ -651,6 +662,66 @@ object RelationalQueries {
     // 15-min bucket, trailing 24h): all window sums are exact integers —
     // the only floating point is the final Pearson formula, so the
     // 2.7k correlations reproduce bit-for-bit in any engine
+    // EWMA smoothing + spike flags over the hourly per-type series. The
+    // exponential weights are embedded as full-precision double literals
+    // in BOTH engines (never pow(), whose libm rounding may differ), and
+    // the weighted sum is a fixed-length left fold over the window's
+    // collect_list — deterministic, so even the spike comparison against
+    // 2x the trailing EWMA is bit-exact. Window state is 8 longs per row.
+    "q_ewma_anomaly" -> ((s, dir) => {
+      val counts = t(s, dir, "events")
+        .withColumn("b", timestamp_micros(
+          expr("(unix_micros(ts) div 3600000000) * 3600000000")))
+        .groupBy("event_type", "b").agg(count(lit(1)).as("n"))
+      // trailing window EXCLUDING the current row: spike = now vs history
+      val w = Window.partitionBy("event_type").orderBy("b").rowsBetween(-8, -1)
+      val wLit = array(EwmaWeights.map(lit): _*)
+      val hist = counts.withColumn("h", reverse(collect_list(col("n")).over(w)))
+      hist.filter(size(col("h")) === 8)
+        .withColumn("wsum", aggregate(
+          zip_with(col("h"), wLit, (x, wt) => x * wt),
+          lit(0.0), (acc, x) => acc + x))
+        .withColumn("ewma", col("wsum") / lit(EwmaWeights.sum))
+        .select(col("event_type"),
+          date_format(col("b"), "yyyy-MM-dd HH:mm:ss").as("bucket_ts"),
+          col("n"), round(col("ewma"), 4).as("ewma"),
+          (col("n").cast("double") > lit(2.0) * col("ewma")).as("is_spike"))
+        .filter(col("is_spike"))
+        .orderBy("event_type", "bucket_ts")
+    }),
+
+    // Chi-square independence test of event_type x hour-of-day (the
+    // feature-relevance screen). All 192 (o-e)^2/e terms are folded in
+    // ONE deterministic sorted order — never a groupBy sum of doubles,
+    // whose reduction order is layout-dependent — so the statistic
+    // hash-matches bit-for-bit across engines.
+    "q_chisq_type_hour" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type").as("ty"), hour(col("ts")).as("hr"))
+      val obs = ev.groupBy("ty", "hr").agg(count(lit(1)).as("o"))
+      val rowT = obs.groupBy("ty").agg(sum("o").as("rt"))
+      val colT = obs.groupBy("hr").agg(sum("o").as("ct"))
+      val n = obs.agg(sum("o").as("nn"))
+      val cells = rowT.crossJoin(colT).crossJoin(broadcast(n))
+        .join(obs, Seq("ty", "hr"), "left")
+        .withColumn("e", col("rt").cast("double") * col("ct") / col("nn"))
+        .withColumn("term",
+          (coalesce(col("o"), lit(0L)) - col("e")) *
+            (coalesce(col("o"), lit(0L)) - col("e")) / col("e"))
+      val dims = cells.agg(countDistinct("ty").as("r"), countDistinct("hr").as("c"),
+        max("nn").as("nn"))
+      cells.agg(sort_array(collect_list(struct(col("ty"), col("hr"), col("term"))))
+          .as("terms"))
+        .crossJoin(broadcast(dims))
+        .withColumn("chi2", aggregate(
+          transform(col("terms"), t => t.getField("term")),
+          lit(0.0), (acc, x) => acc + x))
+        .select(round(col("chi2"), 6).as("chi2"),
+          ((col("r") - 1) * (col("c") - 1)).as("dof"),
+          round(sqrt(col("chi2") / (col("nn") *
+            least(col("r") - 1, col("c") - 1))), 6).as("cramers_v"))
+    }),
+
     "q_rolling_corr" -> ((s, dir) => {
       val counts = t(s, dir, "events")
         .withColumn("b", timestamp_micros(
@@ -1101,6 +1172,41 @@ object RelationalQueries {
 
   val sql: Map[String, String] = Map(
     "q_pagerank" -> pagerankSql,
+    "q_ewma_anomaly" ->
+      s"""WITH c AS (SELECT event_type,
+         |                 make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS b,
+         |                 count(*) AS n
+         |           FROM events GROUP BY 1, 2),
+         |h AS (SELECT event_type, b, n,
+         |             list_reverse(list(n) OVER (PARTITION BY event_type ORDER BY b
+         |               ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)) AS h
+         |      FROM c),
+         |e AS (SELECT event_type, b, n,
+         |             list_reduce(list_transform(generate_series(1, 8),
+         |               i -> h[i] * ($ewmaWeightsSqlList)[i]), (a, b) -> a + b)
+         |               / $ewmaWeightSumSql AS ewma
+         |      FROM h WHERE len(h) = 8)
+         |SELECT event_type, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_ts, n,
+         |       round(ewma, 4) AS ewma, n > 2.0 * ewma AS is_spike
+         |FROM e WHERE n > 2.0 * ewma ORDER BY 1, 2""".stripMargin,
+    "q_chisq_type_hour" ->
+      """WITH ev AS (SELECT event_type AS ty, hour(ts) AS hr FROM events),
+        |obs AS (SELECT ty, hr, count(*) AS o FROM ev GROUP BY 1, 2),
+        |rt AS (SELECT ty, CAST(sum(o) AS BIGINT) AS rt FROM obs GROUP BY 1),
+        |ctt AS (SELECT hr, CAST(sum(o) AS BIGINT) AS ct FROM obs GROUP BY 1),
+        |nn AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM obs),
+        |cells AS (SELECT r.ty, c.hr, r.rt, c.ct, nn.nn, COALESCE(o.o, 0) AS o
+        |          FROM rt r CROSS JOIN ctt c CROSS JOIN nn
+        |          LEFT JOIN obs o ON o.ty = r.ty AND o.hr = c.hr),
+        |terms AS (SELECT ty, hr, (o - e) * (o - e) / e AS term FROM
+        |          (SELECT ty, hr, o, rt::DOUBLE * ct / nn AS e FROM cells) x),
+        |dims AS (SELECT count(DISTINCT ty) AS r, count(DISTINCT hr) AS c FROM cells),
+        |agg AS (SELECT list_reduce(list(term ORDER BY ty, hr), (a, b) -> a + b) AS chi2
+        |        FROM terms)
+        |SELECT round(agg.chi2, 6) AS chi2,
+        |       (dims.r - 1) * (dims.c - 1) AS dof,
+        |       round(sqrt(agg.chi2 / (nn.nn * least(dims.r - 1, dims.c - 1))), 6) AS cramers_v
+        |FROM agg, dims, nn""".stripMargin,
     "q_bucketed_join" ->
       """SELECT o_orderpriority,
         |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
