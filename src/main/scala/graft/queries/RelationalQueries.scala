@@ -25,6 +25,12 @@ object RelationalQueries {
     * round-trip literals in the oracle SQL so both engines fold the
     * identical constants. */
   private val EwmaWeights: Seq[Double] = Seq.iterate(1.0, 8)(_ * 0.7)
+
+  /** Benford first-digit expectations log10(1 + 1/d) — computed once on
+    * the driver and embedded as identical literals in both engines (the
+    * SQL must never call log10 itself: libm rounding is platform-defined). */
+  private val BenfordP: Map[Int, Double] =
+    (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d)).toMap
   private def ewmaWeightsSqlList: String =
     EwmaWeights.map(java.lang.Double.toString).mkString("[", ", ", "]")
   private def ewmaWeightSumSql: String =
@@ -662,6 +668,64 @@ object RelationalQueries {
     // 15-min bucket, trailing 24h): all window sums are exact integers —
     // the only floating point is the final Pearson formula, so the
     // 2.7k correlations reproduce bit-for-bit in any engine
+    // Per-type linear trend (closed-form OLS over daily counts): every
+    // sum is an exact INTEGER sum (x = epoch-day, y = count), so the
+    // normal equations are layout-independent and portable; the only
+    // float ops are the final divisions. Slope/day + r² per event type —
+    // the drift screen over ingest volumes.
+    "q_trend_fit" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("x"))
+        .agg(count(lit(1)).as("y"))
+      daily.groupBy("event_type").agg(
+          count(lit(1)).as("n_days"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .withColumn("num", col("n_days") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("den", col("n_days") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("deny", col("n_days") * col("syy") - col("sy") * col("sy"))
+        .select(col("event_type"), col("n_days"),
+          round(col("num").cast("double") / nullif(col("den"), lit(0L)), 6).as("slope"),
+          round((col("sy") - col("num").cast("double") / nullif(col("den"), lit(0L))
+            * col("sx")) / col("n_days"), 4).as("intercept"),
+          round(col("num").cast("double") * col("num").cast("double") /
+            nullif(col("den").cast("double") * col("deny").cast("double"), lit(0.0)), 6)
+            .as("r2"))
+        .orderBy("event_type")
+    }),
+
+    // Benford first-digit screen over purchase values: the fraud/quality
+    // check. The leading digit comes from an integer CASE ladder over
+    // cents (never log10 — libm rounding at decade boundaries is
+    // platform-defined), Benford expectations are embedded literals.
+    "q_benford" -> ((s, dir) => {
+      // integer CASE ladder, largest decade outermost: digit = c div 10^k
+      // for the k with 10^k <= c < 10^(k+1)
+      val digitLadder = (1 to 13).foldLeft(col("c")) { (acc, k) =>
+        val pow = BigInt(10).pow(k).toLong
+        when(col("c") >= pow, expr(s"c div $pow")).otherwise(acc)
+      }
+      val d = t(s, dir, "events")
+        .filter(col("value").isNotNull && col("value") > 0)
+        .select(round(col("value") * 100).cast("long").as("c"))
+        .filter(col("c") > 0)
+        .withColumn("digit", digitLadder)
+      val n = d.agg(count(lit(1)).as("total"))
+      val expectedP = (1 to 9).foldLeft(lit(null).cast("double")) { (acc, dd) =>
+        when(col("digit") === dd, lit(BenfordP(dd))).otherwise(acc)
+      }
+      d.groupBy("digit").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(n))
+        .withColumn("share", col("n").cast("double") / col("total"))
+        .select(col("digit"), col("n"), round(col("share"), 4).as("share"),
+          round(expectedP, 4).as("benford_p"),
+          round(col("share") - expectedP, 4).as("deviation"))
+        .orderBy("digit")
+    }),
+
     // EWMA smoothing + spike flags over the hourly per-type series. The
     // exponential weights are embedded as full-precision double literals
     // in BOTH engines (never pow(), whose libm rounding may differ), and
@@ -1170,8 +1234,51 @@ object RelationalQueries {
        |ORDER BY rank_fp DESC, part_id LIMIT 50""".stripMargin
   }
 
+  /** q_benford oracle: identical digit ladder and probability literals,
+    * generated from the same Scala constants the engine embeds. */
+  private def benfordSql: String = {
+    val ladder = (13 to 1 by -1).map { k =>
+      val pow = BigInt(10).pow(k).toLong
+      s"WHEN c >= $pow THEN c // $pow"
+    }.mkString("\n        ")
+    val probs = (1 to 9).map(d =>
+      s"WHEN digit = $d THEN ${java.lang.Double.toString(BenfordP(d))}")
+      .mkString("CASE ", " ", " END")
+    s"""WITH d AS (SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events
+       |           WHERE value IS NOT NULL AND value > 0),
+       |dd AS (SELECT CASE
+       |        $ladder
+       |        ELSE c END AS digit
+       |       FROM d WHERE c > 0),
+       |n AS (SELECT count(*) AS total FROM dd),
+       |g AS (SELECT digit, count(*) AS n FROM dd GROUP BY 1)
+       |SELECT g.digit, g.n, round(g.n::DOUBLE / n.total, 4) AS share,
+       |       round($probs, 4) AS benford_p,
+       |       round(g.n::DOUBLE / n.total - $probs, 4) AS deviation
+       |FROM g, n ORDER BY g.digit""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "q_pagerank" -> pagerankSql,
+    "q_trend_fit" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS x, count(*) AS y
+        |               FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, count(*) AS n_days,
+        |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |             CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx,
+        |             CAST(sum(y*y) AS BIGINT) AS syy
+        |      FROM daily GROUP BY 1),
+        |f AS (SELECT event_type, n_days, sx, sy,
+        |             n_days * sxy - sx * sy AS num,
+        |             n_days * sxx - sx * sx AS den,
+        |             n_days * syy - sy * sy AS deny
+        |      FROM s)
+        |SELECT event_type, n_days,
+        |       round(num::DOUBLE / nullif(den, 0), 6) AS slope,
+        |       round((sy - num::DOUBLE / nullif(den, 0) * sx) / n_days, 4) AS intercept,
+        |       round(num::DOUBLE * num::DOUBLE / nullif(den::DOUBLE * deny::DOUBLE, 0.0), 6) AS r2
+        |FROM f ORDER BY event_type""".stripMargin,
+    "q_benford" -> benfordSql,
     "q_ewma_anomaly" ->
       s"""WITH c AS (SELECT event_type,
          |                 make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS b,
