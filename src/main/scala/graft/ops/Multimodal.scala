@@ -68,6 +68,14 @@ object Multimodal {
   final case class AudioFeatures(media_id: Long, sample_rate: Int, channels: Int,
                                  n_samples: Long, rms: Double, decodable: Boolean)
 
+  /** Box-downsampled image summary. Channel sums are INTEGERS (each
+    * resized pixel is blockSum div blockCount), so the whole transform is
+    * exact arithmetic an oracle recomputes from known rasters. */
+  final case class ResizedImage(media_id: Long, src_w: Int, src_h: Int,
+                                out_w: Int, out_h: Int,
+                                sum_r: Long, sum_g: Long, sum_b: Long,
+                                decodable: Boolean)
+
   /** Real decode kernels on JDK-shipped codecs — `javax.imageio`
     * (PNG/JPEG/BMP/GIF/TIFF) and `javax.sound.sampled` (WAV/PCM). No
     * external dependency; the same per-partition batching discipline as
@@ -98,6 +106,49 @@ object Multimodal {
         }
       } catch {
         case _: Exception => ImageFeatures(r.media_id, 0, 0, 0.0, 0.0, 0.0, decodable = false)
+      }
+
+    /** Real decode + box downsample by `factor`: each output pixel is the
+      * integer mean (sum div count) of its source block, edge blocks
+      * partial. Deliberately NOT Graphics2D resampling — Java2D's filter
+      * taps are implementation-defined, while the box filter is exact
+      * integer arithmetic reproducible by any engine from the raster. */
+    def resizeImage(r: MediaRow, factor: Int): ResizedImage =
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+        if (img == null) ResizedImage(r.media_id, 0, 0, 0, 0, 0L, 0L, 0L, decodable = false)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val ow = (w + factor - 1) / factor
+          val oh = (h + factor - 1) / factor
+          var tr = 0L; var tg = 0L; var tb = 0L
+          var by = 0
+          while (by < oh) {
+            var bx = 0
+            while (bx < ow) {
+              var sr = 0L; var sg = 0L; var sb = 0L; var cnt = 0L
+              var y = by * factor
+              while (y < math.min((by + 1) * factor, h)) {
+                var x = bx * factor
+                while (x < math.min((bx + 1) * factor, w)) {
+                  val p = img.getRGB(x, y)
+                  sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                  cnt += 1
+                  x += 1
+                }
+                y += 1
+              }
+              tr += sr / cnt; tg += sg / cnt; tb += sb / cnt
+              bx += 1
+            }
+            by += 1
+          }
+          ResizedImage(r.media_id, w, h, ow, oh, tr, tg, tb, decodable = true)
+        }
+      } catch {
+        case _: Exception =>
+          ResizedImage(r.media_id, 0, 0, 0, 0, 0L, 0L, 0L, decodable = false)
       }
 
     def decodeAudio(r: MediaRow): AudioFeatures =
@@ -291,6 +342,15 @@ object Multimodal {
     media.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
       rows.map(JdkKernels.decodeImage)
+    }
+  }
+
+  /** Real decode + exact box downsample as a dataset stage. */
+  def resizeImages(media: Dataset[MediaRow], factor: Int = 2): Dataset[ResizedImage] = {
+    implicit val enc = Encoders.product[ResizedImage]
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map(JdkKernels.resizeImage(_, factor))
     }
   }
 

@@ -572,6 +572,24 @@ object TextQueries {
         .orderBy("media_id")
     }),
 
+    // Real decode + EXACT box downsample (2x): each output pixel is the
+    // integer mean of its source block, so the resized channel sums are
+    // pure integer arithmetic the oracle recomputes from the known
+    // rasters — a resize KERNEL whose correctness is hash-provable,
+    // unlike implementation-defined Graphics2D filter taps.
+    "mm_resize_real" -> ((s, dir) => {
+      import s.implicits._
+      val ids = docs(s, dir).select(col("doc_id")).orderBy("doc_id")
+        .limit(20).as[Long]
+      val media = ids.map(id =>
+        Multimodal.MediaRow(id, Multimodal.Synth.png(id), "image/png", "synth"))
+      Multimodal.resizeImages(media, factor = 2).toDF()
+        .filter(col("decodable"))
+        .select("media_id", "src_w", "src_h", "out_w", "out_h",
+          "sum_r", "sum_g", "sum_b")
+        .orderBy("media_id")
+    }),
+
     // Image near-dup detection on REAL decodes: perceptual aHash (64-bit,
     // integer-only threshold) through javax.imageio, then banded pairing —
     // 4 × 16-bit bands make Hamming ≤ 3 candidates an EQUI-join by
@@ -1215,6 +1233,31 @@ object TextQueries {
         |       round(sum((doc_id*17 + x*11 + y*3) % 256)::DOUBLE / (w*h), 4) AS mean_g,
         |       round(sum((doc_id*23 + x*5 + y*19) % 256)::DOUBLE / (w*h), 4) AS mean_b
         |FROM px GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    "mm_resize_real" ->
+      """WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 20),
+        |dims AS (SELECT doc_id,
+        |                CAST(8 + doc_id % 9 AS INTEGER) AS w,
+        |                CAST(8 + doc_id % 5 AS INTEGER) AS h FROM d),
+        |px AS (
+        |  SELECT doc_id, w, h, xs.x AS x, ys.y AS y
+        |  FROM dims
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 16)) AS x) xs
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 12)) AS y) ys
+        |  WHERE xs.x < w AND ys.y < h),
+        |blocks AS (
+        |  SELECT doc_id, w, h, x // 2 AS bx, y // 2 AS by,
+        |         CAST(sum((doc_id*31 + x*7 + y*13) % 256) AS BIGINT) AS sr,
+        |         CAST(sum((doc_id*17 + x*11 + y*3) % 256) AS BIGINT) AS sg,
+        |         CAST(sum((doc_id*23 + x*5 + y*19) % 256) AS BIGINT) AS sb,
+        |         count(*) AS cnt
+        |  FROM px GROUP BY 1, 2, 3, 4, 5)
+        |SELECT doc_id AS media_id, w AS src_w, h AS src_h,
+        |       CAST((w + 1) // 2 AS INTEGER) AS out_w,
+        |       CAST((h + 1) // 2 AS INTEGER) AS out_h,
+        |       CAST(sum(sr // cnt) AS BIGINT) AS sum_r,
+        |       CAST(sum(sg // cnt) AS BIGINT) AS sum_g,
+        |       CAST(sum(sb // cnt) AS BIGINT) AS sum_b
+        |FROM blocks GROUP BY 1, 2, 3, 4, 5 ORDER BY 1""".stripMargin,
     // Analytic replica of the perceptual-hash pipeline: hashes recomputed
     // from the raster formula (incl. the +8 perturbation), ALL pairs
     // scanned — a hash match proves the engine's banded candidate

@@ -574,6 +574,37 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("box resize: reference block means, ceil dims, truncated bytes rejected") {
+    import spark.implicits._
+    def expected(id: Long): (Int, Int, Long, Long, Long) = {
+      val w = Multimodal.Synth.rasterWidth(id)
+      val h = Multimodal.Synth.rasterHeight(id)
+      val ow = (w + 1) / 2; val oh = (h + 1) / 2
+      var tr = 0L; var tg = 0L; var tb = 0L
+      for (by <- 0 until oh; bx <- 0 until ow) {
+        val blk = for (y <- by * 2 until math.min(by * 2 + 2, h);
+                       x <- bx * 2 until math.min(bx * 2 + 2, w))
+          yield Multimodal.Synth.rasterPixel(id, x, y)
+        tr += blk.map(_._1.toLong).sum / blk.size
+        tg += blk.map(_._2.toLong).sum / blk.size
+        tb += blk.map(_._3.toLong).sum / blk.size
+      }
+      (ow, oh, tr, tg, tb)
+    }
+    val ids = Seq(1L, 8L, 13L) // mix of even/odd dims (partial edge blocks)
+    val media = ids.toDF("id").as[Long]
+      .map(id => Multimodal.MediaRow(id, Multimodal.Synth.png(id), "image/png", "s"))
+    val got = Multimodal.resizeImages(media, 2).collect().sortBy(_.media_id)
+    got.zip(ids.sorted).foreach { case (f, id) =>
+      val (ow, oh, r, g, b) = expected(id)
+      assert(f.decodable && f.out_w == ow && f.out_h == oh, s"id=$id $f")
+      assert(f.sum_r == r && f.sum_g == g && f.sum_b == b, s"id=$id $f")
+    }
+    val junk = Multimodal.JdkKernels.resizeImage(
+      Multimodal.MediaRow(99L, Array[Byte](1, 2, 3), "image/png", "s"), 2)
+    assert(!junk.decodable)
+  }
+
   test("canonicalize: NFC composes, controls strip, whitespace collapses") {
     import spark.implicits._
     val composed = "café"             // é as one code point
