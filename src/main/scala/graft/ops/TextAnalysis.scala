@@ -119,26 +119,20 @@ object TextAnalysis {
     * The set of window minima is tie-order-independent (values, not
     * positions, are retained), so the output is deterministic and, with
     * md5 as the k-gram hash, reproducible by any engine — DuckDB replays
-    * it as list_min over list slices. A production variant would swap
-    * md5 for a Karp-Rabin rolling hash in a custom codegen expression;
-    * md5 keeps the whole operator oracle-checkable.
+    * it as list_min over list slices.
     *
-    * Scale: per-row higher-order-function work, no shuffle; the
-    * downstream pair join is the only exchange, and hot fingerprints are
-    * handled there (document-frequency cap, same rationale as prefix
-    * filtering's rare-first order). */
-  def winnowFingerprints(c: Column, k: Int, w: Int): Column = {
-    require(k >= 2 && w >= 1)
-    val grams = transform(sequence(lit(1), length(c) - (k - 1)),
-      i => conv(substring(md5(c.substr(i, lit(k)).cast("binary")), 1, 8), 16, 10)
-        .cast("long"))
-    val mins = transform(sequence(lit(1), greatest(size(grams) - (w - 1), lit(1))),
-      i => array_min(slice(grams, i, lit(w))))
-    // texts shorter than k have no k-gram: empty set (sequence(1, n<=0)
-    // would otherwise count DOWN in Spark)
-    when(length(c) >= k, array_distinct(mins))
-      .otherwise(array().cast("array<bigint>"))
-  }
+    * One custom-expression pass ([[graft.functions.WinnowFps]]): each
+    * k-gram is digested exactly once. The composed higher-order form
+    * (transform + array_min(slice(grams, ...))) re-inlines the gram
+    * subtree into every window lambda — O(n·w) digests per row, a
+    * measured multi-minute stall at sf0.1.
+    *
+    * Scale: per-row codegen'd work, no shuffle; the downstream pair join
+    * is the only exchange, and hot fingerprints are handled there
+    * (document-frequency cap, same rationale as prefix filtering's
+    * rare-first order). */
+  def winnowFingerprints(c: Column, k: Int, w: Int): Column =
+    graft.functions.GraftFunctions.winnow_fps(c, k, w)
 
   /** Deterministic train/val/test assignment from a hash of the id — the
     * standard leakage-safe split: stable under reprocessing, independent

@@ -606,8 +606,12 @@ object RelationalQueries {
     // bit-for-bit — no floating-point reduction-order leak.
     "q_pagerank" -> ((s, dir) => {
       import graft.ops.{Affinity, Graph}
+      // support >= 2: a pair must co-occur in two baskets to be an edge —
+      // single-coincidence pairs are noise for link analysis AND ~300x
+      // the edge count (1.2M -> 3.6k at sf0.1)
       val pairs = Affinity.basketPairCounts(
         Affinity.basketItems(t(s, dir, "lineitem"), "l_orderkey", "l_partkey"))
+        .filter(col("n_ab") >= 2)
       val edges = pairs.select(col("item_a").as("src"), col("item_b").as("dst"),
           col("n_ab").as("w"))
         .union(pairs.select(col("item_b"), col("item_a"), col("n_ab")))
@@ -1222,7 +1226,8 @@ object RelationalQueries {
     s"""WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
        |            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
        |pp AS (SELECT a.it AS src, b.it AS dst, count(*) AS w
-       |       FROM li a JOIN li b ON a.bk = b.bk AND a.it < b.it GROUP BY 1, 2),
+       |       FROM li a JOIN li b ON a.bk = b.bk AND a.it < b.it
+       |       GROUP BY 1, 2 HAVING count(*) >= 2),
        |edges AS (SELECT src, dst, w FROM pp UNION ALL SELECT dst, src, w FROM pp),
        |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS tw FROM edges GROUP BY 1),
        |e AS (SELECT edges.src, edges.dst, edges.w, ow.tw
