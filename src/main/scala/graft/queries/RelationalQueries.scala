@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -680,6 +680,36 @@ object RelationalQueries {
     // 15-min bucket, trailing 24h): all window sums are exact integers —
     // the only floating point is the final Pearson formula, so the
     // 2.7k correlations reproduce bit-for-bit in any engine
+    // Order-independent table content digests — the cross-engine
+    // migration/replication validation primitive: XOR of per-row md5
+    // hashes over a CANONICAL projection (integers and md5(text), never
+    // raw doubles or engine-formatted timestamps, whose string forms
+    // differ across engines). XOR is commutative and overflow-free, so
+    // the digest is one map-side-combined scan per table and identical
+    // under any partitioning; paired with the row count it detects any
+    // single-row difference (duplicate-pair blindness is XOR's known
+    // trade, covered by n_rows).
+    "q_table_digest" -> ((s, dir) => {
+      def canon(cols: Column*): Column = concat_ws("|",
+        cols.map(c => coalesce(c.cast("string"), lit("∅"))): _*)
+      def digest(df: DataFrame, name: String, c: Column): DataFrame =
+        df.select(conv(substring(md5(c.cast("binary")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+          .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("xor_digest"))
+          .select(lit(name).as("table_name"), col("n_rows"), col("xor_digest"))
+      digest(t(s, dir, "events"), "events", canon(
+          col("event_id"), unix_micros(col("ts")), col("user_id"),
+          col("event_type"), round(col("value") * 100).cast("long"), col("props")))
+        .unionByName(digest(t(s, dir, "lineitem"), "lineitem", canon(
+          col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber"), round(col("l_quantity") * 100).cast("long"),
+          round(col("l_extendedprice") * 100).cast("long"))))
+        .unionByName(digest(t(s, dir, "documents"), "documents", canon(
+          col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text").cast("binary")))))
+        .orderBy("table_name")
+    }),
+
     // Per-type linear trend (closed-form OLS over daily counts): every
     // sum is an exact INTEGER sum (x = epoch-day, y = count), so the
     // normal equations are layout-independent and portable; the only
@@ -1273,6 +1303,39 @@ object RelationalQueries {
 
   val sql: Map[String, String] = Map(
     "q_pagerank" -> pagerankSql,
+    "q_table_digest" ->
+      """WITH ev AS (
+        |  SELECT ('0x' || substr(md5(
+        |    COALESCE(event_id::VARCHAR, '∅') || '|' ||
+        |    COALESCE(epoch_us(ts)::VARCHAR, '∅') || '|' ||
+        |    COALESCE(user_id::VARCHAR, '∅') || '|' ||
+        |    COALESCE(event_type, '∅') || '|' ||
+        |    COALESCE(CAST(round(value * 100) AS BIGINT)::VARCHAR, '∅') || '|' ||
+        |    COALESCE(props, '∅')), 1, 15))::BIGINT AS h
+        |  FROM events),
+        |li AS (
+        |  SELECT ('0x' || substr(md5(
+        |    COALESCE(l_orderkey::VARCHAR, '∅') || '|' ||
+        |    COALESCE(l_partkey::VARCHAR, '∅') || '|' ||
+        |    COALESCE(l_suppkey::VARCHAR, '∅') || '|' ||
+        |    COALESCE(l_linenumber::VARCHAR, '∅') || '|' ||
+        |    COALESCE(CAST(round(l_quantity * 100) AS BIGINT)::VARCHAR, '∅') || '|' ||
+        |    COALESCE(CAST(round(l_extendedprice * 100) AS BIGINT)::VARCHAR, '∅')), 1, 15))::BIGINT AS h
+        |  FROM lineitem),
+        |doc AS (
+        |  SELECT ('0x' || substr(md5(
+        |    COALESCE(doc_id::VARCHAR, '∅') || '|' ||
+        |    COALESCE(lang, '∅') || '|' ||
+        |    COALESCE(source, '∅') || '|' ||
+        |    COALESCE(n_chars::VARCHAR, '∅') || '|' ||
+        |    COALESCE(md5(text), '∅')), 1, 15))::BIGINT AS h
+        |  FROM documents)
+        |SELECT 'documents' AS table_name, count(*) AS n_rows, bit_xor(h) AS xor_digest FROM doc
+        |UNION ALL
+        |SELECT 'events', count(*), bit_xor(h) FROM ev
+        |UNION ALL
+        |SELECT 'lineitem', count(*), bit_xor(h) FROM li
+        |ORDER BY table_name""".stripMargin,
     "q_trend_fit" ->
       """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS x, count(*) AS y
         |               FROM events GROUP BY 1, 2),

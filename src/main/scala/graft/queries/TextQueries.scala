@@ -262,9 +262,9 @@ object TextQueries {
     "dedup_prefix_jaccard" -> ((s, dir) => {
       val d = docs(s, dir)
       Dedup.jaccardVerify(
-        Dedup.prefixJaccardCandidates(d, "doc_id", "text", threshold = 0.5),
+        Dedup.prefixJaccardCandidates(d, "doc_id", "text", threshold = 0.8),
         d, "doc_id", "text")
-        .filter(col("jaccard") >= 0.5)
+        .filter(col("jaccard") >= 0.8)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -907,8 +907,8 @@ object TextQueries {
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / (a.n + b.n - len(list_intersect(a.s, b.s))) AS j
         |  FROM sized a JOIN sized b
-        |    ON a.doc_id < b.doc_id AND least(a.n, b.n) >= 0.5 * greatest(a.n, b.n)
-        |) WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+        |    ON a.doc_id < b.doc_id AND least(a.n, b.n) >= 0.8 * greatest(a.n, b.n)
+        |) WHERE j >= 0.8 ORDER BY id_a, id_b""".stripMargin,
     "dedup_clusters" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id,
