@@ -654,7 +654,11 @@ object GraftFunctions {
     ("kmin_strings64", "64 smallest distinct strings (KMV sketch state)",
       e => KMinStrings(e, 64).toAggregateExpression()),
     ("mg_candidates256", "Misra-Gries frequent-item candidates, 256 counters",
-      e => MisraGries(e, 256).toAggregateExpression()))
+      e => MisraGries(e, 256).toAggregateExpression()),
+    ("winnow_fps8", "winnowing fingerprints (k=8, w=8) of a string",
+      e => WinnowFps(e, 8, 8)),
+    ("count_min4x256", "Count-Min sketch (4x256 md5 counters) of string values",
+      e => CountMinLongs(e, 4, 256).toAggregateExpression()))
 
   /** Register every custom expression as a SQL temp function on an
     * existing session (the build-time path is [[graft.GraftExtensions]]). */

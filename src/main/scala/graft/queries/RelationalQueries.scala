@@ -680,6 +680,32 @@ object RelationalQueries {
     // 15-min bucket, trailing 24h): all window sums are exact integers —
     // the only floating point is the final Pearson formula, so the
     // 2.7k correlations reproduce bit-for-bit in any engine
+    // Candidate-key validation across tables (the profiling step that
+    // decides dedup keys and join contracts): for each declared
+    // candidate key, distinct-key count vs row count and how many rows
+    // sit in violating groups. One hash-aggregate per table.
+    "q_fd_check" -> ((s, dir) => {
+      def check(df: DataFrame, table: String, keyName: String,
+                key: Column*): DataFrame = {
+        val g = df.groupBy(key: _*).agg(count(lit(1)).as("c"))
+        g.agg(sum("c").as("n_rows"), count(lit(1)).as("n_keys"),
+            sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_dup_rows"))
+          .select(lit(table).as("table_name"), lit(keyName).as("candidate_key"),
+            col("n_rows"), col("n_keys"), col("n_dup_rows"),
+            (col("n_keys") === col("n_rows")).as("is_key"))
+      }
+      check(t(s, dir, "events"), "events", "event_id", col("event_id"))
+        .unionByName(check(t(s, dir, "events"), "events", "user_id,ts",
+          col("user_id"), col("ts")))
+        .unionByName(check(t(s, dir, "lineitem"), "lineitem",
+          "l_orderkey,l_linenumber", col("l_orderkey"), col("l_linenumber")))
+        .unionByName(check(t(s, dir, "orders"), "orders", "o_orderkey",
+          col("o_orderkey")))
+        .unionByName(check(t(s, dir, "documents"), "documents", "doc_id",
+          col("doc_id")))
+        .orderBy("table_name", "candidate_key")
+    }),
+
     // Order-independent table content digests — the cross-engine
     // migration/replication validation primitive: XOR of per-row md5
     // hashes over a CANONICAL projection (integers and md5(text), never
@@ -1303,6 +1329,31 @@ object RelationalQueries {
 
   val sql: Map[String, String] = Map(
     "q_pagerank" -> pagerankSql,
+    "q_fd_check" ->
+      """WITH c1 AS (SELECT count(*) AS c FROM events GROUP BY event_id),
+        |c2 AS (SELECT count(*) AS c FROM events GROUP BY user_id, ts),
+        |c3 AS (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber),
+        |c4 AS (SELECT count(*) AS c FROM orders GROUP BY o_orderkey),
+        |c5 AS (SELECT count(*) AS c FROM documents GROUP BY doc_id),
+        |u AS (
+        |  SELECT 'events' AS table_name, 'event_id' AS candidate_key,
+        |         CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_keys,
+        |         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_rows FROM c1
+        |  UNION ALL
+        |  SELECT 'events', 'user_id,ts', CAST(sum(c) AS BIGINT), count(*),
+        |         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) FROM c2
+        |  UNION ALL
+        |  SELECT 'lineitem', 'l_orderkey,l_linenumber', CAST(sum(c) AS BIGINT), count(*),
+        |         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) FROM c3
+        |  UNION ALL
+        |  SELECT 'orders', 'o_orderkey', CAST(sum(c) AS BIGINT), count(*),
+        |         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) FROM c4
+        |  UNION ALL
+        |  SELECT 'documents', 'doc_id', CAST(sum(c) AS BIGINT), count(*),
+        |         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) FROM c5)
+        |SELECT table_name, candidate_key, n_rows, n_keys, n_dup_rows,
+        |       n_keys = n_rows AS is_key
+        |FROM u ORDER BY table_name, candidate_key""".stripMargin,
     "q_table_digest" ->
       """WITH ev AS (
         |  SELECT ('0x' || substr(md5(
