@@ -27,6 +27,52 @@ class PropertySpec extends SparkSpec {
     Gen.alphaNumStr.map(s => s"""{"log_type":"t$s"}"""),
     Gen.alphaNumStr.map(s => s"""{"time":"2020-09-15T10:21:33Z","log_id":"$s"}"""))
 
+  test("prefix filtering is lossless on random corpora (property)") {
+    import org.apache.spark.sql.functions._
+    // random docs over a small vocabulary — worst case for prefix
+    // selectivity, best case for finding a recall bug
+    val vocab = Vector("ant", "bee", "cat", "dog", "elk", "fox", "gnu", "hog")
+    val docGen: Gen[String] =
+      Gen.chooseNum(4, 12).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
+        .map(_.mkString(" "))
+    (0 until 3).foreach { round =>
+      val texts = (0 until 30).flatMap(i =>
+        docGen.apply(Gen.Parameters.default, Seed(round * 100L + i)))
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val all = (for (a <- texts.indices; b <- a + 1 until texts.size)
+        yield (a.toLong, b.toLong)).toDF("id_a", "id_b")
+      val truth = graft.ops.Dedup.jaccardVerify(all, df, "doc_id", "text")
+        .filter(col("jaccard") >= 0.6)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val got = graft.ops.Dedup.jaccardVerify(
+          graft.ops.Dedup.prefixJaccardCandidates(df, "doc_id", "text", 0.6),
+          df, "doc_id", "text")
+        .filter(col("jaccard") >= 0.6)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == truth, s"round $round: prefix filter dropped ${truth -- got}")
+    }
+  }
+
+  test("winnowing detection guarantee holds on random strings (property)") {
+    import org.apache.spark.sql.functions._
+    // random docs sharing a random >= w+k-1 run must always share a
+    // fingerprint; k=5, w=4 -> guaranteed at 8 shared chars
+    val alpha = Gen.listOfN(12, Gen.alphaLowerChar).map(_.mkString)
+    val run = Gen.listOfN(9, Gen.alphaLowerChar).map(_.mkString)
+    (0 until 10).foreach { i =>
+      val p1 = alpha.apply(Gen.Parameters.default, Seed(900L + 3 * i)).get
+      val p2 = alpha.apply(Gen.Parameters.default, Seed(901L + 3 * i)).get
+      val shared = run.apply(Gen.Parameters.default, Seed(902L + 3 * i)).get
+      val df = Seq((1L, p1 + shared), (2L, shared + p2)).toDF("doc_id", "text")
+      val fps = df.select(col("doc_id"),
+          graft.ops.TextAnalysis.winnowFingerprints(col("text"), 5, 4).as("f"))
+        .as[(Long, Seq[Long])].collect().map(r => r._1 -> r._2.toSet).toMap
+      assert(fps(1L).intersect(fps(2L)).nonEmpty,
+        s"iteration $i: no shared fingerprint for shared run '$shared'")
+    }
+  }
+
   test("routing totality: channels partition every batch") {
     val payloads = samples(payloadGen, 40)
     assert(payloads.size >= 30)

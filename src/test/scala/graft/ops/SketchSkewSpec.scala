@@ -158,6 +158,20 @@ class SketchSkewSpec extends SparkSpec {
     assert(occurrences(plan, "partial_kmin_pairs") == 1, plan.take(2000))
   }
 
+  test("q_cms_topk plan combines the sketch map-side (fixed d*w state crosses)") {
+    val plan = planOf("q_cms_topk")
+    // one partial + one final count_min agg: each partition ships one
+    // 4x256 counter array, never per-row or per-key state
+    assert(occurrences(plan, "partial_count_min_longs") == 1, plan.take(2000))
+  }
+
+  test("q_table_digest plan XORs partially (one digest word per partition)") {
+    val plan = planOf("q_table_digest")
+    // every digest branch must partial-aggregate: the exchange carries a
+    // single (count, xor) pair per partition per table, not rows
+    assert(occurrences(plan, "partial_bit_xor") == 3, plan.take(3000))
+  }
+
   test("q_top_customers plan: grouped heap runs partially, no window sort") {
     val plan = planOf("q_top_customers")
     // <=k candidates per group per partition cross the exchange; the
