@@ -124,7 +124,8 @@ object StreamingPipeline {
     * predicate lets it evict rows as the watermark advances. */
   def correlateTypes(envelopes: DataFrame, cfg: PipelineConfig,
                      typeA: String, typeB: String, keyJsonPath: String,
-                     within: String = "1 hour"): DataFrame = {
+                     within: String = "1 hour",
+                     joinType: String = "inner"): DataFrame = {
     val good = Router.good(Pipeline.transform(envelopes, cfg))
       .select(col("log_type"), col("event_ts"), col("log_id"),
         get_json_object(col("payload"), keyJsonPath).as("ckey"))
@@ -134,10 +135,15 @@ object StreamingPipeline {
     val b = good.filter(col("log_type") === typeB)
       .withWatermark("event_ts", within)
       .select(col("ckey").as("key_b"), col("event_ts").as("ts_b"), col("log_id").as("id_b"))
+    // left_outer adds the NEGATIVE funnel signal: an A row with no B
+    // inside the window is emitted with null B columns — but only once
+    // the watermark proves no matching B can still arrive, which is the
+    // same state-eviction bound that keeps the join buffers finite.
     a.join(b,
       col("key_a") === col("key_b") &&
         col("ts_b") >= col("ts_a") &&
-        col("ts_b") <= col("ts_a") + expr(s"INTERVAL $within"))
+        col("ts_b") <= col("ts_a") + expr(s"INTERVAL $within"),
+      joinType)
   }
 
   /** Streaming frequent-value monitor per (event-time window, log_type):

@@ -275,6 +275,90 @@ class StreamingSpec extends SparkSpec {
     assert(rows("id-2").isEmpty) // left join: unknown dim → null
   }
 
+  test("per-key quota admits exactly quota per window, resets next window, keys independent") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[RateLimit.Keyed]
+    def ev(key: String, minute: Int, sec: Int, id: String) = RateLimit.Keyed(
+      key, java.sql.Timestamp.valueOf(f"2020-09-15 10:$minute%02d:$sec%02d"), id)
+    val decisions = RateLimit.admit(mem.toDS(), quota = 3, windowMs = 600000L)
+    val q = decisions.writeStream.format("memory").queryName("quota_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        // key A: 5 events in window [10:00,10:10) -> first 3 admitted
+        ev("a", 1, 0, "a1"), ev("a", 2, 0, "a2"), ev("a", 3, 0, "a3"),
+        ev("a", 4, 0, "a4"), ev("a", 5, 0, "a5"),
+        // key B: 2 events same window -> all admitted
+        ev("b", 1, 0, "b1"), ev("b", 2, 0, "b2"))
+      q.processAllAvailable()
+      // key A next window -> budget resets (cross-batch state)
+      mem.addData(ev("a", 11, 0, "a6"), ev("a", 12, 0, "a7"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("quota_out")
+      .select("id", "admitted").as[(String, Boolean)].collect().toMap
+    assert(got == Map(
+      "a1" -> true, "a2" -> true, "a3" -> true, "a4" -> false, "a5" -> false,
+      "b1" -> true, "b2" -> true, "a6" -> true, "a7" -> true))
+  }
+
+  test("quota decisions are replay-deterministic (same batch, same admitted set)") {
+    implicit val sqlCtx = spark.sqlContext
+    // out-of-order arrival within the batch: decisions follow event time,
+    // not arrival order
+    def run(tag: String, shuffled: Boolean): Map[String, Boolean] = {
+      val mem = MemoryStream[RateLimit.Keyed]
+      def ev(min: Int, id: String) = RateLimit.Keyed(
+        "k", java.sql.Timestamp.valueOf(f"2020-09-15 10:$min%02d:00"), id)
+      val data = Seq(ev(1, "e1"), ev(2, "e2"), ev(3, "e3"), ev(4, "e4"))
+      val q = RateLimit.admit(mem.toDS(), quota = 2, windowMs = 600000L)
+        .writeStream.format("memory").queryName(s"rd_$tag")
+        .outputMode("append").start()
+      try {
+        mem.addData((if (shuffled) data.reverse else data): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(s"rd_$tag").select("id", "admitted")
+        .as[(String, Boolean)].collect().toMap
+    }
+    val a = run("fwd", shuffled = false)
+    val b = run("rev", shuffled = true)
+    assert(a == b)
+    assert(a == Map("e1" -> true, "e2" -> true, "e3" -> false, "e4" -> false))
+  }
+
+  test("stream-stream LEFT OUTER correlation emits unmatched rows after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TestEnvelope]
+    def typed(id: Int, typ: String, minute: Int, user: Int) = env(id,
+      s"""{"log_type":"$typ","time":"2020-09-15T${10 + minute / 60}:${f"${minute % 60}%02d"}:00Z","log_id":"id-$id","user_id":$user}""")
+    val joined = StreamingPipeline.correlateTypes(
+      mem.toDF(), graft.config.PipelineConfig(),
+      "click", "purchase", "$.user_id", within = "30 minutes",
+      joinType = "left_outer")
+    val q = joined.select("id_a", "id_b").writeStream
+      .format("memory").queryName("corr_outer_out").outputMode("append").start()
+    try {
+      mem.addData(
+        typed(1, "click", 0, 7),
+        typed(2, "purchase", 10, 7), // matches click 1
+        typed(3, "click", 0, 8))     // never purchases
+      q.processAllAvailable()
+      // advance the watermark far past click 3's join window on BOTH
+      // sides (each filtered branch tracks its own watermark; the global
+      // one is their min) so the engine can prove no purchase can still
+      // match and emit the null-extended row
+      mem.addData(typed(9, "click", 600, 99), typed(10, "purchase", 600, 99))
+      q.processAllAvailable()
+      mem.addData(typed(11, "click", 1200, 98), typed(12, "purchase", 1200, 98))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("corr_outer_out")
+      .select("id_a", "id_b").as[(String, Option[String])].collect().toSet
+    assert(rows.contains(("id-1", Some("id-2"))))
+    assert(rows.contains(("id-3", None)), s"missing null-extended row: $rows")
+  }
+
   test("stream-stream correlation joins typed events on key within window") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[TestEnvelope]
