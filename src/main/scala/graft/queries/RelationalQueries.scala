@@ -680,6 +680,66 @@ object RelationalQueries {
     // 15-min bucket, trailing 24h): all window sums are exact integers —
     // the only floating point is the final Pearson formula, so the
     // 2.7k correlations reproduce bit-for-bit in any engine
+    // Two-sample Kolmogorov-Smirnov drift statistic between the purchase
+    // and click value distributions, quantized to cents so the support is
+    // cardinality-bounded. The max deviation is computed on the INTEGER
+    // numerator |cumA*nB − cumB*nA| (exact, layout-independent); the only
+    // float op is the final division. The distribution-drift screen.
+    "q_ks_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+      val ca = ev.filter(col("event_type") === "purchase")
+        .groupBy("c").agg(count(lit(1)).as("na"))
+      val cb = ev.filter(col("event_type") === "click")
+        .groupBy("c").agg(count(lit(1)).as("nb"))
+      val u = ca.join(cb, Seq("c"), "full")
+        .select(col("c"), coalesce(col("na"), lit(0L)).as("na"),
+          coalesce(col("nb"), lit(0L)).as("nb"))
+      val tot = u.agg(sum("na").as("ta"), sum("nb").as("tb"))
+      val w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+      u.withColumn("cuma", sum("na").over(w))
+        .withColumn("cumb", sum("nb").over(w))
+        .crossJoin(broadcast(tot))
+        .agg(max(abs(col("cuma") * col("tb") - col("cumb") * col("ta")))
+            .as("dnum"),
+          max("ta").as("n_a"), max("tb").as("n_b"))
+        .select(round(col("dnum").cast("double") / (col("n_a") * col("n_b")), 6)
+          .as("ks_stat"), col("n_a"), col("n_b"))
+    }),
+
+    // Sample autocorrelation of the daily event-count series at lags
+    // 1..7 (the seasonality screen). The centred ACF is rearranged so
+    // every term is an exact integer sum — r_k = (N²P_k − N·S·(Sh+St)
+    // + (N−k)·S²) / (N·(N·Q − S²)) — layout-independent with one final
+    // float division per lag.
+    "q_autocorr" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.orderBy("d")
+      val lagged = daily.select(
+        (Seq(col("d"), col("x")) ++
+          (1 to 7).map(k => lag(col("x"), k).over(w).as(s"x$k"))): _*)
+      val base = lagged.agg(
+        count(lit(1)).as("nn"), sum("x").as("s"),
+        sum(col("x") * col("x")).as("q"))
+      val perLag = (1 to 7).map { k =>
+        lagged.filter(col(s"x$k").isNotNull).agg(
+            sum(col("x") * col(s"x$k")).as("p"),
+            sum(col(s"x$k")).as("sh"), // x_t for t=1..N-k (the lagged value)
+            sum(col("x")).as("st"))    // x_{t+k}
+          .select(lit(k).as("lag"), col("p"), col("sh"), col("st"))
+      }.reduce(_.unionByName(_))
+      perLag.crossJoin(broadcast(base))
+        .select(col("lag"),
+          round((col("nn") * col("nn") * col("p")
+              - col("nn") * col("s") * (col("sh") + col("st"))
+              + (col("nn") - col("lag")) * col("s") * col("s")).cast("double") /
+            (col("nn") * (col("nn") * col("q") - col("s") * col("s"))).cast("double"),
+            6).as("acf"))
+        .orderBy("lag")
+    }),
+
     // Candidate-key validation across tables (the profiling step that
     // decides dedup keys and join contracts): for each declared
     // candidate key, distinct-key count vs row count and how many rows
@@ -1303,6 +1363,30 @@ object RelationalQueries {
        |ORDER BY rank_fp DESC, part_id LIMIT 50""".stripMargin
   }
 
+  /** q_autocorr oracle: the same integer-sum ACF rearrangement, one CTE
+    * per lag, with float ops only in the final division. */
+  private def autocorrSql: String = {
+    val lags = (1 to 7).map(k => s"lag(x, $k) OVER (ORDER BY d) AS x$k").mkString(", ")
+    val ks = (1 to 7).map { k =>
+      s"""k$k AS (SELECT $k AS lag, CAST(sum(x * x$k) AS BIGINT) AS p,
+         |            CAST(sum(x$k) AS BIGINT) AS sh, CAST(sum(x) AS BIGINT) AS st
+         |     FROM l WHERE x$k IS NOT NULL)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to 7).map(k => s"SELECT * FROM k$k").mkString(" UNION ALL ")
+    s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d, count(*) AS x
+       |               FROM events GROUP BY 1),
+       |l AS (SELECT d, x, $lags FROM daily),
+       |base AS (SELECT count(*) AS nn, CAST(sum(x) AS BIGINT) AS s,
+       |                CAST(sum(x * x) AS BIGINT) AS q FROM l),
+       |$ks,
+       |u AS ($unions)
+       |SELECT u.lag,
+       |       round(CAST(base.nn * base.nn * u.p - base.nn * base.s * (u.sh + u.st)
+       |                  + (base.nn - u.lag) * base.s * base.s AS DOUBLE) /
+       |             CAST(base.nn * (base.nn * base.q - base.s * base.s) AS DOUBLE), 6) AS acf
+       |FROM u, base ORDER BY u.lag""".stripMargin
+  }
+
   /** q_benford oracle: identical digit ladder and probability literals,
     * generated from the same Scala constants the engine embeds. */
   private def benfordSql: String = {
@@ -1329,6 +1413,20 @@ object RelationalQueries {
 
   val sql: Map[String, String] = Map(
     "q_pagerank" -> pagerankSql,
+    "q_ks_drift" ->
+      """WITH ev AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+        |            FROM events WHERE value IS NOT NULL),
+        |ca AS (SELECT c, count(*) AS na FROM ev WHERE event_type = 'purchase' GROUP BY 1),
+        |cb AS (SELECT c, count(*) AS nb FROM ev WHERE event_type = 'click' GROUP BY 1),
+        |u AS (SELECT COALESCE(ca.c, cb.c) AS c, COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+        |      FROM ca FULL JOIN cb ON ca.c = cb.c),
+        |t AS (SELECT CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb FROM u),
+        |cum AS (SELECT c, sum(na) OVER (ORDER BY c) AS cuma,
+        |               sum(nb) OVER (ORDER BY c) AS cumb FROM u)
+        |SELECT round(CAST(max(abs(cuma * t.tb - cumb * t.ta)) AS DOUBLE) / (t.ta * t.tb), 6) AS ks_stat,
+        |       t.ta AS n_a, t.tb AS n_b
+        |FROM cum, t GROUP BY t.ta, t.tb""".stripMargin,
+    "q_autocorr" -> autocorrSql,
     "q_fd_check" ->
       """WITH c1 AS (SELECT count(*) AS c FROM events GROUP BY event_id),
         |c2 AS (SELECT count(*) AS c FROM events GROUP BY user_id, ts),
