@@ -766,6 +766,32 @@ object RelationalQueries {
         .orderBy("table_name", "candidate_key")
     }),
 
+    // Referential-integrity audit: orphan FK rows per declared
+    // relationship via LEFT ANTI joins (the other half of the q_fd_check
+    // contract audit). Anti joins shuffle on the FK only; parents with
+    // broadcast-size keys broadcast.
+    "q_ri_check" -> ((s, dir) => {
+      def orphans(child: DataFrame, childName: String, fk: String,
+                  parent: DataFrame, parentName: String, pk: String): DataFrame = {
+        val n = child.join(parent, child(fk) === parent(pk), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+        val tot = child.agg(count(lit(1)).as("n_child_rows"))
+        n.crossJoin(tot).select(
+          lit(s"$childName.$fk -> $parentName.$pk").as("relationship"),
+          col("n_child_rows"), col("n_orphans"),
+          (col("n_orphans") === 0L).as("intact"))
+      }
+      orphans(t(s, dir, "lineitem"), "lineitem", "l_orderkey",
+          t(s, dir, "orders"), "orders", "o_orderkey")
+        .unionByName(orphans(t(s, dir, "orders"), "orders", "o_custkey",
+          t(s, dir, "customer"), "customer", "c_custkey"))
+        .unionByName(orphans(t(s, dir, "customer"), "customer", "c_nationkey",
+          t(s, dir, "nation"), "nation", "n_nationkey"))
+        .unionByName(orphans(t(s, dir, "lineitem"), "lineitem", "l_partkey",
+          t(s, dir, "part"), "part", "p_partkey"))
+        .orderBy("relationship")
+    }),
+
     // Order-independent table content digests — the cross-engine
     // migration/replication validation primitive: XOR of per-row md5
     // hashes over a CANONICAL projection (integers and md5(text), never
@@ -1452,6 +1478,29 @@ object RelationalQueries {
         |SELECT table_name, candidate_key, n_rows, n_keys, n_dup_rows,
         |       n_keys = n_rows AS is_key
         |FROM u ORDER BY table_name, candidate_key""".stripMargin,
+    "q_ri_check" ->
+      """WITH r AS (
+        |  SELECT 'customer.c_nationkey -> nation.n_nationkey' AS relationship,
+        |         (SELECT count(*) FROM customer) AS n_child_rows,
+        |         (SELECT count(*) FROM customer c
+        |          WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) AS n_orphans
+        |  UNION ALL
+        |  SELECT 'lineitem.l_orderkey -> orders.o_orderkey',
+        |         (SELECT count(*) FROM lineitem),
+        |         (SELECT count(*) FROM lineitem l
+        |          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey -> part.p_partkey',
+        |         (SELECT count(*) FROM lineitem),
+        |         (SELECT count(*) FROM lineitem l
+        |          WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey -> customer.c_custkey',
+        |         (SELECT count(*) FROM orders),
+        |         (SELECT count(*) FROM orders o
+        |          WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)))
+        |SELECT relationship, n_child_rows, n_orphans, n_orphans = 0 AS intact
+        |FROM r ORDER BY relationship""".stripMargin,
     "q_table_digest" ->
       """WITH ev AS (
         |  SELECT ('0x' || substr(md5(
