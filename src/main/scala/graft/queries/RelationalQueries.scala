@@ -707,6 +707,30 @@ object RelationalQueries {
           .as("ks_stat"), col("n_a"), col("n_b"))
     }),
 
+    // Weekly seasonal decomposition of the daily count series: per
+    // day-of-week mean (the seasonal component) and the worst
+    // low/high residual each weekday ever saw vs its norm — the
+    // calendar-seasonality profile behind every volume alert. Exact
+    // integer sums; floats only in the final divisions.
+    "q_seasonal_profile" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("dow", expr("(d + 4) % 7")) // 1970-01-01 was a Thursday
+      val prof = daily.groupBy("dow")
+        .agg(sum("x").as("sx"), count(lit(1)).as("nd"))
+      daily.join(prof, "dow")
+        .withColumn("expected", col("sx").cast("double") / col("nd"))
+        .withColumn("resid_pct",
+          (col("x") - col("expected")) / col("expected"))
+        .groupBy("dow")
+        .agg(max("nd").as("n_days"),
+          round(max("expected"), 4).as("mean_count"),
+          round(min("resid_pct"), 4).as("worst_low_pct"),
+          round(max("resid_pct"), 4).as("worst_high_pct"))
+        .orderBy("dow")
+    }),
+
     // Sample autocorrelation of the daily event-count series at lags
     // 1..7 (the seasonality screen). The centred ACF is rearranged so
     // every term is an exact integer sum — r_k = (N²P_k − N·S·(Sh+St)
@@ -1453,6 +1477,19 @@ object RelationalQueries {
         |       t.ta AS n_a, t.tb AS n_b
         |FROM cum, t GROUP BY t.ta, t.tb""".stripMargin,
     "q_autocorr" -> autocorrSql,
+    "q_seasonal_profile" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d, count(*) AS x
+        |               FROM events GROUP BY 1),
+        |dd AS (SELECT d, x, (d + 4) % 7 AS dow FROM daily),
+        |prof AS (SELECT dow, CAST(sum(x) AS BIGINT) AS sx, count(*) AS nd
+        |         FROM dd GROUP BY 1),
+        |j AS (SELECT dd.d, dd.dow, dd.x,
+        |             prof.sx::DOUBLE / prof.nd AS expected, prof.nd
+        |      FROM dd JOIN prof ON prof.dow = dd.dow)
+        |SELECT dow, max(nd) AS n_days, round(max(expected), 4) AS mean_count,
+        |       round(min((x - expected) / expected), 4) AS worst_low_pct,
+        |       round(max((x - expected) / expected), 4) AS worst_high_pct
+        |FROM j GROUP BY dow ORDER BY dow""".stripMargin,
     "q_fd_check" ->
       """WITH c1 AS (SELECT count(*) AS c FROM events GROUP BY event_id),
         |c2 AS (SELECT count(*) AS c FROM events GROUP BY user_id, ts),

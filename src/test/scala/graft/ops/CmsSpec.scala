@@ -61,6 +61,18 @@ class CmsSpec extends SparkSpec {
     }
   }
 
+  test("constructor bounds reject degenerate sketch shapes") {
+    intercept[IllegalArgumentException](CountMinLongs(null, 0, 64))
+    intercept[IllegalArgumentException](CountMinLongs(null, 4, 1))
+    intercept[IllegalArgumentException](CountMinLongs(null, 17, 64))
+    intercept[IllegalArgumentException](
+      graft.ops.Dedup.prefixJaccardCandidates(values.toDF("v"), "v", "v", 0.0))
+    intercept[IllegalArgumentException](
+      graft.functions.WinnowFps(null, 1, 4))
+    intercept[IllegalArgumentException](
+      graft.ops.Graph.pageRank(values.toDF("v"), "v", "v", "v", iters = 0))
+  }
+
   test("state is exactly d*w counters and total mass is d * row count") {
     val sk = values.toDF("v").repartition(7)
       .agg(Sketch.cmsSketch(col("v"), d, w)).head().getSeq[Long](0)
