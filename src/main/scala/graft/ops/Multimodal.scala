@@ -347,6 +347,7 @@ object Multimodal {
 
   /** Real decode + exact box downsample as a dataset stage. */
   def resizeImages(media: Dataset[MediaRow], factor: Int = 2): Dataset[ResizedImage] = {
+    require(factor >= 1 && factor <= 4096, "resize factor in [1, 4096]")
     implicit val enc = Encoders.product[ResizedImage]
     media.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)

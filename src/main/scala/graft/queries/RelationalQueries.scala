@@ -395,6 +395,28 @@ object RelationalQueries {
         .orderBy(col("exact_n").desc, col("user_id"))
     }),
 
+    // CMS merge algebra, proven live: per-type sketches combined by
+    // element-wise addition must equal the single-pass global sketch on
+    // every one of the 4×256 counters — the property that lets per-day /
+    // per-partition sketches compose without rescanning data (the same
+    // reason pre-aggregated rollups work). Output is the cell-equality
+    // census; 1024/1024 equal is the algebra holding.
+    "q_cms_merge" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+        .select(col("event_type"), col("user_id").cast("string").as("v"))
+      val merged = ev.groupBy("event_type")
+        .agg(graft.ops.Sketch.cmsSketch(col("v"), 4, 256).as("sk"))
+        .select(posexplode(col("sk")).as(Seq("i", "c")))
+        .groupBy("i").agg(sum("c").as("mc"))
+      val global = ev.agg(graft.ops.Sketch.cmsSketch(col("v"), 4, 256).as("sk"))
+        .select(posexplode(col("sk")).as(Seq("i", "c")))
+        .withColumnRenamed("c", "gc")
+      merged.join(global, "i")
+        .agg(count(lit(1)).as("n_cells"),
+          sum(when(col("mc") === col("gc"), 1L).otherwise(0L)).as("n_equal"),
+          sum("mc").as("merged_mass"), sum("gc").as("global_mass"))
+    }),
+
     // Hopping (sliding) event-time window: 1-hour windows every 15 min —
     // each event lands in exactly 4 overlapping windows (native window()
     // with slide; completes tumbling/session/sliding parity)
@@ -1871,6 +1893,29 @@ object RelationalQueries {
         |SELECT e.event_type, ex.n_exact, round(e.kmv, 2) AS kmv_users
         |FROM est e JOIN ex ON e.event_type = ex.event_type
         |ORDER BY e.event_type""".stripMargin,
+    "q_cms_merge" ->
+      """WITH ev AS (SELECT event_type, user_id::VARCHAR AS v FROM events
+        |            WHERE user_id IS NOT NULL),
+        |g AS (SELECT unnest(generate_series(0, 3)) AS r),
+        |cells AS (SELECT g.r AS r,
+        |                 ('0x' || substr(md5(g.r::VARCHAR || ':' || ev.v), 1, 4))::INTEGER % 256 AS b,
+        |                 ev.event_type, count(*) AS c
+        |          FROM ev CROSS JOIN g GROUP BY 1, 2, 3),
+        |idx AS (SELECT rr.r, bb.b FROM (SELECT unnest(generate_series(0, 3)) AS r) rr
+        |        CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS b) bb),
+        |merged AS (SELECT idx.r, idx.b,
+        |                  COALESCE((SELECT CAST(sum(c) AS BIGINT) FROM cells
+        |                            WHERE cells.r = idx.r AND cells.b = idx.b), 0) AS mc
+        |           FROM idx),
+        |gl AS (SELECT idx.r, idx.b,
+        |                COALESCE((SELECT CAST(sum(c) AS BIGINT) FROM cells
+        |                          WHERE cells.r = idx.r AND cells.b = idx.b), 0) AS gc
+        |       FROM idx)
+        |SELECT count(*) AS n_cells,
+        |       CAST(sum(CASE WHEN m.mc = g2.gc THEN 1 ELSE 0 END) AS BIGINT) AS n_equal,
+        |       CAST(sum(m.mc) AS BIGINT) AS merged_mass,
+        |       CAST(sum(g2.gc) AS BIGINT) AS global_mass
+        |FROM merged m JOIN gl g2 ON g2.r = m.r AND g2.b = m.b""".stripMargin,
     "q_cms_topk" ->
       """WITH ev AS (SELECT user_id::VARCHAR AS v FROM events WHERE user_id IS NOT NULL),
         |g AS (SELECT unnest(generate_series(0, 3)) AS i),
