@@ -2029,7 +2029,7 @@ object RelationalQueries {
         |      FROM events ev JOIN g ON ev.event_type = g.event_type
         |      WHERE ev.value IS NOT NULL)
         |SELECT event_type, count(*) AS n,
-        |       sum(CASE WHEN is_out THEN 1 ELSE 0 END) AS n_outliers,
+        |       CAST(sum(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
         |       max(CASE WHEN is_out THEN value END) AS max_outlier
         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_attribution" ->

@@ -29,6 +29,16 @@ for name in sorted(oracle):
         print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}"); fail += 1; continue
     if len(got) != len(want):
         print(f"FAIL {name}: rows {len(got)} != {len(want)}"); fail += 1; continue
+    # The driver's hash is TYPED: DuckDB HUGEINT decays to float64 in .df()
+    # and hashes as 957.0 vs Spark's BIGINT 957. Mirror that strictness here:
+    # integer-kind vs float-kind on the same column is a failure even when
+    # the values compare equal with ==.
+    dtype_bad = [(c, str(got[c].dtype), str(want[c].dtype))
+                 for c in got.columns
+                 if got[c].dtype.kind in "iuf" and want[c].dtype.kind in "iuf"
+                 and (got[c].dtype.kind in "iu") != (want[c].dtype.kind in "iu")]
+    if dtype_bad:
+        print(f"FAIL {name}: dtype mismatch {dtype_bad}"); fail += 1; continue
     g = got.sort_values(by=list(got.columns)).reset_index(drop=True)
     w = want.sort_values(by=list(want.columns)).reset_index(drop=True)
     mismatch = None
