@@ -217,7 +217,37 @@ object PipelineQueries {
           date_format(col("event_ts"), "yyyy-MM").as("ym"),
           date_format(col("event_ts"), "dd").as("dd"))
         .groupBy("log_type", "ym", "dd").agg(count(lit(1)).as("n"))
-        .orderBy("log_type", "ym", "dd"))
+        .orderBy("log_type", "ym", "dd")),
+
+    // §2.6 end-to-end STREAMING row: the one pipe_* query that executes
+    // through writeStream/foreachBatch — Kinesis-shaped shim source (4
+    // shards, per-shard admission control sized for ~4 micro-batches at
+    // any sf), checkpointed offsets, the real runBatch sink path per
+    // batch — and whose driver-visible result is parsed back OUT of the
+    // bulk sink's NDJSON bytes. The oracle recomputes the per-index
+    // counts relationally, so a green row proves records-exactly-once
+    // across micro-batch boundaries AND byte-level action-envelope
+    // correctness in a single check.
+    "pipe_stream_replay" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-replay")
+      val bulkDir = tmp.resolve("bulk").toString
+      val total = events(s, dir).count()
+      val scfg = cfg.copy(
+        deadLetterPath = tmp.resolve("deadletter").toString,
+        sourceBatchSize = math.max(1, (total / (cfg.sourceShards * 4L)).toInt))
+      val env = graft.streaming.StreamingPipeline.kinesisShimStream(s, dir, scfg)
+      Pipeline.stream(env, scfg, Pipeline.fileTransport(bulkDir),
+        tmp.resolve("ckpt").toString).awaitTermination()
+      // Action meta lines are {"index":{"_index":…,"_id":…}}; doc lines
+      // have no top-level "index" key (the log shape is log_type/time/…),
+      // so the schema-filtered read keeps exactly the meta lines.
+      s.read.schema("index struct<_index: string, _id: string>")
+        .json(bulkDir)
+        .where(col("index._index").isNotNull)
+        .groupBy(col("index._index").as("index_name"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("index_name")
+    })
   )
 
   /** DuckDB oracles (driver runs these on the same parquet). */
@@ -253,6 +283,8 @@ object PipelineQueries {
           |WHERE event_type IN ('click','view','purchase') GROUP BY 1 ORDER BY 1""".stripMargin,
       "pipe_dedup_replay" ->
         "SELECT count(DISTINCT event_id) AS n FROM events",
+      "pipe_stream_replay" ->
+        s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
       "pipe_chunk_plan" ->
         s"""SELECT index_name, n, CAST(ceil(n / 500.0) AS BIGINT) AS chunks
            |FROM (SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1) t
