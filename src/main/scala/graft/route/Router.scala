@@ -39,16 +39,24 @@ object Router {
     * Spark's own patterns can't parse 'EEE'), and bare epoch
     * seconds / milliseconds. Unparseable → null → dead-letter
     * (`timestamp_required=True`, reference lambda/main.py:105). */
-  def lenientTimestamp(c: Column): Column = coalesce(
-    try_to_timestamp(c),
-    try_to_timestamp(c, lit("yyyy/MM/dd HH:mm:ss")),
-    try_to_timestamp(c, lit("dd/MMM/yyyy:HH:mm:ss Z")),
-    try_to_timestamp(c, lit("yyyyMMdd'T'HHmmssX")),
-    try_to_timestamp(c, lit("yyyyMMdd'T'HHmmss")),
-    graft.functions.GraftFunctions.dateutil_timestamp(c),
-    when(c.rlike("^\\d{13}$"), timestamp_millis(c.cast(LongType))),
-    when(c.rlike("^\\d{10}$"), timestamp_seconds(c.cast(LongType)))
-  )
+  def lenientTimestamp(c: Column): Column =
+    // First-character dispatch: the day-name forms are the only
+    // letter-leading formats, and DateUtilParse rejects digit-leading
+    // strings up front — so the split is semantics-preserving, and a
+    // day-name row skips five futile try_to_timestamp attempts (each a
+    // thrown-and-swallowed parse exception, the dominant cost of an
+    // RFC-timestamp replay).
+    when(c.rlike("^\\s*[A-Za-z]"),
+      graft.functions.GraftFunctions.dateutil_timestamp(c))
+    .otherwise(coalesce(
+      try_to_timestamp(c),
+      try_to_timestamp(c, lit("yyyy/MM/dd HH:mm:ss")),
+      try_to_timestamp(c, lit("dd/MMM/yyyy:HH:mm:ss Z")),
+      try_to_timestamp(c, lit("yyyyMMdd'T'HHmmssX")),
+      try_to_timestamp(c, lit("yyyyMMdd'T'HHmmss")),
+      when(c.rlike("^\\d{13}$"), timestamp_millis(c.cast(LongType))),
+      when(c.rlike("^\\d{10}$"), timestamp_seconds(c.cast(LongType)))
+    ))
 
   /** Parse + validate + route. Appends:
     *   - `log_type`: routing key, `cfg.logTypeUnknownPrefix` when absent (P5)
