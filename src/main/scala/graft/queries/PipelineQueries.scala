@@ -247,6 +247,19 @@ object PipelineQueries {
         .groupBy(col("index._index").as("index_name"))
         .agg(count(lit(1)).as("n"))
         .orderBy("index_name")
+    }),
+
+    // §1.2 VARIANT router: the same fan-out as pipe_index_counts computed
+    // through Router.routeVariant (try_parse_json + variant_get instead of
+    // from_json's fixed schema) against the same oracle — the open-schema
+    // alternative stays correctness-pinned, and its bench row sits next to
+    // pipe_index_counts for a direct cost comparison (README "Variant
+    // router" records the keep/revert decision).
+    "pipe_variant_route" -> ((s, dir) => {
+      val decoded = graft.decode.Decode.normalize(envelopes(s, dir))
+      Router.good(Enrich.withIndexName(Router.routeVariant(decoded, cfg), cfg))
+        .groupBy("index_name").agg(count(lit(1)).as("n"))
+        .orderBy("index_name")
     })
   )
 
@@ -284,6 +297,8 @@ object PipelineQueries {
       "pipe_dedup_replay" ->
         "SELECT count(DISTINCT event_id) AS n FROM events",
       "pipe_stream_replay" ->
+        s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
+      "pipe_variant_route" ->
         s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
       "pipe_chunk_plan" ->
         s"""SELECT index_name, n, CAST(ceil(n / 500.0) AS BIGINT) AS chunks

@@ -110,6 +110,53 @@ object Router {
     if (fence) graft.plans.OptimizationBarrier.fence(routed) else routed
   }
 
+  /** [[route]] with Spark 4 VARIANT as the parse carrier (SURVEY.md §1.2):
+    * `try_parse_json` once into an open-schema variant, contract fields
+    * extracted with `variant_get`. Routing semantics are identical to
+    * [[route]] — including the non-object edge: a payload that parses but
+    * is a JSON scalar/array/null routes `failed:not_json`, exactly like
+    * from_json's corrupt channel; `schema_of_variant` (per-row string
+    * build) runs ONLY on rows whose `log_type` extract came back null, so
+    * the good-path cost is parse + three binary-encoded field gets.
+    *
+    * Measured head-to-head on the sf0.1 replay (README "Variant router"):
+    * kept as an ALTERNATIVE for open-schema consumers that go on to
+    * extract many ad-hoc props paths (one parse, N cheap gets); not the
+    * default route, whose fixed 3-field contract is what from_json's
+    * schema projection is optimal for. */
+  def routeVariant(df: DataFrame, cfg: PipelineConfig,
+                   payloadCol: String = "payload",
+                   fence: Boolean = true): DataFrame = {
+    val parsed = df.withColumn("_v", try_parse_json(col(payloadCol)))
+    val v = col("_v")
+    val rawType = variant_get(v, s"$$.${cfg.logTypeField}", "string")
+    val rawTs = variant_get(v, s"$$.${cfg.logTimestampField}", "string")
+    val eventTs = lenientTimestamp(rawTs)
+    // object-ness is only decisive when the type field is absent — a JSON
+    // scalar/array/null must dead-letter as not_json, not missing_type
+    val isObject = schema_of_variant(v).startsWith("OBJECT")
+
+    val whitelisted: Column = cfg.effectiveWhitelist match {
+      case Some(wl) => rawType.isin(wl.toSeq: _*)
+      case None => lit(true)
+    }
+
+    val routed = parsed
+      .select(col("*"),
+        coalesce(rawType, lit(cfg.logTypeUnknownPrefix)).as("log_type"),
+        variant_get(v, s"$$.${cfg.logIdField}", "string").as("log_id"),
+        eventTs.as("event_ts"),
+        when(v.isNull, Route.NotJson)
+          .when(rawType.isNull && !isObject, Route.NotJson)
+          .when(rawType.isNull, Route.MissingType)
+          .when(rawTs.isNull, Route.MissingTimestamp)
+          .when(eventTs.isNull, Route.BadTimestamp)
+          .when(!whitelisted, Route.NotWhitelisted)
+          .otherwise(Route.Good).as("route"))
+      .drop("_v")
+    if (fence) graft.plans.OptimizationBarrier.fence(routed) else routed
+  }
+
   /** The three disjoint channels of the routed stream. */
   def good(routed: DataFrame): DataFrame =
     routed.filter(col("route") === Route.Good)

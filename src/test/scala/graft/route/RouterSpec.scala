@@ -114,4 +114,27 @@ class RouterSpec extends SparkSpec {
       Router.dropped(routed).count()
     assert(n == payloads.size && sum == n)
   }
+
+  test("routeVariant matches route row-for-row, including non-object JSON edges") {
+    val payloads = Seq(
+      good,                                             // good
+      "definitely not json",                            // not_json (unparseable)
+      "42", "[1,2]", "null", "\"str\"",                 // not_json (parses, not an object)
+      """{"time":"2020-09-15T10:21:33Z"}""",            // missing_type
+      """{"log_type":null,"time":"2020-09-15T10:21:33Z"}""", // JSON-null type
+      """{"log_type":"nginx"}""",                       // missing_timestamp
+      """{"log_type":"nginx","time":"never oclock"}""", // bad_timestamp
+      """{"log_type":"apache","time":"2020-09-15T10:21:33Z","log_id":"x"}""")
+    for (c <- Seq(cfg, cfg.copy(logTypeWhitelist = Some(Set("nginx"))))) {
+      val df = payloads.toDF("payload")
+      val cols = Seq("payload", "log_type", "log_id", "event_ts", "route")
+      val a = Router.route(df, c).select(cols.map(col): _*)
+        .as[(String, String, Option[String], Option[java.sql.Timestamp], String)]
+        .collect().sortBy(_._1)
+      val b = Router.routeVariant(df, c).select(cols.map(col): _*)
+        .as[(String, String, Option[String], Option[java.sql.Timestamp], String)]
+        .collect().sortBy(_._1)
+      assert(a.toSeq == b.toSeq)
+    }
+  }
 }
