@@ -230,6 +230,24 @@ object TextQueries {
     // fingerprints (df > 20) are dropped before the pair join (MOSS's
     // common-fingerprint filter — the same skew/bucket-blowup defense as
     // prefix filtering's rare-first order).
+    // Exact repeated-substring coverage (Lee et al. 2022 span dedup): per
+    // doc, the fraction of tokens inside any 8-gram that occurs >= 2 times
+    // corpus-wide. Linear in corpus tokens (see ops/SpanDedup scale note);
+    // summarized per source so the row count stays bounded while every
+    // doc's coverage still feeds the hash.
+    "txt_dup_spans" -> ((s, dir) => {
+      val cov = graft.ops.SpanDedup.coverage(
+        docs(s, dir).filter(col("text").isNotNull), "doc_id", "text", k = 8)
+      docs(s, dir).select("doc_id", "source").join(cov, Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_dup").as("dup_tokens"),
+          round(sum("n_dup") * lit(1.0) / sum("n_tokens"), 4).as("dup_token_frac"),
+          sum(when(col("n_dup") * lit(1.0) / col("n_tokens") >= 0.5, 1L)
+            .otherwise(0L)).as("n_mostly_dup"))
+        .orderBy("source")
+    }),
+
     "txt_winnow_pairs" -> ((s, dir) => {
       val d = docs(s, dir).filter(col("text").isNotNull)
       val fps = d.select(col("doc_id"),
@@ -873,6 +891,28 @@ object TextQueries {
         |  FROM sized a JOIN sized b
         |    ON a.doc_id < b.doc_id AND least(a.n, b.n) >= 0.8 * greatest(a.n, b.n)
         |) WHERE j >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+    "txt_dup_spans" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |                     string_split_regex(trim(text), '\s+') AS ts
+        |              FROM documents WHERE text IS NOT NULL),
+        |kg AS (SELECT doc_id, i AS pos0, array_to_string(ts[i+1:i+8], ' ') AS kgram
+        |       FROM toks, LATERAL unnest(range(0, len(ts) - 8 + 1)) AS t(i)
+        |       WHERE len(ts) >= 8),
+        |dup AS (SELECT kgram FROM kg GROUP BY 1 HAVING count(*) >= 2),
+        |cov AS (SELECT DISTINCT k.doc_id, p
+        |        FROM kg k JOIN dup USING (kgram),
+        |             LATERAL unnest(range(k.pos0 + 1, k.pos0 + 9)) AS u(p)),
+        |per AS (SELECT t.doc_id, t.source, len(t.ts) AS n_tokens,
+        |               coalesce(c.n_dup, 0) AS n_dup
+        |        FROM toks t LEFT JOIN (SELECT doc_id, count(*) AS n_dup
+        |                               FROM cov GROUP BY 1) c USING (doc_id))
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(n_dup) AS BIGINT) AS dup_tokens,
+        |       round(sum(n_dup) * 1.0 / sum(n_tokens), 4) AS dup_token_frac,
+        |       CAST(sum(CASE WHEN n_dup * 1.0 / n_tokens >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_mostly_dup
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "txt_winnow_pairs" ->
       """WITH f AS (
         |  SELECT doc_id, fp FROM (

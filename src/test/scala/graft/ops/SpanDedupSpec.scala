@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Exact repeated-substring (span) dedup: corpus-wide duplicated k-gram
+  * coverage and keep-first removal (Lee et al. 2022 semantics). */
+class SpanDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // d1 and d2 share the 4-token span "the quick brown fox"; d2 also
+  // repeats "x y z" internally; d3 is all-unique; d4 is shorter than k.
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps high"),
+    (2L, "lazy dog sat the quick brown fox x y z then x y z end"),
+    (3L, "completely unique words only here"),
+    (4L, "too short")
+  ).toDF("doc_id", "text")
+
+  test("coverage marks exactly the tokens inside corpus-duplicated k-grams") {
+    val cov = SpanDedup.coverage(docs, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // d1: "the quick brown" + "quick brown fox" cover positions 1-4 → 4
+    // d2: shared span covers {4..7}; "x y z" twice covers {8..10,12..14} → 10
+    // d3: nothing duplicated; d4: shorter than k, zero coverage
+    assert(cov == Seq(
+      (1L, 6L, 4L, 0.6667),
+      (2L, 15L, 10L, 0.6667),
+      (3L, 5L, 0L, 0.0),
+      (4L, 2L, 0L, 0.0)))
+  }
+
+  test("removeDupSpans keeps the globally-first occurrence, drops the rest") {
+    val cleaned = SpanDedup.removeDupSpans(docs, "doc_id", "text", k = 3)
+      .as[(Long, String)].collect().toMap
+    // d1 owns the first occurrence of the shared span (doc 1 < doc 2)
+    assert(cleaned(1L) == "the quick brown fox jumps high")
+    // d2 loses the shared span AND the second "x y z" (first kept at pos 8-10)
+    assert(cleaned(2L) == "lazy dog sat x y z then end")
+    assert(cleaned(3L) == "completely unique words only here")
+    assert(cleaned(4L) == "too short")
+  }
+
+  test("a document made entirely of one repeated span collapses to its first window") {
+    val d = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val cov = SpanDedup.coverage(d, "doc_id", "text", k = 2)
+      .as[(Long, Long, Long, Double)].head()
+    // every adjacent pair ("a b", "b a") occurs ≥2× → all 6 tokens covered
+    assert(cov == ((1L, 6L, 6L, 1.0)))
+    val cleaned = SpanDedup.removeDupSpans(d, "doc_id", "text", k = 2)
+      .as[(Long, String)].head()
+    // non-first occurrences "a b"@2,@4 and "b a"@3 cover positions {3..6};
+    // only the first window survives
+    assert(cleaned == ((1L, "a b")))
+  }
+}
