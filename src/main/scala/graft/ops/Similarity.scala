@@ -446,4 +446,69 @@ object Similarity {
     topKPerGroup(cands.withColumn("sim", cosine(col("v"), col("qv"))),
       "qid", "sim", "id", k)
   }
+
+  /** SemDeDup-style semantic pruning (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * cluster the embedding corpus with the same portable k-means coarse
+    * quantizer as [[ivfTopK]], then prune WITHIN each cell — an item is
+    * dropped when a same-cell neighbor with a SMALLER id has cosine ≥
+    * `simThreshold` (min-id survivor, the repo's dedup convention; the
+    * paper keeps one item per ε-ball, the tie-break policy is free).
+    * Returns per-cell stats (cell, n_members, n_pruned, keep_frac).
+    *
+    * Scale: cells = max(16, ceil(√n)), so assignment work is n·√n
+    * distance evaluations in ONE scan against the broadcast centroid
+    * literal, and the within-cell self-join is Σ cell² ≈ n^1.5 cosines
+    * — the standard SemDeDup shape (the paper clusters precisely so that
+    * pairwise work is per-cell, never corpus²). Both stages shuffle once
+    * on the cell key; AQE skew-splits fat cells. Determinism: sample,
+    * Lloyd folds, assignment argmin and the cosine fold are all
+    * sequential and layout-invariant, so the DuckDB oracle replays the
+    * pipeline bit-for-bit (dynamic cell count included). */
+  def semanticPrune(corpus: DataFrame, idCol: String, vecCol: String,
+                    simThreshold: Double,
+                    trainSample: Int = 4096): DataFrame = {
+    val c = Par.spread(corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v")))
+      .filter(col("v").isNotNull)
+    val n = c.count()
+    val nlist = math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
+
+    val sample: Array[Array[Double]] = corpus
+      .select(col(vecCol).cast("array<double>").as("v"),
+        md5(col(idCol).cast("string")).as("h"), col(idCol).as("id"))
+      .filter(col("v").isNotNull)
+      .orderBy(col("h"), col("id"))
+      .limit(trainSample)
+      .select("v")
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    val centers = lloyd(sample, nlist, iters = 5)
+
+    val ctLit = typedlit(centers.map(_.toSeq).toSeq)
+    val d2s = transform(ctLit, ct => aggregate(
+      zip_with(col("v"), ct, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x))
+    val assigned = c
+      .withColumn("d2s", d2s)
+      .withColumn("cell",
+        greatest(array_position(col("d2s"), array_min(col("d2s"))) - 1, lit(0L)).cast("int"))
+      .select(col("id"), col("v"), col("cell"))
+
+    val lo = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("va"))
+    val hi = assigned.select(col("cell"), col("id").as("id_b"), col("v").as("vb"))
+    val prunedIds = lo.join(hi, "cell")
+      .where(col("id_a") < col("id_b"))
+      .where(cosine(col("va"), col("vb")) >= simThreshold)
+      .select(col("cell"), col("id_b").as("id"))
+      .distinct()
+    assigned.select("cell", "id")
+      .join(prunedIds.withColumn("pruned", lit(1L)), Seq("cell", "id"), "left")
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_members"),
+        coalesce(sum("pruned"), lit(0L)).as("n_pruned"))
+      .select(col("cell"), col("n_members"), col("n_pruned"),
+        round((col("n_members") - col("n_pruned")) * lit(1.0) / col("n_members"), 4)
+          .as("keep_frac"))
+  }
 }

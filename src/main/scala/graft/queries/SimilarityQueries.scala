@@ -154,6 +154,15 @@ object SimilarityQueries {
         .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
         .limit(100)),
 
+    // SemDeDup (Abbas 2023): portable-kmeans cells (√n of them), min-id
+    // survivor pruning of same-cell cosine-≥0.3 neighbors — per-cell
+    // keep stats; the oracle retrains the quantizer AND replays the
+    // within-cell prune in SQL, dynamic cell count included
+    "emb_semantic_prune" -> ((s, dir) =>
+      Similarity.semanticPrune(emb(s, dir), "vec_id", "embedding",
+          simThreshold = 0.3)
+        .orderBy("cell")),
+
     // Int8 quantization reconstruction error per label (the 4× storage
     // lever); mse in 1e-9 units so rounding keeps signal
     "sim_quantized_error" -> ((s, dir) => {
@@ -423,7 +432,47 @@ object SimilarityQueries {
        |  WHERE rank <= 10)""".stripMargin
   }
 
+  /** emb_semantic_prune oracle: retrain the √n-cell quantizer with the
+    * same md5-ordered sample + sequential Lloyd folds as the IVF oracle
+    * (cell count a scalar subquery so it tracks the corpus), assign the
+    * corpus, prune min-id-survivor within cells at cosine ≥ 0.3. */
+  private def semanticPruneSql: String = {
+    val iters = (1 to 5).map(lloydIterSql).mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE embedding IS NOT NULL),
+       |nn AS (SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS INT)) AS nl FROM e),
+       |smp AS (
+       |  SELECT v, rk FROM (
+       |    SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+       |    FROM e) s
+       |  WHERE rk <= 4096),
+       |init AS (
+       |  SELECT c, cell FROM (
+       |    SELECT v AS c, row_number() OVER (ORDER BY rk) - 1 AS cell FROM (
+       |      SELECT v, rk, row_number() OVER (PARTITION BY v ORDER BY rk) AS dup FROM smp) d
+       |    WHERE dup = 1) x
+       |  WHERE cell < (SELECT nl FROM nn)),
+       |$iters,
+       |asg AS (
+       |  SELECT id, v, cell FROM (
+       |    SELECT e.vec_id AS id, e.v, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY ${d2Sql("e.v", "c.c")}, c.cell) AS w
+       |    FROM e CROSS JOIN c5 c) z
+       |  WHERE w = 1),
+       |pruned AS (
+       |  SELECT DISTINCT b.cell, b.id
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.id < b.id
+       |  WHERE ${dotSql("a.v", "b.v")} / (${nrmSql("a.v")} * ${nrmSql("b.v")}) >= 0.3)""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "emb_semantic_prune" ->
+      s"""$semanticPruneSql
+         |SELECT a.cell, count(*) AS n_members,
+         |       CAST(count(p.id) AS BIGINT) AS n_pruned,
+         |       round((count(*) - count(p.id)) * 1.0 / count(*), 4) AS keep_frac
+         |FROM asg a LEFT JOIN pruned p ON a.cell = p.cell AND a.id = p.id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sim_pq_topk" ->
       s"""$pqSql
          |SELECT qid, id, rank, round(adc, 4) AS adc FROM pq ORDER BY qid, rank""".stripMargin,

@@ -766,4 +766,26 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(majorKept - 0.25) < 0.05, s"major keep rate $majorKept")
     assert(once.count(_ % 4 == 0L) == 500) // default rate 1.0 keeps every minor row
   }
+
+  test("semantic prune: min-id survivor within cells, singletons untouched") {
+    // Two exact copies (cosine 1) must share a cell (duplicate init
+    // vectors collapse to one center) and only the smaller id survives.
+    // The eps-perturbed near-copy becomes its OWN init center at this
+    // tiny scale and is untouched — pruning recall is cluster-granular by
+    // design (SemDeDup's contract: pairwise work only within cells).
+    val d = 64
+    def vec(seed: Int, eps: Double = 0.0): Seq[Double] =
+      (0 until d).map(j => math.sin(seed * 31 + j).abs + (if (j == 0) eps else 0.0))
+    val rows = Seq(
+      (1L, vec(1)), (2L, vec(1)), (3L, vec(1, eps = 0.05)),
+      (10L, vec(7)), (11L, vec(13)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.semanticPrune(df, "vec_id", "embedding", simThreshold = 0.99)
+      .as[(Int, Long, Long, Double)].collect()
+    assert(out.map(_._2).sum == 5L) // every vector accounted for
+    assert(out.map(_._3).sum == 1L, s"expected exactly id 2 pruned: ${out.toSeq}")
+    // the duplicate-holding cell keeps exactly one of two
+    val fat = out.filter(_._2 == 2L)
+    assert(fat.length == 1 && fat.head._3 == 1L && fat.head._4 == 0.5)
+  }
 }
