@@ -249,6 +249,36 @@ object PipelineQueries {
         .orderBy("index_name")
     }),
 
+    // §2.6 STATEFUL streaming row: the events replay duplicated 2× into a
+    // file stream consumed over 4 micro-batches, deduplicated by log_id
+    // with dropDuplicatesWithinWatermark (watermark far past the corpus
+    // span, so state never evicts and the dedup is exact no matter where
+    // batch boundaries fall), results appended through the streaming file
+    // sink. The oracle counts each event ONCE — a green row proves
+    // watermarked dedup state works across micro-batch boundaries.
+    "pipe_stream_dedup" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
+      val src = tmp.resolve("envelopes").toString
+      val env = envelopes(s, dir)
+      env.repartition(8).write.parquet(src)
+      env.repartition(8).write.mode("append").parquet(src)
+      val stream = s.readStream
+        .schema(graft.model.Schemas.envelope)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src)
+      val deduped = graft.streaming.StreamingPipeline
+        .dedupWithinWatermark(stream, cfg, watermark = "3650 days")
+      val outDir = tmp.resolve("out").toString
+      deduped.select("index_name").writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(outDir)
+        .groupBy("index_name").agg(count(lit(1)).as("n"))
+        .orderBy("index_name")
+    }),
+
     // §1.2 VARIANT router: the same fan-out as pipe_index_counts computed
     // through Router.routeVariant (try_parse_json + variant_get instead of
     // from_json's fixed schema) against the same oracle — the open-schema
@@ -299,6 +329,8 @@ object PipelineQueries {
       "pipe_stream_replay" ->
         s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
       "pipe_variant_route" ->
+        s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
+      "pipe_stream_dedup" ->
         s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
       "pipe_chunk_plan" ->
         s"""SELECT index_name, n, CAST(ceil(n / 500.0) AS BIGINT) AS chunks
