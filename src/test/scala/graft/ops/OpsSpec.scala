@@ -787,5 +787,11 @@ class OpsSpec extends SparkSpec {
     // the duplicate-holding cell keeps exactly one of two
     val fat = out.filter(_._2 == 2L)
     assert(fat.length == 1 && fat.head._3 == 1L && fat.head._4 == 0.5)
+    // plan guard: pairwise work must stay cell-local — an equi-join on
+    // the cell key, never a cartesian/nested-loop corpus product
+    val plan = org.apache.spark.sql.graft.Bridge.executedPlan(
+      Similarity.semanticPrune(df, "vec_id", "embedding", 0.99)).toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 }

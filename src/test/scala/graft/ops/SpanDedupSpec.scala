@@ -52,4 +52,11 @@ class SpanDedupSpec extends SparkSpec {
     // only the first window survives
     assert(cleaned == ((1L, "a b")))
   }
+
+  test("plan guard: census + join-back, nothing pairwise") {
+    val plan = org.apache.spark.sql.graft.Bridge.executedPlan(
+      SpanDedup.coverage(docs, "doc_id", "text", k = 3)).toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
 }
