@@ -473,27 +473,7 @@ object Similarity {
       .filter(col("v").isNotNull)
     val n = c.count()
     val nlist = math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
-
-    val sample: Array[Array[Double]] = corpus
-      .select(col(vecCol).cast("array<double>").as("v"),
-        md5(col(idCol).cast("string")).as("h"), col(idCol).as("id"))
-      .filter(col("v").isNotNull)
-      .orderBy(col("h"), col("id"))
-      .limit(trainSample)
-      .select("v")
-      .collect()
-      .map(_.getSeq[Double](0).toArray)
-    val centers = lloyd(sample, nlist, iters = 5)
-
-    val ctLit = typedlit(centers.map(_.toSeq).toSeq)
-    val d2s = transform(ctLit, ct => aggregate(
-      zip_with(col("v"), ct, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x))
-    val assigned = c
-      .withColumn("d2s", d2s)
-      .withColumn("cell",
-        greatest(array_position(col("d2s"), array_min(col("d2s"))) - 1, lit(0L)).cast("int"))
-      .select(col("id"), col("v"), col("cell"))
+    val assigned = quantize(corpus, idCol, vecCol, nlist, trainSample)
 
     val lo = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("va"))
     val hi = assigned.select(col("cell"), col("id").as("id_b"), col("v").as("vb"))
@@ -510,5 +490,51 @@ object Similarity {
       .select(col("cell"), col("n_members"), col("n_pruned"),
         round((col("n_members") - col("n_pruned")) * lit(1.0) / col("n_members"), 4)
           .as("keep_frac"))
+  }
+
+  /** The shared coarse-quantizer front half of [[ivfTopK]] /
+    * [[semanticPrune]]: md5-ordered bounded training sample, driver
+    * Lloyd, per-row first-wins argmin assignment against the broadcast
+    * centroid literal. Returns (id, v, cell). */
+  private[graft] def quantize(corpus: DataFrame, idCol: String, vecCol: String,
+                              nlist: Int, trainSample: Int): DataFrame = {
+    val c = Par.spread(corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v")))
+      .filter(col("v").isNotNull)
+    val sample: Array[Array[Double]] = corpus
+      .select(col(vecCol).cast("array<double>").as("v"),
+        md5(col(idCol).cast("string")).as("h"), col(idCol).as("id"))
+      .filter(col("v").isNotNull)
+      .orderBy(col("h"), col("id"))
+      .limit(trainSample)
+      .select("v")
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    val centers = lloyd(sample, nlist, iters = 5)
+    val ctLit = typedlit(centers.map(_.toSeq).toSeq)
+    val d2s = transform(ctLit, ct => aggregate(
+      zip_with(col("v"), ct, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x))
+    c.withColumn("d2s", d2s)
+      .withColumn("cell",
+        greatest(array_position(col("d2s"), array_min(col("d2s"))) - 1, lit(0L)).cast("int"))
+      .select(col("id"), col("v"), col("cell"))
+  }
+
+  /** IVF index-balance report: per-cell population and share under the
+    * same quantizer [[ivfTopK]] searches with. The operational knob this
+    * feeds is `nlist`/`nProbe` sizing — a hot cell (share ≫ 1/nlist)
+    * means probes that hit it scan far more than corpus·nProbe/nlist, and
+    * at 100 TB cell skew, not mean cell size, sets the tail latency. One
+    * scan + one nlist-row aggregate; the 16-row result makes the
+    * single-partition share window free. */
+  def ivfCellProfile(corpus: DataFrame, idCol: String, vecCol: String,
+                     nlist: Int = 16, trainSample: Int = 4096): DataFrame = {
+    quantize(corpus, idCol, vecCol, nlist, trainSample)
+      .groupBy("cell").agg(count(lit(1)).as("n_members"))
+      .withColumn("share", round(col("n_members") * lit(1.0) /
+        sum("n_members").over(Window.partitionBy()), 4))
+      .select("cell", "n_members", "share")
+      .orderBy("cell")
   }
 }

@@ -154,6 +154,12 @@ object SimilarityQueries {
         .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
         .limit(100)),
 
+    // IVF index-balance report: per-cell population/share under the same
+    // quantizer sim_ivf_topk searches with — cell skew, not mean size,
+    // sets probe tail latency at scale
+    "sim_ivf_cells" -> ((s, dir) =>
+      Similarity.ivfCellProfile(emb(s, dir), "vec_id", "embedding")),
+
     // SemDeDup (Abbas 2023): portable-kmeans cells (√n of them), min-id
     // survivor pruning of same-cell cosine-≥0.3 neighbors — per-cell
     // keep stats; the oracle retrains the quantizer AND replays the
@@ -466,6 +472,11 @@ object SimilarityQueries {
   }
 
   val sql: Map[String, String] = Map(
+    "sim_ivf_cells" ->
+      s"""$ivfSql
+         |SELECT cell, count(*) AS n_members,
+         |       round(count(*) * 1.0 / (SELECT count(*) FROM asg), 4) AS share
+         |FROM asg GROUP BY 1 ORDER BY 1""".stripMargin,
     "emb_semantic_prune" ->
       s"""$semanticPruneSql
          |SELECT a.cell, count(*) AS n_members,
