@@ -248,6 +248,30 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // Span-dedup YIELD: tokens before vs after keep-first removal — the
+    // corpus-reduction number the removal operator buys. Counting
+    // tokens_after from the RECONSTRUCTED text (single-space split of
+    // removeDupSpans output) makes the oracle verify the remover itself,
+    // not just the coverage arithmetic; the oracle derives the same
+    // counts as n_tokens − removed-position count.
+    "txt_span_yield" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("text").isNotNull)
+      val cleaned = graft.ops.SpanDedup.removeDupSpans(d, "doc_id", "text", k = 8)
+        .select(col("doc_id"),
+          when(length(col("text")) === 0, 0L)
+            .otherwise(size(split(col("text"), " ")).cast("long")).as("toks_after"))
+      d.select(col("doc_id"), col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("toks_before"))
+        .join(cleaned, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("toks_before").as("tokens_before"),
+          sum(coalesce(col("toks_after"), lit(0L))).as("tokens_after"),
+          round(sum(coalesce(col("toks_after"), lit(0L))) * lit(1.0)
+            / sum("toks_before"), 4).as("keep_frac"))
+        .orderBy("source")
+    }),
+
     "txt_winnow_pairs" -> ((s, dir) => {
       val d = docs(s, dir).filter(col("text").isNotNull)
       val fps = d.select(col("doc_id"),
@@ -911,6 +935,29 @@ object TextQueries {
         |       round(sum(n_dup) * 1.0 / sum(n_tokens), 4) AS dup_token_frac,
         |       CAST(sum(CASE WHEN n_dup * 1.0 / n_tokens >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_mostly_dup
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "txt_span_yield" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |                     string_split_regex(trim(text), '\s+') AS ts
+        |              FROM documents WHERE text IS NOT NULL),
+        |kg AS (SELECT doc_id, i AS pos0, array_to_string(ts[i+1:i+8], ' ') AS kgram
+        |       FROM toks, LATERAL unnest(range(0, len(ts) - 8 + 1)) AS t(i)
+        |       WHERE len(ts) >= 8),
+        |dup AS (SELECT kgram, min(doc_id * 1000000 + pos0) AS firstkey,
+        |               count(*) AS cnt
+        |        FROM kg GROUP BY 1),
+        |cov AS (SELECT DISTINCT k.doc_id, p
+        |        FROM kg k JOIN dup d USING (kgram),
+        |             LATERAL unnest(range(k.pos0 + 1, k.pos0 + 9)) AS u(p)
+        |        WHERE d.cnt >= 2 AND k.doc_id * 1000000 + k.pos0 <> d.firstkey),
+        |per AS (SELECT t.doc_id, t.source, len(t.ts) AS nb, coalesce(c.n, 0) AS nrem
+        |        FROM toks t LEFT JOIN (SELECT doc_id, count(*) AS n
+        |                               FROM cov GROUP BY 1) c USING (doc_id))
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(nb) AS BIGINT) AS tokens_before,
+        |       CAST(sum(nb - nrem) AS BIGINT) AS tokens_after,
+        |       round(sum(nb - nrem) * 1.0 / sum(nb), 4) AS keep_frac
         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "txt_winnow_pairs" ->
