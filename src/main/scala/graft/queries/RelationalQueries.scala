@@ -533,6 +533,30 @@ object RelationalQueries {
     // Last-touch attribution: each purchase credits the user's most
     // recent view/click within 7 days — the as-of join (one union-scan
     // window pass, no range cross join) plus an attribution-window filter
+    // Multi-touch LINEAR attribution: every touch within the 7-day window
+    // gets an equal share of the purchase. One user-key equi-join (work
+    // bounded per user), touch count via a purchase-key window, and the
+    // per-touch share in integer MICRO-UNITS (floor(value·1e6/n)) so the
+    // channel sums are exact integers — layout/engine-invariant by
+    // construction, no float-reduction-order surface.
+    "q_attribution_linear" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val touches = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("ts").as("t_ts"), col("event_type").as("touch"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts").as("p_ts"), col("value"))
+      purchases.join(touches, Seq("user_id"))
+        .where(col("t_ts") <= col("p_ts") &&
+          col("t_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"))
+        .withColumn("n_t", count(lit(1)).over(Window.partitionBy("event_id")))
+        .groupBy(col("touch").as("channel"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum(floor(col("value") * lit(1000000.0) / col("n_t")).cast("long"))
+            .as("rev_micro"))
+        .orderBy("channel")
+    }),
+
     "q_attribution" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val touches = ev.filter(col("event_type").isin("view", "click"))
@@ -2032,6 +2056,20 @@ object RelationalQueries {
         |       CAST(sum(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
         |       max(CASE WHEN is_out THEN value END) AS max_outlier
         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_attribution_linear" ->
+      """WITH touches AS (SELECT user_id, ts AS t_ts, event_type AS touch
+        |                 FROM events WHERE event_type IN ('view', 'click')),
+        |p AS (SELECT event_id, user_id, ts AS p_ts, value FROM events
+        |      WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |j AS (SELECT p.event_id, t.touch, p.value,
+        |             count(*) OVER (PARTITION BY p.event_id) AS n_t
+        |      FROM p JOIN touches t ON p.user_id = t.user_id
+        |       AND t.t_ts <= p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 7 DAY)
+        |SELECT touch AS channel, count(*) AS n_touches,
+        |       CAST(sum(CAST(floor(value * 1000000 / n_t) AS BIGINT)) AS BIGINT)
+        |         AS rev_micro
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_attribution" ->
       """WITH touches AS (SELECT user_id, ts, max(event_type) AS touch
         |                 FROM events WHERE event_type IN ('view', 'click')
