@@ -279,6 +279,51 @@ object PipelineQueries {
         .orderBy("index_name")
     }),
 
+    // §2.6 STATEFUL quota row: RateLimit.admit (flatMapGroupsWithState
+    // token bucket — at most `quota` events per event_type per day)
+    // driven over 4 micro-batches. Batches are sliced in STRICT
+    // (ts, event_id) order — file names pin the trigger order — so no
+    // per-key window ever regresses, the fail-open straggler path never
+    // fires, and the admitted subset is exactly the global first-quota
+    // per window by (ts, id): the rule the oracle ranks out relationally.
+    "pipe_stream_quota" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-quota")
+      val src = tmp.resolve("src"); java.nio.file.Files.createDirectories(src)
+      val ev = graft.Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("ts"))
+      val total = ev.count()
+      val sliced = ev.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")))
+        .withColumn("bucket", ((col("rn") - 1) * 4 / total).cast("int"))
+      for (i <- 0 until 4) {
+        val part = tmp.resolve(s"w$i")
+        sliced.filter(col("bucket") === i).drop("rn", "bucket")
+          .coalesce(1).write.parquet(part.toString)
+        val f = new java.io.File(part.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(f.toPath, src.resolve(f"part-$i%04d.parquet"))
+      }
+      import s.implicits._
+      val stream = s.readStream
+        .schema("event_id long, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(src.toString)
+      val keyed = stream.select(col("event_type").as("key"), col("ts"),
+        col("event_id").cast("string").as("id")).as[graft.streaming.RateLimit.Keyed]
+      val decisions = graft.streaming.RateLimit.admit(keyed,
+        quota = 10, windowMs = 86400000L, watermark = "3650 days")
+      val outDir = tmp.resolve("out").toString
+      decisions.toDF().writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(outDir)
+        .groupBy("key")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"))
+        .orderBy("key")
+    }),
+
     // §1.2 VARIANT router: the same fan-out as pipe_index_counts computed
     // through Router.routeVariant (try_parse_json + variant_get instead of
     // from_json's fixed schema) against the same oracle — the open-schema
@@ -332,6 +377,16 @@ object PipelineQueries {
         s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
       "pipe_stream_dedup" ->
         s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
+      "pipe_stream_quota" ->
+        """WITH r AS (SELECT event_type AS key, ts, event_id,
+          |                  row_number() OVER (
+          |                    PARTITION BY event_type,
+          |                      CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT)
+          |                    ORDER BY ts, CAST(event_id AS VARCHAR)) AS rk
+          |           FROM events)
+          |SELECT key, count(*) AS n,
+          |       CAST(sum(CASE WHEN rk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
+          |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
       "pipe_chunk_plan" ->
         s"""SELECT index_name, n, CAST(ceil(n / 500.0) AS BIGINT) AS chunks
            |FROM (SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1) t
