@@ -324,6 +324,53 @@ object PipelineQueries {
         .orderBy("key")
     }),
 
+    // §2.6 STREAMING session-window row: native session_window aggregation
+    // (30-min gap) in append mode over the same strictly time-ordered
+    // 4-batch slicing as pipe_stream_quota (ordered batches → no late
+    // drops under the 1 s watermark). Append mode only emits sessions the
+    // final watermark (max ts − 1 s) has closed, so BOTH sides keep only
+    // sessions whose last event is ≥ 1 day before the corpus max — a
+    // conservative cutoff that swallows the emission boundary exactly.
+    "pipe_stream_sessions" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-sessions")
+      val src = tmp.resolve("src"); java.nio.file.Files.createDirectories(src)
+      val ev = graft.Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val total = ev.count()
+      val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+      val sliced = ev.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")))
+        .withColumn("bucket", ((col("rn") - 1) * 4 / total).cast("int"))
+      for (i <- 0 until 4) {
+        val part = tmp.resolve(s"w$i")
+        sliced.filter(col("bucket") === i).drop("rn", "bucket")
+          .coalesce(1).write.parquet(part.toString)
+        val f = new java.io.File(part.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(f.toPath, src.resolve(f"part-$i%04d.parquet"))
+      }
+      val stream = s.readStream
+        .schema("event_id long, user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(src.toString)
+      val outDir = tmp.resolve("out").toString
+      stream.withWatermark("ts", "1 second")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.end").as("w_end"), col("n_events"))
+        .writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(outDir)
+        // last event = w.end − 30 min; keep sessions a full day clear of
+        // the final watermark so the emission boundary cannot show
+        .where(col("w_end") - expr("INTERVAL 30 MINUTES")
+          < lit(maxTs) - expr("INTERVAL 1 DAY"))
+        .groupBy("n_events").agg(count(lit(1)).as("n_sessions"))
+        .orderBy("n_events")
+    }),
+
     // §1.2 VARIANT router: the same fan-out as pipe_index_counts computed
     // through Router.routeVariant (try_parse_json + variant_get instead of
     // from_json's fixed schema) against the same oracle — the open-schema
@@ -377,6 +424,22 @@ object PipelineQueries {
         s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
       "pipe_stream_dedup" ->
         s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
+      "pipe_stream_sessions" ->
+        """WITH x AS (
+          |  SELECT user_id, ts,
+          |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+          |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+          |              THEN 1 ELSE 0 END AS ns
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          |g AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+          |                              ROWS UNBOUNDED PRECEDING) AS sid
+          |      FROM x),
+          |sess AS (SELECT user_id, sid, count(*) AS n_events, max(ts) AS last_ts
+          |         FROM g GROUP BY 1, 2)
+          |SELECT n_events, count(*) AS n_sessions
+          |FROM sess
+          |WHERE last_ts < (SELECT max(ts) FROM events) - INTERVAL 1 DAY
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
       "pipe_stream_quota" ->
         """WITH r AS (SELECT event_type AS key, ts, event_id,
           |                  row_number() OVER (
