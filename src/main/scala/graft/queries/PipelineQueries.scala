@@ -25,6 +25,29 @@ object PipelineQueries {
 
   /** events → JSON envelope bytes, optionally gzipped (exercises D3 against
     * the same oracle — the oracle doesn't care how bytes were wrapped). */
+  /** Write `ev` as `n` single-file parquet slices in STRICT (ts, event_id)
+    * order, file names pinning the trigger sequence — the deterministic
+    * micro-batch feed shared by the stateful streaming rows (ordered
+    * batches → watermarks never drop a record, keyed windows never
+    * regress). Returns the source directory for `readStream.parquet`. */
+  private def orderedSlices(ev: DataFrame, tmp: java.nio.file.Path,
+                            n: Int = 4): String = {
+    val src = tmp.resolve("src"); java.nio.file.Files.createDirectories(src)
+    val total = ev.count()
+    val sliced = ev.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")))
+      .withColumn("bucket", ((col("rn") - 1) * n / total).cast("int"))
+    for (i <- 0 until n) {
+      val part = tmp.resolve(s"w$i")
+      sliced.filter(col("bucket") === i).drop("rn", "bucket")
+        .coalesce(1).write.parquet(part.toString)
+      val f = new java.io.File(part.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath, src.resolve(f"part-$i%04d.parquet"))
+    }
+    src.toString
+  }
+
   private def envelopes(s: SparkSession, dir: String, gz: Boolean = false): DataFrame = {
     val env = Pipeline.eventsAsEnvelopes(s, dir)
     if (gz) env.withColumn("data", gzip_compress(col("data"))) else env
@@ -288,25 +311,12 @@ object PipelineQueries {
     // per window by (ts, id): the rule the oracle ranks out relationally.
     "pipe_stream_quota" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-stream-quota")
-      val src = tmp.resolve("src"); java.nio.file.Files.createDirectories(src)
-      val ev = graft.Tables.events(s, dir)
-        .select(col("event_id"), col("event_type"), col("ts"))
-      val total = ev.count()
-      val sliced = ev.withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")))
-        .withColumn("bucket", ((col("rn") - 1) * 4 / total).cast("int"))
-      for (i <- 0 until 4) {
-        val part = tmp.resolve(s"w$i")
-        sliced.filter(col("bucket") === i).drop("rn", "bucket")
-          .coalesce(1).write.parquet(part.toString)
-        val f = new java.io.File(part.toString).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        java.nio.file.Files.move(f.toPath, src.resolve(f"part-$i%04d.parquet"))
-      }
+      val src = orderedSlices(graft.Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("ts")), tmp)
       import s.implicits._
       val stream = s.readStream
         .schema("event_id long, event_type string, ts timestamp")
-        .option("maxFilesPerTrigger", 1).parquet(src.toString)
+        .option("maxFilesPerTrigger", 1).parquet(src)
       val keyed = stream.select(col("event_type").as("key"), col("ts"),
         col("event_id").cast("string").as("id")).as[graft.streaming.RateLimit.Keyed]
       val decisions = graft.streaming.RateLimit.admit(keyed,
@@ -333,25 +343,13 @@ object PipelineQueries {
     // conservative cutoff that swallows the emission boundary exactly.
     "pipe_stream_sessions" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-stream-sessions")
-      val src = tmp.resolve("src"); java.nio.file.Files.createDirectories(src)
       val ev = graft.Tables.events(s, dir)
         .select(col("event_id"), col("user_id"), col("ts"))
-      val total = ev.count()
       val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
-      val sliced = ev.withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")))
-        .withColumn("bucket", ((col("rn") - 1) * 4 / total).cast("int"))
-      for (i <- 0 until 4) {
-        val part = tmp.resolve(s"w$i")
-        sliced.filter(col("bucket") === i).drop("rn", "bucket")
-          .coalesce(1).write.parquet(part.toString)
-        val f = new java.io.File(part.toString).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        java.nio.file.Files.move(f.toPath, src.resolve(f"part-$i%04d.parquet"))
-      }
+      val src = orderedSlices(ev, tmp)
       val stream = s.readStream
         .schema("event_id long, user_id long, ts timestamp")
-        .option("maxFilesPerTrigger", 1).parquet(src.toString)
+        .option("maxFilesPerTrigger", 1).parquet(src)
       val outDir = tmp.resolve("out").toString
       stream.withWatermark("ts", "1 second")
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
@@ -369,6 +367,46 @@ object PipelineQueries {
           < lit(maxTs) - expr("INTERVAL 1 DAY"))
         .groupBy("n_events").agg(count(lit(1)).as("n_sessions"))
         .orderBy("n_events")
+    }),
+
+    // §2.6 STREAM-STREAM JOIN row: click and purchase arms of the SAME
+    // source stream inner-joined on user within a 1-hour event-time range
+    // (the streaming conversion join). Inner joins emit every match
+    // regardless of batch boundaries, and the far watermark means no
+    // input is ever late-dropped — so the emitted pair set equals batch
+    // semantics exactly, which the oracle computes relationally.
+    "pipe_stream_join" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-join")
+      val src = orderedSlices(graft.Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts")), tmp)
+      val stream = s.readStream
+        .schema("event_id long, user_id long, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val clicks = stream.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "3650 days")
+      val purchases = stream.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "3650 days")
+      val outDir = tmp.resolve("out").toString
+      purchases.join(clicks,
+          col("p_user") === col("c_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+        .select(col("p_id"), col("p_ts"))
+        .writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      // (purchase, click) pairs per day — a purchase with k in-window
+      // clicks contributes k pairs
+      s.read.parquet(outDir)
+        .groupBy(date_format(col("p_ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("p_id")).as("n_converted"))
+        .orderBy("day")
     }),
 
     // §1.2 VARIANT router: the same fan-out as pipe_index_counts computed
@@ -424,6 +462,16 @@ object PipelineQueries {
         s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
       "pipe_stream_dedup" ->
         s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
+      "pipe_stream_join" ->
+        """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+          |p AS (SELECT event_id, user_id, ts FROM events
+          |      WHERE event_type = 'purchase'),
+          |j AS (SELECT p.event_id, p.ts
+          |      FROM p JOIN c ON p.user_id = c.user_id
+          |       AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR)
+          |SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_pairs,
+          |       count(DISTINCT event_id) AS n_converted
+          |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
       "pipe_stream_sessions" ->
         """WITH x AS (
           |  SELECT user_id, ts,
