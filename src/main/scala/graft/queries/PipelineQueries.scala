@@ -48,6 +48,18 @@ object PipelineQueries {
     src.toString
   }
 
+  /** Run `body` with a reduced shuffle-partition count. Streaming state
+    * stores commit one checkpoint per shuffle partition per micro-batch —
+    * at 32 partitions × 4 batches that fixed cost dwarfs the data work at
+    * test scale. 8 partitions is plenty for these corpora; a production
+    * stream sizes this to its key cardinality instead. */
+  private def withFewShufflePartitions[T](s: SparkSession, n: Int = 8)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   private def envelopes(s: SparkSession, dir: String, gz: Boolean = false): DataFrame = {
     val env = Pipeline.eventsAsEnvelopes(s, dir)
     if (gz) env.withColumn("data", gzip_compress(col("data"))) else env
@@ -292,11 +304,13 @@ object PipelineQueries {
       val deduped = graft.streaming.StreamingPipeline
         .dedupWithinWatermark(stream, cfg, watermark = "3650 days")
       val outDir = tmp.resolve("out").toString
-      deduped.select("index_name").writeStream
-        .format("parquet").option("path", outDir)
-        .option("checkpointLocation", tmp.resolve("ckpt").toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start().awaitTermination()
+      withFewShufflePartitions(s) {
+        deduped.select("index_name").writeStream
+          .format("parquet").option("path", outDir)
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
       s.read.parquet(outDir)
         .groupBy("index_name").agg(count(lit(1)).as("n"))
         .orderBy("index_name")
@@ -322,11 +336,13 @@ object PipelineQueries {
       val decisions = graft.streaming.RateLimit.admit(keyed,
         quota = 10, windowMs = 86400000L, watermark = "3650 days")
       val outDir = tmp.resolve("out").toString
-      decisions.toDF().writeStream
-        .format("parquet").option("path", outDir)
-        .option("checkpointLocation", tmp.resolve("ckpt").toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start().awaitTermination()
+      withFewShufflePartitions(s) {
+        decisions.toDF().writeStream
+          .format("parquet").option("path", outDir)
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
       s.read.parquet(outDir)
         .groupBy("key")
         .agg(count(lit(1)).as("n"),
@@ -351,15 +367,17 @@ object PipelineQueries {
         .schema("event_id long, user_id long, ts timestamp")
         .option("maxFilesPerTrigger", 1).parquet(src)
       val outDir = tmp.resolve("out").toString
-      stream.withWatermark("ts", "1 second")
-        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
-        .agg(count(lit(1)).as("n_events"))
-        .select(col("user_id"), col("w.end").as("w_end"), col("n_events"))
-        .writeStream
-        .format("parquet").option("path", outDir)
-        .option("checkpointLocation", tmp.resolve("ckpt").toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start().awaitTermination()
+      withFewShufflePartitions(s) {
+        stream.withWatermark("ts", "1 second")
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"), col("w.end").as("w_end"), col("n_events"))
+          .writeStream
+          .format("parquet").option("path", outDir)
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
       s.read.parquet(outDir)
         // last event = w.end − 30 min; keep sessions a full day clear of
         // the final watermark so the emission boundary cannot show
@@ -372,34 +390,41 @@ object PipelineQueries {
     // §2.6 STREAM-STREAM JOIN row: click and purchase arms of the SAME
     // source stream inner-joined on user within a 1-hour event-time range
     // (the streaming conversion join). Inner joins emit every match
-    // regardless of batch boundaries, and the far watermark means no
-    // input is ever late-dropped — so the emitted pair set equals batch
-    // semantics exactly, which the oracle computes relationally.
+    // regardless of batch boundaries; the ordered slices mean no record
+    // ever arrives behind the watermark front, so a 2-hour watermark
+    // late-drops NOTHING while letting the store evict click state older
+    // than the join range — bounded state, the actual 100 TB shape, with
+    // the emitted pair set still equal to batch semantics, which the
+    // oracle computes relationally. Only the two joined arms are sliced
+    // and streamed.
     "pipe_stream_join" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-stream-join")
       val src = orderedSlices(graft.Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
         .select(col("event_id"), col("user_id"), col("event_type"), col("ts")), tmp)
       val stream = s.readStream
         .schema("event_id long, user_id long, event_type string, ts timestamp")
         .option("maxFilesPerTrigger", 1).parquet(src)
       val clicks = stream.filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
-        .withWatermark("c_ts", "3650 days")
+        .withWatermark("c_ts", "2 hours")
       val purchases = stream.filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
           col("ts").as("p_ts"))
-        .withWatermark("p_ts", "3650 days")
+        .withWatermark("p_ts", "2 hours")
       val outDir = tmp.resolve("out").toString
-      purchases.join(clicks,
-          col("p_user") === col("c_user") &&
-          col("c_ts") <= col("p_ts") &&
-          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
-        .select(col("p_id"), col("p_ts"))
-        .writeStream
-        .format("parquet").option("path", outDir)
-        .option("checkpointLocation", tmp.resolve("ckpt").toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start().awaitTermination()
+      withFewShufflePartitions(s) {
+        purchases.join(clicks,
+            col("p_user") === col("c_user") &&
+            col("c_ts") <= col("p_ts") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+          .select(col("p_id"), col("p_ts"))
+          .writeStream
+          .format("parquet").option("path", outDir)
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
       // (purchase, click) pairs per day — a purchase with k in-window
       // clicks contributes k pairs
       s.read.parquet(outDir)
