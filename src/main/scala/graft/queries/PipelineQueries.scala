@@ -434,6 +434,52 @@ object PipelineQueries {
         .orderBy("day")
     }),
 
+    // §2.6 OUTER stream-stream join row: purchases LEFT-OUTER joined to
+    // clicks — the null-match row (the negative funnel signal) is emitted
+    // only once the watermark proves no click can still arrive, the
+    // watermark-driven emission that makes outer stream joins subtle.
+    // Ordered slices → no late drops; both sides keep only purchases a
+    // full day clear of the corpus max, far inside the final watermark's
+    // proven region, so the emitted null set equals batch semantics.
+    "pipe_stream_outer_join" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-ojoin")
+      val ev = graft.Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+      val src = orderedSlices(ev, tmp)
+      val stream = s.readStream
+        .schema("event_id long, user_id long, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val clicks = stream.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+      val purchases = stream.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+      val outDir = tmp.resolve("out").toString
+      withFewShufflePartitions(s) {
+        purchases.join(clicks,
+            col("p_user") === col("c_user") &&
+            col("c_ts") <= col("p_ts") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
+            "left_outer")
+          .select(col("p_id"), col("p_ts"), col("c_ts"))
+          .writeStream
+          .format("parquet").option("path", outDir)
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
+      s.read.parquet(outDir)
+        .where(col("p_ts") < lit(maxTs) - expr("INTERVAL 1 DAY"))
+        .groupBy(date_format(col("p_ts"), "yyyy-MM-dd").as("day"))
+        .agg(sum(when(col("c_ts").isNull, 1L).otherwise(0L)).as("n_unconverted"),
+          countDistinct(when(col("c_ts").isNotNull, col("p_id"))).as("n_converted"))
+        .orderBy("day")
+    }),
+
     // §1.2 VARIANT router: the same fan-out as pipe_index_counts computed
     // through Router.routeVariant (try_parse_json + variant_get instead of
     // from_json's fixed schema) against the same oracle — the open-schema
@@ -487,6 +533,24 @@ object PipelineQueries {
         s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
       "pipe_stream_dedup" ->
         s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
+      "pipe_stream_outer_join" ->
+        """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+          |p AS (SELECT event_id, user_id, ts FROM events
+          |      WHERE event_type = 'purchase'
+          |        AND ts < (SELECT max(ts) FROM events
+          |                  WHERE event_type IN ('click', 'purchase'))
+          |                 - INTERVAL 1 DAY),
+          |m AS (SELECT p.event_id, p.ts,
+          |             count(c.user_id) AS n_clicks
+          |      FROM p LEFT JOIN c ON p.user_id = c.user_id
+          |       AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+          |      GROUP BY 1, 2)
+          |SELECT strftime(ts, '%Y-%m-%d') AS day,
+          |       CAST(sum(CASE WHEN n_clicks = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |         AS n_unconverted,
+          |       count(DISTINCT CASE WHEN n_clicks > 0 THEN event_id END)
+          |         AS n_converted
+          |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
       "pipe_stream_join" ->
         """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
           |p AS (SELECT event_id, user_id, ts FROM events
