@@ -264,4 +264,51 @@ class PropertySpec extends SparkSpec {
     val replay = graft.ops.Scd2.merge(merged, batches.last, "k", "uts", Seq("attr"))
     assert(replay.except(merged).isEmpty && merged.except(replay).isEmpty)
   }
+
+  test("span dedup invariants on random corpora (property)") {
+    import org.apache.spark.sql.functions._
+    // small vocabulary maximizes duplicated k-grams — the stress case
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    val docGen: Gen[String] =
+      Gen.chooseNum(2, 14).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
+        .map(_.mkString(" "))
+    (0 until 3).foreach { round =>
+      val texts = (0 until 25).flatMap(i =>
+        docGen.apply(Gen.Parameters.default, Seed(round * 1000L + i)))
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val k = 3
+      // 1. coverage is bounded by the doc: 0 <= n_dup <= n_tokens
+      val cov = graft.ops.SpanDedup.coverage(docs, "doc_id", "text", k)
+        .as[(Long, Long, Long, Double)].collect()
+      assert(cov.forall(c => c._3 >= 0 && c._3 <= c._2), s"round $round: $cov")
+      assert(cov.length == texts.length)
+      // 2. cleaned text is a SUBSEQUENCE of the original (removal can
+      // reorder or invent nothing), and survivors <= originals
+      val cleaned = graft.ops.SpanDedup.removeDupSpans(docs, "doc_id", "text", k)
+        .as[(Long, String)].collect().toMap
+      def isSubseq(sub: Seq[String], sup: Seq[String]): Boolean = {
+        var i = 0
+        sup.foreach(t => if (i < sub.length && sub(i) == t) i += 1)
+        i == sub.length
+      }
+      texts.zipWithIndex.foreach { case (orig, id) =>
+        val after = cleaned.get(id.toLong).filter(_.nonEmpty)
+          .map(_.split(" ").toSeq).getOrElse(Seq.empty)
+        assert(isSubseq(after, orig.split(" ").toSeq),
+          s"round $round doc $id: '$after' not a subsequence of '$orig'")
+      }
+      // 3. removal never exceeds coverage: only tokens inside SOME
+      // duplicated k-gram occurrence may be dropped, so per doc
+      // survivors >= n_tokens - n_dup (a first occurrence is only ever
+      // lost to a DIFFERENT overlapping duplicated k-gram, which
+      // coverage already counts)
+      cov.foreach { case (id, nTok, nDup, _) =>
+        val after = cleaned.get(id).filter(_.nonEmpty)
+          .map(_.split(" ").length.toLong).getOrElse(0L)
+        assert(after >= nTok - nDup && after <= nTok,
+          s"round $round doc $id: $after survivors outside [$nTok-$nDup, $nTok]")
+      }
+    }
+  }
 }
