@@ -326,4 +326,26 @@ object TextAnalysis {
       .withColumn("lang_guess", langIdGuess(c))
       .withColumn("fp", fingerprint(c))
   }
+
+  /** RAG-style document chunking: overlapping token windows of `win`
+    * tokens advancing by `stride` (`stride < win` ⇒ `win − stride` tokens
+    * of overlap — the context-continuity knob). The last window starts at
+    * the smallest multiple of `stride` that reaches the document end, so
+    * every token lands in ≥ 1 chunk and a short final chunk is emitted
+    * rather than dropping the tail; a document shorter than `win` is one
+    * whole-document chunk. Pure per-row generate/slice arithmetic — no
+    * shuffle, no state; chunk explosion is bounded by n·win/stride. */
+  def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
+                   win: Int, stride: Int): DataFrame = {
+    require(win >= 1 && stride >= 1 && stride <= win,
+      s"need 1 <= stride <= win, got win=$win stride=$stride")
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+      .withColumn("n", size(col("_toks")))
+      .withColumn("s", explode(expr(
+        s"sequence(0, CASE WHEN n <= $win THEN 0 " +
+          s"ELSE ((n - $win + ${stride - 1}) div $stride) * $stride END, $stride)")))
+      .select(col("doc_id"), (col("s") / stride).cast("long").as("chunk_id"),
+        expr(s"concat_ws(' ', slice(_toks, s + 1, $win))").as("chunk_text"),
+        least(lit(win), col("n") - col("s")).cast("long").as("n_tokens"))
+  }
 }

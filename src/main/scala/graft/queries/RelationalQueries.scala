@@ -90,18 +90,19 @@ object RelationalQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
-    // TPC-H Q7 shape: bilateral shipping volume between a nation pair by
-    // year. Six-relation join where only lineitem⋈orders is data-sized:
+    // TPC-H Q7 shape: bilateral shipping volume between nation pairs
+    // (4-nation block — wide enough that sf0.001 still has rows) by year.
+    // Six-relation join where only lineitem⋈orders is data-sized:
     // every dimension broadcasts, the two nation filters semi-reduce
     // customer/supplier BEFORE the fact join, and the year rollup rides
     // the same exchange.
     "q7_nation_volume" -> ((s, dir) => {
       val n1 = t(s, dir, "nation")
         .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
-        .filter(col("supp_nation").isin("NATION_1", "NATION_2"))
+        .filter(col("supp_nation").isin("NATION_1", "NATION_2", "NATION_3", "NATION_4"))
       val n2 = t(s, dir, "nation")
         .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
-        .filter(col("cust_nation").isin("NATION_1", "NATION_2"))
+        .filter(col("cust_nation").isin("NATION_1", "NATION_2", "NATION_3", "NATION_4"))
       val li = t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
@@ -1767,8 +1768,8 @@ object RelationalQueries {
         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
-        |  AND n1.n_name IN ('NATION_1', 'NATION_2')
-        |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+        |  AND n2.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
         |  AND n1.n_name <> n2.n_name
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q10_returned_customers" ->

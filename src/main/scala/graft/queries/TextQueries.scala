@@ -248,6 +248,23 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // RAG chunking profile: 64-token windows at stride 48 (16-token
+    // overlap) — per-source chunk counts, total chunk tokens (overlap
+    // included: the embedding-cost number) and mean chunk size
+    "txt_chunk_windows" -> ((s, dir) => {
+      val chunks = TextAnalysis.chunkWindows(
+        docs(s, dir).filter(col("text").isNotNull), "doc_id", "text",
+        win = 64, stride = 48)
+      docs(s, dir).select("doc_id", "source")
+        .join(chunks, Seq("doc_id"))
+        .groupBy("source")
+        .agg(countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum("n_tokens").as("chunk_tokens"),
+          round(avg("n_tokens"), 4).as("avg_chunk_tokens"))
+        .orderBy("source")
+    }),
+
     // Span-dedup YIELD: tokens before vs after keep-first removal — the
     // corpus-reduction number the removal operator buys. Counting
     // tokens_after from the RECONSTRUCTED text (single-space split of
@@ -936,6 +953,22 @@ object TextQueries {
         |       CAST(sum(CASE WHEN n_dup * 1.0 / n_tokens >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_mostly_dup
         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "txt_chunk_windows" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |                     string_split_regex(trim(text), '\s+') AS ts
+        |              FROM documents WHERE text IS NOT NULL),
+        |d AS (SELECT doc_id, source, len(ts) AS n FROM toks),
+        |st AS (SELECT doc_id, source, n,
+        |              unnest(range(0,
+        |                CASE WHEN n <= 64 THEN 1
+        |                     ELSE ((n - 64 + 47) // 48) * 48 + 1 END, 48)) AS s
+        |       FROM d),
+        |c AS (SELECT doc_id, source, least(64, n - s) AS ctoks FROM st)
+        |SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+        |       CAST(sum(ctoks) AS BIGINT) AS chunk_tokens,
+        |       round(avg(ctoks), 4) AS avg_chunk_tokens
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "txt_span_yield" ->
       """WITH toks AS (SELECT doc_id, source,

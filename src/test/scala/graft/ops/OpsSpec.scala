@@ -794,4 +794,21 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
+
+  test("chunk windows: overlap, tail chunk, short doc, full coverage") {
+    val doc = (1 to 10).map(i => s"t$i").mkString(" ") // 10 tokens
+    val d = Seq((1L, doc), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkWindows(d, "doc_id", "text", win = 4, stride = 3)
+      .as[(Long, Long, String, Long)].collect().sortBy(c => (c._1, c._2)).toSeq
+    // starts 0,3,6 — and 6+4=10 reaches the end, so no start-9 tail
+    assert(out.filter(_._1 == 1L).map(c => (c._2, c._3, c._4)) == Seq(
+      (0L, "t1 t2 t3 t4", 4L), (1L, "t4 t5 t6 t7", 4L), (2L, "t7 t8 t9 t10", 4L)))
+    // sub-window doc → one whole-document chunk
+    assert(out.filter(_._1 == 2L) == Seq((2L, 0L, "a b", 2L)))
+    // an 11-token doc needs the short tail chunk at start 9
+    val d11 = Seq((1L, (1 to 11).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val tail = TextAnalysis.chunkWindows(d11, "doc_id", "text", win = 4, stride = 3)
+      .as[(Long, Long, String, Long)].collect().maxBy(_._2)
+    assert(tail == ((1L, 3L, "t10 t11", 2L)))
+  }
 }
