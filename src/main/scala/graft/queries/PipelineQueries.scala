@@ -52,7 +52,9 @@ object PipelineQueries {
     * stores commit one checkpoint per shuffle partition per micro-batch —
     * at 32 partitions × 4 batches that fixed cost dwarfs the data work at
     * test scale. 8 partitions is plenty for these corpora; a production
-    * stream sizes this to its key cardinality instead. */
+    * stream sizes this to its key cardinality instead. (Measured: dropping
+    * further to 2 moves the six stream rows < ±10% each and the total not
+    * at all — below 8 the cost is micro-batch planning, not store commits.) */
   private def withFewShufflePartitions[T](s: SparkSession, n: Int = 8)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
