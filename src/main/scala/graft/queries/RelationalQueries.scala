@@ -137,6 +137,110 @@ object RelationalQueries {
         .limit(20)
     }),
 
+    // TPC-H Q4 shape: EXISTS decorrelation. The correlated EXISTS becomes a
+    // LEFT SEMI join — lineitem is filtered and deduped per orderkey by the
+    // semi-join itself (no distinct pass), then the priority rollup rides
+    // the post-join exchange. At scale the semi side carries only
+    // l_orderkey, so the shuffle moves one long column.
+    "q4_order_priority" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val returned = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R").select("l_orderkey")
+      o.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q6 shape: the pure pushdown showcase — no join at all. All
+    // three predicates and both referenced columns must reach the parquet
+    // scan (PushedFilters + 4-column ReadSchema); the aggregate is a
+    // single partial-final pair over an empty grouping.
+    "q6_discount_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"))),
+
+    // TPC-H Q13 shape: outer-join distribution. LEFT join keeps the
+    // zero-order customers (count(o_orderkey) ignores the null rows), then
+    // a second, tiny aggregation folds ~customer-count rows into an
+    // order-count histogram. The priority filter lives on the orders side
+    // BEFORE the join — equivalent to Q13's ON-clause predicate.
+    "q13_customer_distribution" -> ((s, dir) => {
+      val o = t(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT")
+      t(s, dir, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count("o_orderkey").as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q17 shape: correlated scalar subquery, decorrelated by hand
+    // into a per-part average joined back to the fact. The brand filter
+    // semi-reduces lineitem BEFORE the per-part aggregate (Q17's classic
+    // optimization), and both the part list and the tiny avg relation
+    // broadcast — the fact table never shuffles. Quantities are
+    // integer-valued doubles, so avg = exact-int-sum / count is
+    // order-independent and the 0.8·avg threshold is engine-stable.
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      val brandParts = t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#1").select("p_partkey")
+      val li = t(s, dir, "lineitem")
+        .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      val partAvg = li.groupBy("l_partkey")
+        .agg(avg("l_quantity").as("avg_qty"))
+      li.join(broadcast(partAvg), Seq("l_partkey"))
+        .filter(col("l_quantity") < lit(0.8) * col("avg_qty"))
+        .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
+    }),
+
+    // TPC-H Q18 shape: HAVING on a fact-side aggregate, then join the
+    // survivors back to orders/customer. The heavy groupBy runs FIRST and
+    // the > 180 filter collapses it to a handful of keys, so the two
+    // dimension joins see only survivors (broadcast the aggregate, not
+    // the fact).
+    "q18_large_orders" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem").groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("total_qty"))
+        .filter(col("total_qty") > 180)
+      big.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          col("o_totalprice"), round(col("total_qty"), 2).as("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q19 shape: disjunctive predicate pushdown. The OR-of-ANDs
+    // references both sides, but its single-table residues (brand ∈ {1,2,3},
+    // size ≤ 15, quantity ∈ [1,30]) are pre-applied to each input so the
+    // join sees only plausible rows; the full disjunction runs post-join.
+    "q19_disjunctive_revenue" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+          col("p_size").between(1, 15))
+      val li = t(s, dir, "lineitem").filter(col("l_quantity").between(1, 30))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // Window function: top order per customer (rank + deterministic tiebreak)
     "q_window_top_order" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
@@ -1783,6 +1887,52 @@ object RelationalQueries {
         |  AND o_orderdate >= TIMESTAMP '1996-07-01'
         |  AND o_orderdate < TIMESTAMP '1996-10-01'
         |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q6_discount_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q13_customer_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT JOIN orders ON c_custkey = o_custkey
+        |                   AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1) GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem l JOIN part p ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#1'
+        |  AND l_quantity < (SELECT 0.8 * avg(l_quantity)
+        |                    FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_totalprice,
+        |       round(sum(l_quantity), 2) AS total_qty
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |GROUP BY 1, 2, 3, 4, 5 HAVING sum(l_quantity) > 180
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q19_disjunctive_revenue" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem l JOIN part p ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "q_window_top_order" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
