@@ -48,8 +48,9 @@ object ScaleRehearsal {
         java.nio.file.Paths.get(s"$dst/$t.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
 
-    // events: keep ts as the raw INT64 nanos the fixture uses, so
-    // Tables.events' `ts div 1000` conversion applies identically
+    // events: pass ts through in the fixture's own encoding (INT64 nanos
+    // or µs timestamp), so Tables.normalizeTs applies identically to the
+    // replica
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$src/events.parquet")
     val nEv = ev.agg(max("event_id")).head.getLong(0) + 1

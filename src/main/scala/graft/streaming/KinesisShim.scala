@@ -128,6 +128,25 @@ private[streaming] object KinesisShim {
     else Seq(p)
   }
 
+  /** raw INT64 `ts` → µs, decided from the file's own logical type (the
+    * fixture's encoding has varied across generations — Tables.scala):
+    * TIMESTAMP(MICROS) passes through, TIMESTAMP(MILLIS) scales up, and
+    * anything else is the legacy TIMESTAMP(NANOS) fixture, which
+    * parquet-mr surfaces as plain INT64 ns — truncated ns→µs exactly like
+    * Tables.events' `ts div 1000`. */
+  private def tsToMicros(t: org.apache.parquet.schema.GroupType): Long => Long = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    t.getType("ts").asPrimitiveType().getLogicalTypeAnnotation match {
+      case a: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+        a.getUnit match {
+          case LogicalTypeAnnotation.TimeUnit.MICROS => identity
+          case LogicalTypeAnnotation.TimeUnit.MILLIS => _ * 1000L
+          case _ => _ / 1000L
+        }
+      case _ => _ / 1000L
+    }
+  }
+
   /** EXECUTOR-side shard read: scan the events parquet directly (plain
     * parquet-hadoop, no SparkSession — partition readers run off-driver),
     * keep only this shard's records, order by event_id, return the
@@ -143,14 +162,15 @@ private[streaming] object KinesisShim {
     val buf = Vector.newBuilder[Raw]
     parquetFiles(eventsPath).foreach { file =>
       val reader = ParquetReader.builder(new GroupReadSupport(), file).build()
+      var toUs: Long => Long = null
       try {
         var g = reader.read()
         while (g != null) {
+          if (toUs == null) toUs = tsToMicros(g.getType)
           val eventId = g.getLong("event_id", 0)
           if (shardOf(eventId.toString, nShards) == shard) {
             def has(f: String): Boolean = g.getFieldRepetitionCount(f) > 0
-            // ns→µs truncation identical to Tables.events (`ts div 1000`)
-            buf += Raw(eventId, g.getLong("ts", 0) / 1000L,
+            buf += Raw(eventId, toUs(g.getLong("ts", 0)),
               if (has("event_type")) g.getString("event_type", 0) else null,
               if (has("user_id")) Long.box(g.getLong("user_id", 0)) else null,
               if (has("value")) Double.box(g.getDouble("value", 0)) else null,

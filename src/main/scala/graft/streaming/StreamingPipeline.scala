@@ -24,26 +24,23 @@ import graft.sink.BulkTransport
   */
 object StreamingPipeline {
 
-  /** Schema for streaming reads of the driver's events parquet (ts is
-    * TIMESTAMP(NANOS) physical INT64 — read as long, rebuilt in µs). */
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   /** File-replay streaming source: the events table as a stream of Kinesis
     * envelope rows (the zero-egress stand-in for the Kinesis source, same
-    * contract as Pipeline.eventsAsEnvelopes). */
+    * contract as Pipeline.eventsAsEnvelopes). Streaming file sources need
+    * the schema up front, and the fixture's `ts` encoding has varied
+    * (TIMESTAMP(NANOS)-as-long vs TIMESTAMP(MICROS) — Tables.scala), so we
+    * probe the file's batch-read schema once (a footer read) and reuse it,
+    * then normalize `ts` with the same shared rule as the batch reader. */
   def eventsReplayStream(spark: SparkSession, sfDir: String,
                          maxFilesPerTrigger: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.readStream
-      .schema(eventsRawSchema)
+    val fileSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val raw = graft.Tables.normalizeTs(spark.readStream
+      .schema(fileSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       // file sources want a directory; glob-select the events table from it
       .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(sfDir))
     raw.select(
       col("event_id").cast("string").as("partitionKey"),
       col("event_id").cast("string").as("sequenceNumber"),

@@ -99,13 +99,10 @@ class EndToEndSpec extends SparkSpec {
     // shard, the process "dies" (main returns), the stream gains records,
     // and run 2 with the SAME checkpoint resumes from the recorded shard
     // positions — every record delivered exactly once across the restart.
+    // pass `ts` through in whatever encoding the fixture uses (long nanos
+    // or µs timestamp) — the shim detects the written file's logical type
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.types._
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val raw = spark.read.schema(rawSchema).parquet(s"$sf/events.parquet")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
     val maxId = raw.agg(org.apache.spark.sql.functions.max("event_id"))
       .head().getLong(0)
     val splitId = maxId / 2 // ids are the shard sort key: later ids append
