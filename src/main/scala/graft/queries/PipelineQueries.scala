@@ -482,6 +482,42 @@ object PipelineQueries {
         .orderBy("day")
     }),
 
+    // §2.6 STREAMING UPSERT row: last-write-wins key compaction (the
+    // compacted-topic / CDC-materialization shape). Each user's event
+    // stream is reduced to ONE current row by keyed state that emits only
+    // on change (Compact.latestPerKey), merged per micro-batch into a
+    // versioned parquet snapshot (Compact.mergeBatch). Ordered slices →
+    // every batch's winner is the true prefix winner; the final snapshot
+    // equals the relational argmax-by-(ts, event_id) the oracle computes.
+    "pipe_stream_upsert" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-upsert")
+      val src = orderedSlices(graft.Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"), col("value")), tmp)
+      import s.implicits._
+      val stream = s.readStream
+        .schema("event_id long, user_id long, event_type string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .select(col("user_id").as("key"), unix_micros(col("ts")).as("us"),
+          col("event_id").as("id"), col("event_type").as("kind"), col("value"))
+        .as[graft.streaming.Compact.Upd]
+      val table = tmp.resolve("table").toString
+      withFewShufflePartitions(s) {
+        graft.streaming.Compact.latestPerKey(stream).toDF().writeStream
+          .foreachBatch((changes: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         batchId: Long) =>
+            graft.streaming.Compact.mergeBatch(changes.toDF(), table, batchId))
+          .outputMode("update")
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
+      graft.streaming.Compact.snapshot(s, table)
+        .groupBy(col("kind").as("last_event_type"))
+        .agg(count(lit(1)).as("n_users"), round(sum("value"), 2).as("total_value"))
+        .orderBy("last_event_type")
+    }),
+
     // §1.2 VARIANT router: the same fan-out as pipe_index_counts computed
     // through Router.routeVariant (try_parse_json + variant_get instead of
     // from_json's fixed schema) against the same oracle — the open-schema
@@ -553,6 +589,15 @@ object PipelineQueries {
           |       count(DISTINCT CASE WHEN n_clicks > 0 THEN event_id END)
           |         AS n_converted
           |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+      "pipe_stream_upsert" ->
+        """WITH latest AS (
+          |  SELECT user_id, event_type, value,
+          |         row_number() OVER (PARTITION BY user_id
+          |                            ORDER BY ts DESC, event_id DESC) AS rn
+          |  FROM events)
+          |SELECT event_type AS last_event_type, count(*) AS n_users,
+          |       round(sum(value), 2) AS total_value
+          |FROM latest WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
       "pipe_stream_join" ->
         """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
           |p AS (SELECT event_id, user_id, ts FROM events

@@ -350,6 +350,29 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
         .orderBy("event_type", "day")),
 
+    // Incremental MV maintenance: the daily rollup maintained by MERGING
+    // mergeable partials (standing MV + a late-arriving delta slice)
+    // instead of rescanning history — proven equal to the full recompute
+    // the oracle runs. The delta (event_id % 5 == 0) deliberately touches
+    // EVERY day, the hard case where naive "reprocess recent partitions"
+    // maintenance silently misses late rows.
+    "q_incremental_rollup" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val mv = graft.ops.Incremental.partialDaily(ev.filter(col("event_id") % 5 =!= 0))
+      val delta = graft.ops.Incremental.partialDaily(ev.filter(col("event_id") % 5 === 0))
+      graft.ops.Incremental.merge(mv, delta)
+        .select(col("event_type"), col("day"), col("n"),
+          round(col("sv"), 2).as("total_value"),
+          round(col("mn"), 4).as("min_value"),
+          round(col("mx"), 4).as("max_value"),
+          // derive avg from the ROUNDED sum: the raw partial-sum total can
+          // differ from the oracle's fold order by an ulp, and an ulp at a
+          // round-boundary flips the 4th decimal — rounding first pins both
+          // engines to the identical dividend
+          round(round(col("sv"), 2) / col("n"), 4).as("avg_value"))
+        .orderBy("event_type", "day")
+    }),
+
     // As-of join: each event matched to the user's latest prior order
     // (union + single-shuffle window scan — no range cross join)
     "q_asof_last_order" -> ((s, dir) => {
@@ -2040,6 +2063,13 @@ object RelationalQueries {
     "q_daily_rollup" ->
       """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
         |       round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_incremental_rollup" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+        |       round(sum(value), 2) AS total_value,
+        |       round(min(value), 4) AS min_value,
+        |       round(max(value), 4) AS max_value,
+        |       round(round(sum(value), 2) / count(*), 4) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_asof_last_order" ->
       """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey

@@ -404,6 +404,27 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // Training-mixture domain weighting: temperature-scaled sampling
+    // weights per source (w_i ∝ n_i^α with α = 1/2 — sqrt is correctly
+    // rounded in every IEEE libm, so both engines get bit-identical
+    // weights, unlike pow()). Downsamples the huge domains, upsamples the
+    // small ones; `epochs_at_1m` is how many passes over a source a
+    // 1M-token budget implies — the UniMax-style oversampling signal. The
+    // Σ n_i^α normalizer is a broadcast scalar: one map-side-combined agg
+    // of #sources rows, never a driver collect or an unpartitioned window.
+    "txt_mixture_weights" -> ((s, dir) => {
+      val perSource = docs(s, dir)
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+        .groupBy("source").agg(sum("n_tokens").as("n_tokens"))
+      val z = perSource.agg(sum(sqrt(col("n_tokens"))).as("z"))
+      perSource.crossJoin(broadcast(z))
+        .select(col("source"), col("n_tokens"),
+          round(sqrt(col("n_tokens")) / col("z"), 6).as("weight"),
+          round(sqrt(col("n_tokens")) / col("z") * lit(1000000.0) / col("n_tokens"), 4)
+            .as("epochs_at_1m"))
+        .orderBy("source")
+    }),
+
     // Dedup clusters: connected components over the MinHash-verified ≥0.8
     // pair set — cluster sizes tell how much the corpus shrinks.
     // Oracle-checked: same exact edge set as dedup_minhash_pairs (see
@@ -1324,6 +1345,16 @@ object TextQueries {
         |      FROM d)
         |SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
         |FROM c WHERE cum - n_tokens < b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "txt_mixture_weights" ->
+      """WITH s AS (SELECT source,
+        |                  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |                    AS n_tokens
+        |           FROM documents GROUP BY 1),
+        |z AS (SELECT sum(sqrt(n_tokens)) AS z FROM s)
+        |SELECT source, n_tokens,
+        |       round(sqrt(n_tokens) / z, 6) AS weight,
+        |       round(sqrt(n_tokens) / z * 1000000.0 / n_tokens, 4) AS epochs_at_1m
+        |FROM s, z ORDER BY source""".stripMargin,
     "txt_heavy_bigrams" ->
       """WITH toks AS (SELECT lang, string_split_regex(trim(text), '\s+') AS t FROM documents),
         |bg AS (SELECT lang, unnest(list_transform(generate_series(1, len(t)-1),
