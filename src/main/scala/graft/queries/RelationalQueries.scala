@@ -373,6 +373,45 @@ object RelationalQueries {
         .orderBy("event_type", "day")
     }),
 
+    // Incremental JOIN-view maintenance: the nation-revenue MV is kept
+    // current by joining ONLY the delta slice of orders against the dims
+    // and merging the partial aggregates — ΔMV = agg(Δorders ⋈ dims),
+    // never re-joining history (one-sided delta maintenance: the dims are
+    // slowly-changing and versioned separately via SCD2). The delta
+    // (o_orderkey % 4 == 0) spans all nations and dates — the oracle is
+    // the full recompute.
+    "q_incremental_join" -> ((s, dir) => {
+      def partial(orders: DataFrame) = orders
+        .join(broadcast(t(s, dir, "customer").select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation").select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name").agg(count(lit(1)).as("n"), sum("o_totalprice").as("sv"))
+      val orders = t(s, dir, "orders")
+      val mv = partial(orders.filter(col("o_orderkey") % 4 =!= 0))
+      val delta = partial(orders.filter(col("o_orderkey") % 4 === 0))
+      mv.unionByName(delta).groupBy("n_name")
+        .agg(sum("n").as("n_orders"), round(sum("sv"), 2).as("total_price"))
+        .orderBy("n_name")
+    }),
+
+    // Join-cardinality pre-flight: the exact output size of the events
+    // user_id self-join (the q_interval_join shape) computed WITHOUT
+    // executing the join — sum over keys of c(k)^2 from one
+    // map-side-combined count. At 100 TB this O(|input|) aggregation is
+    // what you run BEFORE a potentially-quadratic join: `amplification`
+    // says whether to proceed, `max_key_rows` says which keys need
+    // salting first.
+    "q_join_cardinality" -> ((s, dir) => {
+      val c = t(s, dir, "events")
+        .groupBy(col("user_id").as("k")).agg(count(lit(1)).as("c"))
+      c.agg(sum("c").as("n_rows"), count(lit(1)).as("n_keys"),
+          sum(col("c") * col("c")).as("selfjoin_rows"),
+          max(col("c") * col("c")).as("max_key_rows"))
+        .withColumn("amplification",
+          round(col("selfjoin_rows").cast("double") / col("n_rows").cast("double"), 4))
+    }),
+
     // As-of join: each event matched to the user's latest prior order
     // (union + single-shuffle window scan — no range cross join)
     "q_asof_last_order" -> ((s, dir) => {
@@ -2071,6 +2110,20 @@ object RelationalQueries {
         |       round(max(value), 4) AS max_value,
         |       round(round(sum(value), 2) / count(*), 4) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_incremental_join" ->
+      """SELECT n_name, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS total_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_join_cardinality" ->
+      """WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1)
+        |SELECT CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_keys,
+        |       CAST(sum(c * c) AS BIGINT) AS selfjoin_rows,
+        |       CAST(max(c * c) AS BIGINT) AS max_key_rows,
+        |       round(sum(c * c) * 1.0 / sum(c), 4) AS amplification
+        |FROM c""".stripMargin,
     "q_asof_last_order" ->
       """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
         |           FROM orders GROUP BY 1, 2)

@@ -69,6 +69,36 @@ object TextQueries {
         .agg(count(lit(1)).as("n_kept"), sum("n_tokens").as("kept_tokens"))
         .orderBy("lang")),
 
+    // Corpus-drift / mixture QA: Jensen-Shannon divergence between each
+    // source's unigram distribution and the whole corpus's. The dense
+    // (source × vocab) grid is vocab-bounded (like txt_lm_quality): counts
+    // shrink to |vocab| rows before any join, the global distribution and
+    // the token grid broadcast, and the JS sum is one map-side-combinable
+    // agg per source — no shuffle grows with document count. Probabilities
+    // are exact BIGINT ratios, so both engines feed ln identical doubles.
+    "txt_source_divergence" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val sc = toks.groupBy("source", "token").agg(count(lit(1)).as("c"))
+      val st = sc.groupBy("source").agg(sum("c").as("n_s"))
+      val gc = toks.groupBy("token").agg(count(lit(1)).as("g"))
+      val gt = gc.agg(sum("g").as("n_tot"))
+      st.crossJoin(broadcast(gc))
+        .join(sc, Seq("source", "token"), "left").na.fill(0L, Seq("c"))
+        .crossJoin(broadcast(gt))
+        .withColumn("p", col("c").cast("double") / col("n_s"))
+        .withColumn("q", col("g").cast("double") / col("n_tot"))
+        .withColumn("m", (col("p") + col("q")) / 2)
+        .withColumn("term",
+          when(col("p") > 0, lit(0.5) * col("p") * log(col("p") / col("m")))
+            .otherwise(lit(0.0))
+            + lit(0.5) * col("q") * log(col("q") / col("m")))
+        .groupBy("source")
+        .agg(max(col("n_s")).as("n_tokens"),
+          round(sum("term"), 6).as("jsd"))
+        .orderBy("source")
+    }),
+
     // Vocabulary analysis: top-10 terms per language (explode → map-side
     // combinable agg → small window over the vocabulary)
     "txt_top_terms" -> ((s, dir) => {
@@ -1345,6 +1375,26 @@ object TextQueries {
         |      FROM d)
         |SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
         |FROM c WHERE cum - n_tokens < b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "txt_source_divergence" ->
+      """WITH toks AS (SELECT source,
+        |                     unnest(string_split_regex(trim(text), '\s+')) AS token
+        |              FROM documents),
+        |sc AS (SELECT source, token, count(*) AS c FROM toks GROUP BY 1, 2),
+        |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM sc GROUP BY 1),
+        |gc AS (SELECT token, count(*) AS g FROM toks GROUP BY 1),
+        |gt AS (SELECT CAST(sum(g) AS BIGINT) AS n_tot FROM gc),
+        |grid AS (SELECT st.source, st.n_s, gc.token, gc.g, gt.n_tot,
+        |                COALESCE(sc.c, 0) AS c
+        |         FROM st CROSS JOIN gc CROSS JOIN gt
+        |         LEFT JOIN sc ON sc.source = st.source AND sc.token = gc.token),
+        |terms AS (SELECT source, n_s,
+        |                 c * 1.0 / n_s AS p, g * 1.0 / n_tot AS q,
+        |                 (c * 1.0 / n_s + g * 1.0 / n_tot) / 2 AS m
+        |          FROM grid)
+        |SELECT source, max(n_s) AS n_tokens,
+        |       round(sum(CASE WHEN p > 0 THEN 0.5 * p * ln(p / m) ELSE 0 END
+        |                 + 0.5 * q * ln(q / m)), 6) AS jsd
+        |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
     "txt_mixture_weights" ->
       """WITH s AS (SELECT source,
         |                  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
