@@ -350,6 +350,73 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
         .orderBy("event_type", "day")),
 
+    // TPC-H Q8 shape (national market share): one nation's share of ASIA
+    // consumer revenue for PROMO parts, by order year. The big fact joins
+    // (lineitem ⋈ orders) shuffle on orderkey; part/supplier/customer/
+    // nation/region are broadcast dims; the share is a conditional-sum /
+    // sum over the same grouped scan — one shuffle, one agg.
+    "q8_market_share" -> ((s, dir) => {
+      val asiaNations = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cust_nationkey"))
+      val li = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .filter(col("p_type") === "PROMO").select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+      li.join(t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer").select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(asiaNations), col("c_nationkey") === col("cust_nationkey"))
+        .withColumn("volume", col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_3", col("volume")).otherwise(0.0))
+            / sum(col("volume")), 6).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q14 shape (promotion effect): share of one month's revenue
+    // from PROMO parts — broadcast part dim, shipdate month pruned at the
+    // scan, single conditional aggregate.
+    "q14_promo_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .join(broadcast(t(s, dir, "part").select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .withColumn("volume", col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .agg(round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", col("volume")).otherwise(0.0))
+          / sum(col("volume")), 4).as("promo_revenue"))),
+
+    // TPC-H Q22 shape (global sales opportunity): LAPSED customers with
+    // above-average positive balance and no orders since 2000 — scalar-
+    // subquery broadcast + left-anti join against the pruned order scan,
+    // grouped by segment (the fixture has no phone country codes, so
+    // mktsegment stands in for cntrycode; every custkey has SOME order in
+    // this dense synthetic fixture, so the anti-join target is recency).
+    "q22_idle_customers" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val avgBal = cust.filter(col("c_acctbal") > 0)
+        .agg(avg("c_acctbal").as("avg_bal"))
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("numcust"), round(sum("c_acctbal"), 2).as("totacctbal"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Incremental MV maintenance: the daily rollup maintained by MERGING
     // mergeable partials (standing MV + a late-arriving delta slice)
     // instead of rescanning history — proven equal to the full recompute
@@ -2103,6 +2170,38 @@ object RelationalQueries {
       """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
         |       round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       round(sum(CASE WHEN n2.n_name = 'NATION_3'
+        |                      THEN l_extendedprice * (1 - l_discount)
+        |                      ELSE 0 END)
+        |             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+        |FROM part, lineitem, supplier, orders, customer,
+        |     nation n1, nation n2, region
+        |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |  AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+        |  AND p_type = 'PROMO'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |                             THEN l_extendedprice * (1 - l_discount)
+        |                             ELSE 0 END)
+        |             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
+    "q22_idle_customers" ->
+      """SELECT c_mktsegment, count(*) AS numcust,
+        |       round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                   WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_incremental_rollup" ->
       """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
         |       round(sum(value), 2) AS total_value,
