@@ -31,6 +31,32 @@ class QueriesSmokeSpec extends SparkSpec {
       s"aggregated side must not be broadcast:\n$plan")
   }
 
+  test("q8 market share joins every dimension by broadcast, facts by shuffle") {
+    // five dims (part/supplier/customer/nation/region) must broadcast;
+    // the only shuffle join is lineitem ⋈ orders on orderkey — a
+    // sort-merge (or shuffled-hash) exchange that scales with the facts
+    val plan = SparkEntry.queries("q8_market_share")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"dims must broadcast:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"no unkeyed join may appear:\n${plan.take(3000)}")
+  }
+
+  test("q22 anti join stays keyed; only the scalar average broadcasts") {
+    val plan = SparkEntry.queries("q22_idle_customers")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"expected an anti join:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"scalar must broadcast, not cartesian:\n${plan.take(3000)}")
+  }
+
+  test("incremental rollup merge is two scans + one merge aggregate, no join") {
+    val plan = SparkEntry.queries("q_incremental_rollup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"MV merge must be union+agg, never a join:\n${plan.take(3000)}")
+    assert(plan.contains("Union"), s"expected partial-union shape:\n${plan.take(3000)}")
+  }
+
   test("IVF probe assignment plan has no driver-side collect (scan → window → join)") {
     val plan = SparkEntry.queries("sim_ivf_topk")(spark, sf)
       .queryExecution.optimizedPlan.toString
