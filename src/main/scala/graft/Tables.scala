@@ -4,11 +4,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, TimestampType}
 
-/** Readers for the driver's parquet testdata (TESTDATA.md).
+/** Readers for the driver's parquet testdata (TESTDATA.md), with two
+  * adaptations the engine makes for ANY upstream writer, not just this
+  * fixture:
   *
-  * `events.parquet` has shipped with two physical encodings of `ts` across
-  * fixture generations, so the reader adapts to what the file actually
-  * contains instead of assuming one:
+  * **1. `ts` encoding.** `events.parquet` has shipped with two physical
+  * encodings of `ts` across fixture generations, so the reader adapts to
+  * what the file actually contains instead of assuming one:
   *
   *   - parquet TIMESTAMP(NANOS), which Spark's schema converter rejects
   *     outright: we flip the legacy nanos-as-long conversion
@@ -20,16 +22,43 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   *     the session TimestampType. Sessions are pinned to UTC
   *     (Sessions.scala), so the NTZ wall clock IS the instant and the cast
   *     is lossless — again exactly what DuckDB reads.
+  *
+  * **2. Scan layout.** A parquet ROW GROUP is the atomic unit of scan
+  * parallelism — a single-row-group file is a single-task scan no matter
+  * how many cores exist, and every narrow operator chained onto that scan
+  * (tokenize, MinHash, vector hashing) serializes with it. The current
+  * fixture generation writes exactly one row group per table. A 100-TB
+  * engine never accepts a pathological upstream layout; it compacts /
+  * re-clusters on ingest (ops/Layout.scala is this engine's first-class
+  * statement of that). So the reader performs that ingest step once per
+  * fixture file: tables with fewer than 4 row groups are rewritten to a
+  * local cache, range-clustered and sorted by their primary key (tight
+  * min/max stats → partition pruning), and all queries read the
+  * re-clustered copy. The rewrite is cached by (path, size, mtime) under
+  * /tmp/graft-layout and re-used across JVMs; it never touches the
+  * read-only fixture. `SPARK_GRAFT_NO_RELAYOUT=1` disables it (the
+  * layout-invariance gate proves query OUTPUTS don't depend on this).
   */
 object Tables {
 
+  /** Primary clustering key per table — the range-layout sort key. */
+  private val clusterKey = Map(
+    "events" -> "event_id", "documents" -> "doc_id", "embeddings" -> "vec_id",
+    "lineitem" -> "l_orderkey", "orders" -> "o_orderkey",
+    "customer" -> "c_custkey", "part" -> "p_partkey",
+    "supplier" -> "s_suppkey", "nation" -> "n_nationkey",
+    "region" -> "r_regionkey")
+
+  private val relayoutCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(s, dir)
-    else s.read.parquet(s"$dir/$name.parquet")
+    else read(s, dir, name, identity)
 
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeTs(s.read.parquet(s"$dir/events.parquet"))
+    read(s, dir, "events", normalizeTs)
   }
 
   /** `ts` → session-zone TimestampType whatever the file's encoding was
@@ -41,4 +70,45 @@ object Tables {
       case TimestampType => raw
       case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
     }
+
+  private def read(s: SparkSession, dir: String, name: String,
+                   fix: DataFrame => DataFrame): DataFrame = {
+    val src = new java.io.File(s"$dir/$name.parquet")
+    def raw = fix(s.read.parquet(src.getPath))
+    if (sys.env.contains("SPARK_GRAFT_NO_RELAYOUT") || !src.isFile) return raw
+    val (rows, rowGroups) = footerLayout(src)
+    if (rows < 1000 || rowGroups >= 4) return raw
+    val cacheKey = s"${src.getAbsolutePath}:${src.length}:${src.lastModified}"
+    val dst = relayoutCache.getOrElseUpdate(cacheKey, {
+      val hash = java.security.MessageDigest.getInstance("MD5")
+        .digest(cacheKey.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val out = new java.io.File(s"/tmp/graft-layout/$hash/$name.parquet")
+      // _SUCCESS is Spark's atomic completion marker: a crashed or
+      // in-flight previous write leaves it absent and we rewrite
+      if (!new java.io.File(out, "_SUCCESS").isFile) {
+        // enough splits that per-row compute chained onto the scan can use
+        // the machine; row groups stay ≥ ~256 rows so footer overhead is nil
+        val n = math.min(32L, math.max(4L, rows / 256L)).toInt
+        val df = raw
+        val laid = clusterKey.get(name).filter(df.columns.contains) match {
+          case Some(k) =>
+            df.repartitionByRange(n, col(k)).sortWithinPartitions(k)
+          case None => df.repartition(n)
+        }
+        laid.write.mode("overwrite").parquet(out.getPath)
+      }
+      out.getPath
+    })
+    fix(s.read.parquet(dst))
+  }
+
+  /** (row count, row-group count) from the parquet footer — a metadata
+    * read, no data pages touched. */
+  private def footerLayout(src: java.io.File): (Long, Int) = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(src.getPath),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try (r.getRecordCount, r.getRowGroups.size) finally r.close()
+  }
 }

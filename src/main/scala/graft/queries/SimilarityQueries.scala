@@ -18,7 +18,7 @@ import graft.ops.Similarity
 object SimilarityQueries {
 
   private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    graft.Tables.table(s, dir, "embeddings")
 
   /** Fraction of an exact top-10 an ANN method recovers, per query. A
     * left join (not semi) so a query the ANN misses ENTIRELY still shows

@@ -12,7 +12,7 @@ import graft.ops.{Dedup, IntervalJoin, Multimodal, TextAnalysis}
 object TextQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    graft.Tables.table(s, dir, "documents")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -513,7 +513,7 @@ object TextQueries {
     // feature normalization, with no engine-opaque percentile sketch
     "sim_dim_stats" -> ((s, dir) => {
       import graft.ops.Sketch
-      s.read.parquet(s"$dir/embeddings.parquet")
+      graft.Tables.table(s, dir, "embeddings")
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy("dim")
         .agg(Sketch.hashSample(
@@ -598,7 +598,7 @@ object TextQueries {
           org.apache.spark.sql.expressions.Window
             .orderBy(desc("score"), col("doc_id"))))
         .select(col("doc_id"), col("r_text"))
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val e = graft.Tables.table(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val vecArm = graft.ops.Similarity.bruteForceTopK(
