@@ -417,6 +417,196 @@ object RelationalQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // TPC-H Q2 shape (minimum-cost supplier): for each PROMO part, the
+    // supplier(s) offering the lowest unit cost. The fixture has no
+    // partsupp table, so the part×supplier offer relation is derived from
+    // lineitem history (avg realized unit price). The reference SQL's
+    // correlated `= (SELECT min(..) WHERE partkey = outer.partkey)` is
+    // expressed as a window-min over the SAME partitioning the aggregate
+    // just shuffled on — zero extra exchanges, vs the naive decorrelation
+    // into a re-aggregate + self-join (two more shuffles at 100 TB).
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val wMin = Window.partitionBy("partkey")
+      // exact accumulation: prices are 2-dp decimals and quantities are
+      // integral, so summing DECIMAL(18,2)/BIGINT is order-independent —
+      // both engines then divide the identical exact totals in double and
+      // the round(…,4) boundary can never flip with partitioning
+      // NO round(): rounding a double whose true value sits at a .xxx5
+      // boundary diverges between engines (Spark rounds the shortest
+      // decimal repr, DuckDB the binary value) — the raw IEEE quotient of
+      // identical exact totals is bit-deterministic everywhere
+      val ps = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("partkey"), col("l_suppkey").as("suppkey"))
+        .agg((sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") /
+          sum(col("l_quantity").cast("long")).cast("double")).as("unit_cost"))
+      ps.withColumn("min_cost", min("unit_cost").over(wMin))
+        .filter(col("unit_cost") === col("min_cost"))
+        .join(broadcast(t(s, dir, "part")
+          .filter(col("p_type") === "PROMO").select("p_partkey")),
+          col("partkey") === col("p_partkey"))
+        .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
+          col("suppkey") === col("s_suppkey"))
+        .select("p_partkey", "s_name", "unit_cost")
+        .orderBy("p_partkey", "s_name")
+    }),
+
+    // TPC-H Q9 shape (product-type profit): nation×year profit where cost
+    // is proxied by 0.6×retailprice (no partsupp.ps_supplycost in the
+    // fixture). Lineitem⋈orders is the only data-sized join; part (LIKE-
+    // filtered), supplier, nation all broadcast.
+    "q9_product_profit" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .filter(col("p_name").like("%widget%"))
+          .select("p_partkey", "p_retailprice")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation").select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        // per-row profit is EXACT in decimal (2-dp prices × 2-dp discount,
+        // integral quantity, 1-dp cost factor), so the sum is order-
+        // independent — no round-boundary flips between engines
+        .agg(sum(
+          col("l_extendedprice").cast("decimal(18,2)")
+            * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+            - lit(BigDecimal("0.6")).cast("decimal(18,1)")
+              * col("p_retailprice").cast("decimal(18,2)")
+              * col("l_quantity").cast("decimal(18,0)"))
+          .cast("double").as("profit"))
+        .orderBy("nation", "o_year")),
+
+    // TPC-H Q11 shape (important stock): parts holding an outsized share
+    // of total inventory value — scalar subquery in HAVING. The share test
+    // is kept INTEGER-EXACT (qty*700 > total over BIGINT quantities) so the
+    // boundary can't flip on summation order; the global total broadcasts.
+    "q11_important_parts" -> ((s, dir) => {
+      val pv = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .filter(col("p_type").isin("LARGE", "SMALL")).select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey").as("partkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("qty"))
+      pv.crossJoin(broadcast(pv.agg(sum("qty").as("total_qty"))))
+        .filter(col("qty") * 700 > col("total_qty"))
+        .select("partkey", "qty")
+        .orderBy(col("qty").desc, col("partkey"))
+    }),
+
+    // TPC-H Q12 shape (shipping-mode priority split): ship-latency bucket
+    // stands in for l_shipmode (the fixture carries no mode column).
+    // Conditional counts after the one fact⋈fact join, year pruned at scan.
+    "q12_latency_priority" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("ship_bucket",
+          when(datediff(col("l_shipdate"), col("o_orderdate")) <= 30, "FAST")
+            .otherwise("SLOW"))
+        .groupBy("ship_bucket")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+        .orderBy("ship_bucket")),
+
+    // TPC-H Q15 shape (top supplier): quarterly revenue view, pick the
+    // supplier(s) matching the global max — scalar subquery over the view.
+    // The view is computed ONCE (Spark reuses the exchange under AQE); the
+    // max broadcasts. Revenue compared after round(2) so both engines test
+    // the same literal.
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey").as("suppkey"))
+        // exact scale-4 decimal revenue: order-independent sum, and the
+        // `= max` scalar comparison can never flip on partitioning
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("total_revenue"))
+      rev.crossJoin(broadcast(rev.agg(max("total_revenue").as("max_rev"))))
+        .filter(col("total_revenue") === col("max_rev"))
+        .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
+          col("suppkey") === col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q16 shape (supplier-part counts): distinct suppliers per
+    // (brand, type, size) excluding a complaint list — NOT IN over a
+    // non-null key set, which decorrelates to a broadcast left-anti join
+    // (the complaint list is tiny; never a shuffle).
+    "q16_supplier_part_counts" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .filter(col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 7, 14, 23, 36, 45))
+          .select("p_partkey", "p_brand", "p_type", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, dir, "supplier")
+          .filter(col("s_acctbal") < 0).select("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))),
+
+    // TPC-H Q20 shape (excess inventory): suppliers holding an outsized
+    // share of some PROMO part's shipped volume. The correlated per-part
+    // total is a window-sum over the aggregate's own partitioning (no
+    // second shuffle); the share test is integer-exact (q*6 > total).
+    "q20_excess_suppliers" -> ((s, dir) => {
+      val wPart = Window.partitionBy("pk")
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .filter(col("p_type") === "PROMO").select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .agg(sum(col("l_quantity").cast("long")).as("q"))
+        .withColumn("part_total", sum("q").over(wPart))
+        .filter(col("q") * 6 > col("part_total"))
+        .select("sk").distinct()
+        .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
+          col("sk") === col("s_suppkey"))
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): multi-supplier
+    // orders where EXACTLY ONE supplier shipped late (>60 days after order
+    // date; the fixture has no commit/receipt dates). The reference SQL's
+    // EXISTS + NOT EXISTS pair is reformulated as per-order window counts
+    // over the (order, supplier) aggregate — one shuffle replaces two
+    // self-joins, the decisive rewrite at 100 TB where lineitem self-joins
+    // dominate the plan.
+    "q21_waiting_suppliers" -> ((s, dir) => {
+      val wOrd = Window.partitionBy("ok")
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .agg(max(when(datediff(col("l_shipdate"), col("o_orderdate")) > 60, 1)
+          .otherwise(0)).as("late"))
+        .withColumn("n_supp", count(lit(1)).over(wOrd))
+        .withColumn("n_late", sum("late").over(wOrd))
+        .filter(col("late") === 1 && col("n_supp") > 1 && col("n_late") === 1)
+        .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
+          col("sk") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+    }),
+
     // Incremental MV maintenance: the daily rollup maintained by MERGING
     // mergeable partials (standing MV + a late-arriving delta slice)
     // instead of rescanning history — proven equal to the full recompute
@@ -2202,6 +2392,100 @@ object RelationalQueries {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |           / CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS unit_cost
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT p_partkey, s_name, unit_cost
+        |FROM ps JOIN part ON partkey = p_partkey
+        |        JOIN supplier ON suppkey = s_suppkey
+        |WHERE p_type = 'PROMO'
+        |  AND unit_cost = (SELECT min(unit_cost) FROM ps ps2
+        |                   WHERE ps2.partkey = ps.partkey)
+        |ORDER BY p_partkey, s_name""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                  * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |                - CAST(0.6 AS DECIMAL(18,1))
+        |                  * CAST(p_retailprice AS DECIMAL(18,2))
+        |                  * CAST(l_quantity AS DECIMAL(18,0))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q11_important_parts" ->
+      """WITH pv AS (
+        |  SELECT l_partkey AS partkey,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type IN ('LARGE', 'SMALL') GROUP BY 1)
+        |SELECT partkey, qty FROM pv
+        |WHERE qty * 700 > (SELECT sum(qty) FROM pv)
+        |ORDER BY qty DESC, partkey""".stripMargin,
+    "q12_latency_priority" ->
+      """SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 30
+        |            THEN 'FAST' ELSE 'SLOW' END AS ship_bucket,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey AS suppkey,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |           AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q16_supplier_part_counts" ->
+      """SELECT p_brand, p_type, p_size,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_type <> 'PROMO' AND p_size IN (1, 7, 14, 23, 36, 45)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q20_excess_suppliers" ->
+      """WITH sq AS (
+        |  SELECT l_partkey AS pk, l_suppkey AS sk,
+        |         sum(CAST(l_quantity AS BIGINT)) AS q
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'PROMO' GROUP BY 1, 2)
+        |SELECT DISTINCT s_suppkey, s_name
+        |FROM sq JOIN supplier ON sk = s_suppkey
+        |WHERE q * 6 > (SELECT sum(q) FROM sq sq2 WHERE sq2.pk = sq.pk)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """WITH ll AS (
+        |  SELECT l_orderkey AS ok, l_suppkey AS sk,
+        |         max(CASE WHEN datediff('day', o_orderdate, l_shipdate) > 60
+        |             THEN 1 ELSE 0 END) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F' GROUP BY 1, 2)
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM ll l1 JOIN supplier ON l1.sk = s_suppkey
+        |WHERE l1.late = 1
+        |  AND EXISTS (SELECT 1 FROM ll l2
+        |              WHERE l2.ok = l1.ok AND l2.sk <> l1.sk)
+        |  AND NOT EXISTS (SELECT 1 FROM ll l3
+        |                  WHERE l3.ok = l1.ok AND l3.sk <> l1.sk AND l3.late = 1)
+        |GROUP BY 1 ORDER BY numwait DESC, s_name""".stripMargin,
     "q_incremental_rollup" ->
       """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
         |       round(sum(value), 2) AS total_value,

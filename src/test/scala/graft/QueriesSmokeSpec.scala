@@ -57,6 +57,57 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(plan.contains("Union"), s"expected partial-union shape:\n${plan.take(3000)}")
   }
 
+  private def exec(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+  private def shuffleJoins(plan: String): Int =
+    "SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).length
+
+  test("q2 correlated min decorrelates to a window, never a re-agg self-join") {
+    // the per-part minimum must ride the aggregate's own hash partitioning
+    // (one Window, zero shuffle joins) — the naive decorrelation re-
+    // aggregates and self-joins, two extra lineitem-sized exchanges
+    val plan = exec("q2_min_cost_supplier")
+    assert(plan.contains("Window"), s"expected window-min:\n${plan.take(3000)}")
+    assert(shuffleJoins(plan) == 0,
+      s"part/supplier must broadcast; no shuffle join allowed:\n${plan.take(3000)}")
+  }
+
+  test("q9 star join: dims broadcast, lineitem⋈orders is the only shuffle join") {
+    val plan = exec("q9_product_profit")
+    assert(plan.contains("BroadcastHashJoin"), s"dims must broadcast:\n${plan.take(3000)}")
+    assert(shuffleJoins(plan) <= 1,
+      s"only the fact-fact join may shuffle:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n${plan.take(3000)}")
+  }
+
+  test("q11/q15 scalar subqueries broadcast, never cartesian") {
+    for (name <- Seq("q11_important_parts", "q15_top_supplier")) {
+      val plan = exec(name)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name: global scalar must broadcast:\n${plan.take(3000)}")
+    }
+  }
+
+  test("q16 NOT-IN complaint list decorrelates to a broadcast anti join") {
+    val plan = exec("q16_supplier_part_counts")
+    assert(plan.contains("LeftAnti"), s"expected anti join:\n${plan.take(3000)}")
+    assert(shuffleJoins(plan) == 0,
+      s"both dims are tiny — everything broadcasts:\n${plan.take(3000)}")
+  }
+
+  test("q20/q21 correlated EXISTS collapse to window counts, no self-join") {
+    // Q21's reference SQL is EXISTS + NOT EXISTS over lineitem — two
+    // lineitem self-joins. The engine reformulates both as per-key window
+    // counts over the (order|part, supplier) aggregate: exactly one fact
+    // shuffle join (orders), zero self-joins.
+    for (name <- Seq("q20_excess_suppliers", "q21_waiting_suppliers")) {
+      val plan = exec(name)
+      assert(plan.contains("Window"), s"$name: expected window counts:\n${plan.take(3000)}")
+      assert(shuffleJoins(plan) <= 1,
+        s"$name: the EXISTS pair must not become self-joins:\n${plan.take(3000)}")
+    }
+  }
+
   test("IVF probe assignment plan has no driver-side collect (scan → window → join)") {
     val plan = SparkEntry.queries("sim_ivf_topk")(spark, sf)
       .queryExecution.optimizedPlan.toString
