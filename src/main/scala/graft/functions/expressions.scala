@@ -246,6 +246,56 @@ object BigramTopShare {
   }
 }
 
+/** Share of a document's tokens taken by its single most frequent token —
+  * the unigram counterpart of [[BigramTopShare]], the Gopher-style
+  * repetition gate. One hashmap pass per document; the exploded groupBy
+  * formulation shuffles every token in the corpus twice. */
+case class TokenTopShare(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires ARRAY<STRING> input")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_top_share"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenTopShare.of(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("tokenShare")
+      s"""
+         |java.lang.Double $tmp = graft.functions.TokenTopShare.of($c);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokenTopShare {
+  /** null for an empty token array. */
+  def of(tokens: ArrayData): java.lang.Double = {
+    val n = tokens.numElements()
+    if (n == 0) return null
+    val counts = new java.util.HashMap[String, Integer](n * 2)
+    var maxK = 0
+    var i = 0
+    while (i < n) {
+      val key = tokens.getUTF8String(i).toString
+      val k0 = counts.get(key)
+      val k = if (k0 == null) 1 else k0 + 1
+      counts.put(key, k)
+      if (k > maxK) maxK = k
+      i += 1
+    }
+    maxK.toDouble / n
+  }
+}
+
 /** 64-bit SimHash with a pluggable per-token hash:
   *   - `xxh64` (default): XxHash64 seed 42 — the fast production path.
   *   - `md5`: first 8 bytes (big-endian) of MD5 — ~10× slower per token but
@@ -615,6 +665,7 @@ object GraftFunctions {
   def char_entropy(c: Column): Column = col(CharEntropy(expr(c)))
   def nfc_normalize(c: Column): Column = col(NfcNormalize(expr(c)))
   def bigram_top_share(c: Column): Column = col(BigramTopShare(expr(c)))
+  def token_top_share(c: Column): Column = col(TokenTopShare(expr(c)))
   def minhash_signature(c: Column, numPerm: Int): Column =
     col(MinHashSignature(expr(c), numPerm))
   def shingle_hashes(c: Column, n: Int): Column = col(ShingleHashes(expr(c), n))
@@ -646,6 +697,7 @@ object GraftFunctions {
     ("char_entropy", "Shannon entropy (bits) over a string's code points", CharEntropy.apply),
     ("nfc_normalize", "Unicode NFC canonical composition", NfcNormalize.apply),
     ("bigram_top_share", "top adjacent-word-pair share of all bigrams", BigramTopShare.apply),
+    ("token_top_share", "top single token's share of all tokens", TokenTopShare.apply),
     ("minhash_signature64", "64-perm MinHash signature of shingles", MinHashSignature(_, 64)),
     ("shingle_hashes3", "distinct hashed 3-gram shingles of a token array", ShingleHashes(_, 3)),
     ("hyperplane_sig16", "16-plane sign-LSH signature of array<double>", HyperplaneSig(_, 16)),

@@ -213,6 +213,36 @@ object SimilarityQueries {
           round(sqrt((0 until dim).map(i => col(s"s$i") * col(s"s$i")).reduce(_ + _)), 4))
         .select(col("label"), col("centroid_norm"))
         .orderBy("label")
+    }),
+
+    // Embedding-quality outlier filter: vectors far from their label's
+    // centroid (> 1.02× the label's mean distance) — the standard
+    // "drop mislabeled / garbage embeddings before training" gate. Two
+    // map-side-combined aggregations over the corpus (centroid, then mean
+    // distance); the per-label centroid and threshold tables are |labels|
+    // rows and broadcast — nothing shuffles with the vector count, and
+    // the distance is one codegen'd zip_with fold per row.
+    "emb_centroid_outliers" -> ((s, dir) => {
+      val dim = 64
+      val e = emb(s, dir).select(col("label"), col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val sums = (0 until dim).map(i => sum(element_at(col("v"), i + 1)).as(s"s$i")) :+
+        count(lit(1)).as("n")
+      val cent = e.groupBy("label").agg(sums.head, sums.tail: _*)
+        .select(col("label"),
+          array((0 until dim).map(i => col(s"s$i") / col("n")): _*).as("c"))
+      val dist = e.join(broadcast(cent), "label")
+        .withColumn("d", sqrt(expr(
+          "aggregate(zip_with(v, c, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)")))
+        .select("label", "vec_id", "d")
+      val lim = dist.groupBy("label").agg(avg("d").as("avg_d"))
+      dist.join(broadcast(lim), "label")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("d") > lit(1.02) * col("avg_d"), 1L).otherwise(0L))
+            .as("n_outliers"),
+          round(avg("d"), 4).as("avg_dist"))
+        .orderBy("label")
     })
   )
 
@@ -618,6 +648,23 @@ object SimilarityQueries {
         |           ORDER BY list_dot_product(qv, v) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) DESC,
         |                    vec_id) AS rank
         |  FROM e, q WHERE vec_id <> qid) t
-        |WHERE rank <= 3 AND sim >= 0.2 ORDER BY qid, id""".stripMargin
+        |WHERE rank <= 3 AND sim >= 0.2 ORDER BY qid, id""".stripMargin,
+    "emb_centroid_outliers" ->
+      """WITH ex AS (
+        |  SELECT label, vec_id, r.range AS i,
+        |         CAST(embedding[r.range] AS DOUBLE) AS x
+        |  FROM embeddings, range(1, 65) r),
+        |cent AS (SELECT label, i, avg(x) AS c FROM ex GROUP BY 1, 2),
+        |dist AS (
+        |  SELECT ex.label, ex.vec_id, sqrt(sum((x - c) * (x - c))) AS d
+        |  FROM ex JOIN cent ON ex.label = cent.label AND ex.i = cent.i
+        |  GROUP BY 1, 2),
+        |lim AS (SELECT label, avg(d) AS avg_d FROM dist GROUP BY 1)
+        |SELECT dist.label, count(*) AS n,
+        |       CAST(sum(CASE WHEN d > 1.02 * avg_d THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_outliers,
+        |       round(avg(d), 4) AS avg_dist
+        |FROM dist JOIN lim ON dist.label = lim.label
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

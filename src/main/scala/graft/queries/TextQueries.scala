@@ -757,7 +757,99 @@ object TextQueries {
         .select(col("media_id"), col("sample_rate"), col("channels"),
           col("n_samples"), round(col("rms"), 4).as("rms"))
         .orderBy("media_id")
-    })
+    }),
+
+    // Corpus diversity curve: processing documents in doc_id order, what
+    // fraction of each decile's distinct bigrams is NEW (first global
+    // occurrence falls in that decile)? The first-occurrence doc rides a
+    // window-min over the bigram shuffle the distinct already paid — no
+    // second exchange, no self-join. A collapsing curve says later data
+    // adds no diversity — the standard "stop crawling this source" signal.
+    "txt_ngram_novelty" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val wB = org.apache.spark.sql.expressions.Window.partitionBy("b")
+      val bg = d
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))")).as("b"))
+        .distinct()
+      bg.withColumn("first_doc", min("doc_id").over(wB))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_new"))
+        .crossJoin(broadcast(d.agg(count(lit(1)).as("nd"))))
+        .withColumn("decile", (col("doc_id") * 10 / col("nd")).cast("long"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_bigrams").as("total_bigrams"),
+          sum("n_new").as("new_bigrams"),
+          round(sum("n_new") / sum("n_bigrams"), 4).as("novelty"))
+        .orderBy("decile")
+    }),
+
+    // DSIR-style importance weights: per-document log importance
+    // ln(p_target/p_raw) over hashed bigram buckets (256 buckets keyed by
+    // the first two hex chars of md5 — portable, so the oracle reproduces
+    // the exact bucketing). Target = English docs. The bucket weight table
+    // is 256 rows (broadcasts at any corpus size); the corpus pays two
+    // map-side-combined aggregations and one broadcast join — nothing
+    // quadratic, nothing driver-side.
+    "txt_dsir_weights" -> ((s, dir) => {
+      val h = docs(s, dir)
+        .select(col("doc_id"), col("source"), col("lang"),
+          TextAnalysis.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), col("source"), col("lang"), explode(expr(
+          "transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))")).as("b"))
+        .withColumn("bucket", substring(md5(col("b")), 1, 2))
+      val tgt = h.filter(col("lang") === "en")
+        .groupBy("bucket").agg(count(lit(1)).as("tc"))
+      val raw = h.groupBy("bucket").agg(count(lit(1)).as("rc"))
+      val tot = h.agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tt"),
+        count(lit(1)).as("rt"))
+      val w = raw.join(tgt, Seq("bucket"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("lw",
+          log((coalesce(col("tc"), lit(0L)) + lit(1.0)) / (col("tt") + lit(256.0))) -
+            log((col("rc") + lit(1.0)) / (col("rt") + lit(256.0))))
+        .select("bucket", "lw")
+      h.join(broadcast(w), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(avg("lw").as("score"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("score"), 4).as("avg_importance"))
+        .orderBy("source")
+    }),
+
+    // Gopher-style quality-rule matrix: per-source counts of documents
+    // failing each gate (word count, mean word length, top-token
+    // repetition) plus the pass-all count. The repetition gate is a
+    // one-pass custom expression (token_top_share) — no token explode,
+    // no per-token shuffle; the whole report is one scan + one tiny agg.
+    "txt_gopher_report" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("source"), TextAnalysis.tokens(col("text")).as("t"))
+        .withColumn("n_words", size(col("t")).cast("long"))
+        .withColumn("mwl",
+          expr("aggregate(transform(t, x -> length(x)), 0L, (a, x) -> a + x)")
+            .cast("double") / col("n_words"))
+        .withColumn("top_share",
+          graft.functions.GraftFunctions.token_top_share(col("t")))
+        .select(col("source"),
+          when(col("n_words").between(30, 10000), 0L).otherwise(1L).as("f_len"),
+          when(col("mwl").between(2.5, 8.0), 0L).otherwise(1L).as("f_mwl"),
+          when(col("top_share") <= 0.15, 0L).otherwise(1L).as("f_rep"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("f_len").as("fail_len"),
+          sum("f_mwl").as("fail_wordlen"),
+          sum("f_rep").as("fail_repetition"),
+          sum(when(col("f_len") + col("f_mwl") + col("f_rep") === 0, 1L)
+            .otherwise(0L)).as("pass_all"))
+        .orderBy("source"))
   )
 
   val sql: Map[String, String] = Map(
@@ -1513,6 +1605,71 @@ object TextQueries {
         |       CAST(1 AS INTEGER) AS channels,
         |       CAST(n AS BIGINT) AS n_samples,
         |       round(sqrt(sum(s*s)::DOUBLE / n), 4) AS rms
-        |FROM sm GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
+        |FROM sm GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+    "txt_ngram_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |              FROM documents),
+        |bg AS (SELECT DISTINCT doc_id, b FROM (
+        |   SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+        |          i -> concat(t[i], ' ', t[i+1]))) AS b
+        |   FROM toks WHERE len(t) >= 2) u),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |firsts AS (SELECT b, min(doc_id) AS first_doc FROM bg GROUP BY 1),
+        |perdoc AS (
+        |  SELECT bg.doc_id, count(*) AS n_bigrams,
+        |         sum(CASE WHEN f.first_doc = bg.doc_id THEN 1 ELSE 0 END) AS n_new
+        |  FROM bg JOIN firsts f ON bg.b = f.b GROUP BY 1)
+        |SELECT CAST(doc_id * 10 // nd AS BIGINT) AS decile,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_bigrams) AS BIGINT) AS total_bigrams,
+        |       CAST(sum(n_new) AS BIGINT) AS new_bigrams,
+        |       round(sum(n_new) * 1.0 / sum(n_bigrams), 4) AS novelty
+        |FROM perdoc, n GROUP BY 1 ORDER BY 1""".stripMargin,
+    "txt_dsir_weights" ->
+      """WITH toks AS (SELECT doc_id, source, lang,
+        |                     string_split_regex(trim(text), '\s+') AS t
+        |              FROM documents),
+        |h AS (SELECT doc_id, source, lang, substr(md5(b), 1, 2) AS bucket FROM (
+        |   SELECT doc_id, source, lang,
+        |          unnest(list_transform(generate_series(1, len(t)-1),
+        |          i -> concat(t[i], ' ', t[i+1]))) AS b
+        |   FROM toks WHERE len(t) >= 2) u),
+        |tgt AS (SELECT bucket, count(*) AS tc FROM h WHERE lang = 'en' GROUP BY 1),
+        |raw AS (SELECT bucket, count(*) AS rc FROM h GROUP BY 1),
+        |tot AS (SELECT (SELECT count(*) FROM h WHERE lang = 'en') AS tt,
+        |               (SELECT count(*) FROM h) AS rt),
+        |w AS (SELECT raw.bucket,
+        |             ln((coalesce(tc, 0) + 1.0) / (tt + 256.0))
+        |               - ln((rc + 1.0) / (rt + 256.0)) AS lw
+        |      FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket, tot),
+        |perdoc AS (SELECT doc_id, source, avg(lw) AS score
+        |           FROM h JOIN w ON h.bucket = w.bucket GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_docs, round(avg(score), 4) AS avg_importance
+        |FROM perdoc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "txt_gopher_report" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |                     string_split_regex(trim(text), '\s+') AS t
+        |              FROM documents),
+        |base AS (
+        |  SELECT doc_id, source, len(t) AS n_words,
+        |         list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t) AS mwl
+        |  FROM toks),
+        |tc AS (SELECT doc_id, w, count(*) AS c
+        |       FROM (SELECT doc_id, unnest(t) AS w FROM toks) u GROUP BY 1, 2),
+        |topshare AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS top_share
+        |             FROM tc GROUP BY 1),
+        |r AS (
+        |  SELECT b.doc_id, b.source,
+        |         CASE WHEN n_words BETWEEN 30 AND 10000 THEN 0 ELSE 1 END AS f_len,
+        |         CASE WHEN mwl BETWEEN 2.5 AND 8.0 THEN 0 ELSE 1 END AS f_mwl,
+        |         CASE WHEN top_share <= 0.15 THEN 0 ELSE 1 END AS f_rep
+        |  FROM base b JOIN topshare ts ON b.doc_id = ts.doc_id)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(f_len) AS BIGINT) AS fail_len,
+        |       CAST(sum(f_mwl) AS BIGINT) AS fail_wordlen,
+        |       CAST(sum(f_rep) AS BIGINT) AS fail_repetition,
+        |       CAST(sum(CASE WHEN f_len + f_mwl + f_rep = 0 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS pass_all
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

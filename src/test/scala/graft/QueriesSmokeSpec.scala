@@ -108,6 +108,16 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("DSIR weight table broadcasts; novelty first-doc rides the bigram window") {
+    val dsir = exec("txt_dsir_weights")
+    assert(dsir.contains("BroadcastHashJoin"),
+      s"256-bucket weight table must broadcast:\n${dsir.take(3000)}")
+    val nov = exec("txt_ngram_novelty")
+    assert(nov.contains("Window"), s"expected window-min first-doc:\n${nov.take(3000)}")
+    assert(shuffleJoins(nov) == 0,
+      s"novelty must not self-join the bigram relation:\n${nov.take(3000)}")
+  }
+
   test("IVF probe assignment plan has no driver-side collect (scan → window → join)") {
     val plan = SparkEntry.queries("sim_ivf_topk")(spark, sf)
       .queryExecution.optimizedPlan.toString

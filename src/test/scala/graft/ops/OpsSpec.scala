@@ -333,6 +333,20 @@ class OpsSpec extends SparkSpec {
     assert(got(3).contains(1.0))   // "r r"×3 of 3
   }
 
+  test("token top share: exact ratio, null on empty") {
+    val got = Seq("a b a b a", "x y z", "solo", "")
+      .toDF("t")
+      .select(graft.functions.GraftFunctions
+        .token_top_share(TextAnalysis.tokens(col("t"))))
+      .as[Option[Double]].collect()
+    assert(got(0).contains(0.6))   // "a"×3 of 5 tokens
+    assert(got(1).exists(s => math.abs(s - 1.0 / 3) < 1e-12))
+    assert(got(2).contains(1.0))   // single token
+    // split(trim("")) yields [""], one empty token → share 1.0 (the
+    // quality gate upstream filters empty docs before this expression)
+    assert(got(3).contains(1.0))
+  }
+
   test("PII redaction scrubs emails and URLs, leaves clean text alone") {
     val rows = Seq(
       "write to alice.smith+test@sub.example.co.uk today",
