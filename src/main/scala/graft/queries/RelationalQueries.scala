@@ -428,13 +428,12 @@ object RelationalQueries {
     "q2_min_cost_supplier" -> ((s, dir) => {
       val wMin = Window.partitionBy("partkey")
       // exact accumulation: prices are 2-dp decimals and quantities are
-      // integral, so summing DECIMAL(18,2)/BIGINT is order-independent —
-      // both engines then divide the identical exact totals in double and
-      // the round(…,4) boundary can never flip with partitioning
-      // NO round(): rounding a double whose true value sits at a .xxx5
-      // boundary diverges between engines (Spark rounds the shortest
-      // decimal repr, DuckDB the binary value) — the raw IEEE quotient of
-      // identical exact totals is bit-deterministic everywhere
+      // integral, so summing DECIMAL(18,2)/BIGINT is order-independent,
+      // and the raw IEEE quotient of the identical exact totals is
+      // bit-deterministic everywhere. Deliberately NO round(): rounding a
+      // double whose true value sits at a .xxx5 boundary diverges between
+      // engines (Spark rounds the shortest decimal repr, DuckDB the
+      // binary value — seen live on 60.82475 at sf0.01)
       val ps = t(s, dir, "lineitem")
         .groupBy(col("l_partkey").as("partkey"), col("l_suppkey").as("suppkey"))
         .agg((sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") /
@@ -520,8 +519,7 @@ object RelationalQueries {
     // TPC-H Q15 shape (top supplier): quarterly revenue view, pick the
     // supplier(s) matching the global max — scalar subquery over the view.
     // The view is computed ONCE (Spark reuses the exchange under AQE); the
-    // max broadcasts. Revenue compared after round(2) so both engines test
-    // the same literal.
+    // max broadcasts.
     "q15_top_supplier" -> ((s, dir) => {
       val rev = t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&

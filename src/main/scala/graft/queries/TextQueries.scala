@@ -849,7 +849,61 @@ object TextQueries {
           sum("f_rep").as("fail_repetition"),
           sum(when(col("f_len") + col("f_mwl") + col("f_rep") === 0, 1L)
             .otherwise(0L)).as("pass_all"))
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // End-to-end curation funnel — the flagship composition: quality gate
+    // → near-dup drop (banded MinHash candidates, exact-Jaccard verified,
+    // keep-smaller-id) → embedding centroid-outlier drop, with per-stage
+    // drop accounting per source. Gates ordered cheap→expensive, the way
+    // a production run sequences them so later (costlier) stages see less
+    // data. Every stage reuses an independently-oracled operator
+    // (txt_quality_filter / dedup_minhash_pairs / emb_centroid_outliers),
+    // so this funnel certifies the COMPOSITION, not new math: the oracle
+    // recomputes the dup stage from exact all-pairs Jaccard — hash
+    // equality here re-proves the LSH banding lost no qualifying pair
+    // inside a three-stage lineage.
+    "txt_curation_funnel" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val qual = d.select(col("doc_id"), col("source"),
+        when(TextAnalysis.tokenCount(col("text")).between(30, 10000), 1)
+          .otherwise(0).as("q_ok"))
+      val dupIds = Dedup.jaccardVerify(
+          Dedup.minhashCandidatePairs(d, "doc_id", "text", numPerm = 64, bands = 32),
+          d, "doc_id", "text")
+        .filter(col("jaccard") >= 0.8)
+        .select(col("id_b").as("dup_id")).distinct()
+      val e = graft.Tables.table(s, dir, "embeddings")
+        .select(col("label"), col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+      val dim = 64
+      val sums = (0 until dim).map(i =>
+        sum(element_at(col("v"), i + 1)).as(s"s$i")) :+ count(lit(1)).as("n")
+      val cent = e.groupBy("label").agg(sums.head, sums.tail: _*)
+        .select(col("label"),
+          array((0 until dim).map(i => col(s"s$i") / col("n")): _*).as("c"))
+      val dist = e.join(broadcast(cent), "label")
+        .withColumn("d", sqrt(expr(
+          "aggregate(zip_with(v, c, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)")))
+        .select("label", "vec_id", "d")
+      val embOk = dist
+        .join(broadcast(dist.groupBy("label").agg(avg("d").as("avg_d"))), "label")
+        .select(col("vec_id"),
+          when(col("d") <= lit(1.02) * col("avg_d"), 1).otherwise(0).as("e_ok"))
+      qual
+        .join(dupIds, col("doc_id") === col("dup_id"), "left")
+        .withColumn("d_ok", when(col("dup_id").isNull, 1).otherwise(0))
+        .join(embOk, col("doc_id") === col("vec_id"), "left")
+        .withColumn("e_ok", coalesce(col("e_ok"), lit(1)))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("q_ok") === 0, 1L).otherwise(0L)).as("drop_quality"),
+          sum(when(col("q_ok") === 1 && col("d_ok") === 0, 1L).otherwise(0L))
+            .as("drop_dup"),
+          sum(when(col("q_ok") === 1 && col("d_ok") === 1 && col("e_ok") === 0, 1L)
+            .otherwise(0L)).as("drop_outlier"),
+          sum((col("q_ok") * col("d_ok") * col("e_ok")).cast("long")).as("kept"))
+        .orderBy("source")
+    })
   )
 
   val sql: Map[String, String] = Map(
@@ -1670,6 +1724,55 @@ object TextQueries {
         |       CAST(sum(f_rep) AS BIGINT) AS fail_repetition,
         |       CAST(sum(CASE WHEN f_len + f_mwl + f_rep = 0 THEN 1 ELSE 0 END)
         |            AS BIGINT) AS pass_all
-        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "txt_curation_funnel" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |                     string_split_regex(trim(text), '\s+') AS t
+        |              FROM documents),
+        |quality AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN len(t) BETWEEN 30 AND 10000 THEN 1 ELSE 0 END AS q_ok
+        |  FROM toks),
+        |sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |              ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |                     i -> array_to_string(t[i:i+2], ' ')))
+        |         END AS s
+        |  FROM toks),
+        |sized AS (SELECT doc_id, s, len(s) AS n FROM sh),
+        |dup AS (SELECT DISTINCT b.doc_id AS dup_id
+        |        FROM sized a JOIN sized b
+        |          ON a.doc_id < b.doc_id
+        |         AND least(a.n, b.n) >= 0.8 * greatest(a.n, b.n)
+        |        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |              / (a.n + b.n - len(list_intersect(a.s, b.s))) >= 0.8),
+        |ex AS (SELECT label, vec_id, r.range AS i,
+        |              CAST(embedding[r.range] AS DOUBLE) AS x
+        |       FROM embeddings, range(1, 65) r),
+        |cent AS (SELECT label, i, avg(x) AS c FROM ex GROUP BY 1, 2),
+        |dist AS (SELECT ex.label, ex.vec_id, sqrt(sum((x - c) * (x - c))) AS d
+        |         FROM ex JOIN cent ON ex.label = cent.label AND ex.i = cent.i
+        |         GROUP BY 1, 2),
+        |lim AS (SELECT label, avg(d) AS avg_d FROM dist GROUP BY 1),
+        |emb_ok AS (SELECT vec_id,
+        |                  CASE WHEN d <= 1.02 * avg_d THEN 1 ELSE 0 END AS e_ok
+        |           FROM dist JOIN lim ON dist.label = lim.label),
+        |verdict AS (
+        |  SELECT q.doc_id, q.source, q.q_ok,
+        |         CASE WHEN dup.dup_id IS NULL THEN 1 ELSE 0 END AS d_ok,
+        |         coalesce(e.e_ok, 1) AS e_ok
+        |  FROM quality q
+        |  LEFT JOIN dup ON q.doc_id = dup.dup_id
+        |  LEFT JOIN emb_ok e ON q.doc_id = e.vec_id)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN q_ok = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS drop_quality,
+        |       CAST(sum(CASE WHEN q_ok = 1 AND d_ok = 0 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS drop_dup,
+        |       CAST(sum(CASE WHEN q_ok = 1 AND d_ok = 1 AND e_ok = 0
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS drop_outlier,
+        |       CAST(sum(q_ok * d_ok * e_ok) AS BIGINT) AS kept
+        |FROM verdict GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

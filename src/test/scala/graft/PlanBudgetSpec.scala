@@ -1,0 +1,59 @@
+package graft
+
+/** Shuffle-budget regression guard: pins the number of shuffle exchanges
+  * in the executed plan of each headline query. A shuffle is the unit of
+  * 100-TB cost — at 1000 executors an extra exchange is an extra full
+  * network pass over the data — so a refactor that silently adds one
+  * should fail CI, not surface as a bench regression three rounds later.
+  *
+  * Budgets are UPPER bounds set at the current (audited) plan shape; AQE
+  * may collapse some at runtime, never add. If a change legitimately needs
+  * another exchange, raising the budget here is the documented decision
+  * point. Counted on the pre-AQE executedPlan string (local[4], shuffle
+  * partitions 4 — see SparkSpec) so the count is deterministic.
+  */
+class PlanBudgetSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // query -> max ShuffleExchange occurrences in the executed plan
+  private val budgets: Map[String, Int] = Map(
+    // TPC-H: one fact-fact shuffle + the final agg/sort exchanges
+    "q1_pricing_summary" -> 2, // partial agg -> final agg + order
+    "q3_top_orders" -> 3,
+    "q5_nation_revenue" -> 4,
+    "q9_product_profit" -> 5,
+    "q12_latency_priority" -> 3,
+    "q21_waiting_suppliers" -> 5,
+    // correlated-subquery rewrites: groupBy shuffle reused by the window
+    "q2_min_cost_supplier" -> 3,
+    "q20_excess_suppliers" -> 4,
+    // pipeline replay: Par.spread round-robin (single-file scan → per-core
+    // decode; a real Kinesis source arrives pre-partitioned by shard),
+    // then shuffle-free decode→route→enrich until the final index rollup
+    "pipe_index_counts" -> 3,
+    // dedup: one bigram/shingle shuffle + grouping, never a self-join
+    // shuffle of the corpus
+    "dedup_exact" -> 3,
+    "txt_ngram_novelty" -> 5,
+    "txt_dsir_weights" -> 7,
+    "txt_gopher_report" -> 2,
+    // two label aggs (centroid, mean-dist — dist lineage re-derived for
+    // each) + final rollup + order; all broadcasts in between
+    "emb_centroid_outliers" -> 5,
+    // sketch partial -> final + estimate join + order
+    "q_kmv_distinct" -> 4,
+    "q_sampled_quantiles" -> 3)
+
+  budgets.foreach { case (name, budget) =>
+    test(s"$name stays within its shuffle budget ($budget)") {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      val got = "Exchange hashpartitioning|Exchange rangepartitioning|Exchange RoundRobinPartitioning"
+        .r.findAllIn(plan).length
+      assert(got <= budget,
+        s"$name: $got shuffle exchanges > budget $budget — a new exchange " +
+          s"is a new full-data network pass at scale:\n${plan.take(4000)}")
+    }
+  }
+}
