@@ -1095,6 +1095,27 @@ object RelationalQueries {
     // layout that deletes the dominant shuffle from every recurring
     // fact-to-fact join at 100 TB; result provably identical to the
     // plain join (same oracle SQL).
+    // Partition pruning — the third leg of the layout story next to
+    // Z-order (q_zorder_buckets) and bucketing (q_bucketed_join): events
+    // written once partitioned by day (write-once-read-many, keyed by
+    // source dir like the bucketed tables), then a one-week query reads
+    // ONLY those directories — `PartitionFilters` in the scan, 23 of 30
+    // day partitions never opened (plan-guarded). At 100 TB this is the
+    // difference between scanning a week and scanning three years.
+    "q_partition_prune" -> ((s, dir) => {
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val path = s"/tmp/graft_part_events_$tag"
+      if (!new java.io.File(path).exists())
+        graft.Tables.events(s, dir)
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+          .write.mode("overwrite").partitionBy("day").parquet(path)
+      s.read.parquet(path)
+        .filter(col("day") >= lit("2024-01-10") && col("day") < lit("2024-01-17"))
+        .groupBy(col("day").cast("string").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+        .orderBy("day", "event_type")
+    }),
+
     "q_bucketed_join" -> ((s, dir) => {
       import graft.ops.Layout
       // write-once-read-many: the bucketed layout is amortized across
@@ -2139,6 +2160,13 @@ object RelationalQueries {
         |       (dims.r - 1) * (dims.c - 1) AS dof,
         |       round(sqrt(agg.chi2 / (nn.nn * least(dims.r - 1, dims.c - 1))), 6) AS cramers_v
         |FROM agg, dims, nn""".stripMargin,
+    "q_partition_prune" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        |       count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events
+        |WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-10'
+        |  AND strftime(ts, '%Y-%m-%d') < '2024-01-17'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_bucketed_join" ->
       """SELECT o_orderpriority,
         |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

@@ -118,6 +118,14 @@ class QueriesSmokeSpec extends SparkSpec {
       s"novelty must not self-join the bigram relation:\n${nov.take(3000)}")
   }
 
+  test("partition-pruned scan carries non-empty PartitionFilters") {
+    val plan = exec("q_partition_prune")
+    assert(plan.contains("PartitionFilters: ["),
+      s"expected a partitioned scan:\n${plan.take(3000)}")
+    assert(!plan.matches("(?s).*PartitionFilters: \\[\\].*"),
+      s"day predicate must prune partitions, not filter rows post-scan:\n${plan.take(3000)}")
+  }
+
   test("IVF probe assignment plan has no driver-side collect (scan → window → join)") {
     val plan = SparkEntry.queries("sim_ivf_topk")(spark, sf)
       .queryExecution.optimizedPlan.toString
