@@ -325,6 +325,30 @@ object RelationalQueries {
         .orderBy("src")
     }),
 
+    // Ranking-window suite: ntile / percent_rank / cume_dist over per-user
+    // spend within each event type — the ranking family of §2.7 in one
+    // exchange (the groupBy's hash partitioning feeds the window sort).
+    // Per-user totals accumulate in DECIMAL(18,2) (values are 2-dp exact)
+    // and the window orders by (total, user_id), so the ordering is unique
+    // and every rank statistic is engine-deterministic — ordering by a
+    // double sum would let an ulp of fold-order reorder near-ties.
+    "q_window_rank_suite" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("tv"), col("user_id"))
+      t(s, dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(sum(col("value").cast("decimal(18,2)")).as("tv"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pct", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .groupBy("event_type", "quartile")
+        .agg(count(lit(1)).as("n_users"),
+          round(avg("pct"), 4).as("avg_pct_rank"),
+          round(avg("cume"), 4).as("avg_cume_dist"),
+          sum("tv").cast("double").as("quartile_value"))
+        .orderBy("event_type", "quartile")
+    }),
+
     // Percentiles: exact continuous-interpolation quantiles of value
     "q_percentiles" -> ((s, dir) =>
       t(s, dir, "events")
@@ -2160,6 +2184,23 @@ object RelationalQueries {
         |       (dims.r - 1) * (dims.c - 1) AS dof,
         |       round(sqrt(agg.chi2 / (nn.nn * least(dims.r - 1, dims.c - 1))), 6) AS cramers_v
         |FROM agg, dims, nn""".stripMargin,
+    "q_window_rank_suite" ->
+      """WITH u AS (
+        |  SELECT event_type, user_id,
+        |         sum(CAST(value AS DECIMAL(18,2))) AS tv
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, tv,
+        |         CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |         percent_rank() OVER w AS pct,
+        |         cume_dist() OVER w AS cume
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY tv, user_id))
+        |SELECT event_type, quartile, count(*) AS n_users,
+        |       round(avg(pct), 4) AS avg_pct_rank,
+        |       round(avg(cume), 4) AS avg_cume_dist,
+        |       CAST(sum(tv) AS DOUBLE) AS quartile_value
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_partition_prune" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
         |       count(*) AS n, round(sum(value), 2) AS total_value
