@@ -65,4 +65,75 @@ object Graph {
     }
     pr.select("id", "pr")
   }
+
+  /** Per-node triangle counts over an UNDIRECTED simple graph given as
+    * deduplicated pairs with `a < b`. Returns (id, n_tri).
+    *
+    * Scale: the naive wedge join (edge ⋈ edge on the shared endpoint)
+    * explodes quadratically on hub nodes — a power-law graph's hottest
+    * key generates deg² wedge rows. The standard fix (Suri & Vassilvitskii,
+    * "Counting Triangles and the Curse of the Last Reducer", WWW'11) is
+    * degree orientation: direct every edge from its (degree, id)-smaller
+    * endpoint to the larger, making every out-degree O(√m), so wedge
+    * generation is Σ outdeg² ≤ m·√m instead of Σ deg². Each triangle then
+    * has exactly ONE wedge at its (degree, id)-minimal corner plus one
+    * closing oriented edge — counted once, no post-dedup. The degree
+    * table is |V| rows (broadcast); the wedge→edge match is an equi-join
+    * on the (v1, v2) pair key, shuffled once.
+    */
+  def triangleCounts(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val und = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+    val deg = und.groupBy("u").agg(count(lit(1)).as("d"))
+      .select(col("u").as("n"), col("d"))
+    // orient u -> v iff (d(u), u) < (d(v), v): a strict total order, so
+    // each undirected edge survives exactly once
+    val oriented = und
+      .join(broadcast(deg).withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
+      .join(broadcast(deg).withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
+      .filter(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")))
+      .select(col("u"), col("v"), col("dv"))
+    // wedges at the minimal corner: unordered out-neighbor pairs, emitted
+    // in the same (degree, id) order the closing edge is oriented in
+    val e1 = oriented.select(col("u").as("w_u"), col("v").as("x"), col("dv").as("dx"))
+    val e2 = oriented.select(col("u").as("w_u"), col("v").as("y"), col("dv").as("dy"))
+    val wedges = e1.join(e2, "w_u")
+      .filter(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")))
+      .select(col("w_u"), col("x"), col("y"))
+    val tri = wedges.join(
+        oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+      .select(col("w_u").as("a"), col("x").as("b"), col("y").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Bounded k-core peeling: `rounds` synchronous rounds of "drop every
+    * node with degree < k, then drop dangling edges", reporting
+    * (round, n_nodes, n_edges) after each. Fixed round count (like
+    * [[pageRank]]'s fixed iterations) keeps the result deterministic and
+    * CTE-unrollable by an oracle; at convergence the survivor set is the
+    * k-core — the dense-cluster skeleton a spam/ring-detection stage keys
+    * on. Each round is one degree aggregation plus two semi-joins, all on
+    * the node key, so rounds re-use one co-partitioning; the edge relation
+    * is persisted per round because three consumers (stats, degree, next
+    * round) would otherwise replay the whole peel lineage.
+    */
+  def kCorePeel(pairs: DataFrame, aCol: String, bCol: String,
+                k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 20)
+    var e = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+    val stats = (1 to rounds).map { r =>
+      val keep = e.groupBy("u").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("u"))
+      e = e.join(keep, Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+        .select("u", "v")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      e.agg(countDistinct("u").as("n_nodes"),
+          (count(lit(1)) / 2).cast("long").as("n_edges"))
+        .select(lit(r).as("round"), col("n_nodes"), col("n_edges"))
+    }
+    stats.reduce(_ union _)
+  }
 }

@@ -31,15 +31,27 @@ object PipelineQueries {
     * batches → watermarks never drop a record, keyed windows never
     * regress). Returns the source directory for `readStream.parquet`. */
   private def orderedSlices(ev: DataFrame, tmp: java.nio.file.Path,
-                            n: Int = 4): String = {
-    val src = tmp.resolve("src"); java.nio.file.Files.createDirectories(src)
+                            n: Int = 4,
+                            order: Seq[org.apache.spark.sql.Column] =
+                              Seq(col("ts"), col("event_id"))): String = {
     val total = ev.count()
     val sliced = ev.withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")))
+        org.apache.spark.sql.expressions.Window.orderBy(order: _*)))
       .withColumn("bucket", ((col("rn") - 1) * n / total).cast("int"))
+      .drop("rn")
+    writeSlices(sliced, tmp, n)
+  }
+
+  /** Write a bucket-tagged frame as one single-file parquet slice per
+    * bucket, file names pinning the trigger sequence (bucket i = trigger
+    * i). The mechanical half of [[orderedSlices]], reused by rows that
+    * assign buckets by time rather than rank. */
+  private def writeSlices(withBucket: DataFrame, tmp: java.nio.file.Path,
+                          n: Int): String = {
+    val src = tmp.resolve("src"); java.nio.file.Files.createDirectories(src)
     for (i <- 0 until n) {
       val part = tmp.resolve(s"w$i")
-      sliced.filter(col("bucket") === i).drop("rn", "bucket")
+      withBucket.filter(col("bucket") === i).drop("bucket")
         .coalesce(1).write.parquet(part.toString)
       val f = new java.io.File(part.toString).listFiles()
         .filter(_.getName.endsWith(".parquet")).head
@@ -529,6 +541,124 @@ object PipelineQueries {
       Router.good(Enrich.withIndexName(Router.routeVariant(decoded, cfg), cfg))
         .groupBy("index_name").agg(count(lit(1)).as("n"))
         .orderBy("index_name")
+    }),
+
+    // §2.6 CHECKPOINT-RESTART row: streaming state must survive a query
+    // stop/restart, not just batch boundaries. The envelope replay is fed
+    // twice — copy A before a deliberate stop, copy B (byte-identical
+    // duplicates) only AFTER a new query resumes from the same checkpoint —
+    // through watermarked log_id dedup. Copy B can only be suppressed if
+    // the dedup state store was recovered across the restart: a green row
+    // IS recovery working; double counts would be a red row. (EndToEndSpec
+    // drives the same restart through graft.Main; this is the
+    // driver-oracled version.)
+    "pipe_stream_restart" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-restart")
+      val src = tmp.resolve("src"); java.nio.file.Files.createDirectories(src)
+      val env = envelopes(s, dir)
+      def addFiles(tag: String): Unit =
+        for (i <- 0 until 2) {
+          val part = tmp.resolve(s"w-$tag-$i")
+          env.filter(col("partitionKey").cast("long") % 2 === i)
+            .coalesce(1).write.parquet(part.toString)
+          val f = new java.io.File(part.toString).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          java.nio.file.Files.move(f.toPath, src.resolve(s"part-$tag-$i.parquet"))
+        }
+      val outDir = tmp.resolve("out").toString
+      def run(): Unit = withFewShufflePartitions(s) {
+        val stream = s.readStream
+          .schema(graft.model.Schemas.envelope)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(src.toString)
+        graft.streaming.StreamingPipeline
+          .dedupWithinWatermark(stream, cfg, watermark = "3650 days")
+          .select("index_name").writeStream
+          .format("parquet").option("path", outDir)
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
+      addFiles("a"); run() // copy A, then the query STOPS
+      addFiles("b"); run() // duplicates arrive only after the restart
+      s.read.parquet(outDir)
+        .groupBy("index_name").agg(count(lit(1)).as("n"))
+        .orderBy("index_name")
+    }),
+
+    // K3 ROUND-TRIP: the dead-letter re-drive loop. The badmix failures are
+    // written through the real sink (gzip NDJSON, Hive log_type/ym/dd
+    // layout) and then READ BACK — the operational path when an upstream
+    // fix re-ingests S3 dead letters. The driver-visible result is computed
+    // entirely from the re-read bytes: per log_type, row count, distinct
+    // payload count (the not_json slice collapses to ONE constant payload;
+    // every JSON failure is unique), and the sum of log_id parsed back out
+    // of the payload JSON (null for non-JSON lines). A green row proves
+    // write -> gzip -> partition layout -> read -> re-parse is lossless.
+    "pipe_deadletter_replay" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-dl-replay")
+      val dcfg = cfg.copy(deadLetterPath = tmp.resolve("dl").toString)
+      val routed = Pipeline.transform(badmixEnvelopes(s, dir), dcfg)
+      graft.sink.DeadLetterSink.writeFailed(Router.failed(routed), dcfg,
+        reason = "failed_validation")
+      s.read.text(s"${dcfg.deadLetterPath}/failed_validation")
+        .select(col("log_type"), col("value"),
+          get_json_object(col("value"), "$.log_id").cast("long").as("log_id"))
+        .groupBy("log_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct("value").as("n_payloads"),
+          sum("log_id").as("sum_log_id"))
+        .orderBy("log_type")
+    }),
+
+    // §2.6 WATERMARK LATE-DROP row: the one streaming semantic the other
+    // stream rows deliberately engineer AWAY (their ordered slices mean
+    // nothing ever arrives late). Batches arrive OUT of time order:
+    //   trigger 0: the second time-quarter [t2, t1)   — inserts, no wm yet
+    //   trigger 1: the newest half       [t1, max]    — advances wm to max-2h
+    //   trigger 2: the eighth            [t3, t2)     — hours late: DROPPED
+    //   trigger 3: the oldest eighth     [min, t3)    — hours late: DROPPED
+    // Probed on this Spark version: the late-input filter uses the
+    // watermark with a ONE-BATCH propagation lag (batch N filters with the
+    // wm derived from batches 0..N-2, while offsets/N already records the
+    // newer value), so the slicing is chosen to be correct under BOTH the
+    // lagged and unlagged model: batch 1 is never late under either (its
+    // rows are newer than any wm it could see), and batches 2-3 are at
+    // least span/4 - 2h behind every applicable wm. Append mode emits
+    // exactly the windows the final watermark (max - 2h) has closed, so
+    // the emitted set is: rows with ts >= t2, in windows ending at or
+    // before max - 2h — the relational rule the oracle reproduces. The
+    // missing [min, t2) days in the output ARE the watermark drop.
+    "pipe_stream_late_drop" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-late")
+      val ev = graft.Tables.events(s, dir).select(col("event_id"), col("ts"))
+      val r = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      val (mUs, xUs) = (r.getLong(0), r.getLong(1))
+      val span = xUs - mUs
+      val (t1, t2, t3) = (mUs + span / 2, mUs + span / 4, mUs + span / 8)
+      val us = unix_micros(col("ts"))
+      val bucket = when(us >= t2 && us < t1, 0).when(us >= t1, 1)
+        .when(us >= t3, 2).otherwise(3)
+      val src = writeSlices(ev.withColumn("bucket", bucket), tmp, 4)
+      val stream = s.readStream
+        .schema("event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val outDir = tmp.resolve("out").toString
+      withFewShufflePartitions(s) {
+        stream.withWatermark("ts", "2 hours")
+          .groupBy(window(col("ts"), "1 hour").as("w"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("w.end").as("w_end"), col("n_events"))
+          .writeStream
+          .format("parquet").option("path", outDir)
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
+      s.read.parquet(outDir)
+        .groupBy(date_format(col("w_end"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_windows"), sum("n_events").as("n_events"))
+        .orderBy("day")
     })
   )
 
@@ -570,6 +700,8 @@ object PipelineQueries {
       "pipe_variant_route" ->
         s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
       "pipe_stream_dedup" ->
+        s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
+      "pipe_stream_restart" ->
         s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
       "pipe_stream_outer_join" ->
         """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
@@ -650,6 +782,39 @@ object PipelineQueries {
            |       concat('{"index":{"_index":"', $indexExpr, '","_type":"_doc","_id":"', event_id, '"}}')
            |         AS action_meta
            |FROM events ORDER BY event_id""".stripMargin,
+      // the CASE collapses the not_json slice (m=9) to one token so the
+      // distinct-payload count matches the engine's constant-line collapse;
+      // m=7/8 payloads each embed their unique log_id. sum_log_id skips
+      // m=9 exactly as the engine's get_json_object returns null there.
+      "pipe_deadletter_replay" ->
+        """WITH f AS (SELECT CASE WHEN event_id % 10 IN (7, 9) THEN 'unknown'
+          |                       ELSE event_type END AS log_type,
+          |                  event_id % 10 AS m, event_id
+          |           FROM events WHERE event_id % 10 IN (7, 8, 9))
+          |SELECT log_type, count(*) AS n,
+          |       count(DISTINCT CASE WHEN m = 9 THEN 'c'
+          |                           ELSE CAST(event_id AS VARCHAR) END) AS n_payloads,
+          |       CAST(sum(CASE WHEN m <> 9 THEN event_id END) AS BIGINT) AS sum_log_id
+          |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+      // inserted rows = time-buckets 0 and 1 = ts >= t2 = min + span//4
+      // (same integer-microsecond arithmetic as the engine's bucket
+      // assignment); emitted windows are those the final watermark
+      // (max ts - 2h) has closed; the dropped [min, t2) slices are the
+      // late-data hole in the day range
+      "pipe_stream_late_drop" ->
+        """WITH b AS (SELECT min(epoch_us(ts)) AS m, max(epoch_us(ts)) AS x FROM events),
+          |ins AS (SELECT ts FROM events, b
+          |        WHERE epoch_us(ts) >= b.m + (b.x - b.m) // 4),
+          |w AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS w_end,
+          |             count(*) AS n_events
+          |      FROM ins GROUP BY 1),
+          |emitted AS (SELECT w.w_end, w.n_events
+          |            FROM w, (SELECT max(ts) AS mt FROM events) mx
+          |            WHERE w.w_end <= mx.mt - INTERVAL 2 HOUR)
+          |SELECT strftime(w_end, '%Y-%m-%d') AS day,
+          |       count(*) AS n_windows,
+          |       CAST(sum(n_events) AS BIGINT) AS n_events
+          |FROM emitted GROUP BY 1 ORDER BY 1""".stripMargin,
       "pipe_deadletter_layout" ->
         """SELECT 'unknown' AS log_type, strftime(ts, '%Y-%m') AS ym, strftime(ts, '%d') AS dd,
           |       count(*) AS n

@@ -1188,6 +1188,37 @@ object RelationalQueries {
         .limit(50)
     }),
 
+    // Per-node triangle counts on the same support->=2 co-purchase graph —
+    // the clustering-coefficient numerator. Degree-oriented wedge join
+    // (Suri-Vassilvitskii): each triangle found exactly once at its
+    // (degree, id)-minimal corner, out-degrees bounded O(sqrt(m)), so the
+    // wedge set never explodes on hub nodes at 100 TB.
+    "q_triangles" -> ((s, dir) => {
+      import graft.ops.{Affinity, Graph}
+      val pairs = Affinity.basketPairCounts(
+        Affinity.basketItems(t(s, dir, "lineitem"), "l_orderkey", "l_partkey"))
+        .filter(col("n_ab") >= 2)
+        .select("item_a", "item_b")
+      Graph.triangleCounts(pairs, "item_a", "item_b")
+        .select(col("id").as("part_id"), col("n_tri"))
+        .orderBy(col("n_tri").desc, col("part_id"))
+        .limit(40)
+    }),
+
+    // Bounded k-core peel (k=3, 3 synchronous rounds) on the same graph —
+    // the dense-subgraph skeleton: per round, one degree agg + two node-key
+    // semi-joins. Deterministic by fixed round count, so the oracle unrolls
+    // the identical peel as CTEs.
+    "q_kcore" -> ((s, dir) => {
+      import graft.ops.{Affinity, Graph}
+      val pairs = Affinity.basketPairCounts(
+        Affinity.basketItems(t(s, dir, "lineitem"), "l_orderkey", "l_partkey"))
+        .filter(col("n_ab") >= 2)
+        .select("item_a", "item_b")
+      Graph.kCorePeel(pairs, "item_a", "item_b", k = 3, rounds = 3)
+        .orderBy("round")
+    }),
+
     // Time-series regularization: 15-min resample of event values per
     // type, gap-densified with a per-key spine, LOCF + linear interp
     "q_ts_resample" -> ((s, dir) =>
@@ -2022,6 +2053,42 @@ object RelationalQueries {
 
   val sql: Map[String, String] = Map(
     "q_pagerank" -> pagerankSql,
+    // triangles are orientation-invariant, so the oracle can use the plain
+    // a<b edge order: each {a<b<c} closes as (a,b)+(b,c)+(a,c) exactly once
+    "q_kcore" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+        |            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |pp AS (SELECT a.it AS a, b.it AS b
+        |       FROM li a JOIN li b ON a.bk = b.bk AND a.it < b.it
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e0 AS (SELECT a AS u, b AS v FROM pp UNION ALL SELECT b, a FROM pp),
+        |k1 AS (SELECT u FROM e0 GROUP BY u HAVING count(*) >= 3),
+        |e1 AS (SELECT e0.u, e0.v FROM e0 JOIN k1 x ON e0.u = x.u
+        |       JOIN k1 y ON e0.v = y.u),
+        |k2 AS (SELECT u FROM e1 GROUP BY u HAVING count(*) >= 3),
+        |e2 AS (SELECT e1.u, e1.v FROM e1 JOIN k2 x ON e1.u = x.u
+        |       JOIN k2 y ON e1.v = y.u),
+        |k3 AS (SELECT u FROM e2 GROUP BY u HAVING count(*) >= 3),
+        |e3 AS (SELECT e2.u, e2.v FROM e2 JOIN k3 x ON e2.u = x.u
+        |       JOIN k3 y ON e2.v = y.u)
+        |SELECT 1 AS round, count(DISTINCT u) AS n_nodes, count(*) // 2 AS n_edges FROM e1
+        |UNION ALL
+        |SELECT 2, count(DISTINCT u), count(*) // 2 FROM e2
+        |UNION ALL
+        |SELECT 3, count(DISTINCT u), count(*) // 2 FROM e3
+        |ORDER BY round""".stripMargin,
+    "q_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+        |            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |pp AS (SELECT a.it AS a, b.it AS b
+        |       FROM li a JOIN li b ON a.bk = b.bk AND a.it < b.it
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM pp e1 JOIN pp e2 ON e1.b = e2.a
+        |        JOIN pp e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |n AS (SELECT unnest([x, y, z]) AS id FROM tri)
+        |SELECT id AS part_id, count(*) AS n_tri FROM n GROUP BY 1
+        |ORDER BY n_tri DESC, part_id LIMIT 40""".stripMargin,
     "q_ks_drift" ->
       """WITH ev AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
         |            FROM events WHERE value IS NOT NULL),

@@ -169,6 +169,31 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
         .orderBy("split")),
 
+    // Vocabulary coverage: build a top-500 token vocab from the TRAIN
+    // split, then measure the out-of-vocabulary token rate per source on
+    // the held-out splits — the tokenizer-fit signal a pretraining corpus
+    // is screened with. Scale: the vocab is bounded (500 rows) and
+    // broadcast, so the eval-side token stream never shuffles for the
+    // membership test; the top-500 itself is TakeOrderedAndProject over
+    // the partial-aggregated counts, never a global sort of the vocab.
+    "txt_vocab_coverage" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("split", TextAnalysis.trainSplit(col("doc_id")))
+      val vocab = d.filter(col("split") === "train")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(500)
+        .select(col("token"), lit(1L).as("in_v"))
+      d.filter(col("split") =!= "train")
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .join(broadcast(vocab), Seq("token"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate", round(col("n_oov") / col("n_tokens"), 6))
+        .orderBy("source")
+    }),
+
     // Stratified sample: majority-language downsampling (en 30%, zh 60%,
     // rest kept) via the deterministic id-hash rate filter
     "txt_stratified_sample" -> ((s, dir) =>
@@ -1017,6 +1042,22 @@ object TextQueries {
         |FROM (SELECT text, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,4)) AS INTEGER) % 100 AS b
         |      FROM documents) t
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "txt_vocab_coverage" ->
+      """WITH d AS (SELECT source, text,
+        |                  ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INTEGER % 100 AS b
+        |           FROM documents),
+        |vocab AS (SELECT token FROM (
+        |            SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |            FROM d WHERE b < 80) t
+        |          GROUP BY token ORDER BY count(*) DESC, token LIMIT 500),
+        |ev AS (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |       FROM d WHERE b >= 80)
+        |SELECT source, count(*) AS n_tokens,
+        |       CAST(sum(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |       round(CAST(sum(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 6) AS oov_rate
+        |FROM ev LEFT JOIN vocab ON ev.token = vocab.token
+        |GROUP BY source ORDER BY source""".stripMargin,
     "txt_stratified_sample" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM (SELECT lang, n_chars,

@@ -45,4 +45,62 @@ class GraphSpec extends SparkSpec {
     val b = ranks(e.repartition(7))
     assert(a == b)
   }
+
+  private def tris(pairs: (Long, Long)*): Map[Long, Long] =
+    Graph.triangleCounts(pairs.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+
+  test("triangle counts: one triangle gives each corner exactly 1") {
+    assert(tris((1L, 2L), (2L, 3L), (1L, 3L)) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangle counts: a path has no triangles") {
+    assert(tris((1L, 2L), (2L, 3L), (3L, 4L)).isEmpty)
+  }
+
+  test("triangle counts: K4 gives every node C(3,2)=3 triangles") {
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val r = tris(k4: _*)
+    assert(r == (1L to 4L).map(_ -> 3L).toMap)
+  }
+
+  test("triangle counts: shared-edge triangles count once per triangle") {
+    // two triangles sharing edge 1-2: {1,2,3} and {1,2,4}
+    val r = tris((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L))
+    assert(r == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
+  private def core(k: Int, rounds: Int, pairs: (Long, Long)*): Seq[(Int, Long, Long)] =
+    Graph.kCorePeel(pairs.toDF("a", "b"), "a", "b", k, rounds)
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+
+  test("k-core peel: a 4-cycle dies in round 1 of the 3-core") {
+    val r = core(3, 2, (1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    assert(r == Seq((1, 0L, 0L), (2, 0L, 0L)))
+  }
+
+  test("k-core peel: K4 survives every round; a pendant peels off first") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val r = core(3, 3, (k4 :+ ((4L, 5L))): _*)
+    // pendant node 5 (deg 1) drops in round 1; K4 (all deg >= 3) is stable
+    assert(r == Seq((1, 4L, 6L), (2, 4L, 6L), (3, 4L, 6L)))
+  }
+
+  test("k-core peel: cascading peel needs the second round") {
+    // chain 5-6 hangs off K4 via 5: removing 6 (deg 1) in round 1 drops
+    // 5 to deg 1, which peels only in round 2
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val r = core(2, 3, (k4 ++ Seq((4L, 5L), (5L, 6L))): _*)
+    assert(r == Seq((1, 5L, 7L), (2, 4L, 6L), (3, 4L, 6L)))
+  }
+
+  test("triangle counts are layout-invariant") {
+    val e = (for (i <- 1L to 8L; j <- (i + 1) to 8L if (i + j) % 3 != 0)
+      yield (i, j)).toDF("a", "b")
+    val one = Graph.triangleCounts(e.repartition(1), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val many = Graph.triangleCounts(e.repartition(5), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(one == many && one.nonEmpty)
+  }
 }
