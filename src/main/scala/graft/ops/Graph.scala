@@ -82,8 +82,13 @@ object Graph {
     * on the (v1, v2) pair key, shuffled once.
     */
   def triangleCounts(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // materialize the (possibly expensive) edge derivation ONCE: und feeds
+    // both the degree table and the orientation, and oriented feeds three
+    // joins — without the persists the upstream pair-generation lineage
+    // replays five times (verified via .explain)
     val und = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = und.groupBy("u").agg(count(lit(1)).as("d"))
       .select(col("u").as("n"), col("d"))
     // orient u -> v iff (d(u), u) < (d(v), v): a strict total order, so
@@ -93,6 +98,7 @@ object Graph {
       .join(broadcast(deg).withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
       .filter(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")))
       .select(col("u"), col("v"), col("dv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // wedges at the minimal corner: unordered out-neighbor pairs, emitted
     // in the same (degree, id) order the closing edge is oriented in
     val e1 = oriented.select(col("u").as("w_u"), col("v").as("x"), col("dv").as("dx"))
@@ -123,6 +129,7 @@ object Graph {
     require(k >= 1 && rounds >= 1 && rounds <= 20)
     var e = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = (1 to rounds).map { r =>
       val keep = e.groupBy("u").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("u"))
