@@ -556,20 +556,25 @@ object PipelineQueries {
       val tmp = java.nio.file.Files.createTempDirectory("graft-stream-restart")
       val src = tmp.resolve("src"); java.nio.file.Files.createDirectories(src)
       val env = envelopes(s, dir)
-      def addFiles(tag: String): Unit =
-        for (i <- 0 until 2) {
-          val part = tmp.resolve(s"w-$tag-$i")
-          env.filter(col("partitionKey").cast("long") % 2 === i)
-            .coalesce(1).write.parquet(part.toString)
-          val f = new java.io.File(part.toString).listFiles()
-            .filter(_.getName.endsWith(".parquet")).head
-          java.nio.file.Files.move(f.toPath, src.resolve(s"part-$tag-$i.parquet"))
-        }
+      // Unlike the ordered-slice rows, this feed needs NO order pinning:
+      // watermarked dedup over byte-identical copies is batch-order-
+      // insensitive (whichever copy arrives first wins, counts agree), so
+      // each phase writes with full task parallelism — a coalesce(1) feed
+      // would serialize the rehearsal's 10x corpus through one writer.
+      def addFiles(tag: String): Unit = {
+        val part = tmp.resolve(s"w-$tag")
+        env.write.parquet(part.toString)
+        new java.io.File(part.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .zipWithIndex.foreach { case (f, i) =>
+            java.nio.file.Files.move(f.toPath, src.resolve(s"part-$tag-$i.parquet"))
+          }
+      }
       val outDir = tmp.resolve("out").toString
       def run(): Unit = withFewShufflePartitions(s) {
         val stream = s.readStream
           .schema(graft.model.Schemas.envelope)
-          .option("maxFilesPerTrigger", 1)
+          .option("maxFilesPerTrigger", 16)
           .parquet(src.toString)
         graft.streaming.StreamingPipeline
           .dedupWithinWatermark(stream, cfg, watermark = "3650 days")
