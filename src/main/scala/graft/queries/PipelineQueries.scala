@@ -591,6 +591,24 @@ object PipelineQueries {
         .orderBy("index_name")
     }),
 
+    // S1 FILE-WIRE variant: the envelope replay serialized as gzip JSON
+    // LINES in the Kinesis event-source wire shape (data = base64 TEXT,
+    // reference README.md:9) and ingested back through the json source —
+    // the `graft.Main --format json` path as a driver row. Proves the
+    // engine consumes the reference's on-the-wire record format from
+    // object storage, not just its own parquet envelopes.
+    "pipe_jsonl_source" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl-src")
+      val wire = tmp.resolve("wire").toString
+      envelopes(s, dir)
+        .withColumn("data", base64(col("data")))
+        .write.option("compression", "gzip").json(wire)
+      val env = s.read.schema(graft.model.Schemas.envelopeJson).json(wire)
+      Router.good(Pipeline.transform(env, cfg, base64Data = true))
+        .groupBy("index_name").agg(count(lit(1)).as("n"))
+        .orderBy("index_name")
+    }),
+
     // K3 ROUND-TRIP: the dead-letter re-drive loop. The badmix failures are
     // written through the real sink (gzip NDJSON, Hive log_type/ym/dd
     // layout) and then READ BACK — the operational path when an upstream
@@ -707,6 +725,8 @@ object PipelineQueries {
       "pipe_stream_dedup" ->
         s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
       "pipe_stream_restart" ->
+        s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
+      "pipe_jsonl_source" ->
         s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
       "pipe_stream_outer_join" ->
         """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),

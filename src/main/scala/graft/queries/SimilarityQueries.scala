@@ -145,6 +145,21 @@ object SimilarityQueries {
         Similarity.binaryTopK(e, q, "vec_id", "embedding", "vec_id", "embedding"))
     }),
 
+    // Matryoshka-style dimension truncation: recall@10 of brute-force
+    // cosine search over only the FIRST 16 of 64 dims vs the full vectors
+    // — the standard screen before shipping truncated embeddings (4× less
+    // storage/bandwidth at whatever recall this reports). Truncation is a
+    // `slice` projection, so the measurement needs no re-embedding pass.
+    "sim_truncated_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val et = e.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+      recallAt10(
+        Similarity.bruteForceTopK(e, q, "vec_id", "embedding", "vec_id", "embedding"),
+        Similarity.bruteForceTopK(et, et.filter(col("vec_id") < 10),
+          "vec_id", "embedding", "vec_id", "embedding"))
+    }),
+
     // Embedding near-dup pairs via sign-LSH buckets + exact cosine —
     // oracle-checked (bucket-local pair generation, no n² cross join)
     "emb_near_dups" -> ((s, dir) =>
@@ -326,10 +341,10 @@ object SimilarityQueries {
 
   private def d2Sql(v: String, c: String): String =
     s"list_reduce(list_transform(generate_series(1, 64), j -> ($v[j]-$c[j])*($v[j]-$c[j])), (a,b)->a+b)"
-  private def dotSql(a: String, b: String): String =
-    s"list_reduce(list_transform(generate_series(1, 64), j -> $a[j]*$b[j]), (a,b)->a+b)"
-  private def nrmSql(v: String): String =
-    s"sqrt(list_reduce(list_transform(generate_series(1, 64), j -> $v[j]*$v[j]), (a,b)->a+b))"
+  private def dotSql(a: String, b: String, dims: Int = 64): String =
+    s"list_reduce(list_transform(generate_series(1, $dims), j -> $a[j]*$b[j]), (a,b)->a+b)"
+  private def nrmSql(v: String, dims: Int = 64): String =
+    s"sqrt(list_reduce(list_transform(generate_series(1, $dims), j -> $v[j]*$v[j]), (a,b)->a+b))"
 
   /** One unrolled Lloyd iteration: assign sample rows to the previous
     * centers (first-wins argmin: ORDER BY d2, cell), then per-(cell, dim)
@@ -567,6 +582,30 @@ object SimilarityQueries {
          |       CAST(sum(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
          |       round(sum(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END) / 10.0, 2) AS recall_at_10
          |FROM exact x LEFT JOIN bin a ON x.qid = a.qid AND x.id = a.id
+         |GROUP BY x.qid ORDER BY x.qid""".stripMargin,
+    "sim_truncated_recall" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         |exact AS (
+         |  SELECT qid, id FROM (
+         |    SELECT q.qid, e.vec_id AS id,
+         |           row_number() OVER (PARTITION BY q.qid ORDER BY
+         |             ${dotSql("e.v", "q.qv")} / (${nrmSql("e.v")} * ${nrmSql("q.qv")}) DESC,
+         |             e.vec_id) AS rank
+         |    FROM e CROSS JOIN q WHERE e.vec_id <> q.qid) t
+         |  WHERE rank <= 10),
+         |tr AS (
+         |  SELECT qid, id FROM (
+         |    SELECT q.qid, e.vec_id AS id,
+         |           row_number() OVER (PARTITION BY q.qid ORDER BY
+         |             ${dotSql("e.v", "q.qv", 16)} / (${nrmSql("e.v", 16)} * ${nrmSql("q.qv", 16)}) DESC,
+         |             e.vec_id) AS rank
+         |    FROM e CROSS JOIN q WHERE e.vec_id <> q.qid) t
+         |  WHERE rank <= 10)
+         |SELECT x.qid,
+         |       CAST(sum(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |       round(sum(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END) / 10.0, 2) AS recall_at_10
+         |FROM exact x LEFT JOIN tr a ON x.qid = a.qid AND x.id = a.id
          |GROUP BY x.qid ORDER BY x.qid""".stripMargin,
     "emb_near_dups" ->
       s"""WITH pl AS (SELECT ${planesLit(4, 64)}::DOUBLE[][] AS p),
