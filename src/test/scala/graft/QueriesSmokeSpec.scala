@@ -134,6 +134,24 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(plan.contains("Window"), s"expected distributed probe ranking:\n$plan")
   }
 
+  test("graph queries: degree tables broadcast, wedge/peel joins never cartesian") {
+    for (name <- Seq("q_triangles", "q_kcore")) {
+      val plan = exec(name)
+      assert(!plan.contains("CartesianProduct"), s"$name:\n${plan.take(3000)}")
+    }
+    // the |V|-row degree table must broadcast into the orientation join
+    assert(exec("q_triangles").contains("BroadcastHashJoin"),
+      s"degree join must broadcast:\n${exec("q_triangles").take(3000)}")
+  }
+
+  test("vocab coverage broadcasts the bounded vocab into the eval token stream") {
+    val plan = exec("txt_vocab_coverage")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"500-row vocab must broadcast, never shuffle the token stream:\n${plan.take(3000)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-500 must be a bounded take, not a global sort:\n${plan.take(3000)}")
+  }
+
   test("every oracle key has a matching query") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
