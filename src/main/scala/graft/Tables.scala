@@ -86,9 +86,19 @@ object Tables {
       // _SUCCESS is Spark's atomic completion marker: a crashed or
       // in-flight previous write leaves it absent and we rewrite
       if (!new java.io.File(out, "_SUCCESS").isFile) {
-        // enough splits that per-row compute chained onto the scan can use
-        // the machine; row groups stay ≥ ~256 rows so footer overhead is nil
-        val n = math.min(32L, math.max(4L, rows / 256L)).toInt
+        // Split count is sized by DATA VOLUME, not a tiny row constant:
+        // one split per ~64k rows or per ~32 MB of source bytes, whichever
+        // demands more, clamped to [4, 32]. The round-6 rule (rows/256)
+        // always hit the 32-split cap at sf0.1 (~3k rows/file) and the
+        // per-task scheduling overhead inflated ~130 sub-second queries
+        // ~1.9x (measured; see README's relayout A/B) — per-partition work
+        // must dwarf task launch cost. The floor of 4 keeps narrow per-row
+        // compute chained onto the scan parallel even for small tables;
+        // at real scale the byte term dominates and converges on the
+        // standard 32-128 MB scan-partition target.
+        val byRows = rows / 65536L
+        val byBytes = src.length / (32L << 20)
+        val n = math.min(32L, math.max(4L, math.max(byRows, byBytes))).toInt
         val df = raw
         val laid = clusterKey.get(name).filter(df.columns.contains) match {
           case Some(k) =>

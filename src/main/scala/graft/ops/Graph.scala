@@ -40,10 +40,15 @@ object Graph {
     require(iters >= 1 && iters <= 50)
     val ow = edges.groupBy(col(srcCol).as("src"))
       .agg(sum(col(wCol)).as("tw"))
+    // localCheckpoint (eager), NOT persist: checkpointed blocks are freed
+    // by the ContextCleaner as soon as the result plan is unreferenced,
+    // whereas CacheManager-held persists live for the session — repeated
+    // bench invocations would accumulate cached copies of the edge
+    // relation (advisor finding, round 6)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(wCol).as("w"))
       .join(ow, "src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     val n = e.agg(countDistinct("src").as("n"))
 
     var pr = e.select(col("src").as("id")).distinct()
@@ -84,21 +89,27 @@ object Graph {
   def triangleCounts(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     // materialize the (possibly expensive) edge derivation ONCE: und feeds
     // both the degree table and the orientation, and oriented feeds three
-    // joins — without the persists the upstream pair-generation lineage
-    // replays five times (verified via .explain)
+    // joins — without materialization the upstream pair-generation lineage
+    // replays five times (verified via .explain). Eager localCheckpoint
+    // rather than persist so the blocks are ContextCleaner-freed once the
+    // result is unreferenced instead of held by the CacheManager for the
+    // session (advisor finding, round 6).
     val und = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     val deg = und.groupBy("u").agg(count(lit(1)).as("d"))
       .select(col("u").as("n"), col("d"))
     // orient u -> v iff (d(u), u) < (d(v), v): a strict total order, so
-    // each undirected edge survives exactly once
+    // each undirected edge survives exactly once. No forced broadcast on
+    // the |V|-row degree table: AQE broadcasts it when it fits and
+    // degrades gracefully to a shuffle join when |V| outgrows the
+    // threshold — a forced hint would OOM the driver on a big graph.
     val oriented = und
-      .join(broadcast(deg).withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
-      .join(broadcast(deg).withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
+      .join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
+      .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
       .filter(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")))
       .select(col("u"), col("v"), col("dv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     // wedges at the minimal corner: unordered out-neighbor pairs, emitted
     // in the same (degree, id) order the closing edge is oriented in
     val e1 = oriented.select(col("u").as("w_u"), col("v").as("x"), col("dv").as("dx"))
@@ -121,7 +132,7 @@ object Graph {
     * k-core — the dense-cluster skeleton a spam/ring-detection stage keys
     * on. Each round is one degree aggregation plus two semi-joins, all on
     * the node key, so rounds re-use one co-partitioning; the edge relation
-    * is persisted per round because three consumers (stats, degree, next
+    * is checkpointed per round because three consumers (stats, degree, next
     * round) would otherwise replay the whole peel lineage.
     */
   def kCorePeel(pairs: DataFrame, aCol: String, bCol: String,
@@ -129,14 +140,14 @@ object Graph {
     require(k >= 1 && rounds >= 1 && rounds <= 20)
     var e = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     val stats = (1 to rounds).map { r =>
       val keep = e.groupBy("u").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("u"))
       e = e.join(keep, Seq("u"), "left_semi")
         .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
         .select("u", "v")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager = true)
       e.agg(countDistinct("u").as("n_nodes"),
           (count(lit(1)) / 2).cast("long").as("n_edges"))
         .select(lit(r).as("round"), col("n_nodes"), col("n_edges"))

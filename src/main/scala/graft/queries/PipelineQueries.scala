@@ -31,12 +31,10 @@ object PipelineQueries {
     * batches → watermarks never drop a record, keyed windows never
     * regress). Returns the source directory for `readStream.parquet`. */
   private def orderedSlices(ev: DataFrame, tmp: java.nio.file.Path,
-                            n: Int = 4,
-                            order: Seq[org.apache.spark.sql.Column] =
-                              Seq(col("ts"), col("event_id"))): String = {
+                            n: Int = 4): String = {
     val total = ev.count()
     val sliced = ev.withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(order: _*)))
+        org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
       .withColumn("bucket", ((col("rn") - 1) * n / total).cast("int"))
       .drop("rn")
     writeSlices(sliced, tmp, n)
@@ -658,6 +656,16 @@ object PipelineQueries {
       val r = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
       val (mUs, xUs) = (r.getLong(0), r.getLong(1))
       val span = xUs - mUs
+      // The engine/oracle agreement silently assumed the corpus spans
+      // enough wall-clock time — make the assumption LOUD: buckets 2-3 are
+      // provably late (under both the lagged and unlagged watermark model)
+      // only if windows ending <= t2+1h close under the earliest applicable
+      // watermark t1-2h, i.e. span/4 >= 3h. A compressed-timespan corpus
+      // must fail here, not as a silent oracle mismatch.
+      require(span >= 12L * 3600 * 1000000L,
+        s"pipe_stream_late_drop needs an events corpus spanning >= 12h " +
+          s"(got ${span / 3600000000L}h): buckets 2-3 would not be " +
+          "provably late under the 2h watermark")
       val (t1, t2, t3) = (mUs + span / 2, mUs + span / 4, mUs + span / 8)
       val us = unix_micros(col("ts"))
       val bucket = when(us >= t2 && us < t1, 0).when(us >= t1, 1)

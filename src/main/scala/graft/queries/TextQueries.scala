@@ -51,7 +51,9 @@ object TextQueries {
           round(avg("awl"), 4).as("avg_word_len"))
         .orderBy("lang")),
 
-    // Language-ID heuristic distribution
+    // Language-ID heuristic distribution. (Measured: a Par.spread head
+    // here LOSES — shuffling the full text column costs more than the
+    // extra scan parallelism buys; the scorer rides the scan.)
     "txt_langid" -> ((s, dir) =>
       docs(s, dir)
         .withColumn("lang_guess", TextAnalysis.langIdGuess(col("text")))
