@@ -23,17 +23,26 @@ object Graph {
   private val Total = 1000000000000L // 1e12 fixed-point mass
   private val Base = Total * 15 / 100 // (1 - damping) numerator, d = 0.85
 
-  /** Weighted PageRank over a SYMMETRIC (or generally: total) edge list —
-    * every node must have out-weight > 0; dangling-node redistribution is
-    * deliberately out of scope. Returns (id, pr) with pr in 1e-12 units.
+  /** Weighted PageRank over a GENERAL directed edge list. Dangling nodes
+    * (out-weight 0) redistribute their damped mass uniformly: each round,
+    * pr'(v) = Base/n + Σ_{u→v} (pr(u)·85·w)/(100·tw(u)) + (D·85)/(100·n)
+    * where D = Σ pr over dangling nodes — every term in the same 1e-12
+    * integer fixed-point, so the result stays bit-identical across
+    * layouts/engines (DuckDB replays the identical recurrence). On a
+    * total edge list (every node has out-weight > 0) D = 0 every round
+    * and the recurrence reduces exactly to the dangling-free form.
+    * Returns (id, pr) with pr in 1e-12 units.
     *
-    * Scale: the edge table (with its per-source total weight) is
-    * materialized once — `localCheckpoint` cuts the 5-iteration plan from
-    * re-deriving it each round — and each iteration is ONE join of the
-    * rank relation against edges on the source key plus ONE re-aggregate
-    * on the destination key: the rank relation (|V| rows) shuffles per
-    * round, edges are shuffled only at materialization. Driver state is
-    * nothing but the node count.
+    * Scale: the edge table (with its per-source total weight) and the
+    * node relation are materialized once — `localCheckpoint` cuts the
+    * 5-iteration plan from re-deriving them each round — and each
+    * iteration is ONE join of the rank relation against edges on the
+    * source key, ONE re-aggregate on the destination key, one |V|-row
+    * anti-join + scalar sum for the dangling mass, and a left join back
+    * onto the node relation (isolated receivers keep earning base +
+    * dangling mass). The rank relation (|V| rows) shuffles per round,
+    * edges only at materialization. Driver state is nothing but the node
+    * count.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                wCol: String, iters: Int = 5): DataFrame = {
@@ -49,24 +58,35 @@ object Graph {
         col(wCol).as("w"))
       .join(ow, "src")
       .localCheckpoint(eager = true)
-    val n = e.agg(countDistinct("src").as("n"))
+    val nodes = edges.select(col(srcCol).as("id"))
+      .union(edges.select(col(dstCol).as("id")))
+      .distinct()
+      .localCheckpoint(eager = true)
+    val srcs = ow.select("src")
+    val n = nodes.count() // the one driver-side scalar
+    val base = Base / n   // integer division — DuckDB's `//` for positives
 
-    var pr = e.select(col("src").as("id")).distinct()
-      .crossJoin(broadcast(n))
-      .select(col("id"), expr(s"$Total div n").as("pr"), col("n"))
+    var pr = nodes.select(col("id"), lit(Total / n).as("pr"))
     (1 to iters).foreach { _ =>
       // the rank relation is |V| rows, tiny next to edges: AQE broadcasts
       // it per round (measured 2x faster than a FORCED broadcast hint,
       // whose eager driver-side build serializes the rounds); on a
       // cluster where |V| outgrows broadcast the same plan degrades
       // gracefully to a co-partitioned shuffle on the node key
-      pr = e.join(pr.withColumnRenamed("id", "src"), "src")
-        .select(col("dst"), expr("(pr * 85 * w) div (100 * tw)").as("c"),
-          col("n"))
-        .groupBy("dst", "n")
+      val contrib = e.join(pr.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"), expr("(pr * 85 * w) div (100 * tw)").as("c"))
+        .groupBy("dst")
         .agg(sum("c").as("s"))
-        .select(col("dst").as("id"), (expr(s"$Base div n") + col("s")).as("pr"),
-          col("n"))
+      // dangling mass D: ranks of nodes with no out-edges — a scalar that
+      // is exactly 0 on a total edge list
+      val dang = pr.join(srcs, pr("id") === srcs("src"), "left_anti")
+        .agg(coalesce(sum("pr"), lit(0L)).as("dm"))
+      pr = nodes
+        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("id"),
+          (lit(base) + coalesce(col("s"), lit(0L)) +
+            expr(s"(dm * 85) div (100 * $n)")).as("pr"))
     }
     pr.select("id", "pr")
   }
@@ -153,5 +173,50 @@ object Graph {
         .select(lit(r).as("round"), col("n_nodes"), col("n_edges"))
     }
     stats.reduce(_ union _)
+  }
+
+  /** k-core peeling TO CONVERGENCE: rounds of "drop nodes with degree < k,
+    * then dangling edges" until the survivor edge set is stable — the
+    * exact k-core, making the operator's name precise (the bounded
+    * [[kCorePeel]] stays for round-by-round stats and CTE oracles).
+    * Returns ONE row (n_rounds, n_nodes, n_edges) where n_rounds is the
+    * first no-op round (the round whose peel removed nothing).
+    *
+    * The edge set shrinks monotonically, so an unchanged EDGE COUNT means
+    * an unchanged edge set — the convergence test is a per-round scalar
+    * count (the only driver-side state; convergence detection inherently
+    * needs a driver decision). Each round is the same one degree
+    * aggregation + two node-key semi-joins as the bounded form;
+    * `maxRounds` guards the loop (termination is guaranteed anyway: every
+    * non-final round removes at least one edge).
+    */
+  def kCoreConverged(pairs: DataFrame, aCol: String, bCol: String,
+                     k: Int, maxRounds: Int = 40): DataFrame = {
+    require(k >= 1 && maxRounds >= 1)
+    var e = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .localCheckpoint(eager = true)
+    var prev = e.count()
+    var r = 0
+    // no empty-graph shortcut: round 1 is then a no-op round and r = 1,
+    // matching the oracle's "first r with count(r) == count(r-1)" rule
+    var converged = false
+    while (!converged && r < maxRounds) {
+      val keep = e.groupBy("u").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("u"))
+      val next = e.join(keep, Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+        .select("u", "v")
+        .localCheckpoint(eager = true)
+      val cnt = next.count()
+      r += 1
+      converged = cnt == prev
+      prev = cnt
+      e = next
+    }
+    require(converged, s"k-core did not converge within $maxRounds rounds")
+    e.agg(countDistinct("u").as("n_nodes"),
+        (count(lit(1)) / 2).cast("long").as("n_edges"))
+      .select(lit(r.toLong).as("n_rounds"), col("n_nodes"), col("n_edges"))
   }
 }

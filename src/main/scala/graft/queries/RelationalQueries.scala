@@ -674,6 +674,32 @@ object RelationalQueries {
         .orderBy("n_name")
     }),
 
+    // Incremental MV over a SKETCH column — the proof that the engine's
+    // sketch family is mergeable state, not just a query-time aggregate:
+    // a per-day KMV distinct-users MV is maintained by folding each
+    // ingest slice's partial sketch in at O(|MV| + k) — explode + re-take
+    // the k smallest hashes IS kmvMerge as an aggregate — with history
+    // never rescanned. k=512: the sf0.01 oracle (exact distinct recompute)
+    // sits below k so the estimate is exact; at sf0.1 (max 1356 users/day)
+    // the estimator path engages in the bench.
+    "q_incremental_sketch" -> ((s, dir) => {
+      import graft.functions.KMinStrings.kmin_strings
+      val k = 512
+      val ev = t(s, dir, "events")
+      def partial(slice: DataFrame) = slice
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(graft.ops.Sketch.kmvSketch(col("user_id"), k).as("kmv"))
+      // three ingest slices: the standing MV + two later deltas
+      val parts = Seq(0, 1, 2).map(i => partial(ev.filter(col("event_id") % 3 === i)))
+      parts.reduce(_ unionByName _)
+        .select(col("day"), explode(col("kmv")).as("h"))
+        .groupBy("day")
+        .agg(kmin_strings(col("h"), k).as("kmv"))
+        .select(col("day"),
+          round(graft.ops.Sketch.kmvEstimate(col("kmv"), k), 2).as("est_users"))
+        .orderBy("day")
+    }),
+
     // Join-cardinality pre-flight: the exact output size of the events
     // user_id self-join (the q_interval_join shape) computed WITHOUT
     // executing the join — sum over keys of c(k)^2 from one
@@ -1188,6 +1214,25 @@ object RelationalQueries {
         .limit(50)
     }),
 
+    // PageRank on the DIRECTED (a<b) co-purchase edge list — a graph with
+    // real dangling nodes (items appearing only as dst have no out-edges):
+    // exercises the terminal-mass redistribution term that a total edge
+    // list never does. Same 1e-12 integer fixed-point; oracle replays the
+    // identical recurrence including the per-round dangling scalar.
+    "q_pagerank_dangling" -> ((s, dir) => {
+      import graft.ops.{Affinity, Graph}
+      val pairs = Affinity.basketPairCounts(
+        Affinity.basketItems(t(s, dir, "lineitem"), "l_orderkey", "l_partkey"))
+        .filter(col("n_ab") >= 2)
+      Graph.pageRank(
+          pairs.select(col("item_a").as("src"), col("item_b").as("dst"),
+            col("n_ab").as("w")),
+          "src", "dst", "w", iters = 5)
+        .select(col("id").as("part_id"), col("pr").as("rank_fp"))
+        .orderBy(col("rank_fp").desc, col("part_id"))
+        .limit(50)
+    }),
+
     // Per-node triangle counts on the same support->=2 co-purchase graph —
     // the clustering-coefficient numerator. Degree-oriented wedge join
     // (Suri-Vassilvitskii): each triangle found exactly once at its
@@ -1217,6 +1262,21 @@ object RelationalQueries {
         .select("item_a", "item_b")
       Graph.kCorePeel(pairs, "item_a", "item_b", k = 3, rounds = 3)
         .orderBy("round")
+    }),
+
+    // k-core peel TO CONVERGENCE (k=3) — the exact fixed point, detected
+    // by a per-round scalar edge count on the driver (the edge set shrinks
+    // monotonically, so an unchanged count IS an unchanged set). Reports
+    // (n_rounds, n_nodes, n_edges) where n_rounds is the first no-op
+    // round; the oracle unrolls the peel far past the fixed point and
+    // selects the first round whose count matches its predecessor.
+    "q_kcore_converged" -> ((s, dir) => {
+      import graft.ops.{Affinity, Graph}
+      val pairs = Affinity.basketPairCounts(
+        Affinity.basketItems(t(s, dir, "lineitem"), "l_orderkey", "l_partkey"))
+        .filter(col("n_ab") >= 2)
+        .select("item_a", "item_b")
+      Graph.kCoreConverged(pairs, "item_a", "item_b", k = 3)
     }),
 
     // Time-series regularization: 15-min resample of event values per
@@ -2003,6 +2063,70 @@ object RelationalQueries {
        |ORDER BY rank_fp DESC, part_id LIMIT 50""".stripMargin
   }
 
+  /** q_pagerank_dangling oracle: the directed-graph recurrence unrolled —
+    * per round, a contribution CTE, a dangling-mass scalar CTE (ranks of
+    * nodes absent from ow), and a node-relation left join so isolated
+    * receivers still earn base + dangling mass. All BIGINT `//` steps with
+    * positive operands — bit-for-bit with the engine's fixed point. */
+  private def pagerankDanglingSql: String = {
+    def round(i: Int): String = {
+      val prev = if (i == 1) "p0" else s"p${i - 1}"
+      s"""c$i AS (SELECT e.dst AS id,
+         |             CAST(sum((p.pr * 85 * e.w) // (100 * e.tw)) AS BIGINT) AS s
+         |      FROM e JOIN $prev p ON p.id = e.src GROUP BY e.dst),
+         |d$i AS (SELECT CAST(COALESCE(sum(pr), 0) AS BIGINT) AS dm FROM $prev
+         |        WHERE id NOT IN (SELECT src FROM ow)),
+         |p$i AS (SELECT nodes.id,
+         |             150000000000 // nn.n + COALESCE(c.s, 0)
+         |               + (d.dm * 85) // (100 * nn.n) AS pr
+         |      FROM nodes LEFT JOIN c$i c ON c.id = nodes.id, d$i d, nn)""".stripMargin
+    }
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+       |            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |pp AS (SELECT a.it AS src, b.it AS dst, count(*) AS w
+       |       FROM li a JOIN li b ON a.bk = b.bk AND a.it < b.it
+       |       GROUP BY 1, 2 HAVING count(*) >= 2),
+       |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS tw FROM pp GROUP BY 1),
+       |e AS (SELECT pp.src, pp.dst, pp.w, ow.tw
+       |      FROM pp JOIN ow ON ow.src = pp.src),
+       |nodes AS (SELECT src AS id FROM pp UNION SELECT dst FROM pp),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |p0 AS (SELECT nodes.id, 1000000000000 // nn.n AS pr FROM nodes, nn),
+       |${(1 to 5).map(round).mkString(",\n")}
+       |SELECT id AS part_id, CAST(pr AS BIGINT) AS rank_fp FROM p5
+       |ORDER BY rank_fp DESC, part_id LIMIT 50""".stripMargin
+  }
+
+  /** q_kcore_converged oracle: the peel unrolled to `depth` rounds (far
+    * past the sf0.01 fixed point), then the first no-op round selected by
+    * a lag window over the per-round edge counts — the engine's
+    * convergence rule expressed relationally. */
+  private def kcoreConvergedSql(k: Int, depth: Int): String = {
+    // MATERIALIZED: each e_i is referenced three times (its k-filter and
+    // both semi-join sides of the next round) — default CTE inlining would
+    // expand the chain 3^depth-fold
+    def round(i: Int): String =
+      s"""k$i AS MATERIALIZED (SELECT u FROM e${i - 1} GROUP BY u HAVING count(*) >= $k),
+         |e$i AS MATERIALIZED (SELECT e${i - 1}.u, e${i - 1}.v FROM e${i - 1}
+         |        JOIN k$i x ON e${i - 1}.u = x.u
+         |        JOIN k$i y ON e${i - 1}.v = y.u)""".stripMargin
+    val counts = (0 to depth).map(i =>
+      s"SELECT $i AS r, count(DISTINCT u) AS n_nodes, count(*) // 2 AS n_edges FROM e$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+       |            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |pp AS (SELECT a.it AS a, b.it AS b
+       |       FROM li a JOIN li b ON a.bk = b.bk AND a.it < b.it
+       |       GROUP BY 1, 2 HAVING count(*) >= 2),
+       |e0 AS MATERIALIZED (SELECT a AS u, b AS v FROM pp UNION ALL SELECT b, a FROM pp),
+       |${(1 to depth).map(round).mkString(",\n")},
+       |counts AS ($counts),
+       |lagd AS (SELECT r, n_nodes, n_edges,
+       |                lag(n_edges) OVER (ORDER BY r) AS pe FROM counts)
+       |SELECT CAST(r AS BIGINT) AS n_rounds, n_nodes, n_edges FROM lagd
+       |WHERE pe = n_edges ORDER BY n_rounds LIMIT 1""".stripMargin
+  }
+
   /** q_autocorr oracle: the same integer-sum ACF rearrangement, one CTE
     * per lag, with float ops only in the final division. */
   private def autocorrSql: String = {
@@ -2053,6 +2177,10 @@ object RelationalQueries {
 
   val sql: Map[String, String] = Map(
     "q_pagerank" -> pagerankSql,
+    "q_pagerank_dangling" -> pagerankDanglingSql,
+    // depth 14: sf0.01 converges at round 11; the unroll just needs to
+    // reach PAST the fixed point, extra rounds are no-ops
+    "q_kcore_converged" -> kcoreConvergedSql(k = 3, depth = 14),
     // triangles are orientation-invariant, so the oracle can use the plain
     // a<b edge order: each {a<b<c} closes as (a,b)+(b,c)+(a,c) exactly once
     "q_kcore" ->
@@ -2633,6 +2761,13 @@ object RelationalQueries {
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exact recompute: every per-day distinct count is below k=512 at
+    // sf0.01, where the KMV estimate is the retained-hash count itself
+    "q_incremental_sketch" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |       round(CAST(count(DISTINCT user_id) AS DOUBLE), 2) AS est_users
+        |FROM events WHERE user_id IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_join_cardinality" ->
       """WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1)

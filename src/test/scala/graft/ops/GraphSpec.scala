@@ -94,6 +94,44 @@ class GraphSpec extends SparkSpec {
     assert(r == Seq((1, 5L, 7L), (2, 4L, 6L), (3, 4L, 6L)))
   }
 
+  test("dangling mass is redistributed: a directed chain's sink gains, total mass holds") {
+    // 1 -> 2 -> 3: node 3 is dangling; its damped mass must flow back to
+    // everyone instead of leaking
+    val e = Seq((1L, 2L, 1L), (2L, 3L, 1L)).toDF("src", "dst", "w")
+    val r = ranks(e)
+    assert(r.keySet == Set(1L, 2L, 3L)) // sinks appear in the result
+    assert(r(3L) > r(2L) && r(2L) > r(1L)) // rank accumulates downstream
+    // mass ~1e12 minus bounded per-round flooring loss — nothing leaked
+    assert(r.values.sum <= 1000000000000L && r.values.sum > 999999990000L)
+  }
+
+  test("dangling term is exactly zero on a total graph (bit-for-bit with the old form)") {
+    // symmetric graph: every node has out-edges, so the generalized
+    // recurrence must reduce to the dangling-free one — pin the known
+    // two-node fixed point (even split, bounded flooring loss)
+    val r = ranks(sym((1L, 2L, 3L)))
+    assert(r(1L) == r(2L) && r.values.sum > 999999999000L)
+  }
+
+  test("k-core converged: K4 + pendant chain reaches the fixed point") {
+    // 2-core: 6 drops in round 1, 5 cascades in round 2, round 3 is the
+    // first no-op -> n_rounds = 3, K4 is the fixed point
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val r = Graph.kCoreConverged((k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("a", "b"),
+        "a", "b", k = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r == Seq((3L, 4L, 6L)))
+  }
+
+  test("k-core converged: everything peels away to the empty fixed point") {
+    // round 1 removes every node; round 2 is the first NO-OP round, which
+    // is what n_rounds reports (mirrors the oracle's count-lag rule)
+    val r = Graph.kCoreConverged(Seq((1L, 2L), (2L, 3L)).toDF("a", "b"),
+        "a", "b", k = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r == Seq((2L, 0L, 0L)))
+  }
+
   test("triangle counts are layout-invariant") {
     val e = (for (i <- 1L to 8L; j <- (i + 1) to 8L if (i + j) % 3 != 0)
       yield (i, j)).toDF("a", "b")
