@@ -61,7 +61,11 @@ object ScaleRehearsal {
         col("ts"),
         (col("user_id") + lit(k * nUser)).as("user_id"),
         col("event_type"), col("value"), col("props"))
-    }).repartition(32).write.mode("overwrite").parquet(s"$dst/events.parquet")
+    }).repartitionByRange(32, col("event_id")).sortWithinPartitions("event_id")
+      // key-clustered like the engine's own ingest layout (Layout.scala):
+      // tight per-file event_id ranges are what let the Kinesis shim's
+      // iterator seeks skip whole files on footer stats
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val nDoc = docs.agg(max("doc_id")).head.getLong(0) + 1

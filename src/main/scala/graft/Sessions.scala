@@ -14,6 +14,11 @@ object Sessions {
       .master(s"local[$n]")
       .config("spark.sql.shuffle.partitions", n)
       .config("spark.sql.session.timeZone", "UTC")
+      // INT96 (Spark's compatibility default) is deprecated, stats-hostile
+      // and unreadable by plain parquet-mr getLong; everything this engine
+      // writes — including the ingest re-layout the Kinesis shim seeks
+      // over — uses the standard annotated INT64 micros
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel(logLevel)

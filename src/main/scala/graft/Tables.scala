@@ -61,6 +61,19 @@ object Tables {
     read(s, dir, "events", normalizeTs)
   }
 
+  /** Filesystem path of the events DATA the engine actually reads — the
+    * range-clustered re-layout when it applies (triggered on demand, so
+    * the copy exists and is key-sorted), the fixture file otherwise. For
+    * consumers that scan parquet directly off-Spark (the Kinesis shim's
+    * executor-side readers): the key-sorted multi-file layout is what
+    * makes their event-id range seeks skip whole files via footer stats. */
+  def eventsDataPath(s: SparkSession, dir: String): String = {
+    events(s, dir) // reading resolves (and if needed writes) the re-layout
+    val src = new java.io.File(s"$dir/events.parquet")
+    val cacheKey = s"v2:${src.getAbsolutePath}:${src.length}:${src.lastModified}"
+    relayoutCache.get(cacheKey).getOrElse(src.getPath)
+  }
+
   /** `ts` → session-zone TimestampType whatever the file's encoding was
     * (see object doc). Shared by the batch reader, the streaming file
     * replay, and test fixtures so every path makes the same choice. */
@@ -78,7 +91,10 @@ object Tables {
     if (sys.env.contains("SPARK_GRAFT_NO_RELAYOUT") || !src.isFile) return raw
     val (rows, rowGroups) = footerLayout(src)
     if (rows < 1000 || rowGroups >= 4) return raw
-    val cacheKey = s"${src.getAbsolutePath}:${src.length}:${src.lastModified}"
+    // v2: layout-format version — bumped when the written format changes
+    // (v2 = byte-sized splits + INT64-micros timestamps) so stale cached
+    // copies from an older writer are never reused
+    val cacheKey = s"v2:${src.getAbsolutePath}:${src.length}:${src.lastModified}"
     val dst = relayoutCache.getOrElseUpdate(cacheKey, {
       val hash = java.security.MessageDigest.getInstance("MD5")
         .digest(cacheKey.getBytes("UTF-8")).map("%02x".format(_)).mkString

@@ -60,7 +60,10 @@ object StreamingPipeline {
   def kinesisShimStream(spark: SparkSession, sfDir: String,
                         cfg: PipelineConfig = PipelineConfig()): DataFrame =
     spark.readStream.format("graft.streaming.KinesisShimProvider")
-      .option("events", s"$sfDir/events.parquet")
+      // the key-sorted re-layout (when it applies) is what lets the shim's
+      // executor-side readers seek: event-id range predicates skip whole
+      // files/row groups on footer stats instead of rescanning the corpus
+      .option("events", graft.Tables.eventsDataPath(spark, sfDir))
       .option("nShards", cfg.sourceShards)
       .option("batchSize", cfg.sourceBatchSize)
       .option("startingPosition", cfg.startingPosition)

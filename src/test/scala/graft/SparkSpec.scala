@@ -19,6 +19,10 @@ object SparkSpec {
       // those assertions vacuously pass
       .config("spark.sql.debug.maxToStringFields", "10000")
       .config("spark.sql.session.timeZone", "UTC")
+      // mirror Sessions.local: the engine writes annotated INT64 micros,
+      // never deprecated INT96 (the Kinesis shim's parquet-mr readers and
+      // any stats-based ts filtering depend on it)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
