@@ -23,6 +23,27 @@ object Graph {
   private val Total = 1000000000000L // 1e12 fixed-point mass
   private val Base = Total * 15 / 100 // (1 - damping) numerator, d = 0.85
 
+  /** Materialization for the iterative ops, with bounded cache lifetime:
+    * plain lazy `persist` (measured 4-5x cheaper here than eager
+    * localCheckpoint, whose per-materialization jobs forgo the single
+    * action's stage pipelining / exchange reuse), plus a one-generation
+    * registry — each public op first unpersists everything the PREVIOUS
+    * invocation cached (its result is long materialized by then), so
+    * repeated bench invocations hold at most one generation of graph
+    * cache instead of accumulating for the session (advisor finding,
+    * round 6). Unpersisting is safe at any time: a late re-read of a
+    * retired frame just recomputes its lineage. */
+  private val generation = new scala.collection.mutable.ArrayBuffer[DataFrame]
+  private def retireLastGeneration(): Unit = generation.synchronized {
+    generation.foreach(_.unpersist(blocking = false))
+    generation.clear()
+  }
+  private def mat(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    generation.synchronized { generation += p }
+    p
+  }
+
   /** Weighted PageRank over a GENERAL directed edge list. Dangling nodes
     * (out-weight 0) redistribute their damped mass uniformly: each round,
     * pr'(v) = Base/n + Σ_{u→v} (pr(u)·85·w)/(100·tw(u)) + (D·85)/(100·n)
@@ -33,38 +54,46 @@ object Graph {
     * and the recurrence reduces exactly to the dangling-free form.
     * Returns (id, pr) with pr in 1e-12 units.
     *
-    * Scale: the edge table (with its per-source total weight) and the
-    * node relation are materialized once — `localCheckpoint` cuts the
-    * 5-iteration plan from re-deriving them each round — and each
-    * iteration is ONE join of the rank relation against edges on the
-    * source key, ONE re-aggregate on the destination key, one |V|-row
-    * anti-join + scalar sum for the dangling mass, and a left join back
-    * onto the node relation (isolated receivers keep earning base +
-    * dangling mass). The rank relation (|V| rows) shuffles per round,
-    * edges only at materialization. Driver state is nothing but the node
-    * count.
+    * Scale: the edge table (with its per-source total weight) is
+    * materialized once ([[mat]]) so the 5-iteration plan never re-derives
+    * the caller's (possibly expensive) lineage, and each iteration is ONE
+    * join of the rank relation against edges on the source key plus ONE
+    * re-aggregate on the destination key — the dangling-graph path adds a
+    * |V|-row anti-join + scalar sum and a left join back onto the node
+    * relation (isolated receivers keep earning base + dangling mass).
+    * The rank relation (|V| rows) shuffles per round, edges only at
+    * materialization. Driver state: the node count and two structure
+    * flags.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                wCol: String, iters: Int = 5): DataFrame = {
     require(iters >= 1 && iters <= 50)
-    val ow = edges.groupBy(col(srcCol).as("src"))
-      .agg(sum(col(wCol)).as("tw"))
-    // localCheckpoint (eager), NOT persist: checkpointed blocks are freed
-    // by the ContextCleaner as soon as the result plan is unreferenced,
-    // whereas CacheManager-held persists live for the session — repeated
-    // bench invocations would accumulate cached copies of the edge
-    // relation (advisor finding, round 6)
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+    retireLastGeneration()
+    // materialize the INPUT lineage exactly once: every derived relation
+    // below (out-weights, node set, totality probes, the per-round join
+    // input) reads the cached edge relation, never the caller's plan
+    val ed = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(wCol).as("w"))
-      .join(ow, "src")
-      .localCheckpoint(eager = true)
-    val nodes = edges.select(col(srcCol).as("id"))
-      .union(edges.select(col(dstCol).as("id")))
+      .transform(mat)
+    val ow = ed.groupBy("src").agg(sum(col("w")).as("tw"))
+    // e feeds one join per iteration — materialize the ow join once too
+    val e = ed.join(ow, "src").transform(mat)
+    val nodes = ed.select(col("src").as("id"))
+      .union(ed.select(col("dst").as("id")))
       .distinct()
-      .localCheckpoint(eager = true)
     val srcs = ow.select("src")
-    val n = nodes.count() // the one driver-side scalar
-    val base = Base / n   // integer division — DuckDB's `//` for positives
+    // driver-side setup scalars: |V| plus two structure flags, each a tiny
+    // count over already-materialized relations
+    val n = nodes.count()
+    val base = Base / n // integer division — DuckDB's `//` for positives
+    // every node has out-weight → the dangling mass is provably 0 every
+    // round; every node has in-edges → the per-round left join against
+    // the node relation changes nothing (every node receives a
+    // contribution row). When both hold (e.g. any symmetric graph) the
+    // recurrence reduces exactly — bit-for-bit — to the lean
+    // one-join-one-aggregate loop, so that is the plan we run.
+    val total = ow.count() == n
+    val allReceive = e.select("dst").distinct().count() == n
 
     var pr = nodes.select(col("id"), lit(Total / n).as("pr"))
     (1 to iters).foreach { _ =>
@@ -77,16 +106,36 @@ object Graph {
         .select(col("dst"), expr("(pr * 85 * w) div (100 * tw)").as("c"))
         .groupBy("dst")
         .agg(sum("c").as("s"))
-      // dangling mass D: ranks of nodes with no out-edges — a scalar that
-      // is exactly 0 on a total edge list
-      val dang = pr.join(srcs, pr("id") === srcs("src"), "left_anti")
-        .agg(coalesce(sum("pr"), lit(0L)).as("dm"))
-      pr = nodes
-        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
-        .crossJoin(broadcast(dang))
-        .select(col("id"),
-          (lit(base) + coalesce(col("s"), lit(0L)) +
-            expr(s"(dm * 85) div (100 * $n)")).as("pr"))
+      pr =
+        if (total && allReceive)
+          // single pr reference per round → LINEAR lineage; no per-round
+          // materialization needed (matches the lean historical plan)
+          contrib.select(col("dst").as("id"), (lit(base) + col("s")).as("pr"))
+        else {
+          val received = nodes
+            .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+          val next =
+            if (total)
+              received.select(col("id"),
+                (lit(base) + coalesce(col("s"), lit(0L))).as("pr"))
+            else {
+              // dangling mass D: ranks of nodes with no out-edges. pr is
+              // referenced TWICE per round here (contributions + this
+              // scalar) — without the mat() below the rank lineage would
+              // DOUBLE each round and the final action would replay the
+              // chain 2^iters times
+              val dang = pr.join(srcs, pr("id") === srcs("src"), "left_anti")
+                .agg(coalesce(sum("pr"), lit(0L)).as("dm"))
+              received.crossJoin(broadcast(dang))
+                .select(col("id"),
+                  (lit(base) + coalesce(col("s"), lit(0L)) +
+                    expr(s"(dm * 85) div (100 * $n)")).as("pr"))
+            }
+          // |V| rows; localCheckpoint (not persist) truncates the rank
+          // lineage so the doubled per-round reference cannot grow the
+          // plan tree exponentially across rounds
+          next.localCheckpoint(eager = true)
+        }
     }
     pr.select("id", "pr")
   }
@@ -107,16 +156,14 @@ object Graph {
     * on the (v1, v2) pair key, shuffled once.
     */
   def triangleCounts(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    retireLastGeneration()
     // materialize the (possibly expensive) edge derivation ONCE: und feeds
     // both the degree table and the orientation, and oriented feeds three
     // joins — without materialization the upstream pair-generation lineage
-    // replays five times (verified via .explain). Eager localCheckpoint
-    // rather than persist so the blocks are ContextCleaner-freed once the
-    // result is unreferenced instead of held by the CacheManager for the
-    // session (advisor finding, round 6).
+    // replays five times (verified via .explain)
     val und = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-      .localCheckpoint(eager = true)
+      .transform(mat)
     val deg = und.groupBy("u").agg(count(lit(1)).as("d"))
       .select(col("u").as("n"), col("d"))
     // orient u -> v iff (d(u), u) < (d(v), v): a strict total order, so
@@ -129,7 +176,7 @@ object Graph {
       .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
       .filter(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")))
       .select(col("u"), col("v"), col("dv"))
-      .localCheckpoint(eager = true)
+      .transform(mat)
     // wedges at the minimal corner: unordered out-neighbor pairs, emitted
     // in the same (degree, id) order the closing edge is oriented in
     val e1 = oriented.select(col("u").as("w_u"), col("v").as("x"), col("dv").as("dx"))
@@ -152,12 +199,20 @@ object Graph {
     * k-core — the dense-cluster skeleton a spam/ring-detection stage keys
     * on. Each round is one degree aggregation plus two semi-joins, all on
     * the node key, so rounds re-use one co-partitioning; the edge relation
-    * is checkpointed per round because three consumers (stats, degree, next
+    * is cached per round because three consumers (stats, degree, next
     * round) would otherwise replay the whole peel lineage.
     */
   def kCorePeel(pairs: DataFrame, aCol: String, bCol: String,
                 k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1 && rounds <= 20)
+    retireLastGeneration()
+    // per-round state uses eager localCheckpoint, NOT persist: each round
+    // references e THREE times (degree filter + both semi-join sides), so
+    // a persist — which caches execution but keeps the LOGICAL lineage —
+    // grows the plan tree 3x per round, and Spark's per-action plan
+    // stringification (SQL listener) goes exponential with the round
+    // count (observed: an 11-round peel hung in generateTreeString).
+    // Checkpointing truncates the lineage each round.
     var e = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .localCheckpoint(eager = true)
@@ -193,6 +248,10 @@ object Graph {
   def kCoreConverged(pairs: DataFrame, aCol: String, bCol: String,
                      k: Int, maxRounds: Int = 40): DataFrame = {
     require(k >= 1 && maxRounds >= 1)
+    retireLastGeneration()
+    // eager localCheckpoint per round for the same lineage-truncation
+    // reason as [[kCorePeel]] — at the fixed point this loop may run many
+    // rounds, and a persist-only chain's plan tree grows 3^rounds
     var e = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .localCheckpoint(eager = true)

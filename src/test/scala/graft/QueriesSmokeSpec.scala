@@ -134,15 +134,21 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(plan.contains("Window"), s"expected distributed probe ranking:\n$plan")
   }
 
-  test("graph queries: degree tables broadcast via AQE, joins never cartesian") {
-    for (name <- Seq("q_triangles", "q_kcore")) {
-      val plan = exec(name)
-      assert(!plan.contains("CartesianProduct"), s"$name:\n${plan.take(3000)}")
-    }
+  test("graph ops: degree tables broadcast via AQE, joins never cartesian") {
+    // the query entries return an eagerly-materialized (checkpointed)
+    // result, so inspect the OP's own plan directly: build the same
+    // co-purchase graph and run triangleCounts on it
+    import org.apache.spark.sql.functions._
+    val pairs = graft.ops.Affinity.basketPairCounts(
+        graft.ops.Affinity.basketItems(
+          graft.Tables.table(spark, sf, "lineitem"), "l_orderkey", "l_partkey"))
+      .filter(col("n_ab") >= 2).select("item_a", "item_b")
+    val df = graft.ops.Graph.triangleCounts(pairs, "item_a", "item_b")
+    val static = df.queryExecution.executedPlan.toString
+    assert(!static.contains("CartesianProduct"), s"q_triangles:\n${static.take(3000)}")
     // the |V|-row degree table is NOT force-broadcast (a hint would OOM
     // the driver on a big graph); AQE must still choose broadcast at this
     // scale — assert on the FINAL adaptive plan, after execution
-    val df = SparkEntry.queries("q_triangles")(spark, sf)
     df.count()
     val finalPlan = df.queryExecution.executedPlan.toString
     assert(finalPlan.contains("BroadcastHashJoin"),
