@@ -230,6 +230,58 @@ object Graph {
     stats.reduce(_ union _)
   }
 
+  /** Connected components by MIN-LABEL PROPAGATION to the fixed point:
+    * every node starts labeled with its own id; each round a node takes
+    * the minimum label among itself and its neighbors; at the fixed point
+    * each component carries its minimum member id as the component label.
+    * Returns the component-size histogram (csize, n_components) — the
+    * stable, layout-invariant summary (labels themselves are ids, so the
+    * full labeling is deterministic too).
+    *
+    * Convergence detection: labels only ever DECREASE, so the label sum
+    * is strictly decreasing until the fixed point — one scalar per round
+    * (the only driver state, like [[kCoreConverged]]). Rounds are
+    * O(component diameter); each is one edge⋈label join + one min
+    * re-aggregate on the node key, with per-round eager localCheckpoint
+    * truncating the lineage (the plan-tree lesson of the peel loops).
+    * Dedup.nearDupClusters uses the same propagation distributed shape
+    * for its cluster labels; this is the general graph-op form over an
+    * explicit edge table.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxRounds: Int = 60): DataFrame = {
+    require(maxRounds >= 1)
+    retireLastGeneration()
+    val e = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .localCheckpoint(eager = true)
+    var lbl = e.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("l"))
+      .localCheckpoint(eager = true)
+    // decimal(38,0) sum: a billion-node graph with 64-bit ids would
+    // overflow a BIGINT label sum
+    def sig(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("l").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSig = sig(lbl)
+    var r = 0
+    var converged = false
+    while (!converged && r < maxRounds) {
+      val next = lbl
+        .unionByName(e.join(lbl.withColumnRenamed("id", "u"), "u")
+          .select(col("v").as("id"), col("l")))
+        .groupBy("id").agg(min("l").as("l"))
+        .localCheckpoint(eager = true)
+      val s = sig(next)
+      r += 1
+      converged = s.compareTo(prevSig) == 0
+      prevSig = s
+      lbl = next
+    }
+    require(converged, s"components did not converge within $maxRounds rounds")
+    lbl.groupBy("l").agg(count(lit(1)).as("csize"))
+      .groupBy("csize").agg(count(lit(1)).as("n_components"))
+  }
+
   /** k-core peeling TO CONVERGENCE: rounds of "drop nodes with degree < k,
     * then dangling edges" until the survivor edge set is stable — the
     * exact k-core, making the operator's name precise (the bounded

@@ -1312,6 +1312,22 @@ object RelationalQueries {
       graphResult(s)(Graph.kCoreConverged(pairs, "item_a", "item_b", k = 3))
     }),
 
+    // Connected components (min-label propagation to the FIXED POINT) on
+    // the same co-purchase graph — the cluster-structure summary: every
+    // component labeled by its minimum member id, reported as a
+    // component-size histogram. Convergence = unchanged label sum (labels
+    // only decrease), detected per round on the driver; the oracle
+    // unrolls the propagation past the graph's diameter.
+    "q_components" -> ((s, dir) => {
+      import graft.ops.Graph
+      val pairs = copurchasePairs(s, dir)
+        .select("item_a", "item_b")
+      graphResult(s) {
+        Graph.connectedComponents(pairs, "item_a", "item_b")
+          .orderBy("csize")
+      }
+    }),
+
     // Time-series regularization: 15-min resample of event values per
     // type, gap-densified with a per-key spine, LOCF + linear interp
     "q_ts_resample" -> ((s, dir) =>
@@ -2160,6 +2176,31 @@ object RelationalQueries {
        |WHERE pe = n_edges ORDER BY n_rounds LIMIT 1""".stripMargin
   }
 
+  /** q_components oracle: min-label propagation unrolled `depth` rounds
+    * (past the graph diameter — extra rounds are no-ops at the fixed
+    * point), then the component-size histogram. MATERIALIZED for the
+    * same 2-references-per-round reason as the peel oracle. */
+  private def componentsSql(depth: Int): String = {
+    def round(i: Int): String =
+      s"""l$i AS MATERIALIZED (
+         |  SELECT id, min(l) AS l FROM (
+         |    SELECT id, l FROM l${i - 1}
+         |    UNION ALL
+         |    SELECT e0.v AS id, p.l FROM e0 JOIN l${i - 1} p ON p.id = e0.u
+         |  ) GROUP BY id)""".stripMargin
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+       |            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |pp AS (SELECT a.it AS a, b.it AS b
+       |       FROM li a JOIN li b ON a.bk = b.bk AND a.it < b.it
+       |       GROUP BY 1, 2 HAVING count(*) >= 2),
+       |e0 AS MATERIALIZED (SELECT a AS u, b AS v FROM pp UNION ALL SELECT b, a FROM pp),
+       |l0 AS (SELECT DISTINCT u AS id, u AS l FROM e0),
+       |${(1 to depth).map(round).mkString(",\n")},
+       |comp AS (SELECT l, count(*) AS csize FROM l$depth GROUP BY l)
+       |SELECT csize, count(*) AS n_components FROM comp
+       |GROUP BY csize ORDER BY csize""".stripMargin
+  }
+
   /** q_autocorr oracle: the same integer-sum ACF rearrangement, one CTE
     * per lag, with float ops only in the final division. */
   private def autocorrSql: String = {
@@ -2214,6 +2255,7 @@ object RelationalQueries {
     // depth 14: sf0.01 converges at round 11; the unroll just needs to
     // reach PAST the fixed point, extra rounds are no-ops
     "q_kcore_converged" -> kcoreConvergedSql(k = 3, depth = 14),
+    "q_components" -> componentsSql(depth = 20),
     // triangles are orientation-invariant, so the oracle can use the plain
     // a<b edge order: each {a<b<c} closes as (a,b)+(b,c)+(a,c) exactly once
     "q_kcore" ->

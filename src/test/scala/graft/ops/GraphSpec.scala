@@ -132,6 +132,23 @@ class GraphSpec extends SparkSpec {
     assert(r == Seq((2L, 0L, 0L)))
   }
 
+  test("connected components: two chains and an isolate-pair histogram") {
+    // components {1,2,3,4} (path), {10,11} (edge), {20,21} (edge):
+    // sizes 4, 2, 2 -> histogram (2 -> 2 components, 4 -> 1 component)
+    val r = Graph.connectedComponents(
+        Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L)).toDF("a", "b"),
+        "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(2L -> 2L, 4L -> 1L))
+  }
+
+  test("connected components: a long path needs diameter rounds but converges") {
+    val path = (1L until 12L).map(i => (i, i + 1))
+    val r = Graph.connectedComponents(path.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(12L -> 1L))
+  }
+
   test("triangle counts are layout-invariant") {
     val e = (for (i <- 1L to 8L; j <- (i + 1) to 8L if (i + j) % 3 != 0)
       yield (i, j)).toDF("a", "b")
