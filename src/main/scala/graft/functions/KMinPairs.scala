@@ -33,6 +33,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * ascending (deterministic; sort by value downstream as needed).
   */
 case class KMinPairs(hashChild: Expression, valueChild: Expression, k: Int,
+                     withHashes: Boolean = false,
                      mutableAggBufferOffset: Int = 0,
                      inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[KMinPairsBuffer] {
@@ -45,7 +46,16 @@ case class KMinPairs(hashChild: Expression, valueChild: Expression, k: Int,
         s"$prettyName requires (STRING hash, DOUBLE value) input")
     }
 
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  /** `withHashes=false`: array<double> of sampled values (hash-ascending).
+    * `withHashes=true`: array<struct<h,v>> — the form that MERGES: the k
+    * hash-smallest pairs of a union of samples are exactly the union's
+    * sample, so window/MV folds can combine per-bucket samples without
+    * rescanning rows (same algebra as [[graft.ops.Sketch.kmvMerge]]). */
+  override def dataType: DataType =
+    if (withHashes)
+      ArrayType(StructType(Seq(StructField("h", StringType, nullable = false),
+        StructField("v", DoubleType, nullable = false))), containsNull = false)
+    else ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = false
   override def prettyName: String = "kmin_pairs"
   override def children: Seq[Expression] = Seq(hashChild, valueChild)
@@ -65,7 +75,11 @@ case class KMinPairs(hashChild: Expression, valueChild: Expression, k: Int,
   }
 
   override def eval(buf: KMinPairsBuffer): Any =
-    new GenericArrayData(buf.valuesByHash)
+    if (withHashes)
+      new GenericArrayData(buf.pairsByHash.map { case (h, v) =>
+        InternalRow(UTF8String.fromString(h), v)
+      }.asInstanceOf[Array[Any]])
+    else new GenericArrayData(buf.valuesByHash)
 
   override def serialize(buf: KMinPairsBuffer): Array[Byte] = buf.toBytes
   override def deserialize(bytes: Array[Byte]): KMinPairsBuffer =
@@ -96,6 +110,15 @@ final class KMinPairsBuffer(val k: Int) {
   def addAll(other: KMinPairsBuffer): Unit = {
     val it = other.map.entrySet().iterator()
     while (it.hasNext) { val e = it.next(); add(e.getKey, e.getValue) }
+  }
+
+  /** (hash, value) pairs in hash-ascending order. */
+  def pairsByHash: Array[(String, Double)] = {
+    val out = new Array[(String, Double)](map.size)
+    var i = 0
+    val it = map.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); out(i) = (e.getKey, e.getValue); i += 1 }
+    out
   }
 
   /** Values in hash-ascending order. */
@@ -141,5 +164,12 @@ object KMinPairs {
   /** kmin_pairs(hash, value, k) as a Column aggregate. */
   def kmin_pairs(hash: Column, value: Column, k: Int): Column =
     Bridge.column(KMinPairs(Bridge.expression(hash), Bridge.expression(value), k)
+      .toAggregateExpression())
+
+  /** kmin_pairs keeping the hashes: array<struct<h,v>>, the MERGEABLE
+    * sample form (see dataType doc). */
+  def kmin_pair_structs(hash: Column, value: Column, k: Int): Column =
+    Bridge.column(KMinPairs(Bridge.expression(hash), Bridge.expression(value), k,
+        withHashes = true)
       .toAggregateExpression())
 }

@@ -92,6 +92,26 @@ object Sketch {
       greatest(lit(1), ceil(lit(p) * size(vals)).cast("int")))
   }
 
+  /** MERGEABLE deterministic sample: like [[hashSample]] but keeping the
+    * hash keys — array<struct<h,v>> of the k hash-smallest (md5(key),
+    * value) pairs. The k smallest pairs of a UNION of such samples are
+    * exactly the union's sample (the KMV property), so window frames and
+    * MV folds combine per-bucket samples with [[pairSampleMerge]] without
+    * ever rescanning rows — the quantile sibling of the sliding-KMV
+    * distinct pattern. */
+  def pairSample(uniqueKeyCol: Column, value: Column, k: Int): Column =
+    graft.functions.KMinPairs.kmin_pair_structs(
+      md5(uniqueKeyCol.cast("string").cast("binary")), value.cast("double"), k)
+
+  /** Merge two pair samples: the k hash-smallest pairs of their union —
+    * pure array algebra (hashes are distinct, so struct sort order IS
+    * hash order), reproducible by any engine. */
+  def pairSampleMerge(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_distinct(concat(a, b))), 1, k)
+
+  /** The sampled values of a pair sample, for [[sampleQuantile]]. */
+  def pairSampleValues(a: Column): Column = transform(a, x => x.getField("v"))
+
   /** Count-Min sketch of `valueCol` frequencies as one aggregate Column:
     * a fixed d×w counter array per group (see
     * [[graft.functions.CountMinLongs]]). Point estimates come from

@@ -1740,6 +1740,42 @@ object RelationalQueries {
         .orderBy("bucket_ts")
     }),
 
+    // Sliding trailing-hour VALUE QUANTILES per 15-min bucket by MERGING
+    // per-bucket deterministic pair samples in a µs-range window frame —
+    // the quantile sibling of q_sliding_distinct: per bucket, the k
+    // hash-smallest (md5(event_id), value) pairs; per window, the merge
+    // of 4 bucket samples IS the window's k-min sample (KMV property),
+    // so no per-window rescan ever happens. The estimate rule (ceil(p·m)
+    // over the sample, exact below k) is replayed by the oracle
+    // bit-for-bit — a portable percentile sketch, unlike t-digest.
+    "q_sliding_quantiles" -> ((s, dir) => {
+      import graft.ops.Sketch
+      val k = 64
+      val bucketed = t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .withColumn("b", timestamp_micros(
+          expr("(unix_micros(ts) div 900000000) * 900000000")))
+        .groupBy("b")
+        .agg(Sketch.pairSample(col("event_id"), col("value"), k).as("sm"),
+          count(lit(1)).as("n_events"))
+      // RANGE frame on µs (not 4 ROWS): empty buckets are absent, and a
+      // row frame would silently reach back past the hour across gaps
+      val w = Window.orderBy(unix_micros(col("b")))
+        .rangeBetween(-2700000000L, 0L)
+      bucketed
+        .withColumn("merged", aggregate(
+          collect_list(col("sm")).over(w),
+          array().cast("array<struct<h:string,v:double>>"),
+          (acc, x) => Sketch.pairSampleMerge(acc, x, k)))
+        .select(date_format(col("b"), "yyyy-MM-dd HH:mm:ss").as("bucket_ts"),
+          col("n_events"),
+          round(Sketch.sampleQuantile(
+            Sketch.pairSampleValues(col("merged")), 0.5), 4).as("p50_hour"),
+          round(Sketch.sampleQuantile(
+            Sketch.pairSampleValues(col("merged")), 0.95), 4).as("p95_hour"))
+        .orderBy("bucket_ts")
+    }),
+
     // Feature hashing (the hashing trick, Weinberger et al. 2009): each
     // user's event types hashed into a fixed 8-bucket count vector via
     // md5 — dimensionality is constant regardless of category
@@ -3305,6 +3341,31 @@ object RelationalQueries {
         |SELECT strftime(e2.tb, '%Y-%m-%d %H:%M:%S') AS bucket_ts, ne.n_events,
         |       round(e2.e, 2) AS est_hour_users
         |FROM est e2 JOIN ne ON e2.tb = ne.b
+        |ORDER BY 1""".stripMargin,
+    // same two-stage sampling the engine runs: per-bucket k-min pair
+    // sample, window merge re-ranked to k, then the ceil(p*m) rule
+    "q_sliding_quantiles" ->
+      """WITH ev AS (SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS b,
+        |                   md5(event_id::VARCHAR) AS h, value AS v
+        |            FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT b, h, v, row_number() OVER (PARTITION BY b ORDER BY h) AS rn FROM ev),
+        |sk AS (SELECT b, h, v FROM r WHERE rn <= 64),
+        |ne AS (SELECT b, count(*) AS n_events FROM ev GROUP BY 1),
+        |u AS (SELECT t.b AS tb, s.h, s.v
+        |      FROM (SELECT DISTINCT b FROM sk) t JOIN sk s
+        |        ON s.b <= t.b AND s.b >= t.b - INTERVAL 45 MINUTE),
+        |r2 AS (SELECT tb, v, row_number() OVER (PARTITION BY tb ORDER BY h) AS rn FROM u),
+        |samp AS (SELECT tb, v FROM r2 WHERE rn <= 64),
+        |m AS (SELECT tb, count(*) AS mm FROM samp GROUP BY 1),
+        |vr AS (SELECT s.tb, s.v, row_number() OVER (PARTITION BY s.tb ORDER BY s.v) AS vr, m.mm
+        |       FROM samp s JOIN m ON m.tb = s.tb),
+        |q AS (SELECT tb,
+        |             max(CASE WHEN vr = greatest(1, CAST(ceil(0.5 * mm) AS BIGINT)) THEN v END) AS p50,
+        |             max(CASE WHEN vr = greatest(1, CAST(ceil(0.95 * mm) AS BIGINT)) THEN v END) AS p95
+        |      FROM vr GROUP BY tb)
+        |SELECT strftime(q.tb, '%Y-%m-%d %H:%M:%S') AS bucket_ts, ne.n_events,
+        |       round(q.p50, 4) AS p50_hour, round(q.p95, 4) AS p95_hour
+        |FROM q JOIN ne ON ne.b = q.tb
         |ORDER BY 1""".stripMargin,
     "q_feature_hash" ->
       """SELECT user_id,

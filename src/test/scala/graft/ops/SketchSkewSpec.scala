@@ -137,6 +137,37 @@ class SketchSkewSpec extends SparkSpec {
   private def occurrences(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
 
+  test("pair-sample merge algebra equals one-shot sampling over the union") {
+    import spark.implicits._
+    val k = 8
+    val df = (1L to 200L).map(i => (i, i.toDouble % 37, i % 4)).toDF("id", "v", "g")
+    // one-shot: sample over ALL rows
+    val whole = df.agg(Sketch.pairSample(col("id"), col("v"), k).as("s"))
+      .select(Sketch.pairSampleValues(col("s")).as("vs"))
+      .as[Seq[Double]].head()
+    // merged: per-group samples folded with pairSampleMerge
+    val merged = df.groupBy("g")
+      .agg(Sketch.pairSample(col("id"), col("v"), k).as("s"))
+      .agg(collect_list(col("s")).as("all"))
+      .select(Sketch.pairSampleValues(aggregate(col("all"),
+        array().cast("array<struct<h:string,v:double>>"),
+        (a, x) => Sketch.pairSampleMerge(a, x, k))).as("vs"))
+      .as[Seq[Double]].head()
+    assert(whole == merged && whole.size == k)
+  }
+
+  test("sample quantile over the pair sample is exact below k") {
+    import spark.implicits._
+    val vals = Seq(5.0, 1.0, 9.0, 3.0, 7.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val r = df.agg(Sketch.pairSample(col("id"), col("v"), 64).as("s"))
+      .select(
+        Sketch.sampleQuantile(Sketch.pairSampleValues(col("s")), 0.5).as("p50"),
+        Sketch.sampleQuantile(Sketch.pairSampleValues(col("s")), 1.0).as("p100"))
+      .as[(Double, Double)].head()
+    assert(r == ((5.0, 9.0)))
+  }
+
   test("q_kmv_distinct plan keeps the sketch bounded per group") {
     val plan = planOf("q_kmv_distinct")
     // one partial + one final sketch agg, both keyed by the group column
