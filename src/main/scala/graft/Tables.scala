@@ -52,6 +52,15 @@ object Tables {
   private val relayoutCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** THE re-layout cache key — one definition shared by [[read]] (which
+    * populates the cache) and [[eventsDataPath]] (which resolves through
+    * it), so a version bump or format change can never desync the two
+    * sites. v2: layout-format version — bumped when the written format
+    * changes (v2 = byte-sized splits + INT64-micros timestamps) so stale
+    * cached copies from an older writer are never reused. */
+  private def layoutCacheKey(src: java.io.File): String =
+    s"v2:${src.getAbsolutePath}:${src.length}:${src.lastModified}"
+
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(s, dir)
     else read(s, dir, name, identity)
@@ -70,8 +79,7 @@ object Tables {
   def eventsDataPath(s: SparkSession, dir: String): String = {
     events(s, dir) // reading resolves (and if needed writes) the re-layout
     val src = new java.io.File(s"$dir/events.parquet")
-    val cacheKey = s"v2:${src.getAbsolutePath}:${src.length}:${src.lastModified}"
-    relayoutCache.get(cacheKey).getOrElse(src.getPath)
+    relayoutCache.get(layoutCacheKey(src)).getOrElse(src.getPath)
   }
 
   /** `ts` → session-zone TimestampType whatever the file's encoding was
@@ -91,10 +99,7 @@ object Tables {
     if (sys.env.contains("SPARK_GRAFT_NO_RELAYOUT") || !src.isFile) return raw
     val (rows, rowGroups) = footerLayout(src)
     if (rows < 1000 || rowGroups >= 4) return raw
-    // v2: layout-format version — bumped when the written format changes
-    // (v2 = byte-sized splits + INT64-micros timestamps) so stale cached
-    // copies from an older writer are never reused
-    val cacheKey = s"v2:${src.getAbsolutePath}:${src.length}:${src.lastModified}"
+    val cacheKey = layoutCacheKey(src)
     val dst = relayoutCache.getOrElseUpdate(cacheKey, {
       val hash = java.security.MessageDigest.getInstance("MD5")
         .digest(cacheKey.getBytes("UTF-8")).map("%02x".format(_)).mkString

@@ -44,6 +44,25 @@ object Graph {
     p
   }
 
+  /** Edge-list NORMALIZATION front for the undirected graph ops
+    * ([[triangleCounts]], [[kCorePeel]], [[kCoreConverged]],
+    * [[connectedComponents]], [[connectedComponentsStar]]): those
+    * operators require a SIMPLE graph as deduplicated `a < b` pairs, but
+    * real edge lists carry self-loops, duplicate rows, and both
+    * orientations of the same edge. This drops null endpoints and
+    * self-loops, canonicalizes each edge to (least, greatest), and
+    * dedups — idempotent on already-clean input, so routing a clean
+    * fixture through it changes nothing (spec-proven). One projection +
+    * one distinct (a single shuffle on the pair key); at 100 TB this is
+    * the standard ingest step before any iterative op, paid once.
+    */
+  def normalize(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val a = col(aCol); val b = col(bCol)
+    edges.filter(a.isNotNull && b.isNotNull && a =!= b)
+      .select(least(a, b).as(aCol), greatest(a, b).as(bCol))
+      .distinct()
+  }
+
   /** Weighted PageRank over a GENERAL directed edge list. Dangling nodes
     * (out-weight 0) redistribute their damped mass uniformly: each round,
     * pr'(v) = Base/n + Σ_{u→v} (pr(u)·85·w)/(100·tw(u)) + (D·85)/(100·n)
@@ -138,6 +157,70 @@ object Graph {
         }
     }
     pr.select("id", "pr")
+  }
+
+  /** [[pageRank]] run TO THE EXACT FIXED POINT: because ranks are 64-bit
+    * integers in 1e-12 fixed point, the per-round map is a deterministic
+    * integer function — when one round reproduces its input exactly
+    * (L1 delta 0), every later round does too, so the stop is detected,
+    * not approximated. The detection scalar is one per-round driver
+    * long (Σ|pr' − pr| ≤ 2·10¹² — no overflow); everything else matches
+    * the general dangling-graph recurrence of [[pageRank]]. Returns
+    * (id, pr, n_iters) where n_iters is the first round whose output
+    * equals its input (the confirming round — pr is then the value after
+    * n_iters rounds AND after n_iters − 1).
+    *
+    * Scale: per round one edge⋈rank join + one re-aggregate + the
+    * |V|-row delta join; the rank relation is eagerly localCheckpointed
+    * per round because it is referenced twice (contributions + delta) —
+    * without truncation the lineage doubles per round. `maxIters` guards
+    * a cycling recurrence (floor division CAN in principle oscillate);
+    * on an oscillating graph the operator fails loudly rather than
+    * returning a non-fixed-point.
+    */
+  def pageRankConverged(edges: DataFrame, srcCol: String, dstCol: String,
+                        wCol: String, maxIters: Int = 100): DataFrame = {
+    require(maxIters >= 1)
+    retireLastGeneration()
+    val ed = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).as("w"))
+      .transform(mat)
+    val ow = ed.groupBy("src").agg(sum(col("w")).as("tw"))
+    val e = ed.join(ow, "src").transform(mat)
+    val nodes = ed.select(col("src").as("id"))
+      .union(ed.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint(eager = true)
+    val srcs = ow.select("src")
+    val n = nodes.count()
+    val base = Base / n
+    var pr = nodes.select(col("id"), lit(Total / n).as("pr"))
+      .localCheckpoint(eager = true)
+    var iters = 0
+    var delta = -1L
+    while (delta != 0L && iters < maxIters) {
+      val contrib = e.join(pr.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"), expr("(pr * 85 * w) div (100 * tw)").as("c"))
+        .groupBy("dst")
+        .agg(sum("c").as("s"))
+      val dang = pr.join(srcs, pr("id") === srcs("src"), "left_anti")
+        .agg(coalesce(sum("pr"), lit(0L)).as("dm"))
+      val next = nodes
+        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("id"),
+          (lit(base) + coalesce(col("s"), lit(0L)) +
+            expr(s"(dm * 85) div (100 * $n)")).as("pr"))
+        .localCheckpoint(eager = true)
+      delta = next.join(pr.select(col("id"), col("pr").as("prev")), "id")
+        .agg(coalesce(sum(abs(col("pr") - col("prev"))), lit(0L)))
+        .head().getLong(0)
+      iters += 1
+      pr = next
+    }
+    require(delta == 0L,
+      s"pagerank did not reach its integer fixed point within $maxIters rounds")
+    pr.select(col("id"), col("pr"), lit(iters.toLong).as("n_iters"))
   }
 
   /** Per-node triangle counts over an UNDIRECTED simple graph given as
@@ -280,6 +363,103 @@ object Graph {
     require(converged, s"components did not converge within $maxRounds rounds")
     lbl.groupBy("l").agg(count(lit(1)).as("csize"))
       .groupBy("csize").agg(count(lit(1)).as("n_components"))
+  }
+
+  /** Connected components in LOGARITHMIC rounds by alternating
+    * large-star / small-star contraction (Kiveris, Lattanzi, Mirrokni,
+    * Rastogi, Vassilvitskii — "Connected Components in MapReduce and
+    * Beyond", SoCC'14): [[connectedComponents]]' min-label propagation
+    * needs O(component diameter) synchronous rounds — thousands on a
+    * path-like or crawl-chain graph at 100 TB, each with a checkpoint
+    * barrier — while star contraction halves tree heights every
+    * alternation, converging in O(log n) rounds on ANY shape (the spec
+    * drives a 10k-node chain and bounds the phase counter by
+    * ~2·log₂ n). Same building blocks (join + min-aggregate), same
+    * result: at the fixed point the edge set is a STAR FOREST — every
+    * node linked directly to its component's minimum id — so the
+    * labeling, and hence the (csize, n_components) histogram, is
+    * bit-identical to min-label propagation (which stays as the
+    * oracle-replayable shape).
+    *
+    * Phases over the canonical `u < v` edge set E:
+    *  - large-star: per node u, every neighbor v > u re-attaches to
+    *    m(u) = min(Γ(u) ∪ {u}) — one neighborhood min + one join.
+    *  - small-star: per node v, its smaller neighbors (and v itself)
+    *    re-attach to m⁻(v) = min of the smaller neighborhood — on the
+    *    canonical orientation that is one groupBy("v").min("u") + join.
+    * Both emit canonical pairs (the attach target is always the strict
+    * minimum of its group); convergence = the edge SET is unchanged by a
+    * full alternation, tested with a count + anti-join (two scalar jobs
+    * per phase, the only driver state). Per-phase eager localCheckpoint
+    * truncates lineage exactly as in the other fixed-point loops.
+    */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
+                              maxPhases: Int = 60): DataFrame =
+    connectedComponentsStarWithPhases(pairs, aCol, bCol, maxPhases)._1
+
+  /** [[connectedComponentsStar]] plus the executed phase count (exposed
+    * for the round-bound spec; a phase = one large-star or one
+    * small-star application). */
+  def connectedComponentsStarWithPhases(pairs: DataFrame, aCol: String,
+                                        bCol: String, maxPhases: Int = 60)
+      : (DataFrame, Int) = {
+    require(maxPhases >= 2)
+    retireLastGeneration()
+    val raw = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+    // node universe: EVERY endpoint, so self-loop-only nodes still report
+    // as singleton components (same universe as min-label propagation)
+    val nodes = raw.select(col("u").as("id"))
+      .union(raw.select(col("v").as("id"))).distinct()
+      .localCheckpoint(eager = true)
+    var e = raw.filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    var n = e.count()
+    var phases = 0
+    // ONE no-op phase does not certify the fixed point: {(1,3),(2,3)} is
+    // large-star-invariant but not a star forest (3 has two parents), and
+    // a path {(1,2),(2,3)} is small-star-invariant — only a set unchanged
+    // by BOTH operators in a row is a star forest (SoCC'14 §3). So the
+    // stop condition is two consecutive no-op phases.
+    var noopStreak = if (n == 0L) 2 else 0
+    while (noopStreak < 2 && phases < maxPhases) {
+      val next =
+        if (phases % 2 == 0) { // large-star
+          val nbr = e.unionByName(
+            e.select(col("v").as("u"), col("u").as("v")))
+          val m = nbr.groupBy("u")
+            .agg(least(min(col("v")), first(col("u"))).as("m"))
+          nbr.join(m, "u").filter(col("v") > col("u"))
+            .select(col("m").as("u"), col("v")) // m ≤ u < v: canonical
+            .distinct()
+        } else { // small-star on the canonical orientation
+          val m = e.groupBy("v").agg(min(col("u")).as("m"))
+          val withM = e.join(m, "v")
+          withM.filter(col("u") =!= col("m"))
+            .select(col("m").as("u"), col("u").as("v")) // m < u: canonical
+            .unionByName(m.select(col("m").as("u"), col("v"))) // m < v
+            .distinct()
+        }
+      val chk = next.localCheckpoint(eager = true)
+      val nNext = chk.count()
+      phases += 1
+      val same = nNext == n && chk.join(e, Seq("u", "v"), "left_anti").isEmpty
+      noopStreak = if (same) noopStreak + 1 else 0
+      n = nNext
+      e = chk
+    }
+    require(noopStreak >= 2,
+      s"star contraction did not converge within $maxPhases phases")
+    // star forest → labels: each non-root appears exactly once as v with
+    // its root as u; roots and singletons label themselves
+    val lbl = nodes
+      .join(e.select(col("v").as("id"), col("u").as("l")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("l"), col("id")).as("l"))
+    val hist = lbl.groupBy("l").agg(count(lit(1)).as("csize"))
+      .groupBy("csize").agg(count(lit(1)).as("n_components"))
+    (hist, phases)
   }
 
   /** k-core peeling TO CONVERGENCE: rounds of "drop nodes with degree < k,

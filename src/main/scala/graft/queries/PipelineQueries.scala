@@ -102,6 +102,17 @@ object PipelineQueries {
                         (build: java.nio.file.Path => String): String =
     feedCache.getOrElseUpdate(s"$name@$dir", build(streamTmp(s"graft-feed-$name")))
 
+  /** The click/purchase two-arm feed shared by `pipe_stream_join` and
+    * `pipe_stream_outer_join` — ONE builder behind the one cache key, so
+    * the queries can never diverge while silently serving each other a
+    * stale feed (advisor finding, round 7: two hand-kept copies of the
+    * builder shared the key on the assumption they stay byte-identical). */
+  private def joinArmsFeed(s: SparkSession, dir: String): String =
+    cachedFeed("join-arms", dir)(f =>
+      orderedSlices(graft.Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts")), f))
+
   /** Run `body` with a reduced shuffle-partition count. Streaming state
     * stores commit one checkpoint per shuffle partition per micro-batch —
     * at 32 partitions × 4 batches that fixed cost dwarfs the data work at
@@ -465,10 +476,7 @@ object PipelineQueries {
     // and streamed.
     "pipe_stream_join" -> ((s, dir) => {
       val tmp = streamTmp("graft-stream-join")
-      val src = cachedFeed("join-arms", dir)(f =>
-        orderedSlices(graft.Tables.events(s, dir)
-          .filter(col("event_type").isin("click", "purchase"))
-          .select(col("event_id"), col("user_id"), col("event_type"), col("ts")), f))
+      val src = joinArmsFeed(s, dir)
       val stream = s.readStream
         .schema("event_id long, user_id long, event_type string, ts timestamp")
         .option("maxFilesPerTrigger", 1).parquet(src)
@@ -514,7 +522,7 @@ object PipelineQueries {
         .filter(col("event_type").isin("click", "purchase"))
         .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
       val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
-      val src = cachedFeed("join-arms", dir)(f => orderedSlices(ev, f))
+      val src = joinArmsFeed(s, dir) // same arms as pipe_stream_join
       val stream = s.readStream
         .schema("event_id long, user_id long, event_type string, ts timestamp")
         .option("maxFilesPerTrigger", 1).parquet(src)

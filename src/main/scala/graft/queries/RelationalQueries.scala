@@ -37,6 +37,13 @@ object RelationalQueries {
     * the tiny (<=50 row) result is eagerly local-checkpointed inside the
     * scope; the session conf is restored before returning. */
   private def graphResult(s: SparkSession)(df: => DataFrame): DataFrame = {
+    // CONSTRAINT: spark.conf is SESSION-global, so this override leaks to
+    // any query planning concurrently on the same session, and overlapping
+    // graphResult calls could restore a stale previous value. The engine's
+    // entry points (Verify, Bench, the driver harness) run queries
+    // strictly serially on one thread, so this is safe here; a server-style
+    // concurrent deployment must give each graph job its own
+    // `spark.newSession()` (cloned conf, shared context/cache) instead.
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     s.conf.set(key, "4")

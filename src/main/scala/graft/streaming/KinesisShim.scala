@@ -208,13 +208,39 @@ private[streaming] object KinesisShim {
           .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
         val dir = new java.io.File(s"/tmp/graft-shards/$hash")
         if (!new java.io.File(dir, "_SUCCESS").isFile) {
-          dir.mkdirs()
-          buildSpill(files, nShards, dir)
-          new java.io.FileOutputStream(new java.io.File(dir, "_SUCCESS")).close()
+          // CROSS-PROCESS atomicity (the JVM-local lock above only
+          // serializes this process): build into a process-unique temp
+          // sibling, stamp _SUCCESS inside it, then ATOMIC_MOVE into the
+          // hashed path — concurrent JVMs (bench + test run sharing the
+          // host) can never interleave bytes into the same shard files,
+          // and the loser of the rename race treats the winner's
+          // published dir as a cache hit and discards its own build.
+          dir.getParentFile.mkdirs()
+          val tmp = java.nio.file.Files.createTempDirectory(
+            dir.getParentFile.toPath, s"$hash.build-").toFile
+          buildSpill(files, nShards, tmp)
+          new java.io.FileOutputStream(new java.io.File(tmp, "_SUCCESS")).close()
+          // a crashed earlier build (no _SUCCESS) may squat on the target;
+          // clear it so the rename can land. Two processes clearing/renaming
+          // concurrently still converge: every rename source is a COMPLETE
+          // build, so whichever lands is valid.
+          if (dir.isDirectory) deleteRecursively(dir)
+          try java.nio.file.Files.move(tmp.toPath, dir.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case _: java.nio.file.FileSystemException
+                if new java.io.File(dir, "_SUCCESS").isFile =>
+              deleteRecursively(tmp) // rename loser: winner's build is live
+          }
         }
         dir
       })
     }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
 
   private def buildSpill(files: Seq[org.apache.hadoop.fs.Path], nShards: Int,
                          dir: java.io.File): Unit = {
@@ -247,15 +273,92 @@ private[streaming] object KinesisShim {
         else { last(s) = raw.eventId; write(streams, off, s, raw) }
       }
     } finally streams.foreach { case (d, i) => d.close(); i.close() }
-    if (!ordered) {
-      // unclustered input: buffer per shard, sort by event_id, rewrite
-      val bufs = Array.fill(nShards)(Vector.newBuilder[Raw])
-      scan(files)(raw => bufs(shardOf(raw.eventId.toString, nShards)) += raw)
-      streams = openStreams() // FileOutputStream truncates the partial files
-      java.util.Arrays.fill(off, 0L)
-      try for (s <- 0 until nShards)
-        bufs(s).result().sortBy(_.eventId).foreach(write(streams, off, s, _))
-      finally streams.foreach { case (d, i) => d.close(); i.close() }
+    if (!ordered) externalSortSpill(files, nShards, dir)
+  }
+
+  /** Unclustered-input fallback: CHUNKED EXTERNAL SORT-MERGE, so the
+    * shim's memory stays bounded by the flush cap regardless of upstream
+    * layout (the engine's own layouts — Tables' re-layout and the
+    * rehearsal writer — are id-clustered and take the streaming fast
+    * path; this is the honest path for an arbitrary writer). Pass 1
+    * re-scans the input, buffering wire-serialized records per shard;
+    * whenever the buffered bytes cross the cap, each shard's buffer is
+    * sorted by event id (stable — equal ids keep scan order) and
+    * appended to disk as one sorted RUN. Pass 2 k-way merges each
+    * shard's runs through a heap holding ONE record per run (ties broken
+    * by run index, which is scan order) straight into the final
+    * .dat/.idx pair — peak memory is max(cap, runs × one record).
+    * `SPARK_GRAFT_SHIM_SORT_MB` (env or -D system property) overrides
+    * the cap; specs shrink it to force multi-run merges on small
+    * fixtures. */
+  private def externalSortSpill(files: Seq[org.apache.hadoop.fs.Path],
+                                nShards: Int, dir: java.io.File): Unit = {
+    import java.io._
+    val capBytes = sys.props.get("SPARK_GRAFT_SHIM_SORT_MB")
+      .orElse(sys.env.get("SPARK_GRAFT_SHIM_SORT_MB"))
+      .getOrElse("256").toLong << 20
+    final case class Buffered(eventId: Long, us: Long, data: Array[Byte])
+    val bufs = Array.fill(nShards)(scala.collection.mutable.ArrayBuffer.empty[Buffered])
+    val runs = Array.fill(nShards)(
+      scala.collection.mutable.ArrayBuffer.empty[(File, Long)])
+    var bufferedBytes = 0L
+    def flush(): Unit = {
+      for (s <- 0 until nShards if bufs(s).nonEmpty) {
+        val f = new File(dir, s"shard-$s.run-${runs(s).length}")
+        val out = new DataOutputStream(
+          new BufferedOutputStream(new FileOutputStream(f), 1 << 16))
+        try bufs(s).sortBy(_.eventId).foreach { r =>
+          out.writeLong(r.eventId); out.writeLong(r.us)
+          out.writeInt(r.data.length); out.write(r.data)
+        } finally out.close()
+        runs(s) += ((f, bufs(s).length.toLong))
+        bufs(s).clear()
+      }
+      bufferedBytes = 0L
+    }
+    scan(files) { raw =>
+      val rec = serialize(raw)
+      val s = shardOf(raw.eventId.toString, nShards)
+      bufs(s) += Buffered(raw.eventId, rec.arrivalUs, rec.data)
+      bufferedBytes += 20L + rec.data.length
+      if (bufferedBytes >= capBytes) flush()
+    }
+    flush()
+    for (s <- 0 until nShards) {
+      // FileOutputStream truncates whatever the aborted fast path wrote
+      val dat = new DataOutputStream(new BufferedOutputStream(
+        new FileOutputStream(new File(dir, s"shard-$s.dat")), 1 << 16))
+      val idx = new DataOutputStream(new BufferedOutputStream(
+        new FileOutputStream(new File(dir, s"shard-$s.idx")), 1 << 16))
+      val ins = runs(s).map { case (f, _) =>
+        new DataInputStream(new BufferedInputStream(new FileInputStream(f), 1 << 16))
+      }.toArray
+      val remaining = runs(s).map(_._2).toArray
+      final case class Head(id: Long, run: Int, us: Long, data: Array[Byte])
+      val pq = new scala.collection.mutable.PriorityQueue[Head]()(
+        Ordering.by((h: Head) => (-h.id, -h.run)))
+      def advance(run: Int): Unit = if (remaining(run) > 0) {
+        remaining(run) -= 1
+        val in = ins(run)
+        val id = in.readLong(); val us = in.readLong()
+        val data = new Array[Byte](in.readInt()); in.readFully(data)
+        pq += Head(id, run, us, data)
+      }
+      try {
+        var off = 0L
+        (0 until ins.length).foreach(advance)
+        while (pq.nonEmpty) {
+          val h = pq.dequeue()
+          idx.writeLong(off)
+          dat.writeLong(h.id); dat.writeLong(h.us)
+          dat.writeInt(h.data.length); dat.write(h.data)
+          off += 20L + h.data.length
+          advance(h.run)
+        }
+      } finally {
+        dat.close(); idx.close(); ins.foreach(_.close())
+        runs(s).foreach(_._1.delete())
+      }
     }
   }
 
@@ -274,24 +377,24 @@ private[streaming] object KinesisShim {
     val untilI = math.min(until, count)
     if (untilI <= fromI) return Array.empty
     val idx = new java.io.RandomAccessFile(idxF, "r")
-    val (startOff, endOff) =
-      try {
-        idx.seek(fromI * 8); val s = idx.readLong()
-        val e = if (untilI == count) datF.length()
-                else { idx.seek(untilI * 8); idx.readLong() }
-        (s, e)
-      } finally idx.close()
-    val bytes = new Array[Byte]((endOff - startOff).toInt)
-    val dat = new java.io.RandomAccessFile(datF, "r")
-    try { dat.seek(startOff); dat.readFully(bytes) } finally dat.close()
-    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
-    Array.fill((untilI - fromI).toInt) {
+    val startOff =
+      try { idx.seek(fromI * 8); idx.readLong() } finally idx.close()
+    // stream the records straight off the positioned file through a 64 KB
+    // buffer — memory is O(one record), never O(window), so a multi-GB
+    // slice (large sf × allAvailable trigger) can't overflow an Int-sized
+    // byte[] (records are length-prefixed, so the read is self-delimiting
+    // and needs no end offset)
+    val fis = new java.io.FileInputStream(datF)
+    fis.getChannel.position(startOff)
+    val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(fis, 1 << 16))
+    try Array.fill((untilI - fromI).toInt) {
       val eventId = in.readLong()
       val us = in.readLong()
       val data = new Array[Byte](in.readInt())
       in.readFully(data)
       Rec(eventId.toString, us, data)
-    }
+    } finally in.close()
   }
 
   /** Payload mirrors Pipeline.eventsAsEnvelopes' to_json projection: same

@@ -154,6 +154,32 @@ class KinesisShimSpec extends SparkSpec {
       payload.contains("\"log_id\":"))
   }
 
+  test("unclustered input takes the external sort-merge fallback within a capped heap") {
+    // a DESCENDING-id copy of the fixture: every record after the first
+    // violates the clustered fast path, so the spill must fall back —
+    // with the sort cap forced to 0 MB every single record flushes as its
+    // own sorted run, so the merge runs at the maximum run count and the
+    // in-memory buffer never holds more than one record (the bounded-heap
+    // claim, exercised at its extreme)
+    val dir = Files.createTempDirectory("shim-shuffled")
+    val out = dir.resolve("events.parquet").toString
+    graft.Tables.events(spark, sf).orderBy(desc("event_id")).coalesce(1)
+      .write.mode("overwrite").parquet(out)
+    sys.props("SPARK_GRAFT_SHIM_SORT_MB") = "0"
+    try {
+      (0 until 4).foreach { sh =>
+        val ref = KinesisShim.readShardSlice(s"$sf/events.parquet", 4, sh, 0, Long.MaxValue)
+        val got = KinesisShim.readShardSlice(out, 4, sh, 0, Long.MaxValue)
+        // same records, same per-shard sequence order...
+        assert(got.map(_.pk).toSeq == ref.map(_.pk).toSeq, s"shard $sh order differs")
+        // ...and byte-identical wire payloads — the stream downstream
+        // cannot tell the layouts apart
+        assert(got.map(_.data.toSeq).toSeq == ref.map(_.data.toSeq).toSeq,
+          s"shard $sh payloads differ")
+      }
+    } finally sys.props -= "SPARK_GRAFT_SHIM_SORT_MB"
+  }
+
   test("rejects an unknown startingPosition") {
     intercept[IllegalArgumentException] {
       PipelineConfig(startingPosition = "AT_TIMESTAMP")
