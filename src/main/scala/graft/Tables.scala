@@ -135,6 +135,14 @@ object Tables {
 
   /** (row count, row-group count) from the parquet footer — a metadata
     * read, no data pages touched. */
+  /** Metadata-only row count of `dir/name.parquet` straight from the
+    * parquet footer — no Spark job, no scan. This is the "free" table
+    * cardinality a catalog would hold at 100 TB, used by callers that
+    * pick a physical strategy by input size (e.g.
+    * [[graft.ops.Checks.uniquenessFor]]). */
+  def footerRowCount(dir: String, name: String): Long =
+    footerLayout(new java.io.File(s"$dir/$name.parquet"))._1
+
   private def footerLayout(src: java.io.File): (Long, Int) = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(src.getPath),

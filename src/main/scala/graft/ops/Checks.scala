@@ -52,6 +52,25 @@ object Checks {
       count(col(column)).cast("double"))
   }
 
+  /** Scale-aware uniqueness selection — the 100 TB DEFAULT: exact
+    * [[Uniqueness]] only while the table's metadata-known row count keeps
+    * the multi-distinct Expand trivially cheap (≤ `exactMaxRows`, default
+    * 4·k), bounded-state [[ApproxUniqueness]] above it. The row count is
+    * an ARGUMENT, not a probe: at scale it is free catalog/parquet-footer
+    * metadata ([[graft.Tables.footerRowCount]]), and threading it keeps
+    * this a pure, spec-able selection function. Exact-at-any-size stays
+    * available by constructing [[Uniqueness]] directly (the opt-in).
+    *
+    * The KMV contract keeps the switch oracle-checkable: below k distinct
+    * values the sketch holds ALL of them, so the approximate metric is
+    * bit-for-bit the exact ratio; above k it is the deterministic
+    * (k−1)·2⁶⁴/H_k estimate any engine reproduces from the same md5
+    * hashes. */
+  def uniquenessFor(rows: Long, column: String, threshold: Double,
+                    exactMaxRows: Long = 4096, k: Int = 1024): Check =
+    if (rows <= exactMaxRows) Uniqueness(column, threshold)
+    else ApproxUniqueness(column, threshold, k)
+
   /** fraction of non-null values inside [lo, hi] ≥ threshold */
   final case class FractionBetween(column: String, lo: Double, hi: Double,
                                    threshold: Double) extends Check {

@@ -1282,8 +1282,12 @@ object RelationalQueries {
     // wedge set never explodes on hub nodes at 100 TB.
     "q_triangles" -> ((s, dir) => {
       import graft.ops.Graph
-      val pairs = copurchasePairs(s, dir)
-        .select("item_a", "item_b")
+      // Graph.normalize is the dirty-edge-list front (drops loops/dups/
+      // reversed copies); the co-purchase pairs are already canonical, so
+      // it is a no-op here by idempotence (spec-proven) — routed through
+      // anyway because a real edge list arrives dirty
+      val pairs = Graph.normalize(
+        copurchasePairs(s, dir).select("item_a", "item_b"), "item_a", "item_b")
       graphResult(s) {
         Graph.triangleCounts(pairs, "item_a", "item_b")
           .select(col("id").as("part_id"), col("n_tri"))
@@ -1298,8 +1302,8 @@ object RelationalQueries {
     // the identical peel as CTEs.
     "q_kcore" -> ((s, dir) => {
       import graft.ops.Graph
-      val pairs = copurchasePairs(s, dir)
-        .select("item_a", "item_b")
+      val pairs = Graph.normalize( // no-op on the clean fixture, see q_triangles
+        copurchasePairs(s, dir).select("item_a", "item_b"), "item_a", "item_b")
       graphResult(s) {
         Graph.kCorePeel(pairs, "item_a", "item_b", k = 3, rounds = 3)
           .orderBy("round")
@@ -1314,24 +1318,50 @@ object RelationalQueries {
     // selects the first round whose count matches its predecessor.
     "q_kcore_converged" -> ((s, dir) => {
       import graft.ops.Graph
-      val pairs = copurchasePairs(s, dir)
-        .select("item_a", "item_b")
+      val pairs = Graph.normalize( // no-op on the clean fixture, see q_triangles
+        copurchasePairs(s, dir).select("item_a", "item_b"), "item_a", "item_b")
       graphResult(s)(Graph.kCoreConverged(pairs, "item_a", "item_b", k = 3))
     }),
 
-    // Connected components (min-label propagation to the FIXED POINT) on
-    // the same co-purchase graph — the cluster-structure summary: every
-    // component labeled by its minimum member id, reported as a
-    // component-size histogram. Convergence = unchanged label sum (labels
-    // only decrease), detected per round on the driver; the oracle
-    // unrolls the propagation past the graph's diameter.
+    // Connected components on the same co-purchase graph — the
+    // cluster-structure summary: every component labeled by its minimum
+    // member id, reported as a component-size histogram. Since round 8
+    // this runs the LOG-ROUND large-star/small-star contraction
+    // (SoCC'14) — O(log n) phases on any graph shape, vs min-label
+    // propagation's O(diameter) rounds (thousands on a crawl-chain at
+    // 100 TB). The result is identical (both label components by their
+    // minimum id — spec-proven equal, and the long-path phase bound is
+    // spec-asserted); min-label stays as Graph.connectedComponents, the
+    // oracle-replayable shape this DuckDB oracle unrolls.
     "q_components" -> ((s, dir) => {
       import graft.ops.Graph
-      val pairs = copurchasePairs(s, dir)
-        .select("item_a", "item_b")
+      val pairs = Graph.normalize( // no-op on the clean fixture, see q_triangles
+        copurchasePairs(s, dir).select("item_a", "item_b"), "item_a", "item_b")
       graphResult(s) {
-        Graph.connectedComponents(pairs, "item_a", "item_b")
+        Graph.connectedComponentsStar(pairs, "item_a", "item_b")
           .orderBy("csize")
+      }
+    }),
+
+    // PageRank run TO ITS EXACT INTEGER FIXED POINT on the symmetric
+    // co-purchase graph: the detected stop (L1 delta 0 between check
+    // windows of 16 batched rounds) replaces the hardcoded 5 iterations —
+    // ~170 rounds to drain 1e12 fixed-point units at damping 0.85, but
+    // only ~11 driver barriers thanks to the linear-lineage batching.
+    // The oracle unrolls the identical recurrence past the fixed point
+    // and selects the first check window with zero delta — bit-for-bit,
+    // including n_iters.
+    "q_pagerank_converged" -> ((s, dir) => {
+      import graft.ops.Graph
+      val pairs = copurchasePairs(s, dir)
+      val edges = pairs.select(col("item_a").as("src"), col("item_b").as("dst"),
+          col("n_ab").as("w"))
+        .union(pairs.select(col("item_b"), col("item_a"), col("n_ab")))
+      graphResult(s) {
+        Graph.pageRankConverged(edges, "src", "dst", "w")
+          .select(col("id").as("part_id"), col("pr").as("rank_fp"), col("n_iters"))
+          .orderBy(col("rank_fp").desc, col("part_id"))
+          .limit(50)
       }
     }),
 
@@ -1908,16 +1938,24 @@ object RelationalQueries {
     }),
 
     // Declarative data-quality gate: six constraints (completeness,
-    // exact uniqueness, bounds, set membership) fused into ONE
-    // aggregation over one scan — includes a deliberately failing check
-    // (user_id uniqueness) to exercise the failure path
+    // uniqueness, bounds, set membership) fused into ONE aggregation over
+    // one scan — includes a deliberately failing check (user_id
+    // uniqueness) to exercise the failure path. Uniqueness goes through
+    // the scale-aware default (Checks.uniquenessFor): the footer row
+    // count (free metadata) exceeds the exact cutoff at sf0.01, so both
+    // uniqueness checks run the bounded-state KMV path — no Expand, ≤k
+    // hashes of state — and the oracle replays the KMV-exact-below-k
+    // contract (user_id's 150 distinct < k is bit-for-bit exact;
+    // event_id's 10k distinct > k is the deterministic (k−1)·2⁶⁴/H_k
+    // estimate).
     "q_quality_checks" -> ((s, dir) => {
       import graft.ops.Checks
+      val rows = graft.Tables.footerRowCount(dir, "events")
       Checks.run(t(s, dir, "events"), Seq(
           Checks.Completeness("user_id", 0.99),
           Checks.Completeness("value", 0.5),
-          Checks.Uniqueness("event_id", 0.999999),
-          Checks.Uniqueness("user_id", 0.5),
+          Checks.uniquenessFor(rows, "event_id", 0.999999),
+          Checks.uniquenessFor(rows, "user_id", 0.5),
           Checks.FractionBetween("value", -1e6, 1e6, 0.999),
           Checks.FractionInSet("event_type",
             Seq("click", "view", "purchase", "signup", "error"), 1.0)))
@@ -2189,6 +2227,48 @@ object RelationalQueries {
        |ORDER BY rank_fp DESC, part_id LIMIT 50""".stripMargin
   }
 
+  /** q_pagerank_converged oracle: the symmetric-graph recurrence unrolled
+    * to `depth` rounds (past the integer fixed point), every round
+    * MATERIALIZED — each check round is referenced twice (next round +
+    * its delta), and default inlining would double the chain per check.
+    * n_iters = the first multiple of `checkEvery` whose L1 delta against
+    * the previous check is zero — the engine's exact stop rule — and the
+    * reported ranks are p_depth, which equals the fixed point for any
+    * depth ≥ n_iters. */
+  private def pagerankConvergedSql(depth: Int, checkEvery: Int): String = {
+    require(depth % checkEvery == 0)
+    def round(i: Int): String = {
+      val prev = if (i == 1) "p0" else s"p${i - 1}"
+      s"""p$i AS MATERIALIZED (SELECT e.dst AS id,
+         |             150000000000 // nn.n
+         |               + CAST(sum((p.pr * 85 * e.w) // (100 * e.tw)) AS BIGINT) AS pr
+         |      FROM e JOIN $prev p ON p.id = e.src, nn
+         |      GROUP BY e.dst, nn.n)""".stripMargin
+    }
+    val checks = (checkEvery to depth by checkEvery).map { k =>
+      s"""SELECT $k AS r,
+         |  (SELECT COALESCE(sum(abs(a.pr - b.pr)), 0)
+         |   FROM p$k a JOIN p${k - checkEvery} b ON a.id = b.id) AS d""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+       |            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |pp AS (SELECT a.it AS src, b.it AS dst, count(*) AS w
+       |       FROM li a JOIN li b ON a.bk = b.bk AND a.it < b.it
+       |       GROUP BY 1, 2 HAVING count(*) >= 2),
+       |edges AS (SELECT src, dst, w FROM pp UNION ALL SELECT dst, src, w FROM pp),
+       |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS tw FROM edges GROUP BY 1),
+       |e AS (SELECT edges.src, edges.dst, edges.w, ow.tw
+       |      FROM edges JOIN ow ON ow.src = edges.src),
+       |nn AS (SELECT count(*) AS n FROM ow),
+       |p0 AS MATERIALIZED (SELECT ow.src AS id, 1000000000000 // nn.n AS pr FROM ow, nn),
+       |${(1 to depth).map(round).mkString(",\n")},
+       |checks AS ($checks),
+       |conv AS (SELECT CAST(min(r) AS BIGINT) AS n_iters FROM checks WHERE d = 0)
+       |SELECT id AS part_id, CAST(pr AS BIGINT) AS rank_fp, conv.n_iters
+       |FROM p$depth, conv
+       |ORDER BY rank_fp DESC, part_id LIMIT 50""".stripMargin
+  }
+
   /** q_kcore_converged oracle: the peel unrolled to `depth` rounds (far
     * past the sf0.01 fixed point), then the first no-op round selected by
     * a lag window over the per-round edge counts — the engine's
@@ -2295,6 +2375,9 @@ object RelationalQueries {
   val sql: Map[String, String] = Map(
     "q_pagerank" -> pagerankSql,
     "q_pagerank_dangling" -> pagerankDanglingSql,
+    // depth 208 = 13 check windows of 16: the sf0.01 graph fixes at
+    // n_iters 176 (measured); the unroll reaches comfortably past it
+    "q_pagerank_converged" -> pagerankConvergedSql(depth = 208, checkEvery = 16),
     // depth 14: sf0.01 converges at round 11; the unroll just needs to
     // reach PAST the fixed point, extra rounds are no-ops
     "q_kcore_converged" -> kcoreConvergedSql(k = 3, depth = 14),
@@ -3506,17 +3589,31 @@ object RelationalQueries {
         |       (count(value)::DOUBLE / count(*)::DOUBLE) >= 0.5
         |FROM events
         |UNION ALL
-        |SELECT 'uniqueness', 'event_id',
-        |       round(count(DISTINCT event_id)::DOUBLE / count(event_id)::DOUBLE, 6),
-        |       0.999999::DOUBLE,
-        |       (count(DISTINCT event_id)::DOUBLE / count(event_id)::DOUBLE) >= 0.999999
-        |FROM events
+        |SELECT 'approx_uniqueness', 'event_id', round(e.est / c.n, 6),
+        |       0.999999::DOUBLE, (e.est / c.n) >= 0.999999
+        |FROM (WITH h AS (SELECT DISTINCT substr(md5(event_id::VARCHAR), 1, 16) AS hx
+        |                 FROM events WHERE event_id IS NOT NULL),
+        |      r AS (SELECT hx, row_number() OVER (ORDER BY hx) AS rn,
+        |                   count(*) OVER () AS nd FROM h)
+        |      SELECT CASE WHEN max(nd) < 1024 THEN CAST(max(nd) AS DOUBLE)
+        |                  ELSE 1023.0 * 18446744073709551616.0 /
+        |                       (('0x' || max(CASE WHEN rn = 1024 THEN hx END))::UBIGINT::DOUBLE)
+        |             END AS est
+        |      FROM r WHERE rn <= 1024) e,
+        |     (SELECT count(event_id)::DOUBLE AS n FROM events) c
         |UNION ALL
-        |SELECT 'uniqueness', 'user_id',
-        |       round(count(DISTINCT user_id)::DOUBLE / count(user_id)::DOUBLE, 6),
-        |       0.5::DOUBLE,
-        |       (count(DISTINCT user_id)::DOUBLE / count(user_id)::DOUBLE) >= 0.5
-        |FROM events
+        |SELECT 'approx_uniqueness', 'user_id', round(e.est / c.n, 6),
+        |       0.5::DOUBLE, (e.est / c.n) >= 0.5
+        |FROM (WITH h AS (SELECT DISTINCT substr(md5(user_id::VARCHAR), 1, 16) AS hx
+        |                 FROM events WHERE user_id IS NOT NULL),
+        |      r AS (SELECT hx, row_number() OVER (ORDER BY hx) AS rn,
+        |                   count(*) OVER () AS nd FROM h)
+        |      SELECT CASE WHEN max(nd) < 1024 THEN CAST(max(nd) AS DOUBLE)
+        |                  ELSE 1023.0 * 18446744073709551616.0 /
+        |                       (('0x' || max(CASE WHEN rn = 1024 THEN hx END))::UBIGINT::DOUBLE)
+        |             END AS est
+        |      FROM r WHERE rn <= 1024) e,
+        |     (SELECT count(user_id)::DOUBLE AS n FROM events) c
         |UNION ALL
         |SELECT 'fraction_between', 'value',
         |       round(sum(CASE WHEN value BETWEEN -1000000.0 AND 1000000.0

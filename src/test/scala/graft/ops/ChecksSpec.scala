@@ -41,6 +41,36 @@ class ChecksSpec extends SparkSpec {
     assert(math.abs(row.getDouble(2) - 0.5) < 0.15, row.toString)
   }
 
+  test("uniquenessFor picks exact below the cutoff, bounded-state above") {
+    assert(Checks.uniquenessFor(4096, "c", 0.5) == Checks.Uniqueness("c", 0.5))
+    assert(Checks.uniquenessFor(4097, "c", 0.5) ==
+      Checks.ApproxUniqueness("c", 0.5, 1024))
+    // opt-out stays available: a tightened cutoff keeps exact longer
+    assert(Checks.uniquenessFor(100000, "c", 0.5, exactMaxRows = 1000000) ==
+      Checks.Uniqueness("c", 0.5))
+  }
+
+  test("KMV-exact-below-k: the approx metric IS the exact ratio under k distinct") {
+    // 300 distinct values < k=1024 → the sketch holds every hash and the
+    // metric is bit-for-bit count(DISTINCT)/count, not an estimate
+    val df = (1 to 3000).map(i => s"k${i % 300}").toDF("c")
+    val approx = Checks.run(df, Seq(Checks.ApproxUniqueness("c", 0.05)))
+      .head().getDouble(2)
+    assert(approx == 0.1)
+  }
+
+  test("the approx-uniqueness path still fuses into one scan") {
+    val df = (1 to 3000).map(i => (s"k${i % 300}", i.toLong)).toDF("c", "id")
+    val out = Checks.run(df, Seq(
+      Checks.uniquenessFor(1000000, "c", 0.05),
+      Checks.uniquenessFor(1000000, "id", 0.9),
+      Checks.Completeness("c", 0.9)))
+    val plan = org.apache.spark.sql.graft.Bridge.executedPlan(out).toString
+    assert(!plan.contains("Expand"), plan.take(3000)) // no multi-distinct Expand
+    val rows = out.orderBy("col_name").collect()
+    assert(rows.forall(_.getString(0) != "uniqueness")) // both went approx
+  }
+
   test("checks on an empty table fail rather than pass vacuously") {
     val empty = fixture.filter(col("id") === -1L)
     val rows = Checks.run(empty, Seq(Checks.Completeness("id", 0.5))).collect()

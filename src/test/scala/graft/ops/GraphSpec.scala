@@ -149,6 +149,98 @@ class GraphSpec extends SparkSpec {
     assert(r == Map(12L -> 1L))
   }
 
+  test("normalize: loops, duplicates, null endpoints and both orientations collapse") {
+    val dirty = Seq(
+      (java.lang.Long.valueOf(2L), java.lang.Long.valueOf(1L)),
+      (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(2L)),
+      (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(2L)),
+      (java.lang.Long.valueOf(3L), java.lang.Long.valueOf(3L)),
+      (java.lang.Long.valueOf(3L), java.lang.Long.valueOf(2L)),
+      (java.lang.Long.valueOf(4L), null.asInstanceOf[java.lang.Long]))
+      .toDF("a", "b")
+    val r = Graph.normalize(dirty, "a", "b").as[(Long, Long)].collect().toSet
+    assert(r == Set((1L, 2L), (2L, 3L)))
+  }
+
+  test("normalize is idempotent and makes the undirected ops dirt-proof") {
+    val clean = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L)).toDF("a", "b")
+    // same graph with reversed copies, duplicates, and a self-loop mixed in
+    val dirty = clean.union(
+      Seq((2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (1L, 3L)).toDF("a", "b"))
+    assert(Graph.normalize(clean, "a", "b").as[(Long, Long)].collect().toSet ==
+      Graph.normalize(dirty, "a", "b").as[(Long, Long)].collect().toSet)
+    def tri(df: DataFrame) = Graph.triangleCounts(df, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(tri(clean) == tri(Graph.normalize(dirty, "a", "b")))
+    def core(df: DataFrame) = Graph.kCoreConverged(df, "a", "b", k = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(core(clean) == core(Graph.normalize(dirty, "a", "b")))
+    def comp(df: DataFrame) = Graph.connectedComponents(df, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(comp(clean) == comp(Graph.normalize(dirty, "a", "b")))
+  }
+
+  test("star contraction matches min-label propagation's histogram") {
+    // deterministic scraggly graph: chains, a clique, isolated edges
+    val edges = ((1L until 9L).map(i => (i, i + 1)) ++ // 9-node path
+      Seq((20L, 21L), (21L, 22L), (20L, 22L), (22L, 23L)) ++ // triangle + tail
+      Seq((30L, 31L), (40L, 41L))).toDF("a", "b")
+    val star = Graph.connectedComponentsStar(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val label = Graph.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(star == label && star == Map(2L -> 2L, 4L -> 1L, 9L -> 1L))
+  }
+
+  test("star contraction: a 10k-node chain converges in O(log n) phases") {
+    // the adversarial shape for min-label propagation (diameter = n), and
+    // exactly the graph the SoCC'14 bound exists for: phases must stay
+    // within ~2·log2(n) (+2 confirming no-op phases, + slack)
+    val n = 10000L
+    val chain = spark.range(0L, n - 1)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+    val (hist, phases) =
+      Graph.connectedComponentsStarWithPhases(chain, "a", "b")
+    assert(hist.as[(Long, Long)].collect().toMap == Map(n -> 1L))
+    val bound = 2 * math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt + 6
+    assert(phases <= bound, s"took $phases phases, bound $bound")
+  }
+
+  test("star contraction handles self-loop-only nodes and empty graphs") {
+    val loops = Seq((5L, 5L), (6L, 6L), (1L, 2L)).toDF("a", "b")
+    val r = Graph.connectedComponentsStar(loops, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    // 5 and 6 are singleton components; {1,2} is one 2-component
+    assert(r == Map(1L -> 2L, 2L -> 1L))
+  }
+
+  test("pageRank to convergence: fixed point equals the iterated recurrence") {
+    val e = sym((1L, 2L, 2L), (2L, 3L, 1L), (3L, 4L, 5L), (4L, 1L, 1L), (2L, 4L, 3L))
+    val conv = Graph.pageRankConverged(e, "src", "dst", "w")
+      .as[(Long, Long, Long)].collect()
+    val iters = conv.head._3
+    assert(conv.map(_._3).distinct.length == 1 && iters >= 1)
+    // running the FIXED-iteration form for n_iters rounds lands on the
+    // same ranks (and so does one round more — it is a fixed point)
+    val atN = ranks2(e, iters.toInt)
+    val atN1 = ranks2(e, iters.toInt + 1)
+    val c = conv.map(t => t._1 -> t._2).toMap
+    assert(c == atN && c == atN1)
+  }
+
+  test("pageRank to convergence: dangling chain converges and keeps mass") {
+    val e = Seq((1L, 2L, 1L), (2L, 3L, 1L)).toDF("src", "dst", "w")
+    val r = Graph.pageRankConverged(e, "src", "dst", "w")
+      .as[(Long, Long, Long)].collect()
+    val mass = r.map(_._2).sum
+    assert(mass <= 1000000000000L && mass > 999999990000L)
+    assert(r.map(_._3).distinct.length == 1)
+  }
+
+  private def ranks2(e: DataFrame, iters: Int): Map[Long, Long] =
+    Graph.pageRank(e, "src", "dst", "w", iters = iters)
+      .as[(Long, Long)].collect().toMap
+
   test("triangle counts are layout-invariant") {
     val e = (for (i <- 1L to 8L; j <- (i + 1) to 8L if (i + j) % 3 != 0)
       yield (i, j)).toDF("a", "b")
