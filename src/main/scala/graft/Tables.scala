@@ -133,16 +133,24 @@ object Tables {
     fix(s.read.parquet(dst))
   }
 
-  /** (row count, row-group count) from the parquet footer — a metadata
-    * read, no data pages touched. */
   /** Metadata-only row count of `dir/name.parquet` straight from the
     * parquet footer — no Spark job, no scan. This is the "free" table
     * cardinality a catalog would hold at 100 TB, used by callers that
     * pick a physical strategy by input size (e.g.
     * [[graft.ops.Checks.uniquenessFor]]). */
-  def footerRowCount(dir: String, name: String): Long =
-    footerLayout(new java.io.File(s"$dir/$name.parquet"))._1
+  def footerRowCount(dir: String, name: String): Long = {
+    val p = new java.io.File(s"$dir/$name.parquet")
+    // fixture tables are single files; Spark-written tables (e.g. the
+    // scale-rehearsal copies) are directories of part files — sum them
+    if (p.isDirectory)
+      Option(p.listFiles).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(footerLayout(_)._1).sum
+    else footerLayout(p)._1
+  }
 
+  /** (row count, row-group count) from the parquet footer — a metadata
+    * read, no data pages touched. */
   private def footerLayout(src: java.io.File): (Long, Int) = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(src.getPath),

@@ -237,6 +237,21 @@ class GraphSpec extends SparkSpec {
     assert(r.map(_._3).distinct.length == 1)
   }
 
+  test("pageRank to convergence: local solve is bit-for-bit the distributed loop") {
+    // lean (symmetric) and dangling graphs, each solved by the gated
+    // driver loop (default) AND the forced-distributed loop
+    // (localMaxNodes = 0): identical (id, pr, n_iters) on both shapes
+    val lean = sym((1L, 2L, 2L), (2L, 3L, 1L), (3L, 4L, 5L), (4L, 1L, 1L), (2L, 4L, 3L))
+    val dangling = Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 1L)).toDF("src", "dst", "w")
+    for (e <- Seq(lean, dangling)) {
+      val local = Graph.pageRankConverged(e, "src", "dst", "w")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      val dist = Graph.pageRankConverged(e, "src", "dst", "w", localMaxNodes = 0)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(local == dist)
+    }
+  }
+
   private def ranks2(e: DataFrame, iters: Int): Map[Long, Long] =
     Graph.pageRank(e, "src", "dst", "w", iters = iters)
       .as[(Long, Long)].collect().toMap
