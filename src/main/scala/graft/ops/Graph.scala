@@ -63,6 +63,24 @@ object Graph {
       .distinct()
   }
 
+  /** DIRECTED-edge normalization front for [[pageRank]] /
+    * [[pageRankConverged]]: drops null endpoints and self-loops (a
+    * self-link contributes rank to itself — standard link-analysis
+    * hygiene is to remove them), and merges duplicate (src, dst) rows by
+    * SUMMING their weights — the same observed link twice is twice the
+    * weight, not two edges (the recurrence divides by total out-weight,
+    * so splitting vs merging duplicates is arithmetically identical
+    * there, but merged edges make the edge⋈rank join linear in DISTINCT
+    * links). Idempotent on clean input (spec-proven). One filter + one
+    * (src, dst) aggregation — a single shuffle, the standard paid-once
+    * ingest step.
+    */
+  def normalizeDirected(edges: DataFrame, srcCol: String, dstCol: String,
+                        wCol: String): DataFrame =
+    edges.filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .groupBy(srcCol, dstCol).agg(sum(col(wCol)).as(wCol))
+
   /** Weighted PageRank over a GENERAL directed edge list. Dangling nodes
     * (out-weight 0) redistribute their damped mass uniformly: each round,
     * pr'(v) = Base/n + Σ_{u→v} (pr(u)·85·w)/(100·tw(u)) + (D·85)/(100·n)

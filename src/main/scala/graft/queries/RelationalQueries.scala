@@ -1265,9 +1265,14 @@ object RelationalQueries {
       import graft.ops.Graph
       val pairs = copurchasePairs(s, dir)
       graphResult(s) {
+        // normalizeDirected is the dirty-edge front for the directed ops
+        // (loops dropped, duplicate links weight-merged) — a no-op on the
+        // already-aggregated co-purchase pairs, routed through anyway
+        // because a real edge list arrives dirty (spec-proven idempotent)
         Graph.pageRank(
-            pairs.select(col("item_a").as("src"), col("item_b").as("dst"),
-              col("n_ab").as("w")),
+            Graph.normalizeDirected(
+              pairs.select(col("item_a").as("src"), col("item_b").as("dst"),
+                col("n_ab").as("w")), "src", "dst", "w"),
             "src", "dst", "w", iters = 5)
           .select(col("id").as("part_id"), col("pr").as("rank_fp"))
           .orderBy(col("rank_fp").desc, col("part_id"))
@@ -1960,6 +1965,40 @@ object RelationalQueries {
           Checks.FractionInSet("event_type",
             Seq("click", "view", "purchase", "signup", "error"), 1.0)))
         .orderBy("kind", "col_name")
+    }),
+
+    // Freshness-decayed activity (half-life one day): per event type,
+    // the exponentially time-decayed event count at the corpus' own
+    // latest timestamp — the recency weight a training-data sampler
+    // applies to favor fresh documents. Bit-stable across layouts AND
+    // engines by construction: ages bucket to whole days so the
+    // per-(type, day) aggregation is an exact integer count (one small
+    // shuffle), each bucket's term cnt/2^age is an exact dyadic double
+    // (shiftleft — no libm pow, whose last ulp differs across engines),
+    // and the per-type total folds the day-sorted bucket list in one
+    // explicit sequential pass (the q_chisq/IVF fold discipline). At
+    // 100 TB the bucket table is |types|×|days| no matter the corpus —
+    // the decay arithmetic never touches row-level data.
+    "q_decayed_counts" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("ts").isNotNull)
+      val ref = ev.agg(max(expr("unix_micros(ts) div 86400000000")).as("dmax"))
+      val b = ev.crossJoin(broadcast(ref))
+        .select(col("event_type"),
+          least(col("dmax") - expr("unix_micros(ts) div 86400000000"),
+            lit(62L)).as("age_d"))
+        .groupBy("event_type", "age_d").agg(count(lit(1)).as("cnt"))
+        .withColumn("term", col("cnt").cast("double") /
+          expr("cast(shiftleft(cast(1 as bigint), cast(age_d as int)) as double)"))
+      b.groupBy("event_type")
+        .agg(
+          sum("cnt").as("n_events"),
+          aggregate(
+            transform(sort_array(collect_list(struct(col("age_d"), col("term")))),
+              x => x.getField("term")),
+            lit(0.0), (acc, x) => acc + x).as("decayed_raw"))
+        .select(col("event_type"), col("n_events"),
+          round(col("decayed_raw"), 6).as("decayed"))
+        .orderBy("event_type")
     }),
 
     // KMV sketch SET ALGEBRA (theta-sketch style): audience overlap
@@ -3060,6 +3099,20 @@ object RelationalQueries {
         |       count(DISTINCT event_type) AS n_types_exact,
         |       TRUE AS users_bounded, TRUE AS types_bounded
         |FROM events""".stripMargin,
+    "q_decayed_counts" ->
+      """WITH mx AS (SELECT max(epoch_us(ts) // 86400000000) AS dmax
+        |            FROM events WHERE ts IS NOT NULL),
+        |b AS (SELECT event_type,
+        |             least(mx.dmax - epoch_us(ts) // 86400000000, 62) AS age_d,
+        |             count(*) AS cnt
+        |      FROM events, mx WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |t2 AS (SELECT event_type, age_d, cnt,
+        |              cnt::DOUBLE / ((1::BIGINT << age_d::INTEGER)::DOUBLE) AS term
+        |       FROM b)
+        |SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_events,
+        |       round(list_reduce(list(term ORDER BY age_d), (a, b) -> a + b), 6)
+        |         AS decayed
+        |FROM t2 GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_kmv_distinct" ->
       """WITH h AS (SELECT DISTINCT event_type, substr(md5(user_id::VARCHAR), 1, 16) AS hx
         |           FROM events WHERE user_id IS NOT NULL),

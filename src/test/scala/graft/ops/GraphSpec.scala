@@ -180,6 +180,23 @@ class GraphSpec extends SparkSpec {
     assert(comp(clean) == comp(Graph.normalize(dirty, "a", "b")))
   }
 
+  test("normalizeDirected merges duplicate links, drops loops, and is idempotent") {
+    val clean = Seq((1L, 2L, 3L), (2L, 3L, 1L), (3L, 1L, 2L)).toDF("src", "dst", "w")
+    // dirty copy: the (1,2) link observed as two rows (2+1=3), a self-loop
+    val dirty = Seq((1L, 2L, 2L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 2L),
+      (2L, 2L, 9L)).toDF("src", "dst", "w")
+    def norm(df: DataFrame) = Graph.normalizeDirected(df, "src", "dst", "w")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(norm(dirty) == norm(clean))
+    assert(norm(clean) == clean.as[(Long, Long, Long)].collect().toSet)
+    // and the recurrence agrees: pageRank over the normalized dirty list
+    // is bit-for-bit pageRank over the clean list
+    def pr(df: DataFrame) = Graph.pageRank(
+      Graph.normalizeDirected(df, "src", "dst", "w"), "src", "dst", "w", 5)
+      .as[(Long, Long)].collect().toMap
+    assert(pr(dirty) == pr(clean))
+  }
+
   test("star contraction matches min-label propagation's histogram") {
     // deterministic scraggly graph: chains, a clique, isolated edges
     val edges = ((1L until 9L).map(i => (i, i + 1)) ++ // 9-node path
