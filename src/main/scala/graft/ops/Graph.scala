@@ -538,6 +538,30 @@ object Graph {
   def connectedComponentsStarWithPhases(pairs: DataFrame, aCol: String,
                                         bCol: String, maxPhases: Int = 60)
       : (DataFrame, Int) = {
+    val (lbl, phases) = starComponentLabels(pairs, aCol, bCol, maxPhases)
+    val hist = lbl.groupBy("l").agg(count(lit(1)).as("csize"))
+      .groupBy("csize").agg(count(lit(1)).as("n_components"))
+    (hist, phases)
+  }
+
+  /** The node → component-min-id LABELING behind
+    * [[connectedComponentsStar]] (columns (id, l)), plus the phase count
+    * — the component MV that [[incrementalComponents]] maintains under
+    * edge arrivals.
+    *
+    * `localMaxEdges > 0` arms the small-graph gate: when the CANONICAL
+    * edge count (known from the count the loop needs anyway) and node
+    * count fit the bound and ids are integral, a driver union-find
+    * produces the identical min-id labeling (union always attaches the
+    * larger root under the smaller, so every root IS its component's
+    * minimum — spec-proven equal to the distributed labels) with zero
+    * phases of scheduler cost. Default OFF (0): `q_components` runs the
+    * log-round star path unconditionally; the gate exists for callers
+    * like [[incrementalComponents]] whose label graph is Δ-sized by
+    * construction. */
+  def starComponentLabels(pairs: DataFrame, aCol: String, bCol: String,
+                          maxPhases: Int = 60,
+                          localMaxEdges: Long = 0): (DataFrame, Int) = {
     require(maxPhases >= 2)
     retireLastGeneration()
     val raw = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
@@ -552,6 +576,15 @@ object Graph {
       .distinct()
       .localCheckpoint(eager = true)
     var n = e.count()
+    if (localMaxEdges > 0 && n <= localMaxEdges &&
+        nodes.count() <= 2 * localMaxEdges + 2 && {
+          import org.apache.spark.sql.types._
+          raw.schema.forall(_.dataType match {
+            case ByteType | ShortType | IntegerType | LongType => true
+            case _ => false
+          })
+        })
+      return (localUnionFindLabels(e, nodes), 0)
     var phases = 0
     // ONE no-op phase does not certify the fixed point: {(1,3),(2,3)} is
     // large-star-invariant but not a star forest (3 has two parents), and
@@ -592,9 +625,81 @@ object Graph {
     val lbl = nodes
       .join(e.select(col("v").as("id"), col("u").as("l")), Seq("id"), "left")
       .select(col("id"), coalesce(col("l"), col("id")).as("l"))
-    val hist = lbl.groupBy("l").agg(count(lit(1)).as("csize"))
-      .groupBy("csize").agg(count(lit(1)).as("n_components"))
-    (hist, phases)
+    (lbl, phases)
+  }
+
+  /** Driver union-find over a gate-checked-small canonical edge set —
+    * min-id labels by construction: roots start as themselves and every
+    * union attaches the LARGER root under the smaller, so a component's
+    * root is always its minimum id. */
+  private def localUnionFindLabels(e: DataFrame, nodes: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val ids = nodes.select(col("id").cast("long")).as[Long].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    ids.foreach(p => parent(p) = p)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    e.select(col("u").cast("long"), col("v").cast("long"))
+      .as[(Long, Long)].collect()
+      .foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    spark.createDataFrame(ids.toSeq.map(p => (p, find(p)))).toDF("id", "l")
+  }
+
+  /** INCREMENTAL component maintenance — the [[Incremental]] MV-delta
+    * pattern applied to graph state: given the CURRENT labeling
+    * (id → component min-id, e.g. a prior [[starComponentLabels]] run)
+    * and a batch of NEW edges, produce the updated labeling WITHOUT
+    * re-traversing the old edge set. Append-only edges can only MERGE
+    * components, so the whole delta reduces to connected components of
+    * the LABEL graph: each new edge contributes the pair
+    * (label(a), label(b)) — endpoints never seen before label
+    * themselves — and star contraction over that ≤|Δ|-edge label-level
+    * graph yields the label → merged-min-label map, applied back to the
+    * labeling with one join. Labels stay canonical (component min id),
+    * so batches COMPOSE: applying deltas one at a time equals the full
+    * recompute bit-for-bit (spec-proven). Cost O(|labels| + |Δ|·log):
+    * the old edges are never touched — at 100 TB the MV (one row per
+    * node) and the day's arrivals are the only inputs.
+    */
+  def incrementalComponents(labels: DataFrame, idCol: String, lblCol: String,
+                            newEdges: DataFrame, aCol: String, bCol: String,
+                            localMaxEdges: Long = 65536): DataFrame = {
+    val lab = labels.select(col(idCol).as("id"), col(lblCol).as("l"))
+    val ne = normalize(newEdges, aCol, bCol)
+      .select(col(aCol).as("a"), col(bCol).as("b"))
+      .localCheckpoint(eager = true) // read 3x below; Δ-sized
+    val la = lab.select(col("id").as("a"), col("l").as("la"))
+    val lb = lab.select(col("id").as("b"), col("l").as("lb"))
+    val lifted = ne.join(la, Seq("a"), "left").join(lb, Seq("b"), "left")
+      .select(coalesce(col("la"), col("a")).as("x"),
+        coalesce(col("lb"), col("b")).as("y"))
+    // unseen endpoints join the MV as their own singleton components —
+    // taken from the RAW delta (nulls dropped) so a self-loop-only new
+    // node still reports, matching [[starComponentLabels]]' universe
+    val newNodes = newEdges.select(col(aCol).as("id"))
+      .union(newEdges.select(col(bCol).as("id")))
+      .filter(col("id").isNotNull).distinct()
+      .join(lab, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("l"))
+    val all = lab.unionByName(newNodes)
+    val merges = lifted.filter(col("x") =!= col("y"))
+    if (merges.isEmpty) return all
+    // label-graph components: Δ-sized by construction, so the driver
+    // union-find usually takes it; above the gate the log-round star
+    // contraction runs distributed
+    val m = starComponentLabels(merges, "x", "y", localMaxEdges = localMaxEdges)._1
+      .select(col("id").as("l"), col("l").as("l2"))
+    all.join(m, Seq("l"), "left")
+      .select(col("id"), coalesce(col("l2"), col("l")).as("l"))
   }
 
   /** k-core peeling TO CONVERGENCE: rounds of "drop nodes with degree < k,

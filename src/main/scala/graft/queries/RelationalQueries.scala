@@ -1348,6 +1348,37 @@ object RelationalQueries {
       }
     }),
 
+    // INCREMENTAL component maintenance — the MV-delta pattern applied
+    // to graph state: the co-purchase edge set is split 4:1 by a
+    // deterministic md5 parity into a BASE (whose star-contraction
+    // labeling is the materialized view) and an ARRIVAL batch; the batch
+    // is applied through Graph.incrementalComponents — components of the
+    // ≤|Δ|-edge LABEL graph, one join back — without re-traversing the
+    // base edges. The oracle is the FULL-graph recompute (identical
+    // histogram by the canonical-min-label composition argument,
+    // spec-proven on merge/new-node/no-op shapes).
+    "q_incremental_components" -> ((s, dir) => {
+      import graft.ops.Graph
+      val pairs = Graph.normalize(
+        copurchasePairs(s, dir).select("item_a", "item_b"), "item_a", "item_b")
+      graphResult(s) {
+        val tagged = pairs.withColumn("slot",
+          pmod(abs(xxhash64(col("item_a"), col("item_b"))), lit(5L)))
+        val base = tagged.filter(col("slot") =!= 0L).select("item_a", "item_b")
+        val delta = tagged.filter(col("slot") === 0L).select("item_a", "item_b")
+        // base MV through the small-graph union-find gate (spec-proven
+        // equal to the star labels) — this query measures the DELTA
+        // algebra; q_components is the row that exercises the
+        // distributed log-round contraction itself
+        val mv = Graph.starComponentLabels(base, "item_a", "item_b",
+          localMaxEdges = 65536)._1
+        Graph.incrementalComponents(mv, "id", "l", delta, "item_a", "item_b")
+          .groupBy("l").agg(count(lit(1)).as("csize"))
+          .groupBy("csize").agg(count(lit(1)).as("n_components"))
+          .orderBy("csize")
+      }
+    }),
+
     // PageRank run TO ITS EXACT INTEGER FIXED POINT on the symmetric
     // co-purchase graph: the detected stop (L1 delta 0 between check
     // windows of 16 batched rounds) replaces the hardcoded 5 iterations —
@@ -2421,6 +2452,9 @@ object RelationalQueries {
     // reach PAST the fixed point, extra rounds are no-ops
     "q_kcore_converged" -> kcoreConvergedSql(k = 3, depth = 14),
     "q_components" -> componentsSql(depth = 20),
+    // incremental maintenance must land exactly where a full recompute
+    // does — the oracle IS the full-graph recompute
+    "q_incremental_components" -> componentsSql(depth = 20),
     // triangles are orientation-invariant, so the oracle can use the plain
     // a<b edge order: each {a<b<c} closes as (a,b)+(b,c)+(a,c) exactly once
     "q_kcore" ->

@@ -231,6 +231,40 @@ class GraphSpec extends SparkSpec {
     assert(r == Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("union-find gate labels equal the distributed star labels") {
+    def lbls(df: DataFrame) = df.as[(Long, Long)].collect().toMap
+    val edges = ((1L until 9L).map(i => (i, i + 1)) ++
+      Seq((20L, 21L), (21L, 22L), (20L, 22L), (22L, 23L)) ++
+      Seq((30L, 31L), (40L, 41L), (50L, 50L))).toDF("a", "b")
+    val local = Graph.starComponentLabels(edges, "a", "b", localMaxEdges = 1000)
+    val dist = Graph.starComponentLabels(edges, "a", "b")
+    assert(local._2 == 0 && dist._2 > 0) // gate took the driver path
+    assert(lbls(local._1) == lbls(dist._1))
+  }
+
+  test("incremental components equal the full recompute, batch by batch") {
+    def lbls(df: DataFrame) = df.as[(Long, Long)].collect().toMap
+    // base MV: components {1,2,3}, {10,11}, {20,21}
+    val base = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("a", "b")
+    val mv0 = Graph.starComponentLabels(base, "a", "b")._1
+    // batch 1: a merge edge (dirty: duplicated + reversed), a brand-new
+    // pair, and a self-loop-only new node
+    val d1 = Seq((3L, 10L), (10L, 3L), (30L, 31L), (7L, 7L)).toDF("a", "b")
+    val mv1 = Graph.incrementalComponents(mv0, "id", "l", d1, "a", "b")
+      .localCheckpoint(true)
+    assert(lbls(mv1) == lbls(Graph.starComponentLabels(base.union(d1), "a", "b")._1))
+    // batch 2: a NEW node bridging two existing components transitively
+    val d2 = Seq((31L, 99L), (99L, 20L)).toDF("a", "b")
+    val mv2 = Graph.incrementalComponents(mv1, "id", "l", d2, "a", "b")
+      .localCheckpoint(true)
+    assert(lbls(mv2) == lbls(Graph.starComponentLabels(
+      base.union(d1).union(d2), "a", "b")._1))
+    // a no-op batch (already-connected endpoints) changes nothing
+    val mv3 = Graph.incrementalComponents(mv2, "id", "l",
+      Seq((2L, 1L)).toDF("a", "b"), "a", "b")
+    assert(lbls(mv3) == lbls(mv2))
+  }
+
   test("pageRank to convergence: fixed point equals the iterated recurrence") {
     val e = sym((1L, 2L, 2L), (2L, 3L, 1L), (3L, 4L, 5L), (4L, 1L, 1L), (2L, 4L, 3L))
     val conv = Graph.pageRankConverged(e, "src", "dst", "w")
