@@ -497,11 +497,17 @@ object Similarity {
     * Lloyd, per-row first-wins argmin assignment against the broadcast
     * centroid literal. Returns (id, v, cell). */
   private[graft] def quantize(corpus: DataFrame, idCol: String, vecCol: String,
-                              nlist: Int, trainSample: Int): DataFrame = {
-    val c = Par.spread(corpus.select(col(idCol).as("id"),
-        col(vecCol).cast("array<double>").as("v")))
-      .filter(col("v").isNotNull)
-    val sample: Array[Array[Double]] = corpus
+                              nlist: Int, trainSample: Int): DataFrame =
+    assignCells(corpus, idCol, vecCol,
+      trainCenters(corpus, idCol, vecCol, nlist, trainSample))
+
+  /** The deterministic coarse-quantizer fit shared by [[quantize]] and
+    * [[ivfAppendProfile]]: bounded (md5(id), id)-ordered sample, driver
+    * Lloyd. */
+  private[graft] def trainCenters(train: DataFrame, idCol: String,
+                                  vecCol: String, nlist: Int,
+                                  trainSample: Int): Array[Array[Double]] = {
+    val sample: Array[Array[Double]] = train
       .select(col(vecCol).cast("array<double>").as("v"),
         md5(col(idCol).cast("string")).as("h"), col(idCol).as("id"))
       .filter(col("v").isNotNull)
@@ -510,7 +516,16 @@ object Similarity {
       .select("v")
       .collect()
       .map(_.getSeq[Double](0).toArray)
-    val centers = lloyd(sample, nlist, iters = 5)
+    lloyd(sample, nlist, iters = 5)
+  }
+
+  /** Per-row first-wins argmin assignment against a broadcast centroid
+    * literal. Returns (id, v, cell). */
+  private[graft] def assignCells(df: DataFrame, idCol: String, vecCol: String,
+                                 centers: Array[Array[Double]]): DataFrame = {
+    val c = Par.spread(df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v")))
+      .filter(col("v").isNotNull)
     val ctLit = typedlit(centers.map(_.toSeq).toSeq)
     val d2s = transform(ctLit, ct => aggregate(
       zip_with(col("v"), ct, (x, y) => (x - y) * (x - y)),
@@ -519,6 +534,36 @@ object Similarity {
       .withColumn("cell",
         greatest(array_position(col("d2s"), array_min(col("d2s"))) - 1, lit(0L)).cast("int"))
       .select(col("id"), col("v"), col("cell"))
+  }
+
+  /** INCREMENTAL IVF-index maintenance — the MV-delta pattern
+    * ([[graft.ops.Incremental]]) applied to ANN state. An IVF index at
+    * 100 TB is not retrained per arrival batch: the coarse quantizer is
+    * FROZEN (that is the append contract — recall drifts only as the
+    * data distribution does, which [[ivfCellProfile]] monitors), each
+    * delta batch is assigned against the frozen broadcast centroids in
+    * one Δ-sized pass, and the per-cell population MV merges by
+    * addition — O(|MV| + |Δ|), the base corpus never re-scanned.
+    * Returns per cell: (cell, n_base, n_new, n_total, share) — the
+    * post-append balance report; a hot cell says re-shard that cell (or
+    * retrain) BEFORE tail latency degrades. Merging two ≤nlist-row
+    * aggregates makes the join and the share window free. */
+  def ivfAppendProfile(base: DataFrame, delta: DataFrame, idCol: String,
+                       vecCol: String, nlist: Int = 16,
+                       trainSample: Int = 4096): DataFrame = {
+    val centers = trainCenters(base, idCol, vecCol, nlist, trainSample)
+    val mv = assignCells(base, idCol, vecCol, centers)
+      .groupBy("cell").agg(count(lit(1)).as("n_base"))
+    val appended = assignCells(delta, idCol, vecCol, centers)
+      .groupBy("cell").agg(count(lit(1)).as("n_new"))
+    mv.join(appended, Seq("cell"), "full")
+      .select(col("cell"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("n_total", col("n_base") + col("n_new"))
+      .withColumn("share", round(col("n_total") * lit(1.0) /
+        sum("n_total").over(Window.partitionBy()), 4))
+      .orderBy("cell")
   }
 
   /** IVF index-balance report: per-cell population and share under the
@@ -535,6 +580,211 @@ object Similarity {
       .withColumn("share", round(col("n_members") * lit(1.0) /
         sum("n_members").over(Window.partitionBy()), 4))
       .select("cell", "n_members", "share")
+      .orderBy("cell")
+  }
+
+  /** Distributed FULL-CORPUS Lloyd's k-means — the scale path where the
+    * bounded-sample driver fit of [[ivfTopK]] is not enough (the sample
+    * bounds centroid QUALITY; when the clustering itself is the product —
+    * corpus partitioning for curriculum mixing, SemDeDup-style cells,
+    * per-cluster data budgets — the means must be over all rows). Each
+    * round is one scan: per-row argmin against the k broadcast centroids,
+    * then a k-row aggregate with map-side partial combine, so only
+    * k×(dim+2) values per partition cross the exchange and the driver
+    * holds exactly one k×(dim+2) state — above `localMaxRows`, no
+    * per-row collect at any scale (below it, a driver loop runs the
+    * identical arithmetic; see the gate comment in the body).
+    *
+    * EXACT ARITHMETIC, hence layout-invariant and externally replayable
+    * (the same fixed-point-integer discipline as the PageRank/k-core
+    * fixed points in [[Graph]]): vectors are quantized once to integer
+    * coordinates `floor(x·2^scaleBits + 0.5)` and a centroid is carried
+    * as its exact integer dimension-sums plus count, never a rounded
+    * mean. Distributed reductions are integer sums — associative,
+    * commutative, order-free — while every double computation (the
+    * argmin distance `Σ (x − s/n)²`, the report's norm and mse) is
+    * row-local with a fixed fold order, so results are bit-identical
+    * across partitionings AND in the DuckDB oracle, which replays
+    * init + every round relationally on the same integers.
+    *
+    * Convergence: the state is exact, so "assignments stopped changing"
+    * is the decidable test `state_{r} == state_{r-1}` (longs, no
+    * epsilon) — detected on the driver from the k-row aggregate, no
+    * extra job. `maxIters` caps the rounds; because a converged state is
+    * a true fixed point, an oracle that unrolls exactly `maxIters`
+    * rounds reproduces the detected-stop result whether the stop fired
+    * early or the cap bound it — the contract needs no empirical round
+    * count. Mean-squared distortion is reported through the exact
+    * identity Σ|x−m|² = Σ|x|² − |s|²/n, keeping the only corpus-sized
+    * reduction (Σ|x|², a long) exact; ANSI mode turns a hypothetical
+    * overflow into an error, never a silent wrap (switch `ss` to
+    * DECIMAL past ~2^17 rows × dim 64 at this scale).
+    *
+    * Init: the k DISTINCT quantized vectors smallest in global
+    * `(md5(id), id)` order — a distributed bounded top-N like the IVF
+    * sample, a pure function of the data. Returns one row per NONEMPTY
+    * cell of the final assignment: (cell, n, round(norm,4),
+    * round(mse,6)), ordered by cell. Empty cells carry their previous
+    * centroid between rounds (mirrored by the oracle's COALESCE) but do
+    * not report. */
+  def kmeansReport(corpus: DataFrame, idCol: String, vecCol: String,
+                   k: Int = 8, maxIters: Int = 25, detectConverged: Boolean = true,
+                   scaleBits: Int = 20, initSample: Int = 512,
+                   localMaxRows: Long = 65536): DataFrame = {
+    require(k > 0 && maxIters > 0)
+    val spark = corpus.sparkSession
+    val S = (1L << scaleBits).toDouble
+    def quant(v: Column): Column =
+      transform(v, x => floor(x * S + lit(0.5)).cast("long"))
+
+    // one-scan quantization; per-row |x|^2 is an exact integer fold
+    val q = Par.spread(corpus
+        .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+        .filter(col("v").isNotNull)
+        .select(col("id"), quant(col("v")).as("q")))
+      .withColumn("sq", aggregate(transform(col("q"), x => x * x),
+        lit(0L), (acc, x) => acc + x))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materializes the cache before round 1; also feeds the small-corpus
+    // gate — one extra scan next to maxIters round scans
+    val nRows = q.count()
+
+    // deterministic init: k distinct quantized vectors in (md5(id), id) order
+    val sampleRows: Array[Array[Long]] = corpus
+      .select(col(vecCol).cast("array<double>").as("v"),
+        md5(col(idCol).cast("string")).as("h"), col(idCol).as("id"))
+      .filter(col("v").isNotNull)
+      .orderBy(col("h"), col("id"))
+      .limit(initSample)
+      .select(quant(col("v")))
+      .collect()
+      .map(_.getSeq[Long](0).toArray)
+    val seen = scala.collection.mutable.LinkedHashSet.empty[Seq[Long]]
+    sampleRows.foreach(v => seen += v.toSeq)
+    val init = seen.iterator.take(k).map(_.toArray).toArray
+    require(init.length == k,
+      s"kmeans: corpus has only ${init.length} distinct vectors in the " +
+        s"$initSample-row init sample, need k=$k")
+    val dim = init(0).length
+
+    // state(cell) = (dimension sums, n); init centroid = (vector, 1)
+    var state: Array[(Array[Long], Long)] = init.map(v => (v, 1L))
+    // final-assignment aggregate rows: cell -> (n, sums, ss)
+    var lastAgg: Map[Int, (Long, Array[Long], Long)] = Map.empty
+
+    def assignCell(st: Array[(Array[Long], Long)]): Column = {
+      val sLit = typedlit(st.map(_._1.toSeq).toSeq)
+      val nLit = typedlit(st.map(_._2).toSeq)
+      val d2s = transform(sLit, (ct, i) => aggregate(
+        zip_with(col("q"), ct, (x, sd) => {
+          val d = x.cast("double") -
+            sd.cast("double") / element_at(nLit, i + 1).cast("double")
+          d * d
+        }),
+        lit(0.0), (acc, x) => acc + x))
+      greatest(array_position(d2s, array_min(d2s)) - 1, lit(0L)).cast("int")
+    }
+
+    def converged(next: Array[(Array[Long], Long)]): Boolean =
+      detectConverged &&
+        next.zip(state).forall { case ((s1, n1), (s2, n2)) =>
+          n1 == n2 && java.util.Arrays.equals(s1, s2) }
+
+    if (nRows <= localMaxRows) {
+      // Small-corpus gate (the pageRankConverged / union-find pattern):
+      // maxIters synchronous rounds through the scheduler on a corpus
+      // that fits on the driver is pure fixed overhead. The SAME exact
+      // Long sums and the SAME double argmin (ascending-dimension
+      // left-fold, first-wins ties, overflow-checked like ANSI) run in a
+      // driver loop — bit-for-bit the distributed result (spec-proven by
+      // forcing localMaxRows = 0). The distributed loop IS the 100 TB
+      // path; this removes the per-round scheduler tax when the data
+      // says it is safe.
+      val rowsQ: Array[(Array[Long], Long)] = q.select("q", "sq").collect()
+        .map(r => (r.getSeq[Long](0).toArray, r.getLong(1)))
+      def d2Local(x: Array[Long], st: (Array[Long], Long)): Double = {
+        val s = st._1; val cn = st._2.toDouble
+        var acc = 0.0; var d = 0
+        while (d < dim) {
+          val diff = x(d).toDouble - s(d).toDouble / cn
+          acc += diff * diff; d += 1
+        }
+        acc
+      }
+      var r = 0
+      var done = false
+      while (r < maxIters && !done) {
+        val cnt = new Array[Long](k)
+        val ss = new Array[Long](k)
+        val sums = Array.fill(k)(new Array[Long](dim))
+        rowsQ.foreach { case (x, sq) =>
+          var best = 0; var bestD = d2Local(x, state(0))
+          var c = 1
+          while (c < k) {
+            val d = d2Local(x, state(c))
+            if (d < bestD) { best = c; bestD = d }
+            c += 1
+          }
+          cnt(best) += 1
+          ss(best) = Math.addExact(ss(best), sq)
+          var d = 0
+          while (d < dim) {
+            sums(best)(d) = Math.addExact(sums(best)(d), x(d)); d += 1
+          }
+        }
+        lastAgg = (0 until k).filter(cnt(_) > 0)
+          .map(c => c -> ((cnt(c), sums(c), ss(c)))).toMap
+        val next = state.indices.map { cell =>
+          lastAgg.get(cell).map { case (n, s, _) => (s, n) }.getOrElse(state(cell))
+        }.toArray
+        if (converged(next)) done = true
+        state = next
+        r += 1
+      }
+    } else {
+      var r = 0
+      var done = false
+      while (r < maxIters && !done) {
+        val sums = (0 until dim).map(d => sum(element_at(col("q"), d + 1)).as(s"s$d"))
+        val aggCols = count(lit(1)).as("n") +: sums :+ sum(col("sq")).as("ss")
+        val rows = q.withColumn("cell", assignCell(state))
+          .groupBy("cell").agg(aggCols.head, aggCols.tail: _*)
+          .collect()
+        lastAgg = rows.map { row =>
+          val cell = row.getInt(0)
+          val n = row.getLong(1)
+          val s = Array.tabulate(dim)(d => row.getLong(2 + d))
+          cell -> (n, s, row.getLong(2 + dim))
+        }.toMap
+        val next = state.indices.map { cell =>
+          lastAgg.get(cell).map { case (n, s, _) => (s, n) }.getOrElse(state(cell))
+        }.toArray
+        if (converged(next)) done = true
+        state = next
+        r += 1
+      }
+    }
+    q.unpersist(blocking = false)
+
+    // k-row report on the driver (bounded): double math mirrors the
+    // oracle's fold order — ascending dimension, left-associative.
+    import spark.implicits._
+    val report = lastAgg.toSeq.sortBy(_._1).map { case (cell, (n, s, ss)) =>
+      var nrm = 0.0
+      var ssq = 0.0
+      var d = 0
+      while (d < dim) {
+        val m = s(d).toDouble / n.toDouble
+        nrm += m * m
+        ssq += s(d).toDouble * s(d).toDouble
+        d += 1
+      }
+      (cell, n, math.sqrt(nrm) / S,
+        (ss.toDouble - ssq / n.toDouble) / (n.toDouble * S * S))
+    }
+    report.toDF("cell", "n", "norm_raw", "mse_raw")
+      .select(col("cell"), col("n"), round(col("norm_raw"), 4).as("norm"),
+        round(col("mse_raw"), 6).as("mse"))
       .orderBy("cell")
   }
 }

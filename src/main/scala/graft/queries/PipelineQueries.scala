@@ -361,6 +361,47 @@ object PipelineQueries {
     // batch boundaries fall), results appended through the streaming file
     // sink. The oracle counts each event ONCE — a green row proves
     // watermarked dedup state works across micro-batch boundaries.
+    // §2.6 STREAM-STATIC enrichment row: the good channel left-joined
+    // per micro-batch against a BROADCAST static dimension
+    // (type → category) — the streaming analog of the reference's
+    // whitelist membership (SURVEY §2 P4) generalized to attribute
+    // enrichment. The stream side is never shuffled by the join (the
+    // dim broadcasts, re-resolving each trigger); unmatched stream
+    // types flow through as 'uncategorized' and a dim entry with no
+    // stream rows ('refund') never matches — both asymmetries oracled.
+    "pipe_stream_enrich" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = streamTmp("graft-stream-enrich")
+      val src = cachedFeed("enrich-env", dir) { f =>
+        val p = f.resolve("envelopes").toString
+        envelopes(s, dir).repartition(8).write.parquet(p)
+        p
+      }
+      val stream = s.readStream.schema(graft.model.Schemas.envelope)
+        // 8 feed files / 4 per trigger = 2 micro-batches: the dim join
+        // runs (and re-resolves) in each
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src)
+      val dim = Seq(("click", "engagement"), ("view", "engagement"),
+        ("purchase", "revenue"), ("refund", "revenue"))
+        .toDF("dim_type", "category")
+      val enriched = graft.streaming.StreamingPipeline
+        .enrichWithDimension(stream, cfg, dim, "log_type", "dim_type")
+        .select(coalesce(col("category"), lit("uncategorized")).as("category"),
+          col("log_type"))
+      val outDir = tmp.resolve("out").toString
+      withFewShufflePartitions(s) {
+        enriched.writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
+      s.read.parquet(outDir)
+        .groupBy("category")
+        .agg(count(lit(1)).as("n"), countDistinct("log_type").as("n_types"))
+        .orderBy("category")
+    }),
+
     "pipe_stream_dedup" -> ((s, dir) => {
       val tmp = streamTmp("graft-stream-dedup")
       val src = cachedFeed("dedup-env", dir) { f =>
@@ -806,6 +847,12 @@ object PipelineQueries {
         s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
       "pipe_stream_dedup" ->
         s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
+      "pipe_stream_enrich" ->
+        """SELECT CASE WHEN event_type IN ('click', 'view') THEN 'engagement'
+          |            WHEN event_type = 'purchase' THEN 'revenue'
+          |            ELSE 'uncategorized' END AS category,
+          |       count(*) AS n, count(DISTINCT event_type) AS n_types
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
       "pipe_stream_restart" ->
         s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
       "pipe_jsonl_source" ->

@@ -258,7 +258,32 @@ object SimilarityQueries {
             .as("n_outliers"),
           round(avg("d"), 4).as("avg_dist"))
         .orderBy("label")
-    })
+    }),
+
+    // Incremental IVF maintenance: quantizer trained on (and FROZEN at)
+    // the base corpus (vec_id % 5 != 0), the arrival batch (% 5 == 0)
+    // assigned in one Δ-sized pass, per-cell MV merged by addition.
+    // Oracle = full recompute over base ∪ delta with the base-trained
+    // quantizer — equal because assignment depends only on the frozen
+    // centroids, so the merged counts ARE the recomputed counts.
+    "sim_ivf_append" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfAppendProfile(
+        e.filter(col("vec_id") % 5 =!= 0),
+        e.filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding")
+    }),
+
+    // Distributed full-corpus Lloyd's k-means to a DETECTED fixed point
+    // (cap 25): per-cell population, centroid norm, mean-squared
+    // distortion. Exact integer state makes the run layout-invariant and
+    // the oracle replayable — the SQL unrolls all 25 rounds; a converged
+    // state is a fixed point, so the early-stopped engine and the
+    // fully-unrolled oracle land on identical rows (see
+    // Similarity.kmeansReport).
+    "emb_kmeans" -> ((s, dir) =>
+      Similarity.kmeansReport(emb(s, dir), "vec_id", "embedding",
+        k = 8, maxIters = 25))
   )
 
   /** The sign-LSH plane matrix as a DuckDB literal: the engine derives
@@ -704,6 +729,115 @@ object SimilarityQueries {
         |         AS n_outliers,
         |       round(avg(d), 4) AS avg_dist
         |FROM dist JOIN lim ON dist.label = lim.label
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "emb_kmeans" -> kmeansSql(k = 8, iters = 25),
+    "sim_ivf_append" -> ivfAppendSql
   )
+
+  /** sim_ivf_append oracle: the [[ivfSql]] pipeline with the sample —
+    * and hence the quantizer — restricted to the BASE corpus
+    * (vec_id % 5 != 0), then base ∪ delta assigned against it; per-cell
+    * base/new splits by id class. */
+  private def ivfAppendSql: String = {
+    val iters = (1 to 5).map(lloydIterSql).mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE embedding IS NOT NULL),
+       |smp AS (
+       |  SELECT v, rk FROM (
+       |    SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+       |    FROM e WHERE vec_id % 5 <> 0) s
+       |  WHERE rk <= 4096),
+       |init AS (
+       |  SELECT c, cell FROM (
+       |    SELECT v AS c, row_number() OVER (ORDER BY rk) - 1 AS cell FROM (
+       |      SELECT v, rk, row_number() OVER (PARTITION BY v ORDER BY rk) AS dup FROM smp) d
+       |    WHERE dup = 1) x
+       |  WHERE cell < 16),
+       |$iters,
+       |asg AS (
+       |  SELECT id, cell FROM (
+       |    SELECT e.vec_id AS id, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY ${d2Sql("e.v", "c.c")}, c.cell) AS w
+       |    FROM e CROSS JOIN c5 c) z
+       |  WHERE w = 1)
+       |SELECT CAST(cell AS INT) AS cell,
+       |       count(*) FILTER (WHERE id % 5 <> 0) AS n_base,
+       |       count(*) FILTER (WHERE id % 5 = 0) AS n_new,
+       |       count(*) AS n_total,
+       |       round(count(*) * 1.0 / (SELECT count(*) FROM asg), 4) AS share
+       |FROM asg GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Squared L2 between a quantized corpus vector and an exact-integer
+    * centroid state (sums `s`, count `n`): the same row-local double ops,
+    * in the same left-to-right dimension order, as the engine's
+    * `Similarity.kmeansReport` argmin. */
+  private def kmD2Sql(x: String, s: String, n: String): String =
+    s"list_reduce(list_transform(generate_series(1, 64), j -> " +
+      s"(CAST($x[j] AS DOUBLE) - CAST($s[j] AS DOUBLE)/CAST($n AS DOUBLE)) * " +
+      s"(CAST($x[j] AS DOUBLE) - CAST($s[j] AS DOUBLE)/CAST($n AS DOUBLE))), " +
+      "(a,b) -> a+b)"
+
+  /** One unrolled full-corpus k-means round: first-wins argmin against
+    * the previous exact state, exact integer per-dim sums + count +
+    * Σ|x|² per cell, empty cells carrying the previous state forward. */
+  private def kmeansIterSql(i: Int): String = {
+    val prev = s"c${i - 1}"
+    s"""a$i AS MATERIALIZED (
+       |  SELECT id, q, cell FROM (
+       |    SELECT e.id, e.q, c.cell,
+       |           row_number() OVER (PARTITION BY e.id ORDER BY ${kmD2Sql("e.q", "c.s", "c.n")}, c.cell) AS w
+       |    FROM e CROSS JOIN $prev c) z
+       |  WHERE w = 1),
+       |g$i AS MATERIALIZED (
+       |  SELECT cell, list(sd ORDER BY j) AS s FROM (
+       |    SELECT cell, jj.j AS j, CAST(sum(q[jj.j]) AS BIGINT) AS sd
+       |    FROM a$i CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) jj
+       |    GROUP BY cell, jj.j) t
+       |  GROUP BY cell),
+       |h$i AS MATERIALIZED (
+       |  SELECT cell, count(*) AS n,
+       |         CAST(sum(list_reduce(list_transform(q, x -> x*x), (a,b) -> a+b)) AS BIGINT) AS ss
+       |  FROM a$i GROUP BY cell),
+       |c$i AS MATERIALIZED (
+       |  SELECT p.cell, COALESCE(g.s, p.s) AS s, COALESCE(h.n, p.n) AS n
+       |  FROM $prev p LEFT JOIN g$i g ON p.cell = g.cell
+       |                LEFT JOIN h$i h ON p.cell = h.cell)""".stripMargin
+  }
+
+  /** emb_kmeans oracle: quantize to `floor(x·2^20 + 0.5)` integers,
+    * init from the k distinct md5-ordered vectors, unroll all `iters`
+    * rounds (a converged engine state is a fixed point, so the capped
+    * unroll reproduces a detected early stop exactly), report nonempty
+    * cells of the final assignment via Σ|x−m|² = Σ|x|² − |s|²/n. */
+  private def kmeansSql(k: Int, iters: Int): String = {
+    val rounds = (1 to iters).map(kmeansIterSql).mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         list_transform(CAST(embedding AS DOUBLE[]),
+       |                        x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |e AS MATERIALIZED (SELECT vec_id AS id, q FROM e0),
+       |smp AS (
+       |  SELECT q, rk FROM (
+       |    SELECT q, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+       |    FROM e0) s
+       |  WHERE rk <= 512),
+       |c0 AS (
+       |  SELECT cell, s, CAST(1 AS BIGINT) AS n FROM (
+       |    SELECT q AS s, row_number() OVER (ORDER BY rk) - 1 AS cell FROM (
+       |      SELECT q, rk, row_number() OVER (PARTITION BY q ORDER BY rk) AS dup FROM smp) d
+       |    WHERE dup = 1) x
+       |  WHERE cell < $k),
+       |$rounds
+       |SELECT CAST(g.cell AS INT) AS cell, h.n AS n,
+       |       round(sqrt(list_reduce(list_transform(g.s,
+       |           sd -> (CAST(sd AS DOUBLE)/CAST(h.n AS DOUBLE)) * (CAST(sd AS DOUBLE)/CAST(h.n AS DOUBLE))),
+       |           (a,b) -> a+b)) / 1048576.0, 4) AS norm,
+       |       round((CAST(h.ss AS DOUBLE) - list_reduce(list_transform(g.s,
+       |           sd -> CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)), (a,b) -> a+b) / CAST(h.n AS DOUBLE))
+       |         / (CAST(h.n AS DOUBLE) * 1048576.0 * 1048576.0), 6) AS mse
+       |FROM g$iters g JOIN h$iters h ON g.cell = h.cell
+       |ORDER BY cell""".stripMargin
+  }
 }

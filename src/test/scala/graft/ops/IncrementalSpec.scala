@@ -37,4 +37,25 @@ class IncrementalSpec extends SparkSpec {
       col("a.mn") =!= col("b.mn") || col("a.mx") =!= col("b.mx")).count() == 0)
     assert(j.filter(abs(col("a.sv") - col("b.sv")) > 1e-6).count() == 0)
   }
+
+  test("IVF append MV == full recompute under the frozen quantizer") {
+    val e = graft.Tables.table(spark, sf, "embeddings")
+    val base = e.filter(col("vec_id") % 5 =!= 0)
+    val delta = e.filter(col("vec_id") % 5 === 0)
+    val merged = Similarity.ivfAppendProfile(base, delta, "vec_id", "embedding")
+      .collect().map(_.toSeq).toSeq
+    // recompute: assign base ∪ delta in one pass against the SAME frozen
+    // base-trained centroids; the MV-delta merge must be indistinguishable
+    val centers = Similarity.trainCenters(base, "vec_id", "embedding", 16, 4096)
+    val full = Similarity.assignCells(base.unionByName(delta), "vec_id", "embedding", centers)
+      .groupBy("cell")
+      .agg(sum(when(col("id") % 5 =!= 0, 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("id") % 5 === 0, 1L).otherwise(0L)).as("n_new"),
+        count(lit(1)).as("n_total"))
+      .withColumn("share", round(col("n_total") * lit(1.0) /
+        sum("n_total").over(org.apache.spark.sql.expressions.Window.partitionBy()), 4))
+      .orderBy("cell")
+      .collect().map(_.toSeq).toSeq
+    assert(merged == full)
+  }
 }
