@@ -627,12 +627,86 @@ object Similarity {
     * round(mse,6)), ordered by cell. Empty cells carry their previous
     * centroid between rounds (mirrored by the oracle's COALESCE) but do
     * not report. */
+  /** Fitted k-means state: the quantized corpus (persisted; callers
+    * unpersist), the exact integer state that drove the FINAL assignment
+    * round, and that round's per-cell aggregate. */
+  private[graft] case class KmFit(q: DataFrame, dim: Int,
+                                  assignState: Array[(Array[Long], Long)],
+                                  lastAgg: Map[Int, (Long, Array[Long], Long)])
+
   def kmeansReport(corpus: DataFrame, idCol: String, vecCol: String,
                    k: Int = 8, maxIters: Int = 25, detectConverged: Boolean = true,
                    scaleBits: Int = 20, initSample: Int = 512,
                    localMaxRows: Long = 65536): DataFrame = {
-    require(k > 0 && maxIters > 0)
     val spark = corpus.sparkSession
+    val S = (1L << scaleBits).toDouble
+    val fit = kmeansFit(corpus, idCol, vecCol, k, maxIters, detectConverged,
+      scaleBits, initSample, localMaxRows)
+    fit.q.unpersist(blocking = false)
+    val dim = fit.dim
+
+    // k-row report on the driver (bounded): double math mirrors the
+    // oracle's fold order — ascending dimension, left-associative.
+    import spark.implicits._
+    val report = fit.lastAgg.toSeq.sortBy(_._1).map { case (cell, (n, s, ss)) =>
+      var nrm = 0.0
+      var ssq = 0.0
+      var d = 0
+      while (d < dim) {
+        val m = s(d).toDouble / n.toDouble
+        nrm += m * m
+        ssq += s(d).toDouble * s(d).toDouble
+        d += 1
+      }
+      (cell, n, math.sqrt(nrm) / S,
+        (ss.toDouble - ssq / n.toDouble) / (n.toDouble * S * S))
+    }
+    report.toDF("cell", "n", "norm_raw", "mse_raw")
+      .select(col("cell"), col("n"), round(col("norm_raw"), 4).as("norm"),
+        round(col("mse_raw"), 6).as("mse"))
+      .orderBy("cell")
+  }
+
+  /** Per-row cell assignment at the same detected fixed point as
+    * [[kmeansReport]]: (id, cell), computed as ONE distributed argmin
+    * pass against the final broadcast state — identical under the
+    * small-corpus gate (the gate only accelerates the iterations; the
+    * assignment expression and the exact integer state are the same
+    * either way). This is the handle downstream curation composes on —
+    * see `emb_cluster_sample` (per-cell bounded min-hash picks). */
+  def kmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                   k: Int = 8, maxIters: Int = 25, detectConverged: Boolean = true,
+                   scaleBits: Int = 20, initSample: Int = 512,
+                   localMaxRows: Long = 65536): DataFrame = {
+    val fit = kmeansFit(corpus, idCol, vecCol, k, maxIters, detectConverged,
+      scaleBits, initSample, localMaxRows)
+    val out = fit.q.withColumn("cell", kmAssignCellCol(fit.assignState))
+      .select(col("id"), col("cell"))
+    fit.q.unpersist(blocking = false)
+    out
+  }
+
+  /** Argmin cell against an exact integer centroid state (sums, n):
+    * row-local double distances in a fixed ascending-dimension fold,
+    * first-wins ties — deterministic across layouts and engines. */
+  private def kmAssignCellCol(st: Array[(Array[Long], Long)]): Column = {
+    val sLit = typedlit(st.map(_._1.toSeq).toSeq)
+    val nLit = typedlit(st.map(_._2).toSeq)
+    val d2s = transform(sLit, (ct, i) => aggregate(
+      zip_with(col("q"), ct, (x, sd) => {
+        val d = x.cast("double") -
+          sd.cast("double") / element_at(nLit, i + 1).cast("double")
+        d * d
+      }),
+      lit(0.0), (acc, x) => acc + x))
+    greatest(array_position(d2s, array_min(d2s)) - 1, lit(0L)).cast("int")
+  }
+
+  private[graft] def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String,
+                               k: Int, maxIters: Int, detectConverged: Boolean,
+                               scaleBits: Int, initSample: Int,
+                               localMaxRows: Long): KmFit = {
+    require(k > 0 && maxIters > 0)
     val S = (1L << scaleBits).toDouble
     def quant(v: Column): Column =
       transform(v, x => floor(x * S + lit(0.5)).cast("long"))
@@ -669,21 +743,11 @@ object Similarity {
 
     // state(cell) = (dimension sums, n); init centroid = (vector, 1)
     var state: Array[(Array[Long], Long)] = init.map(v => (v, 1L))
+    // state entering the last executed round — what the final assignment
+    // (and [[kmeansAssign]]) evaluates against
+    var prev: Array[(Array[Long], Long)] = state
     // final-assignment aggregate rows: cell -> (n, sums, ss)
     var lastAgg: Map[Int, (Long, Array[Long], Long)] = Map.empty
-
-    def assignCell(st: Array[(Array[Long], Long)]): Column = {
-      val sLit = typedlit(st.map(_._1.toSeq).toSeq)
-      val nLit = typedlit(st.map(_._2).toSeq)
-      val d2s = transform(sLit, (ct, i) => aggregate(
-        zip_with(col("q"), ct, (x, sd) => {
-          val d = x.cast("double") -
-            sd.cast("double") / element_at(nLit, i + 1).cast("double")
-          d * d
-        }),
-        lit(0.0), (acc, x) => acc + x))
-      greatest(array_position(d2s, array_min(d2s)) - 1, lit(0L)).cast("int")
-    }
 
     def converged(next: Array[(Array[Long], Long)]): Boolean =
       detectConverged &&
@@ -714,6 +778,7 @@ object Similarity {
       var r = 0
       var done = false
       while (r < maxIters && !done) {
+        prev = state
         val cnt = new Array[Long](k)
         val ss = new Array[Long](k)
         val sums = Array.fill(k)(new Array[Long](dim))
@@ -745,9 +810,10 @@ object Similarity {
       var r = 0
       var done = false
       while (r < maxIters && !done) {
+        prev = state
         val sums = (0 until dim).map(d => sum(element_at(col("q"), d + 1)).as(s"s$d"))
         val aggCols = count(lit(1)).as("n") +: sums :+ sum(col("sq")).as("ss")
-        val rows = q.withColumn("cell", assignCell(state))
+        val rows = q.withColumn("cell", kmAssignCellCol(state))
           .groupBy("cell").agg(aggCols.head, aggCols.tail: _*)
           .collect()
         lastAgg = rows.map { row =>
@@ -764,27 +830,6 @@ object Similarity {
         r += 1
       }
     }
-    q.unpersist(blocking = false)
-
-    // k-row report on the driver (bounded): double math mirrors the
-    // oracle's fold order — ascending dimension, left-associative.
-    import spark.implicits._
-    val report = lastAgg.toSeq.sortBy(_._1).map { case (cell, (n, s, ss)) =>
-      var nrm = 0.0
-      var ssq = 0.0
-      var d = 0
-      while (d < dim) {
-        val m = s(d).toDouble / n.toDouble
-        nrm += m * m
-        ssq += s(d).toDouble * s(d).toDouble
-        d += 1
-      }
-      (cell, n, math.sqrt(nrm) / S,
-        (ss.toDouble - ssq / n.toDouble) / (n.toDouble * S * S))
-    }
-    report.toDF("cell", "n", "norm_raw", "mse_raw")
-      .select(col("cell"), col("n"), round(col("norm_raw"), 4).as("norm"),
-        round(col("mse_raw"), 6).as("mse"))
-      .orderBy("cell")
+    KmFit(q, dim, prev, lastAgg)
   }
 }

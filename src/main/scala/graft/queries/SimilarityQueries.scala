@@ -283,7 +283,29 @@ object SimilarityQueries {
     // Similarity.kmeansReport).
     "emb_kmeans" -> ((s, dir) =>
       Similarity.kmeansReport(emb(s, dir), "vec_id", "embedding",
-        k = 8, maxIters = 25))
+        k = 8, maxIters = 25)),
+
+    // Cluster-balanced diversity sampling — the curation decision the
+    // k-means fixed point exists to feed: per semantic cell, the 3
+    // members smallest in (md5(id), id) order. The per-cell pick is the
+    // bounded KMinStrings aggregate (≤3 short strings per cell cross the
+    // exchange, map-side combined — never a per-cell window sort of the
+    // corpus), and the hash ranking makes the picks a pure function of
+    // the data, replayed relationally by the oracle on the unrolled
+    // assignment.
+    "emb_cluster_sample" -> ((s, dir) => {
+      import graft.functions.KMinStrings
+      Similarity.kmeansAssign(emb(s, dir), "vec_id", "embedding",
+          k = 8, maxIters = 25)
+        .groupBy("cell")
+        .agg(KMinStrings.kmin_strings(
+          concat(md5(col("id").cast("string")), lit(":"),
+            col("id").cast("string")), 3).as("picks"))
+        .select(col("cell"), posexplode(col("picks")))
+        .select(col("cell"), (col("pos") + 1).cast("int").as("rnk"),
+          split(col("col"), ":").getItem(1).cast("long").as("vec_id"))
+        .orderBy("cell", "rnk")
+    })
   )
 
   /** The sign-LSH plane matrix as a DuckDB literal: the engine derives
@@ -731,8 +753,23 @@ object SimilarityQueries {
         |FROM dist JOIN lim ON dist.label = lim.label
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "emb_kmeans" -> kmeansSql(k = 8, iters = 25),
+    "emb_cluster_sample" -> clusterSampleSql(k = 8, iters = 25, m = 3),
     "sim_ivf_append" -> ivfAppendSql
   )
+
+  /** emb_cluster_sample oracle: the [[kmeansSql]] pipeline's final
+    * assignment (a converged engine run lands on the same rows — fixed
+    * point), then per-cell row_number over the identical
+    * `md5(id) || ':' || id` pick key, ≤ m. */
+  private def clusterSampleSql(k: Int, iters: Int, m: Int): String =
+    s"""${kmeansPrefixSql(k, iters)}
+       |SELECT CAST(cell AS INT) AS cell, CAST(rnk AS INT) AS rnk, id AS vec_id
+       |FROM (SELECT cell, id,
+       |             row_number() OVER (PARTITION BY cell
+       |               ORDER BY md5(CAST(id AS VARCHAR)) || ':' || CAST(id AS VARCHAR)) AS rnk
+       |      FROM a$iters)
+       |WHERE rnk <= $m
+       |ORDER BY cell, rnk""".stripMargin
 
   /** sim_ivf_append oracle: the [[ivfSql]] pipeline with the sample —
     * and hence the quantizer — restricted to the BASE corpus
@@ -810,7 +847,7 @@ object SimilarityQueries {
     * rounds (a converged engine state is a fixed point, so the capped
     * unroll reproduces a detected early stop exactly), report nonempty
     * cells of the final assignment via Σ|x−m|² = Σ|x|² − |s|²/n. */
-  private def kmeansSql(k: Int, iters: Int): String = {
+  private def kmeansPrefixSql(k: Int, iters: Int): String = {
     val rounds = (1 to iters).map(kmeansIterSql).mkString(",\n")
     s"""WITH e0 AS MATERIALIZED (
        |  SELECT vec_id,
@@ -829,7 +866,11 @@ object SimilarityQueries {
        |      SELECT q, rk, row_number() OVER (PARTITION BY q ORDER BY rk) AS dup FROM smp) d
        |    WHERE dup = 1) x
        |  WHERE cell < $k),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def kmeansSql(k: Int, iters: Int): String = {
+    s"""${kmeansPrefixSql(k, iters)}
        |SELECT CAST(g.cell AS INT) AS cell, h.n AS n,
        |       round(sqrt(list_reduce(list_transform(g.s,
        |           sd -> (CAST(sd AS DOUBLE)/CAST(h.n AS DOUBLE)) * (CAST(sd AS DOUBLE)/CAST(h.n AS DOUBLE))),

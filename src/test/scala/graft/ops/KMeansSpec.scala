@@ -63,6 +63,20 @@ class KMeansSpec extends SparkSpec {
     assert(run(0L) == run(Long.MaxValue))
   }
 
+  test("kmeansAssign agrees with the report's cell populations, gated or not") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.Tables.table(spark, dir, "embeddings")
+    val fromReport = Similarity.kmeansReport(e, "vec_id", "embedding", k = 8, maxIters = 25)
+      .select("cell", "n").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    def counts(localMax: Long) =
+      Similarity.kmeansAssign(e, "vec_id", "embedding", k = 8, maxIters = 25,
+          localMaxRows = localMax)
+        .groupBy("cell").count().orderBy("cell")
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(counts(Long.MaxValue) == fromReport)
+    assert(counts(0L) == fromReport) // forced-distributed iterations agree
+  }
+
   test("assignment counts are exhaustive and nonempty-cell-only") {
     val df = twoClusters(120)
     val r = Similarity.kmeansReport(df, "vec_id", "embedding", k = 4, maxIters = 6)
