@@ -77,6 +77,55 @@ object SpanDedup {
   /** Cleaned corpus under keep-first: (doc_id, text) where every token
     * covered by a NON-FIRST occurrence of a duplicated k-gram is removed
     * (the first occurrence — and every unique span — is untouched). */
+  /** CONTENT-DEFINED chunking (word-level CDC) + chunk-level dedup
+    * report — the storage-dedup primitive applied to training text.
+    * Fixed-stride chunking breaks under a one-word insertion (every
+    * later chunk shifts); content-defined boundaries are a pure function
+    * of the local 3-gram, so an edit only re-cuts the chunk it touches
+    * and every identical passage downstream re-aligns — the shift-robust
+    * complement to [[coverage]]'s fixed-k census. A boundary falls after
+    * word p when `md5(w[p-2] w[p-1] w[p])` starts with '0' or '1'
+    * (2/16 → mean chunk ≈ 8 words); chunk identity is the md5 of its
+    * space-joined words; an instance is REDUNDANT when an identical
+    * chunk exists at a smaller (doc_id, seg).
+    *
+    * Scale shape: token count T in, T window rows, one per-doc window
+    * pass (documents are bounded, so the per-doc sort is bounded), one
+    * shuffle on chunk hash for the redundancy rank (distinct chunks
+    * after map-side combine), one shuffle back per doc. Nothing
+    * quadratic, nothing driver-side.
+    *
+    * Returns one row per chunk INSTANCE:
+    * (doc_id, seg, chunk_hash, n_words, dup_rank). */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = Par.spread(docs
+        .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+        .filter(col("text").isNotNull))
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "w")))
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val seg = words
+      .withColumn("b",
+        when(col("pos") >= 2 &&
+            substring(md5(concat_ws(" ",
+              lag("w", 2).over(byPos), lag("w", 1).over(byPos), col("w"))), 1, 1)
+              .isin("0", "1"), 1L)
+          .otherwise(0L))
+      // a boundary after p starts a new chunk at p+1: this row's segment
+      // counts only boundaries strictly BEFORE it
+      .withColumn("seg", coalesce(
+        sum(col("b")).over(byPos.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val chunks = seg.groupBy("doc_id", "seg")
+      .agg(count(lit(1)).as("n_words"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          p => p.getField("w")), " ")).as("chunk_hash"))
+    chunks.withColumn("dup_rank", row_number().over(
+      Window.partitionBy("chunk_hash").orderBy("doc_id", "seg")))
+  }
+
   def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
                      k: Int): DataFrame = {
     val kg = kgrams(docs, idCol, textCol, k)

@@ -305,6 +305,27 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // Content-defined chunking dedup report: CDC boundaries from the
+    // local 3-gram hash (shift-robust — a one-word edit re-cuts only
+    // the chunk it touches, unlike fixed-stride windows), chunk
+    // identity by content hash, an instance redundant when the same
+    // chunk already exists at a smaller (doc, seg). Per-source: chunk
+    // instances, redundant instances, redundant-token share, mean
+    // chunk length — the sub-document storage-dedup signal next to
+    // txt_dup_spans' fixed-k span census.
+    "txt_cdc_chunks" -> ((s, dir) => {
+      val ch = graft.ops.SpanDedup.cdcChunks(
+        docs(s, dir).filter(col("text").isNotNull), "doc_id", "text")
+      docs(s, dir).select("doc_id", "source").join(ch, Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("dup_rank") > 1, 1L).otherwise(0L)).as("n_redundant"),
+          round(sum(when(col("dup_rank") > 1, col("n_words")).otherwise(0L))
+            * lit(1.0) / sum("n_words"), 4).as("redundant_token_share"),
+          round(avg("n_words"), 4).as("avg_chunk_words"))
+        .orderBy("source")
+    }),
+
     // RAG chunking profile: 64-token windows at stride 48 (16-token
     // overlap) — per-source chunk counts, total chunk tokens (overlap
     // included: the embedding-cost number) and mean chunk size
@@ -1193,6 +1214,31 @@ object TextQueries {
         |       CAST(sum(CASE WHEN n_dup * 1.0 / n_tokens >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_mostly_dup
         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "txt_cdc_chunks" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |                     string_split_regex(trim(text), '\s+') AS ts
+        |              FROM documents WHERE text IS NOT NULL),
+        |w AS (SELECT doc_id, source, CAST(i AS BIGINT) AS pos, ts[i + 1] AS w,
+        |             CASE WHEN i >= 2 AND substr(md5(array_to_string(ts[i - 1:i + 1], ' ')), 1, 1)
+        |                    IN ('0', '1') THEN 1 ELSE 0 END AS b
+        |      FROM toks, LATERAL unnest(range(0, len(ts))) AS t(i)),
+        |sg AS (SELECT doc_id, source, pos, w,
+        |              coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
+        |       FROM w),
+        |ch AS (SELECT doc_id, source, seg, count(*) AS n_words,
+        |              md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_hash
+        |       FROM sg GROUP BY 1, 2, 3),
+        |rk AS (SELECT source, n_words,
+        |              row_number() OVER (PARTITION BY chunk_hash ORDER BY doc_id, seg) AS dup_rank
+        |       FROM ch)
+        |SELECT source, count(*) AS n_chunks,
+        |       CAST(sum(CASE WHEN dup_rank > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_redundant,
+        |       round(sum(CASE WHEN dup_rank > 1 THEN n_words ELSE 0 END) * 1.0
+        |         / sum(n_words), 4) AS redundant_token_share,
+        |       round(avg(n_words), 4) AS avg_chunk_words
+        |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "txt_chunk_windows" ->
       """WITH toks AS (SELECT doc_id, source,
