@@ -14,6 +14,13 @@ object Sessions {
       .master(s"local[$n]")
       .config("spark.sql.shuffle.partitions", n)
       .config("spark.sql.session.timeZone", "UTC")
+      // The driver-gate parity contracts (Graph/Similarity small-input
+      // solves use Math.addExact/multiplyExact and THROW on overflow)
+      // assume distributed long arithmetic also fails loudly rather than
+      // wrapping. Spark 4 defaults ANSI on, but pin it so a deployment
+      // that flips the default can't silently break the spec-proven
+      // local-vs-distributed bit-equality under overflow.
+      .config("spark.sql.ansi.enabled", "true")
       // INT96 (Spark's compatibility default) is deprecated, stats-hostile
       // and unreadable by plain parquet-mr getLong; everything this engine
       // writes — including the ingest re-layout the Kinesis shim seeks

@@ -141,12 +141,17 @@ object Tables {
   def footerRowCount(dir: String, name: String): Long = {
     val p = new java.io.File(s"$dir/$name.parquet")
     // fixture tables are single files; Spark-written tables (e.g. the
-    // scale-rehearsal copies) are directories of part files — sum them
-    if (p.isDirectory)
-      Option(p.listFiles).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-        .map(footerLayout(_)._1).sum
-    else footerLayout(p)._1
+    // scale-rehearsal copies) are directories of part files — and a
+    // partitionBy layout nests those under key=value subdirectories, so
+    // recurse rather than silently returning 0 for nested layouts (an
+    // undercount here would steer size-gated strategy picks like
+    // Checks.uniquenessFor onto the wrong physical path)
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles).getOrElse(Array.empty).map(walk).sum
+      else if (f.getName.endsWith(".parquet")) footerLayout(f)._1
+      else 0L
+    if (p.isDirectory) walk(p) else footerLayout(p)._1
   }
 
   /** (row count, row-group count) from the parquet footer — a metadata

@@ -680,8 +680,14 @@ object Similarity {
                    localMaxRows: Long = 65536): DataFrame = {
     val fit = kmeansFit(corpus, idCol, vecCol, k, maxIters, detectConverged,
       scaleBits, initSample, localMaxRows)
+    // Materialize the assignment BEFORE dropping fit.q's persist: the
+    // returned frame is lazy, so an unpersist-then-evaluate order would
+    // recompute the quantization scan from the source corpus for the one
+    // pass that reads it last — an extra full corpus scan at scale. The
+    // checkpointed relation is just (id, cell): two narrow columns.
     val out = fit.q.withColumn("cell", kmAssignCellCol(fit.assignState))
       .select(col("id"), col("cell"))
+      .localCheckpoint(true)
     fit.q.unpersist(blocking = false)
     out
   }

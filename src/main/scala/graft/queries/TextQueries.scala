@@ -72,12 +72,18 @@ object TextQueries {
         .orderBy("lang")),
 
     // Corpus-drift / mixture QA: Jensen-Shannon divergence between each
-    // source's unigram distribution and the whole corpus's. The dense
-    // (source × vocab) grid is vocab-bounded (like txt_lm_quality): counts
-    // shrink to |vocab| rows before any join, the global distribution and
-    // the token grid broadcast, and the JS sum is one map-side-combinable
-    // agg per source — no shuffle grows with document count. Probabilities
-    // are exact BIGINT ratios, so both engines feed ln identical doubles.
+    // source's unigram distribution and the whole corpus's — WITHOUT the
+    // dense (source × vocab) grid. For a token absent from source s
+    // (p = 0): m = q/2, so its term is 0.5·q·ln(q/(q/2)) = 0.5·ln2·q,
+    // and the whole absent-token mass per source collapses to the closed
+    // form 0.5·ln2·(1 − Σ_present q). That means the JSD needs only the
+    // PRESENT (source, token) rows — a vocab-sized EQUI-join of the
+    // per-source counts with the global counts on `token` (shuffle join;
+    // the vocabulary is heaps-law unbounded at web scale, so it must
+    // never broadcast — only the 1-row total and the |sources|-row
+    // per-source totals do). Probabilities are exact BIGINT ratios, so
+    // both engines feed ln identical doubles; present rows all have
+    // p > 0 and q > 0, no guard needed.
     "txt_source_divergence" -> ((s, dir) => {
       val toks = docs(s, dir)
         .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("token"))
@@ -85,19 +91,22 @@ object TextQueries {
       val st = sc.groupBy("source").agg(sum("c").as("n_s"))
       val gc = toks.groupBy("token").agg(count(lit(1)).as("g"))
       val gt = gc.agg(sum("g").as("n_tot"))
-      st.crossJoin(broadcast(gc))
-        .join(sc, Seq("source", "token"), "left").na.fill(0L, Seq("c"))
+      sc.join(gc.hint("merge"), Seq("token"))
+        .join(broadcast(st), Seq("source"))
         .crossJoin(broadcast(gt))
         .withColumn("p", col("c").cast("double") / col("n_s"))
         .withColumn("q", col("g").cast("double") / col("n_tot"))
         .withColumn("m", (col("p") + col("q")) / 2)
         .withColumn("term",
-          when(col("p") > 0, lit(0.5) * col("p") * log(col("p") / col("m")))
-            .otherwise(lit(0.0))
+          lit(0.5) * col("p") * log(col("p") / col("m"))
             + lit(0.5) * col("q") * log(col("q") / col("m")))
         .groupBy("source")
         .agg(max(col("n_s")).as("n_tokens"),
-          round(sum("term"), 6).as("jsd"))
+          sum("term").as("present_term"),
+          sum("q").as("q_present"))
+        .withColumn("jsd", round(col("present_term")
+          + lit(0.5) * log(lit(2.0)) * (lit(1.0) - col("q_present")), 6))
+        .select(col("source"), col("n_tokens"), col("jsd"))
         .orderBy("source")
     }),
 
@@ -1618,17 +1627,15 @@ object TextQueries {
         |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM sc GROUP BY 1),
         |gc AS (SELECT token, count(*) AS g FROM toks GROUP BY 1),
         |gt AS (SELECT CAST(sum(g) AS BIGINT) AS n_tot FROM gc),
-        |grid AS (SELECT st.source, st.n_s, gc.token, gc.g, gt.n_tot,
-        |                COALESCE(sc.c, 0) AS c
-        |         FROM st CROSS JOIN gc CROSS JOIN gt
-        |         LEFT JOIN sc ON sc.source = st.source AND sc.token = gc.token),
-        |terms AS (SELECT source, n_s,
-        |                 c * 1.0 / n_s AS p, g * 1.0 / n_tot AS q,
-        |                 (c * 1.0 / n_s + g * 1.0 / n_tot) / 2 AS m
-        |          FROM grid)
+        |terms AS (SELECT sc.source, st.n_s,
+        |                 sc.c * 1.0 / st.n_s AS p, gc.g * 1.0 / gt.n_tot AS q,
+        |                 (sc.c * 1.0 / st.n_s + gc.g * 1.0 / gt.n_tot) / 2 AS m
+        |          FROM sc JOIN gc ON sc.token = gc.token
+        |          JOIN st ON sc.source = st.source
+        |          CROSS JOIN gt)
         |SELECT source, max(n_s) AS n_tokens,
-        |       round(sum(CASE WHEN p > 0 THEN 0.5 * p * ln(p / m) ELSE 0 END
-        |                 + 0.5 * q * ln(q / m)), 6) AS jsd
+        |       round(sum(0.5 * p * ln(p / m) + 0.5 * q * ln(q / m))
+        |             + 0.5 * ln(2.0) * (1.0 - sum(q)), 6) AS jsd
         |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
     "txt_mixture_weights" ->
       """WITH s AS (SELECT source,

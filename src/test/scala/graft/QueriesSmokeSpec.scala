@@ -50,6 +50,21 @@ class QueriesSmokeSpec extends SparkSpec {
       s"scalar must broadcast, not cartesian:\n${plan.take(3000)}")
   }
 
+  test("txt_source_divergence never materializes a sources×vocab grid") {
+    // the unigram vocabulary is heaps-law unbounded at web scale: the
+    // vocab-sized global-count relation must reach the per-source counts
+    // through a keyed SHUFFLE join, never a broadcast or a cross join.
+    // Only the 1-row corpus total may cross-broadcast.
+    val plan = exec("txt_source_divergence")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian against the vocabulary:\n${plan.take(3000)}")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnlj <= 1,
+      s"only the 1-row total may cross-broadcast, found $bnlj BNLJs:\n${plan.take(3000)}")
+    assert(plan.contains("SortMergeJoin"),
+      s"the vocab-sized join must stay keyed and shuffled:\n${plan.take(3000)}")
+  }
+
   test("incremental rollup merge is two scans + one merge aggregate, no join") {
     val plan = SparkEntry.queries("q_incremental_rollup")(spark, sf)
       .queryExecution.executedPlan.toString
