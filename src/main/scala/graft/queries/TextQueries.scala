@@ -516,18 +516,15 @@ object TextQueries {
     // pair set — cluster sizes tell how much the corpus shrinks.
     // Oracle-checked: same exact edge set as dedup_minhash_pairs (see
     // there), components reproduced in DuckDB by a recursive CTE.
-    "dedup_clusters" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val pairs = Dedup.jaccardVerify(
-        Dedup.minhashCandidatePairs(d, "doc_id", "text", numPerm = 64, bands = 32),
-        d, "doc_id", "text")
-        .filter(col("jaccard") >= 0.8)
-        .select("id_a", "id_b")
-      Dedup.nearDupClusters(pairs)
+    // All four cluster consumers below read Dedup.clusterMV — the
+    // once-per-session materialized (id, cluster) relation — instead of
+    // re-deriving the LSH + verify + components lineage per query (the
+    // round-8 rehearsal flagged the replays at 2.5–2.7×).
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.clusterMV(docs(s, dir), dir, "doc_id", "text")
         .groupBy("cluster").agg(count(lit(1)).as("size"))
         .orderBy(col("size").desc, col("cluster"))
-        .limit(100)
-    }),
+        .limit(100)),
 
     // Canonical-doc retention: the dedup ENDGAME — cluster near-dups
     // (same verified ≥0.8 edge set as dedup_clusters), then keep the
@@ -536,12 +533,8 @@ object TextQueries {
     // with a window argmax.
     "dedup_keep_best" -> ((s, dir) => {
       val d = docs(s, dir)
-      val pairs = Dedup.jaccardVerify(
-        Dedup.minhashCandidatePairs(d, "doc_id", "text", numPerm = 64, bands = 32),
-        d, "doc_id", "text")
-        .filter(col("jaccard") >= 0.8)
-        .select("id_a", "id_b")
-      Dedup.keepBestPerCluster(d, Dedup.nearDupClusters(pairs), "doc_id", "n_chars")
+      Dedup.keepBestPerCluster(d, Dedup.clusterMV(d, dir, "doc_id", "text"),
+        "doc_id", "n_chars")
         .select("doc_id").orderBy("doc_id")
     }),
 
@@ -549,13 +542,8 @@ object TextQueries {
     // retention — the number every corpus-reduction decision is based on
     "txt_effective_tokens" -> ((s, dir) => {
       val d = docs(s, dir)
-      val pairs = Dedup.jaccardVerify(
-        Dedup.minhashCandidatePairs(d, "doc_id", "text", numPerm = 64, bands = 32),
-        d, "doc_id", "text")
-        .filter(col("jaccard") >= 0.8)
-        .select("id_a", "id_b")
-      val kept = Dedup.keepBestPerCluster(d, Dedup.nearDupClusters(pairs),
-        "doc_id", "n_chars")
+      val kept = Dedup.keepBestPerCluster(d,
+        Dedup.clusterMV(d, dir, "doc_id", "text"), "doc_id", "n_chars")
       def stats(df: org.apache.spark.sql.DataFrame, stage: String) =
         df.agg(count(lit(1)).as("n_docs"),
           sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"))
@@ -674,12 +662,7 @@ object TextQueries {
     // of txt_train_split; same verified >=0.8 edge set as dedup_clusters
     "txt_leakage_split" -> ((s, dir) => {
       val d = docs(s, dir)
-      val pairs = Dedup.jaccardVerify(
-        Dedup.minhashCandidatePairs(d, "doc_id", "text", numPerm = 64, bands = 32),
-        d, "doc_id", "text")
-        .filter(col("jaccard") >= 0.8)
-        .select("id_a", "id_b")
-      Dedup.leakageSafeSplit(d, Dedup.nearDupClusters(pairs), "doc_id")
+      Dedup.leakageSafeSplit(d, Dedup.clusterMV(d, dir, "doc_id", "text"), "doc_id")
         .groupBy("split").agg(count(lit(1)).as("n_docs"))
         .orderBy("split")
     }),
