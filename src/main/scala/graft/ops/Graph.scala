@@ -567,14 +567,19 @@ object Graph {
     val raw = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
     // node universe: EVERY endpoint, so self-loop-only nodes still report
     // as singleton components (same universe as min-label propagation)
+    // LAZY local checkpoints: materialization rides the first job that
+    // reads them (the count below for e; the gate count or the final
+    // label join for nodes), instead of paying a dedicated
+    // checkpoint-materialization job each — on a toy graph the loop cost
+    // is driver jobs, not data.
     val nodes = raw.select(col("u").as("id"))
       .union(raw.select(col("v").as("id"))).distinct()
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
     var e = raw.filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
       .distinct()
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
     var n = e.count()
     if (localMaxEdges > 0 && n <= localMaxEdges &&
         nodes.count() <= 2 * localMaxEdges + 2 && {
@@ -585,6 +590,24 @@ object Graph {
           })
         })
       return (localUnionFindLabels(e, nodes), 0)
+    val integral = {
+      import org.apache.spark.sql.types._
+      raw.schema.forall(_.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      })
+    }
+    if (integral) {
+      // Integral ids take the RDD inner loop (below): same phases, same
+      // edge sets, same convergence test — but zero per-phase Catalyst
+      // work. Non-integral ids (string keys etc.) keep the DataFrame
+      // loop that follows.
+      val (star, phases) = starLoopRdd(e, n, maxPhases)
+      val lbl = nodes
+        .join(star.select(col("v").as("id"), col("u").as("l")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("l"), col("id")).as("l"))
+      return (lbl, phases)
+    }
     var phases = 0
     // ONE no-op phase does not certify the fixed point: {(1,3),(2,3)} is
     // large-star-invariant but not a star forest (3 has two parents), and
@@ -610,10 +633,23 @@ object Graph {
             .unionByName(m.select(col("m").as("u"), col("v"))) // m < v
             .distinct()
         }
-      val chk = next.localCheckpoint(eager = true)
-      val nNext = chk.count()
+      // ONE driver action per phase (was three: an eager-checkpoint
+      // materialization job, a count, and an anti-join isEmpty): the
+      // lazy local checkpoint is persisted as a side effect of the stats
+      // job, which computes the new cardinality and the subset test in a
+      // single pass. Both edge sets are distinct, so
+      // chk ⊆ e ∧ |chk| = |e| ⟺ chk = e — exactly the old
+      // count + anti-join fixed-point test, with no probabilistic
+      // shortcut (counts alone would NOT certify set equality).
+      val chk = next.localCheckpoint(eager = false)
+      val st = chk
+        .join(e.select(col("u"), col("v"), lit(1).as("_old")),
+          Seq("u", "v"), "left")
+        .agg(count(lit(1)).as("n"), count(col("_old")).as("n_old"))
+        .head()
+      val nNext = st.getLong(0)
       phases += 1
-      val same = nNext == n && chk.join(e, Seq("u", "v"), "left_anti").isEmpty
+      val same = nNext == n && st.getLong(1) == nNext
       noopStreak = if (same) noopStreak + 1 else 0
       n = nNext
       e = chk
@@ -626,6 +662,108 @@ object Graph {
       .join(e.select(col("v").as("id"), col("u").as("l")), Seq("id"), "left")
       .select(col("id"), coalesce(col("l"), col("id")).as("l"))
     (lbl, phases)
+  }
+
+  /** The star-contraction inner loop as a raw RDD fixed point, for
+    * integral node ids. The DataFrame loop is semantically right but
+    * pays ~0.3 s of driver-side Catalyst analysis/optimization/codegen
+    * PER PHASE (measured at sf0.1) — an O(phases) driver serial cost
+    * that AQE cannot amortize because every phase is a new plan. The
+    * RDD formulation removes the planner from the loop entirely and
+    * adds a structural win the SQL planner cannot express across
+    * iterations: one explicit `HashPartitioner` shared by every phase
+    * makes `reduceByKey` → `join` co-partitioned (narrow, no second
+    * shuffle), and the dedup + convergence test ride ONE cogroup whose
+    * old-edge side is already partitioned — two shuffles and one driver
+    * action per phase, at any scale. This is the documented RDD
+    * exception (iterative fixed point with partitioner reuse), not a
+    * bypass: phase semantics, edge sets, and the two-consecutive-no-op
+    * stop are identical to the DataFrame loop, and the chain spec's
+    * phase bound covers both paths.
+    *
+    * Input `e`: the canonical (u < v, distinct, self-loop-free) edge
+    * set with `n0` rows. Returns the star-forest edges (cast back to
+    * the original id type) eagerly materialized, plus the phase count.
+    */
+  private def starLoopRdd(e: DataFrame, n0: Long, maxPhases: Int)
+      : (DataFrame, Int) = {
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    val spark = e.sparkSession
+    import spark.implicits._
+    val idType = e.schema("u").dataType
+    // ≥ ~5k edges per task to amortize task launch on small graphs; cap
+    // at cluster parallelism (which scales with executors at 100 TB)
+    val p = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, n0 / 5000L + 1L)).toInt
+    val part = new HashPartitioner(p)
+    // state: the canonical edge set, keyed BY THE PAIR and hash-partitioned
+    // by `part` so each phase's cogroup is narrow on the old-edge side
+    var cur: RDD[((Long, Long), Byte)] =
+      e.select(col("u").cast("long"), col("v").cast("long"))
+        .as[(Long, Long)].rdd.map(x => (x, 1: Byte)).partitionBy(part)
+    var curStore: RDD[_] = null // the persisted RDD backing `cur`
+    var n = n0
+    var phases = 0
+    var noopStreak = if (n == 0L) 2 else 0
+    while (noopStreak < 2 && phases < maxPhases) {
+      val keyed: RDD[(Long, Long)] =
+        if (phases % 2 == 0) // large-star: every node sees all neighbors
+          cur.flatMap { case ((u, v), _) => Iterator((u, v), (v, u)) }
+        else // small-star: larger endpoint sees its smaller neighbors
+          cur.map { case ((u, v), _) => (v, u) }
+      val kp = keyed.partitionBy(part) // the ONE data shuffle of the phase
+      val m = kp.reduceByKey(part, // co-partitioned: narrow
+        (a: Long, b: Long) => math.min(a, b))
+      val next: RDD[(Long, Long)] =
+        if (phases % 2 == 0) {
+          val mm = m.mapPartitions( // m(u) = min(Γ(u) ∪ {u})
+            _.map { case (u, mn) => (u, math.min(mn, u)) },
+            preservesPartitioning = true)
+          kp.join(mm, part).flatMap { case (u, (v, mu)) =>
+            if (v > u) Iterator((mu, v)) else Iterator.empty // m ≤ u < v
+          }
+        } else {
+          kp.join(m, part).flatMap { case (v, (u, mv)) =>
+            if (u != mv) Iterator((mv, u)) else Iterator.empty // m < u
+          } ++ m.map { case (v, mv) => (mv, v) } // m < v
+        }
+      // dedup + convergence stats in one cogroup (next side shuffles,
+      // cur side is narrow) and ONE driver action; value = was the pair
+      // already in the old set. chk ⊆ old ∧ |chk| = |old| ⟺ chk = old —
+      // the same exact set-equality test as the DataFrame loop.
+      val chk = next.map(x => (x, 1: Byte)).cogroup(cur, part)
+        .mapPartitions(_.flatMap { case (k, (a, b)) =>
+          if (a.nonEmpty) Iterator((k, if (b.nonEmpty) (1: Byte) else (0: Byte)))
+          else Iterator.empty
+        }, preservesPartitioning = true)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val (nNext, nOld) = chk
+        .mapPartitions(it => {
+          var c = 0L; var o = 0L
+          it.foreach { case (_, old) => c += 1; o += old }
+          Iterator((c, o))
+        })
+        .fold((0L, 0L)) { case ((a1, b1), (a2, b2)) => (a1 + a2, b1 + b2) }
+      phases += 1
+      val same = nNext == n && nOld == nNext
+      noopStreak = if (same) noopStreak + 1 else 0
+      n = nNext
+      cur = chk.mapPartitions(
+        _.map { case (k, _) => (k, 1: Byte) }, preservesPartitioning = true)
+      if (curStore != null) curStore.unpersist(blocking = false)
+      curStore = chk
+    }
+    require(noopStreak >= 2,
+      s"star contraction did not converge within $maxPhases phases")
+    // materialize the star forest as a DataFrame BEFORE dropping the RDD
+    // cache (node-sized, exactly what the old loop checkpointed per phase)
+    val star = spark.createDataFrame(cur.map(_._1)).toDF("u", "v")
+      .select(col("u").cast(idType).as("u"), col("v").cast(idType).as("v"))
+      .localCheckpoint(eager = true)
+    if (curStore != null) curStore.unpersist(blocking = false)
+    (star, phases)
   }
 
   /** Driver union-find over a gate-checked-small canonical edge set —

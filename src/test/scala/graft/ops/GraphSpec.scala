@@ -231,6 +231,24 @@ class GraphSpec extends SparkSpec {
     assert(r == Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("star contraction on STRING ids (DataFrame loop) matches min-label") {
+    // non-integral ids bypass the RDD inner loop — this keeps the
+    // DataFrame fixed point covered now that integral ids don't hit it
+    val edges = Seq(("ant", "bee"), ("bee", "cat"), ("xun", "yak"),
+      ("zed", "zed")).toDF("a", "b")
+    val star = Graph.connectedComponentsStar(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    // {ant,bee,cat}, {xun,yak}, {zed} → sizes 3, 2, 1 (min-label
+    // propagation is not comparable here: its numeric sum-signature
+    // convergence test supports only numeric-castable ids)
+    assert(star == Map(3L -> 1L, 2L -> 1L, 1L -> 1L))
+    // and the labeling itself is each component's minimum (string order)
+    val lbl = Graph.starComponentLabels(edges, "a", "b")._1
+      .as[(String, String)].collect().toMap
+    assert(lbl == Map("ant" -> "ant", "bee" -> "ant", "cat" -> "ant",
+      "xun" -> "xun", "yak" -> "xun", "zed" -> "zed"))
+  }
+
   test("union-find gate labels equal the distributed star labels") {
     def lbls(df: DataFrame) = df.as[(Long, Long)].collect().toMap
     val edges = ((1L until 9L).map(i => (i, i + 1)) ++
