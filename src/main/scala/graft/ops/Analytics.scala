@@ -89,4 +89,49 @@ object Analytics {
           .cast("long").as(s"${unit}_offset"))
       .agg(count(lit(1)).as("n_active"))
   }
+
+  /** [[cohortRetention]] with BOUNDED per-group state: the exact form
+    * materializes the distinct (user, period) table — corpus-scale rows
+    * through the distinct exchange — while this replaces it with a KMV
+    * sketch of the user ids per (cohort, offset) group. State crossing
+    * every exchange is ≤ k hashes per group (map-side partial merge
+    * included), and the group count is |cohorts|·|offsets| — tiny. The
+    * KMV contract keeps it oracle-checkable: below k distinct users the
+    * sketch holds ALL of them, so `n_active` is bit-for-bit the exact
+    * count; above k it is the deterministic (k−1)·2⁶⁴/H_k estimate any
+    * engine reproduces from the same md5 hashes (same contract as
+    * [[Checks.ApproxUniqueness]]). */
+  def cohortRetentionSketch(df: DataFrame, userCol: String, tsCol: String,
+                            unit: String = "week", periodDays: Int = 7,
+                            k: Int = 4096): DataFrame = {
+    val ev = df.select(col(userCol),
+      date_trunc(unit, col(tsCol)).cast("date").as("wk"))
+    val cohort = ev.groupBy(userCol).agg(min("wk").as(s"cohort_$unit"))
+    // no distinct front: duplicate (user, period) rows collapse inside
+    // the sketch's partial aggregation instead of paying their own shuffle
+    ev.join(cohort, userCol)
+      .groupBy(col(s"cohort_$unit"),
+        (datediff(col("wk"), col(s"cohort_$unit")) / periodDays)
+          .cast("long").as(s"${unit}_offset"))
+      .agg(coalesce( // non-null like exact count(*): a group exists ⇒ rows
+        Sketch.kmvEstimate(Sketch.kmvSketch(col(userCol), k), k).cast("long"),
+        lit(0L)).as("n_active"))
+  }
+
+  /** Scale-aware cohort retention — the [[Checks.uniquenessFor]] pattern
+    * applied to retention: exact [[cohortRetention]] while the event
+    * table's metadata-known row count keeps the distinct (user, period)
+    * exchange trivially cheap, bounded-state [[cohortRetentionSketch]]
+    * above the cutoff. `rows` is an ARGUMENT, not a probe: free
+    * catalog/parquet-footer metadata ([[graft.Tables.footerRowCount]]),
+    * threaded in to keep this a pure, spec-able selection function.
+    * Exact-at-any-size stays available by calling [[cohortRetention]]
+    * directly. */
+  def cohortRetentionFor(rows: Long, df: DataFrame, userCol: String,
+                         tsCol: String, unit: String = "week",
+                         periodDays: Int = 7,
+                         exactMaxRows: Long = 500000,
+                         k: Int = 4096): DataFrame =
+    if (rows <= exactMaxRows) cohortRetention(df, userCol, tsCol, unit, periodDays)
+    else cohortRetentionSketch(df, userCol, tsCol, unit, periodDays, k)
 }

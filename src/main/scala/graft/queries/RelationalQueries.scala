@@ -2198,11 +2198,30 @@ object RelationalQueries {
         .orderBy("name_a", "name_b")),
 
     // Weekly cohort retention: users grouped by first-activity week,
-    // activity counted per (cohort_week, week_offset). Shuffle-linear:
-    // distinct (user, week) pairs via partial agg, a user-level cohort
-    // table, one equi-join on user_id.
+    // activity counted per (cohort_week, week_offset). SCALE-AWARE
+    // (the uniquenessFor pattern): exact distinct-(user, week) counting
+    // while the parquet-footer row count keeps that exchange cheap,
+    // bounded-state KMV sketching per (cohort, offset) group above the
+    // cutoff — the distinct (user, period) table is the one state that
+    // scales with the corpus here. Both scales the driver touches sit
+    // below the cutoff (exact path — this oracle); the sketch path has
+    // its own oracled row (q_cohort_retention_kmv) on the exact-below-k
+    // KMV contract.
     "q_cohort_retention" -> ((s, dir) =>
-      graft.ops.Analytics.cohortRetention(t(s, dir, "events"), "user_id", "ts")
+      graft.ops.Analytics.cohortRetentionFor(
+        graft.Tables.footerRowCount(dir, "events"),
+        t(s, dir, "events"), "user_id", "ts")
+        .orderBy("cohort_week", "week_offset")),
+
+    // The bounded-state retention path pinned on: per-(cohort, offset)
+    // KMV user sketches (≤ k hashes across every exchange) instead of
+    // the corpus-scale distinct (user, week) table. Below k distinct
+    // users per group the sketch holds all of them, so n_active equals
+    // the exact count bit-for-bit — which is what this DuckDB oracle
+    // (the exact SQL) checks at sf0.01 (150 users ≪ k = 4096).
+    "q_cohort_retention_kmv" -> ((s, dir) =>
+      graft.ops.Analytics.cohortRetentionSketch(
+        t(s, dir, "events"), "user_id", "ts")
         .orderBy("cohort_week", "week_offset"))
   )
 
@@ -3108,6 +3127,18 @@ object RelationalQueries {
         |       (SELECT count(*) FROM t2) AS n_view_click,
         |       (SELECT count(*) FROM t3) AS n_view_click_purchase""".stripMargin,
     "q_cohort_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS wk
+        |            FROM events),
+        |cohort AS (SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY 1)
+        |SELECT cohort_week,
+        |       CAST(date_diff('day', cohort_week, wk) / 7 AS BIGINT) AS week_offset,
+        |       count(*) AS n_active
+        |FROM ev JOIN cohort USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // exact-below-k KMV contract: at the oracle scale every (cohort,
+    // offset) group has < 4096 distinct users, so the sketch path's
+    // n_active is bit-for-bit this exact count
+    "q_cohort_retention_kmv" ->
       """WITH ev AS (SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS wk
         |            FROM events),
         |cohort AS (SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY 1)

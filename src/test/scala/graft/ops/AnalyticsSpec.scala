@@ -106,4 +106,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == Seq((jan1, 0L, 2L), (jan1, 1L, 2L), (jan1, 2L, 1L),
       (jan8, 0L, 1L)))
   }
+
+  test("KMV cohort retention is bit-equal to exact below k, and the " +
+      "scale-aware front selects by row count") {
+    // duplicate (user, week) activity rows included: they must collapse
+    // inside the sketch exactly as the exact path's distinct collapses them
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 09:00:00")),
+      (1L, Timestamp.valueOf("2024-01-03 09:00:00")), // dup (u1, wk0)
+      (1L, Timestamp.valueOf("2024-01-10 09:00:00")),
+      (2L, Timestamp.valueOf("2024-01-02 09:00:00")),
+      (2L, Timestamp.valueOf("2024-01-11 09:00:00")),
+      (2L, Timestamp.valueOf("2024-01-12 09:00:00")), // dup (u2, wk1)
+      (3L, Timestamp.valueOf("2024-01-09 09:00:00"))
+    ).toDF("user_id", "ts")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("cohort_week", "week_offset")
+        .as[(java.sql.Date, Long, Long)].collect().toSeq
+    val exact = rows(Analytics.cohortRetention(df, "user_id", "ts"))
+    val sketch = rows(Analytics.cohortRetentionSketch(df, "user_id", "ts"))
+    assert(sketch == exact)
+    // selection is purely by the threaded row count
+    assert(rows(Analytics.cohortRetentionFor(100L, df, "user_id", "ts")) == exact)
+    assert(rows(Analytics.cohortRetentionFor(1000001L, df, "user_id", "ts")) == exact)
+    // the schema is identical on both sides of the cutoff (long n_active)
+    assert(Analytics.cohortRetentionSketch(df, "user_id", "ts").schema ==
+      Analytics.cohortRetention(df, "user_id", "ts").schema)
+  }
 }
