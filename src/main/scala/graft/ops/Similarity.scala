@@ -307,7 +307,15 @@ object Similarity {
     require(sample.nonEmpty, "IVF training sample is empty")
     val init = scala.collection.mutable.LinkedHashSet.empty[Seq[Double]]
     sample.iterator.takeWhile(_ => init.size < nlist).foreach(v => init += v.toSeq)
-    var centers: Array[Array[Double]] = init.iterator.map(_.toArray).toArray
+    lloydFrom(sample, init.iterator.map(_.toArray).toArray, iters)
+  }
+
+  /** Lloyd's iterations from an explicit init (shared by the sample-order
+    * init above and the k-means‖ init of [[trainCentersKpar]]). */
+  private[graft] def lloydFrom(sample: Array[Array[Double]],
+                               init: Array[Array[Double]],
+                               iters: Int): Array[Array[Double]] = {
+    var centers: Array[Array[Double]] = init
     val kk = centers.length
     val dim = sample.head.length
     var it = 0
@@ -519,6 +527,77 @@ object Similarity {
     lloyd(sample, nlist, iters = 5)
   }
 
+  /** [[trainCenters]] with the deterministic k-means‖ init of
+    * [[kmeansParallelInit]] run DRIVER-SIDE over the same bounded
+    * md5-ordered sample (the sample is already on the driver; the init
+    * adds O(sample × rounds·l × dim) scalar work, no extra scans).
+    * Distance-aware seeding ∝ d² mass instead of hash order — the fix
+    * for clumped seeds inflating IVF cell skew; see the measured A/B in
+    * the README and KMeansSpec. Deterministic: md5-derived priorities,
+    * sequential driver arithmetic, ties to the earlier candidate. */
+  private[graft] def trainCentersKpar(train: DataFrame, idCol: String,
+                                      vecCol: String, nlist: Int,
+                                      trainSample: Int, rounds: Int = 3,
+                                      oversample: Int = 0): Array[Array[Double]] = {
+    val l = if (oversample > 0) oversample else 2 * nlist
+    val rows: Array[(Array[Double], String)] = train
+      .select(col(vecCol).cast("array<double>").as("v"),
+        md5(col(idCol).cast("string")).as("h"), col(idCol).as("id"))
+      .filter(col("v").isNotNull)
+      .orderBy(col("h"), col("id"))
+      .limit(trainSample)
+      .select("v", "h")
+      .collect()
+      .map(r => (r.getSeq[Double](0).toArray, r.getString(1)))
+    require(rows.nonEmpty, "IVF training sample is empty")
+    val u: Array[Double] = rows.map(r =>
+      new java.math.BigInteger(r._2.substring(0, 16), 16).doubleValue())
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var d = 0
+      while (d < a.length) { val t = a(d) - b(d); acc += t * t; d += 1 }
+      acc
+    }
+    val cands = scala.collection.mutable.ArrayBuffer[Array[Double]](rows(0)._1)
+    for (_ <- 1 to rounds) {
+      val scored = rows.indices.iterator.map { i =>
+        val md2 = cands.iterator.map(c => d2(rows(i)._1, c)).min
+        (i, md2)
+      }.filter(_._2 > 0.0).toArray
+      val sel = scored.sortBy { case (i, md2) => (u(i) / md2, rows(i)._2) }
+        .take(l).map { case (i, _) => rows(i)._1 }
+      cands ++= sel
+    }
+    val w = new Array[Long](cands.length)
+    rows.foreach { case (v, _) =>
+      var best = 0; var bestD = d2(v, cands(0)); var j = 1
+      while (j < cands.length) {
+        val dd = d2(v, cands(j))
+        if (dd < bestD) { best = j; bestD = dd }
+        j += 1
+      }
+      w(best) += 1
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer[Int](
+      w.indices.maxBy(i => (w(i), -i)))
+    while (chosen.length < math.min(nlist, cands.length)) {
+      var bestI = -1; var bestS = -1.0
+      for (i <- cands.indices if !chosen.contains(i)) {
+        val md2 = chosen.iterator.map(j => d2(cands(i), cands(j))).min
+        val s = w(i).toDouble * md2
+        if (s > bestS) { bestS = s; bestI = i }
+      }
+      // bestI ≥ 0 always: the loop bound keeps an unchosen candidate
+      if (bestS <= 0.0) {
+        // fewer than nlist distinct weighted candidates: stop early and
+        // let lloydFrom run with what exists (mirrors lloyd's behavior
+        // when the sample has < nlist distinct vectors)
+        return lloydFrom(rows.map(_._1), chosen.iterator.map(cands(_)).toArray, 5)
+      }
+      chosen += bestI
+    }
+    lloydFrom(rows.map(_._1), chosen.iterator.map(cands(_)).toArray, iters = 5)
+  }
+
   /** Per-row first-wins argmin assignment against a broadcast centroid
     * literal. Returns (id, v, cell). */
   private[graft] def assignCells(df: DataFrame, idCol: String, vecCol: String,
@@ -637,11 +716,12 @@ object Similarity {
   def kmeansReport(corpus: DataFrame, idCol: String, vecCol: String,
                    k: Int = 8, maxIters: Int = 25, detectConverged: Boolean = true,
                    scaleBits: Int = 20, initSample: Int = 512,
-                   localMaxRows: Long = 65536): DataFrame = {
+                   localMaxRows: Long = 65536,
+                   parallelInit: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     val S = (1L << scaleBits).toDouble
     val fit = kmeansFit(corpus, idCol, vecCol, k, maxIters, detectConverged,
-      scaleBits, initSample, localMaxRows)
+      scaleBits, initSample, localMaxRows, parallelInit)
     fit.q.unpersist(blocking = false)
     val dim = fit.dim
 
@@ -708,10 +788,93 @@ object Similarity {
     greatest(array_position(d2s, array_min(d2s)) - 1, lit(0L)).cast("int")
   }
 
+  /** Deterministic k-means‖ oversampling init (Bahmani, Moseley, Vattani,
+    * Kumar, Vassilvitskii — "Scalable K-Means++", VLDB 2012) over the
+    * quantized corpus. The hash-min init is a pure function of the data
+    * but distance-blind: on clustered data it can seed every centroid in
+    * one region and leave Lloyd's to crawl out (inflating IVF probe
+    * tails). k-means‖ seeds ∝ squared-distance mass in O(rounds) scans —
+    * here made DETERMINISTIC by replacing the per-point Poisson trials
+    * with md5-derived priorities: round r keeps the `l` rows smallest in
+    * u(x)/d²(x, C) where u(x) is the row's md5-derived 64-bit uniform
+    * (sequential-Poisson / Ohlsson-style weighted sampling; the same
+    * uniform-key trick as the Efraimidis–Spirakis sampler used in
+    * [[graft.ops.Sampling]], with the πps weight d²). Everything that
+    * crosses an exchange is exact: d² is an integer on the quantized
+    * coordinates, selection is a bounded top-`l`, candidate weights are
+    * exact first-wins assignment counts, and the final recluster is a
+    * driver greedy weighted k-center (BigInt scores, ties to the earlier
+    * candidate) over ≤ 1 + rounds·l candidates — so the init, like the
+    * Lloyd rounds after it, is layout-invariant and replayed relationally
+    * by the DuckDB oracle (emb_kmeans_kpar). Cost: rounds+2 bounded-output
+    * scans of the persisted quantized corpus. */
+  private[graft] def kmeansParallelInit(q: DataFrame, k: Int,
+                                        rounds: Int = 3,
+                                        oversample: Int = 0): Array[Array[Long]] = {
+    val l = if (oversample > 0) oversample else 2 * k
+    val withU = q.select(col("id"), col("q"),
+        md5(col("id").cast("string")).as("h"))
+      .withColumn("u", conv(substring(col("h"), 1, 16), 16, 10).cast("double"))
+    def d2Int(c: Seq[Long]): Column = aggregate(
+      zip_with(col("q"), typedlit(c), (x, y) => (x - y) * (x - y)),
+      lit(0L), (a, x) => a + x)
+    def d2MinCol(cands: Seq[Seq[Long]]): Column =
+      array_min(transform(typedlit(cands), c => aggregate(
+        zip_with(col("q"), c, (x, y) => (x - y) * (x - y)),
+        lit(0L), (a, x) => a + x)))
+    // seed: the (md5(id), id)-minimum row — the hash-min init's anchor
+    val first = withU.orderBy(col("h"), col("id")).limit(1)
+      .select("q").collect()(0).getSeq[Long](0).toArray
+    val cands = scala.collection.mutable.ArrayBuffer[Array[Long]](first)
+    for (_ <- 1 to rounds) {
+      val sel = withU
+        .withColumn("d2", d2MinCol(cands.map(_.toSeq).toSeq))
+        .filter(col("d2") > 0L) // rows on a candidate can't be sampled
+        .orderBy((col("u") / col("d2").cast("double")).asc, col("h"), col("id"))
+        .limit(l)
+        .select("q").collect().map(_.getSeq[Long](0).toArray)
+      cands ++= sel // priority order; duplicates get zero weight below
+    }
+    // exact candidate weights: first-wins argmin assignment counts
+    val cLit = typedlit(cands.map(_.toSeq).toSeq)
+    val d2s = transform(cLit, c => aggregate(
+      zip_with(col("q"), c, (x, y) => (x - y) * (x - y)),
+      lit(0L), (a, x) => a + x))
+    val w = new Array[Long](cands.length)
+    q.select((array_position(d2s, array_min(d2s)) - 1).cast("int").as("ci"))
+      .groupBy("ci").agg(count(lit(1)).as("w")).collect()
+      .foreach(r => w(r.getInt(0)) = r.getLong(1))
+    // driver recluster: greedy weighted k-center, exact BigInt scores
+    def d2L(a: Array[Long], b: Array[Long]): Long = {
+      var acc = 0L; var d = 0
+      while (d < a.length) {
+        val t = a(d) - b(d)
+        acc = Math.addExact(acc, Math.multiplyExact(t, t)); d += 1
+      }
+      acc
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer[Int](
+      w.indices.maxBy(i => (w(i), -i))) // max weight, tie: earlier candidate
+    while (chosen.length < k) {
+      var bestI = -1
+      var bestS = BigInt(-1)
+      for (i <- cands.indices if !chosen.contains(i)) {
+        val md2 = chosen.iterator.map(j => d2L(cands(i), cands(j))).min
+        val s = BigInt(w(i)) * BigInt(md2)
+        if (s > bestS) { bestS = s; bestI = i }
+      }
+      require(bestS > 0,
+        s"kmeans parallel init: fewer than $k distinct weighted candidates")
+      chosen += bestI
+    }
+    chosen.iterator.map(cands(_)).toArray
+  }
+
   private[graft] def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String,
                                k: Int, maxIters: Int, detectConverged: Boolean,
                                scaleBits: Int, initSample: Int,
-                               localMaxRows: Long): KmFit = {
+                               localMaxRows: Long,
+                               parallelInit: Boolean = false): KmFit = {
     require(k > 0 && maxIters > 0)
     val S = (1L << scaleBits).toDouble
     def quant(v: Column): Column =
@@ -729,22 +892,27 @@ object Similarity {
     // gate — one extra scan next to maxIters round scans
     val nRows = q.count()
 
-    // deterministic init: k distinct quantized vectors in (md5(id), id) order
-    val sampleRows: Array[Array[Long]] = corpus
-      .select(col(vecCol).cast("array<double>").as("v"),
-        md5(col(idCol).cast("string")).as("h"), col(idCol).as("id"))
-      .filter(col("v").isNotNull)
-      .orderBy(col("h"), col("id"))
-      .limit(initSample)
-      .select(quant(col("v")))
-      .collect()
-      .map(_.getSeq[Long](0).toArray)
-    val seen = scala.collection.mutable.LinkedHashSet.empty[Seq[Long]]
-    sampleRows.foreach(v => seen += v.toSeq)
-    val init = seen.iterator.take(k).map(_.toArray).toArray
+    // deterministic init — either the distance-aware k-means‖ pass over
+    // the (already persisted) quantized corpus, or the default: k
+    // distinct quantized vectors in (md5(id), id) order
+    val init: Array[Array[Long]] =
+      if (parallelInit) kmeansParallelInit(q, k)
+      else {
+        val sampleRows: Array[Array[Long]] = corpus
+          .select(col(vecCol).cast("array<double>").as("v"),
+            md5(col(idCol).cast("string")).as("h"), col(idCol).as("id"))
+          .filter(col("v").isNotNull)
+          .orderBy(col("h"), col("id"))
+          .limit(initSample)
+          .select(quant(col("v")))
+          .collect()
+          .map(_.getSeq[Long](0).toArray)
+        val seen = scala.collection.mutable.LinkedHashSet.empty[Seq[Long]]
+        sampleRows.foreach(v => seen += v.toSeq)
+        seen.iterator.take(k).map(_.toArray).toArray
+      }
     require(init.length == k,
-      s"kmeans: corpus has only ${init.length} distinct vectors in the " +
-        s"$initSample-row init sample, need k=$k")
+      s"kmeans: corpus yields only ${init.length} distinct init vectors, need k=$k")
     val dim = init(0).length
 
     // state(cell) = (dimension sums, n); init centroid = (vector, 1)

@@ -285,6 +285,17 @@ object SimilarityQueries {
       Similarity.kmeansReport(emb(s, dir), "vec_id", "embedding",
         k = 8, maxIters = 25)),
 
+    // Same fixed-point Lloyd's, seeded by the DETERMINISTIC k-means‖
+    // oversampling init (Bahmani 2012; md5-derived u/d² priorities in
+    // place of Poisson trials, exact integer distances, greedy weighted
+    // k-center recluster) — the distance-aware init that avoids the
+    // hash-min init's clumped-seed failure mode on clustered data. The
+    // oracle replays init rounds, candidate weights, the k-center
+    // unroll, and all 25 Lloyd rounds relationally.
+    "emb_kmeans_kpar" -> ((s, dir) =>
+      Similarity.kmeansReport(emb(s, dir), "vec_id", "embedding",
+        k = 8, maxIters = 25, parallelInit = true)),
+
     // Cluster-balanced diversity sampling — the curation decision the
     // k-means fixed point exists to feed: per semantic cell, the 3
     // members smallest in (md5(id), id) order. The per-cell pick is the
@@ -753,6 +764,7 @@ object SimilarityQueries {
         |FROM dist JOIN lim ON dist.label = lim.label
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "emb_kmeans" -> kmeansSql(k = 8, iters = 25),
+    "emb_kmeans_kpar" -> kmeansKparSql(k = 8, iters = 25, rounds = 3, l = 16),
     "emb_cluster_sample" -> clusterSampleSql(k = 8, iters = 25, m = 3),
     "sim_ivf_append" -> ivfAppendSql
   )
@@ -867,6 +879,91 @@ object SimilarityQueries {
        |    WHERE dup = 1) x
        |  WHERE cell < $k),
        |$rounds""".stripMargin
+  }
+
+  /** Exact integer squared distance between two quantized vectors —
+    * BIGINT arithmetic, bit-for-bit the engine's zip_with fold. */
+  private def kmD2IntSql(x: String, c: String): String =
+    s"list_reduce(list_transform(generate_series(1, 64), j -> " +
+      s"($x[j] - $c[j]) * ($x[j] - $c[j])), (a,b) -> a+b)"
+
+  /** emb_kmeans_kpar init prefix: the deterministic k-means‖ replay.
+    * Round r keeps the `l` rows smallest in u/d² (md5-derived uniform u,
+    * exact integer d² to the candidate set), candidates are weighted by
+    * first-wins assignment counts, and k seeds come from an unrolled
+    * greedy weighted k-center (HUGEINT scores ≙ the engine's BigInt).
+    * Produces the same c0 shape the Lloyd-round unroll consumes. */
+  private def kmeansKparPrefixSql(k: Int, iters: Int, rounds: Int,
+                                  l: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      val off = 1 + (r - 1) * l
+      s"""kd$r AS MATERIALIZED (
+         |  SELECT hh.id, min(${kmD2IntSql("hh.q", "c.q")}) AS d2
+         |  FROM hh CROSS JOIN kp${r - 1} c GROUP BY hh.id),
+         |ks$r AS (
+         |  SELECT hh.q,
+         |         CAST($off AS BIGINT) + row_number() OVER (
+         |           ORDER BY hh.u / CAST(d.d2 AS DOUBLE), hh.h, hh.id) - 1 AS ord
+         |  FROM kd$r d JOIN hh USING (id)
+         |  WHERE d.d2 > 0
+         |  QUALIFY ord < $off + $l),
+         |kp$r AS (SELECT * FROM kp${r - 1} UNION ALL SELECT q, ord FROM ks$r)""".stripMargin
+    }.mkString(",\n")
+    val greedy = (2 to k).map { j =>
+      s"""kg$j AS (
+         |  SELECT w2.ord, w2.q, CAST(${j - 1} AS BIGINT) AS cell FROM (
+         |    SELECT w.ord,
+         |           CAST(any_value(w.w) AS HUGEINT) *
+         |             min(${kmD2IntSql("w.q", "c.q")}) AS score
+         |    FROM kwgt w CROSS JOIN kch${j - 1} c
+         |    WHERE w.ord NOT IN (SELECT ord FROM kch${j - 1})
+         |    GROUP BY w.ord
+         |    ORDER BY score DESC, w.ord LIMIT 1) t JOIN kwgt w2 ON t.ord = w2.ord),
+         |kch$j AS (SELECT * FROM kch${j - 1} UNION ALL SELECT ord, q, cell FROM kg$j)""".stripMargin
+    }.mkString(",\n")
+    val lloydRounds = (1 to iters).map(kmeansIterSql).mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         list_transform(CAST(embedding AS DOUBLE[]),
+       |                        x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |e AS MATERIALIZED (SELECT vec_id AS id, q FROM e0),
+       |hh AS MATERIALIZED (
+       |  SELECT vec_id AS id, q, md5(CAST(vec_id AS VARCHAR)) AS h,
+       |         ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 16))::UBIGINT::DOUBLE AS u
+       |  FROM e0),
+       |kp0 AS (SELECT q, CAST(0 AS BIGINT) AS ord FROM (
+       |  SELECT q, row_number() OVER (ORDER BY h, id) AS rk FROM hh) z WHERE rk = 1),
+       |$roundCtes,
+       |kasn AS MATERIALIZED (
+       |  SELECT id, ord FROM (
+       |    SELECT hh.id, c.ord,
+       |           row_number() OVER (PARTITION BY hh.id
+       |             ORDER BY ${kmD2IntSql("hh.q", "c.q")}, c.ord) AS rw
+       |    FROM hh CROSS JOIN kp$rounds c) z
+       |  WHERE rw = 1),
+       |kwgt AS MATERIALIZED (
+       |  SELECT c.ord, c.q, COALESCE(a.w, CAST(0 AS BIGINT)) AS w
+       |  FROM kp$rounds c LEFT JOIN
+       |    (SELECT ord, count(*) AS w FROM kasn GROUP BY ord) a USING (ord)),
+       |kch1 AS (SELECT ord, q, CAST(0 AS BIGINT) AS cell FROM (
+       |  SELECT ord, q FROM kwgt ORDER BY w DESC, ord LIMIT 1) t),
+       |$greedy,
+       |c0 AS (SELECT cell, q AS s, CAST(1 AS BIGINT) AS n FROM kch$k),
+       |$lloydRounds""".stripMargin
+  }
+
+  private def kmeansKparSql(k: Int, iters: Int, rounds: Int, l: Int): String = {
+    s"""${kmeansKparPrefixSql(k, iters, rounds, l)}
+       |SELECT CAST(g.cell AS INT) AS cell, h.n AS n,
+       |       round(sqrt(list_reduce(list_transform(g.s,
+       |           sd -> (CAST(sd AS DOUBLE)/CAST(h.n AS DOUBLE)) * (CAST(sd AS DOUBLE)/CAST(h.n AS DOUBLE))),
+       |           (a,b) -> a+b)) / 1048576.0, 4) AS norm,
+       |       round((CAST(h.ss AS DOUBLE) - list_reduce(list_transform(g.s,
+       |           sd -> CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)), (a,b) -> a+b) / CAST(h.n AS DOUBLE))
+       |         / (CAST(h.n AS DOUBLE) * 1048576.0 * 1048576.0), 6) AS mse
+       |FROM g$iters g JOIN h$iters h ON g.cell = h.cell
+       |ORDER BY cell""".stripMargin
   }
 
   private def kmeansSql(k: Int, iters: Int): String = {

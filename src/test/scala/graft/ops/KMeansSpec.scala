@@ -54,6 +54,64 @@ class KMeansSpec extends SparkSpec {
     assert(run(26, detect = true) == capped)   // fixture reaches the fixed point ≤ 25
   }
 
+  // adversarial shape for the hash-min init: one dense cluster (930
+  // points on axis 0) plus 7 sparse far clusters (10 points each on
+  // axes 1..7) — md5 order samples ∝ population, so hash-min seeds
+  // land almost surely inside the dense cluster, while the k-means‖
+  // init samples candidates ∝ squared-distance mass and the greedy
+  // weighted k-center recluster spreads the seeds across all clusters
+  private def clumped(): DataFrame = {
+    val rows = (0 until 1000).map { i =>
+      val cl = if (i < 930) 0 else 1 + (i - 930) / 10
+      val v = Array.tabulate(64)(d =>
+        (if (d == cl) 0.8 else 0.0) + ((i * 31 + d * 7) % 11) * 1e-3)
+      (i.toLong, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("k-means‖ init escapes the clumped-seed failure mode") {
+    val df = clumped()
+    def distortion(parInit: Boolean) =
+      Similarity.kmeansReport(df, "vec_id", "embedding", k = 8, maxIters = 25,
+          parallelInit = parInit)
+        .agg(sum(col("mse") * col("n"))).head.getDouble(0)
+    val hashmin = distortion(parInit = false)
+    val kpar = distortion(parInit = true)
+    // measured: 38.83 vs 0.64 — Lloyd's cannot crawl the clumped seeds
+    // out of the dense cluster; the distance-aware init recovers every
+    // true cluster (jitter-level distortion)
+    assert(kpar < hashmin / 10)
+    assert(kpar < 1.0)
+  }
+
+  test("k-means‖ IVF quantizer keeps every cell populated on clumped data") {
+    val df = clumped()
+    def nonemptyCells(cs: Array[Array[Double]]): Long =
+      Similarity.assignCells(df, "vec_id", "embedding", cs)
+        .select("cell").distinct().count()
+    val hashmin = nonemptyCells(
+      Similarity.trainCenters(df, "vec_id", "embedding", 8, 4096))
+    val kpar = nonemptyCells(
+      Similarity.trainCentersKpar(df, "vec_id", "embedding", 8, 4096))
+    // measured: hash-min leaves 4 of 8 cells empty (all seeds in the
+    // dense cluster); k-means‖ isolates each true cluster in its own
+    // cell — at 100 TB, the merged sparse clusters are the probe tails
+    assert(kpar == 8L && hashmin < 8L)
+  }
+
+  test("k-means‖ init: gate is bit-identical and layout-invariant") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.Tables.table(spark, dir, "embeddings")
+    def run(localMax: Long, d: DataFrame = e) =
+      Similarity.kmeansReport(d, "vec_id", "embedding", k = 8, maxIters = 25,
+        localMaxRows = localMax, parallelInit = true)
+        .collect().map(_.toSeq).toSeq
+    val base = run(Long.MaxValue)
+    assert(run(0L) == base) // forced-distributed Lloyd's, same init path
+    assert(run(Long.MaxValue, e.repartition(13)) == base)
+  }
+
   test("small-corpus gate is bit-identical to the forced-distributed path") {
     val dir = "/root/testdata/sf0.001"
     val e = graft.Tables.table(spark, dir, "embeddings")
