@@ -133,6 +133,35 @@ object Tables {
     fix(s.read.parquet(dst))
   }
 
+  /** Float32-PACKED embeddings layout: (vec_id, emb_f32 BINARY), each
+    * vector as little-endian IEEE binary32 ([[graft.functions.PackF32]]).
+    * The ANN / k-means family is SCAN-bound at 100 TB and `array<double>`
+    * is the wrong wire format for it — 8 bytes per dimension plus
+    * parquet's per-element repetition levels, for models that were
+    * trained and served in float32 anyway. This is the same write-once
+    * ingest-step contract as the re-layout above (cached by source
+    * (path, size, mtime) + a format tag under /tmp/graft-layout, atomic
+    * via Spark's _SUCCESS marker): queries that opt in
+    * (`sim_ivf_topk_f32`) read half the vector bytes and unpack with a
+    * codegen expression; the float32 rounding is replayed bit-for-bit by
+    * the oracle's CAST(x AS FLOAT). */
+  def embeddingsPacked(s: SparkSession, dir: String): DataFrame = {
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    val cacheKey = layoutCacheKey(src) + ":f32"
+    val dst = relayoutCache.getOrElseUpdate(cacheKey, {
+      val hash = java.security.MessageDigest.getInstance("MD5")
+        .digest(cacheKey.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val out = new java.io.File(s"/tmp/graft-layout/$hash/embeddings_f32.parquet")
+      if (!new java.io.File(out, "_SUCCESS").isFile)
+        table(s, dir, "embeddings")
+          .select(col("vec_id"), graft.functions.GraftFunctions.pack_f32(
+            col("embedding").cast("array<double>")).as("emb_f32"))
+          .write.mode("overwrite").parquet(out.getPath)
+      out.getPath
+    })
+    s.read.parquet(dst)
+  }
+
   /** Metadata-only row count of `dir/name.parquet` straight from the
     * parquet footer — no Spark job, no scan. This is the "free" table
     * cardinality a catalog would hold at 100 TB, used by callers that

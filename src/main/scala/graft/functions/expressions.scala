@@ -652,6 +652,91 @@ object WinnowFps {
 }
 
 /** Column-API surface for the custom expressions. */
+/** Float32-pack an `array<double>` embedding: each element narrowed to
+  * IEEE-754 binary32 (round-to-nearest-even — the same conversion DuckDB's
+  * `CAST(x AS FLOAT)` performs, so oracles replay the quantization
+  * bit-for-bit) and laid out little-endian, 4 bytes per dimension, as one
+  * BINARY blob. At 100 TB the ANN / k-means family is SCAN-bound and
+  * embeddings dominate the bytes: a packed column halves raw vector bytes
+  * vs `array<double>` and drops parquet's per-element repetition levels —
+  * the same storage move as [[HyperplaneSig]]'s 64× sign-bit packing, at
+  * float32 fidelity instead of 1-bit. */
+case class PackF32(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires ARRAY<DOUBLE> input")
+  }
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pack_f32"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PackF32.pack(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PackF32.pack($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PackF32 {
+  def pack(v: ArrayData): Array[Byte] = {
+    val n = v.numElements()
+    val out = new Array[Byte](n * 4)
+    var i = 0
+    while (i < n) {
+      val bits = java.lang.Float.floatToIntBits(v.getDouble(i).toFloat)
+      val o = i * 4
+      out(o) = bits.toByte
+      out(o + 1) = (bits >>> 8).toByte
+      out(o + 2) = (bits >>> 16).toByte
+      out(o + 3) = (bits >>> 24).toByte
+      i += 1
+    }
+    out
+  }
+}
+
+/** Inverse of [[PackF32]]: BINARY → `array<double>` by exact float32 →
+  * float64 widening (lossless), so every existing distance / cosine /
+  * quantization expression composes unchanged on the packed scan. */
+case class UnpackF32(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires BINARY input")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "unpack_f32"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UnpackF32.unpack(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.UnpackF32.unpack($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object UnpackF32 {
+  def unpack(b: Array[Byte]): ArrayData = {
+    require(b.length % 4 == 0, s"packed f32 length ${b.length} not a multiple of 4")
+    val n = b.length / 4
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val o = i * 4
+      val bits = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+      out(i) = java.lang.Float.intBitsToFloat(bits).toDouble
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object GraftFunctions {
   private def col(e: Expression): Column = Bridge.column(e)
   private def expr(c: Column): Expression = Bridge.expression(c)
@@ -671,6 +756,8 @@ object GraftFunctions {
   def shingle_hashes(c: Column, n: Int): Column = col(ShingleHashes(expr(c), n))
   def winnow_fps(c: Column, k: Int, w: Int): Column = col(WinnowFps(expr(c), k, w))
   def hyperplane_sig(c: Column, planes: Int): Column = col(HyperplaneSig(expr(c), planes))
+  def pack_f32(c: Column): Column = col(PackF32(expr(c)))
+  def unpack_f32(c: Column): Column = col(UnpackF32(expr(c)))
   def dateutil_timestamp(c: Column): Column = col(DateUtilTimestamp(expr(c)))
 
   /** Mark a column as provably non-null (Catalyst's KnownNotNull). Use on

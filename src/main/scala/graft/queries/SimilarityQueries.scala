@@ -84,6 +84,23 @@ object SimilarityQueries {
         .orderBy("qid", "rank")
     }),
 
+    // IVF ANN over the FLOAT32-PACKED embedding layout: the scan reads
+    // (vec_id, emb_f32 BINARY) — half the raw vector bytes, no
+    // per-element parquet repetition levels — and a codegen expression
+    // widens float32 → double so the identical IVF plan runs on top.
+    // The narrowing is IEEE round-to-nearest-even, replayed bit-for-bit
+    // by the oracle's CAST(x AS FLOAT); see README for the measured
+    // bytes-scanned A/B.
+    "sim_ivf_topk_f32" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.unpack_f32
+      val p = graft.Tables.embeddingsPacked(s, dir)
+        .select(col("vec_id"), unpack_f32(col("emb_f32")).as("embedding"))
+      Similarity.ivfTopK(
+        p, p.filter(col("vec_id") < 10), "vec_id", "embedding", "vec_id", "embedding")
+        .select(col("qid"), col("id"), col("rank"), round(col("sim"), 4).as("sim"))
+        .orderBy("qid", "rank")
+    }),
+
     // IVF recall vs brute force — oracle-checked
     "sim_ivf_recall" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -428,9 +445,17 @@ object SimilarityQueries {
   /** Shared SQL prefix ending in `ivf AS (qid, id, rank, sim)` — the full
     * [[Similarity.ivfTopK]] pipeline (trainSample=4096, nlist=16, 5 Lloyd
     * iterations, nProbe=4, k=10) over the `vec_id < 10` query set. */
-  private def ivfSql: String = {
+  private def ivfSql: String = ivfSqlFrom("CAST(embedding AS DOUBLE[])")
+
+  /** The IVF oracle over float32-ROUNDED vectors — the same narrowing
+    * (IEEE round-to-nearest-even) the engine's PackF32 applies, so the
+    * packed-scan path hashes identically. */
+  private def ivfF32Sql: String = ivfSqlFrom(
+    "list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(CAST(x AS FLOAT) AS DOUBLE))")
+
+  private def ivfSqlFrom(vExpr: String): String = {
     val iters = (1 to 5).map(lloydIterSql).mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    s"""WITH e AS (SELECT vec_id, $vExpr AS v FROM embeddings
        |           WHERE embedding IS NOT NULL),
        |smp AS (
        |  SELECT v, rk FROM (
@@ -606,6 +631,9 @@ object SimilarityQueries {
          |GROUP BY x.qid ORDER BY x.qid""".stripMargin,
     "sim_ivf_topk" ->
       s"""$ivfSql
+         |SELECT qid, id, rank, round(sim, 4) AS sim FROM ivf ORDER BY qid, rank""".stripMargin,
+    "sim_ivf_topk_f32" ->
+      s"""$ivfF32Sql
          |SELECT qid, id, rank, round(sim, 4) AS sim FROM ivf ORDER BY qid, rank""".stripMargin,
     "sim_ivf_recall" ->
       s"""$ivfSql,

@@ -48,6 +48,28 @@ class GraftExtensionsSpec extends SparkSpec {
     new GraftExtensions().apply(new SparkSessionExtensions) // must not throw
   }
 
+  test("pack_f32 / unpack_f32: float32 narrowing, lossless widening") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions._
+    import spark.implicits._
+    val v = Seq(0.1, -1.5, 0.0, 1e-40, math.Pi, Double.MaxValue)
+    val df = Seq((1L, v)).toDF("id", "v")
+    val packed = df.select(pack_f32(col("v")).as("b"))
+    // 4 bytes per dimension
+    assert(packed.head.getAs[Array[Byte]](0).length == v.length * 4)
+    // round trip = the exact double→float32→double narrowing the oracle
+    // replays with CAST(x AS FLOAT): bit-for-bit, including ±Inf overflow
+    val rt = packed.select(unpack_f32(col("b")).as("v")).head.getSeq[Double](0)
+    assert(rt == v.map(x => x.toFloat.toDouble))
+    // narrowing is idempotent: packing the unpacked column is stable
+    val rt2 = packed.select(unpack_f32(pack_f32(unpack_f32(col("b")))).as("v"))
+      .head.getSeq[Double](0)
+    assert(rt2 == rt)
+    // nulls pass through (null-intolerant expressions)
+    val nulls = Seq((1L, null.asInstanceOf[Seq[Double]])).toDF("id", "v")
+    assert(nulls.select(pack_f32(col("v"))).head.isNullAt(0))
+  }
+
   test("optimizer rule eliminates gzip roundtrips from the plan") {
     import org.apache.spark.sql.functions._
     import graft.functions.GraftFunctions._
