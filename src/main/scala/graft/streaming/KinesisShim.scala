@@ -179,101 +179,123 @@ private[streaming] object KinesisShim {
 
   /** PER-SHARD STREAM SPILL — the shim's stand-in for the Kinesis
     * service's own storage layer, which holds each shard's records in
-    * sequence order and serves GetRecords by iterator position. Built
-    * ONCE per (files, sizes, mtimes, nShards) per machine under
-    * /tmp/graft-shards: for each shard, a `.dat` file of wire-serialized
-    * records in event_id (= sequence) order plus a fixed-width `.idx`
-    * offset index, so a micro-batch's `[from, until)` window is one
-    * O(slice) positioned byte-range read — no rescans, no cross-shard
-    * decode waste. The build streams straight to disk when the input is
-    * id-clustered (the engine's own layouts — Tables' re-layout and the
-    * rehearsal writer — guarantee it); on unclustered input it falls back
-    * to an in-memory per-shard sort, bounded by the corpus slice on this
-    * machine (a real deployment's ingest sort is the distributed
-    * Layout.scala path, and a real connector spills nothing — the service
-    * stores the stream). */
-  private val spillLock = new Object
+    * sequence order and serves GetRecords by iterator position. Each
+    * shard spills into ITS OWN cache directory, keyed by
+    * (files, sizes, mtimes, nShards, SHARD) under /tmp/graft-shards and
+    * built on FIRST TOUCH by whichever reader serves that shard: a
+    * `.dat` file of wire-serialized records in event_id (= sequence)
+    * order plus a fixed-width `.idx` offset index, so a micro-batch's
+    * `[from, until)` window is one O(slice) positioned byte-range read —
+    * no rescans, no cross-shard decode waste.
+    *
+    * SHARD OWNERSHIP is what the per-shard key buys on a multi-node
+    * cluster: a machine serving k of n shards scans the shared-storage
+    * corpus (unavoidable without a shuffle — a shard's records are
+    * scattered across the source files) but WRITES only k/n of it
+    * locally, instead of the round-8 design's full-corpus spill on every
+    * machine. Builds of different shards are independent (no global
+    * lock): concurrent readers on one host build their shards in
+    * parallel, and the per-directory atomic publish below keeps
+    * concurrent JVMs safe per shard exactly as before.
+    *
+    * The build streams straight to disk when the input is id-clustered
+    * (the engine's own layouts — Tables' re-layout and the rehearsal
+    * writer — guarantee it); on unclustered input it falls back to a
+    * chunked external sort of THIS shard's records (a real deployment's
+    * ingest sort is the distributed Layout.scala path, and a real
+    * connector spills nothing — the service stores the stream). */
   private val spillCache =
     scala.collection.concurrent.TrieMap.empty[String, java.io.File]
 
-  private def spillDir(eventsPath: String, nShards: Int): java.io.File =
-    spillLock.synchronized {
-      val files = parquetFiles(eventsPath)
-      val fs = files.head.getFileSystem(new org.apache.hadoop.conf.Configuration())
-      val key = "spill-v1:" + files.map { p =>
-        val st = fs.getFileStatus(p); s"$p:${st.getLen}:${st.getModificationTime}"
-      }.mkString(",") + s"#$nShards"
-      spillCache.getOrElseUpdate(key, {
-        val hash = java.security.MessageDigest.getInstance("MD5")
-          .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
-        val dir = new java.io.File(s"/tmp/graft-shards/$hash")
-        if (!new java.io.File(dir, "_SUCCESS").isFile) {
-          // CROSS-PROCESS atomicity (the JVM-local lock above only
-          // serializes this process): build into a process-unique temp
-          // sibling, stamp _SUCCESS inside it, then ATOMIC_MOVE into the
-          // hashed path — concurrent JVMs (bench + test run sharing the
-          // host) can never interleave bytes into the same shard files,
-          // and the loser of the rename race treats the winner's
-          // published dir as a cache hit and discards its own build.
-          dir.getParentFile.mkdirs()
-          val tmp = java.nio.file.Files.createTempDirectory(
-            dir.getParentFile.toPath, s"$hash.build-").toFile
-          buildSpill(files, nShards, tmp)
-          new java.io.FileOutputStream(new java.io.File(tmp, "_SUCCESS")).close()
-          // a crashed earlier build (no _SUCCESS) may squat on the target;
-          // clear it so the rename can land. Two processes clearing/renaming
-          // concurrently still converge: every rename source is a COMPLETE
-          // build, so whichever lands is valid.
-          if (dir.isDirectory) deleteRecursively(dir)
-          try java.nio.file.Files.move(tmp.toPath, dir.toPath,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          catch {
-            case _: java.nio.file.FileSystemException
-                if new java.io.File(dir, "_SUCCESS").isFile =>
-              deleteRecursively(tmp) // rename loser: winner's build is live
-          }
+  private def shardSpillKey(eventsPath: String, nShards: Int, shard: Int): String = {
+    val files = parquetFiles(eventsPath)
+    val fs = files.head.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    "spill-v2:" + files.map { p =>
+      val st = fs.getFileStatus(p); s"$p:${st.getLen}:${st.getModificationTime}"
+    }.mkString(",") + s"#$nShards@$shard"
+  }
+
+  private def hashOf(key: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Is this shard's spill already published on this machine? (No build
+    * is triggered — the ownership spec observes build state through
+    * this.) */
+  private[streaming] def shardSpillPublished(eventsPath: String, nShards: Int,
+                                             shard: Int): Boolean =
+    new java.io.File(
+      s"/tmp/graft-shards/${hashOf(shardSpillKey(eventsPath, nShards, shard))}/_SUCCESS")
+      .isFile
+
+  private def shardSpillDir(eventsPath: String, nShards: Int,
+                            shard: Int): java.io.File = {
+    val key = shardSpillKey(eventsPath, nShards, shard)
+    // TrieMap.getOrElseUpdate is atomic PER KEY: concurrent first touches
+    // of the same shard build once; different shards build in parallel
+    spillCache.getOrElseUpdate(key, {
+      val hash = hashOf(key)
+      val dir = new java.io.File(s"/tmp/graft-shards/$hash")
+      if (!new java.io.File(dir, "_SUCCESS").isFile) {
+        // CROSS-PROCESS atomicity (the per-key in-process guard above only
+        // serializes this JVM): build into a process-unique temp sibling,
+        // stamp _SUCCESS inside it, then ATOMIC_MOVE into the hashed path
+        // — concurrent JVMs (bench + test run sharing the host) can never
+        // interleave bytes into the same shard files, and the loser of
+        // the rename race treats the winner's published dir as a cache
+        // hit and discards its own build.
+        dir.getParentFile.mkdirs()
+        val tmp = java.nio.file.Files.createTempDirectory(
+          dir.getParentFile.toPath, s"$hash.build-").toFile
+        buildShardSpill(parquetFiles(eventsPath), nShards, shard, tmp)
+        new java.io.FileOutputStream(new java.io.File(tmp, "_SUCCESS")).close()
+        // a crashed earlier build (no _SUCCESS) may squat on the target;
+        // clear it so the rename can land. Two processes clearing/renaming
+        // concurrently still converge: every rename source is a COMPLETE
+        // build, so whichever lands is valid.
+        if (dir.isDirectory) deleteRecursively(dir)
+        try java.nio.file.Files.move(tmp.toPath, dir.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileSystemException
+              if new java.io.File(dir, "_SUCCESS").isFile =>
+            deleteRecursively(tmp) // rename loser: winner's build is live
         }
-        dir
-      })
-    }
+      }
+      dir
+    })
+  }
 
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(); ()
   }
 
-  private def buildSpill(files: Seq[org.apache.hadoop.fs.Path], nShards: Int,
-                         dir: java.io.File): Unit = {
-    def openStreams(): Array[(java.io.DataOutputStream, java.io.DataOutputStream)] =
-      Array.tabulate(nShards) { i =>
-        def out(sfx: String) = new java.io.DataOutputStream(
-          new java.io.BufferedOutputStream(new java.io.FileOutputStream(
-            new java.io.File(dir, s"shard-$i.$sfx")), 1 << 16))
-        (out("dat"), out("idx"))
-      }
-    def write(streams: Array[(java.io.DataOutputStream, java.io.DataOutputStream)],
-              off: Array[Long], s: Int, raw: Raw): Unit = {
-      val rec = serialize(raw)
-      val (dat, idx) = streams(s)
-      idx.writeLong(off(s))
-      dat.writeLong(raw.eventId); dat.writeLong(rec.arrivalUs)
-      dat.writeInt(rec.data.length); dat.write(rec.data)
-      off(s) += 20L + rec.data.length
-    }
-    // fast path: input already id-clustered across files → stream straight
-    // to disk, memory = write buffers only
-    var streams = openStreams()
-    val off = new Array[Long](nShards)
-    val last = Array.fill(nShards)(Long.MinValue)
+  private def buildShardSpill(files: Seq[org.apache.hadoop.fs.Path], nShards: Int,
+                              shard: Int, dir: java.io.File): Unit = {
+    def open(sfx: String) = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(new java.io.FileOutputStream(
+        new java.io.File(dir, s"shard-$shard.$sfx")), 1 << 16))
+    // fast path: input already id-clustered across files → stream this
+    // shard's records straight to disk, memory = write buffers only
+    val dat = open("dat"); val idx = open("idx")
+    var off = 0L
+    var last = Long.MinValue
     var ordered = true
     try scan(files) { raw =>
-      if (ordered) {
-        val s = shardOf(raw.eventId.toString, nShards)
-        if (raw.eventId <= last(s)) ordered = false
-        else { last(s) = raw.eventId; write(streams, off, s, raw) }
+      if (ordered && shardOf(raw.eventId.toString, nShards) == shard) {
+        if (raw.eventId <= last) ordered = false
+        else {
+          last = raw.eventId
+          val rec = serialize(raw)
+          idx.writeLong(off)
+          dat.writeLong(raw.eventId); dat.writeLong(rec.arrivalUs)
+          dat.writeInt(rec.data.length); dat.write(rec.data)
+          off += 20L + rec.data.length
+        }
       }
-    } finally streams.foreach { case (d, i) => d.close(); i.close() }
-    if (!ordered) externalSortSpill(files, nShards, dir)
+    } finally { dat.close(); idx.close() }
+    if (!ordered) externalSortShard(files, nShards, shard, dir)
   }
 
   /** Unclustered-input fallback: CHUNKED EXTERNAL SORT-MERGE, so the
@@ -281,84 +303,83 @@ private[streaming] object KinesisShim {
     * layout (the engine's own layouts — Tables' re-layout and the
     * rehearsal writer — are id-clustered and take the streaming fast
     * path; this is the honest path for an arbitrary writer). Pass 1
-    * re-scans the input, buffering wire-serialized records per shard;
-    * whenever the buffered bytes cross the cap, each shard's buffer is
-    * sorted by event id (stable — equal ids keep scan order) and
-    * appended to disk as one sorted RUN. Pass 2 k-way merges each
-    * shard's runs through a heap holding ONE record per run (ties broken
-    * by run index, which is scan order) straight into the final
-    * .dat/.idx pair — peak memory is max(cap, runs × one record).
+    * re-scans the input, buffering THIS shard's wire-serialized records;
+    * whenever the buffered bytes cross the cap, the buffer is sorted by
+    * event id (stable — equal ids keep scan order) and appended to disk
+    * as one sorted RUN. Pass 2 k-way merges the runs through a heap
+    * holding ONE record per run (ties broken by run index, which is scan
+    * order) straight into the final .dat/.idx pair — peak memory is
+    * max(cap, runs × one record).
     * `SPARK_GRAFT_SHIM_SORT_MB` (env or -D system property) overrides
     * the cap; specs shrink it to force multi-run merges on small
     * fixtures. */
-  private def externalSortSpill(files: Seq[org.apache.hadoop.fs.Path],
-                                nShards: Int, dir: java.io.File): Unit = {
+  private def externalSortShard(files: Seq[org.apache.hadoop.fs.Path],
+                                nShards: Int, shard: Int,
+                                dir: java.io.File): Unit = {
     import java.io._
     val capBytes = sys.props.get("SPARK_GRAFT_SHIM_SORT_MB")
       .orElse(sys.env.get("SPARK_GRAFT_SHIM_SORT_MB"))
       .getOrElse("256").toLong << 20
     final case class Buffered(eventId: Long, us: Long, data: Array[Byte])
-    val bufs = Array.fill(nShards)(scala.collection.mutable.ArrayBuffer.empty[Buffered])
-    val runs = Array.fill(nShards)(
-      scala.collection.mutable.ArrayBuffer.empty[(File, Long)])
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Buffered]
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(File, Long)]
     var bufferedBytes = 0L
     def flush(): Unit = {
-      for (s <- 0 until nShards if bufs(s).nonEmpty) {
-        val f = new File(dir, s"shard-$s.run-${runs(s).length}")
+      if (buf.nonEmpty) {
+        val f = new File(dir, s"shard-$shard.run-${runs.length}")
         val out = new DataOutputStream(
           new BufferedOutputStream(new FileOutputStream(f), 1 << 16))
-        try bufs(s).sortBy(_.eventId).foreach { r =>
+        try buf.sortBy(_.eventId).foreach { r =>
           out.writeLong(r.eventId); out.writeLong(r.us)
           out.writeInt(r.data.length); out.write(r.data)
         } finally out.close()
-        runs(s) += ((f, bufs(s).length.toLong))
-        bufs(s).clear()
+        runs += ((f, buf.length.toLong))
+        buf.clear()
       }
       bufferedBytes = 0L
     }
     scan(files) { raw =>
-      val rec = serialize(raw)
-      val s = shardOf(raw.eventId.toString, nShards)
-      bufs(s) += Buffered(raw.eventId, rec.arrivalUs, rec.data)
-      bufferedBytes += 20L + rec.data.length
-      if (bufferedBytes >= capBytes) flush()
+      if (shardOf(raw.eventId.toString, nShards) == shard) {
+        val rec = serialize(raw)
+        buf += Buffered(raw.eventId, rec.arrivalUs, rec.data)
+        bufferedBytes += 20L + rec.data.length
+        if (bufferedBytes >= capBytes) flush()
+      }
     }
     flush()
-    for (s <- 0 until nShards) {
-      // FileOutputStream truncates whatever the aborted fast path wrote
-      val dat = new DataOutputStream(new BufferedOutputStream(
-        new FileOutputStream(new File(dir, s"shard-$s.dat")), 1 << 16))
-      val idx = new DataOutputStream(new BufferedOutputStream(
-        new FileOutputStream(new File(dir, s"shard-$s.idx")), 1 << 16))
-      val ins = runs(s).map { case (f, _) =>
-        new DataInputStream(new BufferedInputStream(new FileInputStream(f), 1 << 16))
-      }.toArray
-      val remaining = runs(s).map(_._2).toArray
-      final case class Head(id: Long, run: Int, us: Long, data: Array[Byte])
-      val pq = new scala.collection.mutable.PriorityQueue[Head]()(
-        Ordering.by((h: Head) => (-h.id, -h.run)))
-      def advance(run: Int): Unit = if (remaining(run) > 0) {
-        remaining(run) -= 1
-        val in = ins(run)
-        val id = in.readLong(); val us = in.readLong()
-        val data = new Array[Byte](in.readInt()); in.readFully(data)
-        pq += Head(id, run, us, data)
+    // FileOutputStream truncates whatever the aborted fast path wrote
+    val dat = new DataOutputStream(new BufferedOutputStream(
+      new FileOutputStream(new File(dir, s"shard-$shard.dat")), 1 << 16))
+    val idx = new DataOutputStream(new BufferedOutputStream(
+      new FileOutputStream(new File(dir, s"shard-$shard.idx")), 1 << 16))
+    val ins = runs.map { case (f, _) =>
+      new DataInputStream(new BufferedInputStream(new FileInputStream(f), 1 << 16))
+    }.toArray
+    val remaining = runs.map(_._2).toArray
+    final case class Head(id: Long, run: Int, us: Long, data: Array[Byte])
+    val pq = new scala.collection.mutable.PriorityQueue[Head]()(
+      Ordering.by((h: Head) => (-h.id, -h.run)))
+    def advance(run: Int): Unit = if (remaining(run) > 0) {
+      remaining(run) -= 1
+      val in = ins(run)
+      val id = in.readLong(); val us = in.readLong()
+      val data = new Array[Byte](in.readInt()); in.readFully(data)
+      pq += Head(id, run, us, data)
+    }
+    try {
+      var off = 0L
+      (0 until ins.length).foreach(advance)
+      while (pq.nonEmpty) {
+        val h = pq.dequeue()
+        idx.writeLong(off)
+        dat.writeLong(h.id); dat.writeLong(h.us)
+        dat.writeInt(h.data.length); dat.write(h.data)
+        off += 20L + h.data.length
+        advance(h.run)
       }
-      try {
-        var off = 0L
-        (0 until ins.length).foreach(advance)
-        while (pq.nonEmpty) {
-          val h = pq.dequeue()
-          idx.writeLong(off)
-          dat.writeLong(h.id); dat.writeLong(h.us)
-          dat.writeInt(h.data.length); dat.write(h.data)
-          off += 20L + h.data.length
-          advance(h.run)
-        }
-      } finally {
-        dat.close(); idx.close(); ins.foreach(_.close())
-        runs(s).foreach(_._1.delete())
-      }
+    } finally {
+      dat.close(); idx.close(); ins.foreach(_.close())
+      runs.foreach(_._1.delete())
     }
   }
 
@@ -369,7 +390,7 @@ private[streaming] object KinesisShim {
     * data, no other trigger's data, and no parquet decode is touched. */
   def readShardSlice(eventsPath: String, nShards: Int, shard: Int,
                      from: Long, until: Long): Array[Rec] = {
-    val dir = spillDir(eventsPath, nShards)
+    val dir = shardSpillDir(eventsPath, nShards, shard)
     val idxF = new java.io.File(dir, s"shard-$shard.idx")
     val datF = new java.io.File(dir, s"shard-$shard.dat")
     val count = idxF.length() / 8

@@ -180,6 +180,37 @@ class KinesisShimSpec extends SparkSpec {
     } finally sys.props -= "SPARK_GRAFT_SHIM_SORT_MB"
   }
 
+  test("spill builds are shard-owned: disjoint builders, identical results") {
+    // a fresh fixture copy → fresh cache keys, so this spec observes the
+    // build states from scratch
+    val dir = Files.createTempDirectory("shim-owned")
+    val path = dir.resolve("events.parquet").toString
+    graft.Tables.events(spark, sf).coalesce(1).write.parquet(path)
+    val n = 4
+    assert((0 until n).forall(!KinesisShim.shardSpillPublished(path, n, _)))
+    // builder A owns shards {0, 2}: first touch builds THOSE spills only —
+    // the other shards' spills do not exist on this "machine"
+    val a = Seq(0, 2).map(sh =>
+      sh -> KinesisShim.readShardSlice(path, n, sh, 0, Long.MaxValue))
+    assert(KinesisShim.shardSpillPublished(path, n, 0))
+    assert(KinesisShim.shardSpillPublished(path, n, 2))
+    assert(!KinesisShim.shardSpillPublished(path, n, 1), "unowned shard was built")
+    assert(!KinesisShim.shardSpillPublished(path, n, 3), "unowned shard was built")
+    // builder B owns the complement {1, 3}
+    val b = Seq(1, 3).map(sh =>
+      sh -> KinesisShim.readShardSlice(path, n, sh, 0, Long.MaxValue))
+    assert((0 until n).forall(KinesisShim.shardSpillPublished(path, n, _)))
+    // the union of the disjoint builds serves exactly the reference
+    // stream: same records, same per-shard order, byte-identical payloads
+    for ((sh, got) <- a ++ b) {
+      val ref = KinesisShim.readShardSlice(s"$sf/events.parquet", n, sh, 0, Long.MaxValue)
+      assert(got.map(_.pk).toSeq == ref.map(_.pk).toSeq, s"shard $sh order differs")
+      assert(got.map(_.data.toSeq).toSeq == ref.map(_.data.toSeq).toSeq,
+        s"shard $sh payloads differ")
+    }
+    assert((a ++ b).map(_._2.length).sum == nEvents)
+  }
+
   test("rejects an unknown startingPosition") {
     intercept[IllegalArgumentException] {
       PipelineConfig(startingPosition = "AT_TIMESTAMP")
