@@ -103,7 +103,8 @@ object Graph {
     * flags.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               wCol: String, iters: Int = 5): DataFrame = {
+               wCol: String, iters: Int = 5,
+               forceDataFrameLoop: Boolean = false): DataFrame = {
     // cap 200: [[pageRankConverged]] replays this recurrence to its exact
     // integer fixed point, whose slow flooring tail can run past 50 rounds
     // even on small graphs
@@ -134,6 +135,25 @@ object Graph {
     // one-join-one-aggregate loop, so that is the plan we run.
     val total = ow.count() == n
     val allReceive = e.select("dst").distinct().count() == n
+
+    // Integral ids and weights take the RDD round loop (below): same
+    // integer recurrence, but the edge relation is hash-partitioned by
+    // source ONCE and every round's rank join is co-partitioned (narrow)
+    // — one shuffle per round (the dst re-aggregate) at ANY scale, where
+    // the DataFrame loop re-plans per round and, past the broadcast
+    // threshold, re-shuffles edges every round. Non-integral inputs keep
+    // the DataFrame loop (also forced by specs for the parity proof).
+    val integral = {
+      import org.apache.spark.sql.types._
+      def ok(t: DataType) = t match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      ok(ed.schema("src").dataType) && ok(ed.schema("dst").dataType) &&
+        ok(ed.schema("w").dataType)
+    }
+    if (integral && !forceDataFrameLoop)
+      return pageRankRdd(e, nodes, srcs, n, base, total, allReceive, iters)
 
     var pr = nodes.select(col("id"), lit(Total / n).as("pr"))
     (1 to iters).foreach { _ =>
@@ -178,6 +198,98 @@ object Graph {
         }
     }
     pr.select("id", "pr")
+  }
+
+  /** The PageRank round loop as RDDs over integral ids/weights — same
+    * exact integer recurrence as the DataFrame loop (Math.multiplyExact/
+    * addExact mirror ANSI overflow-throws; `div` operands are all
+    * positive so `/` is the same floor), spec-proven bit-equal on the
+    * total, dangling, and isolated-receiver shapes. What it buys:
+    *  - edges (with per-source total weight) hash-partition by src ONCE
+    *    and persist; every round's rank join is co-partitioned → narrow.
+    *    The DataFrame loop relies on AQE broadcasting the |V|-row rank
+    *    relation per round — fine while |V| broadcasts, but past that
+    *    threshold it degrades to re-shuffling EDGES every round; here
+    *    the per-round shuffle is the contribution re-aggregate (|V|-row)
+    *    only, at any scale.
+    *  - zero per-round Catalyst planning (the q_components finding).
+    *  - on a total all-receiving graph the rounds chain lazily into one
+    *    linear-lineage job, zero per-round actions; the dangling path
+    *    pays its one scalar action per round exactly like the DataFrame
+    *    loop's dangling-mass aggregate.
+    */
+  private def pageRankRdd(e: DataFrame, nodes: DataFrame, srcs: DataFrame,
+                          n: Long, base: Long, total: Boolean,
+                          allReceive: Boolean, iters: Int): DataFrame = {
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    val spark = e.sparkSession
+    import spark.implicits._
+    val idType = nodes.schema("id").dataType
+    val p = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, n / 5000L + 1L)).toInt
+    val part = new HashPartitioner(p)
+    val edges: RDD[(Long, (Long, Long, Long))] = e
+      .select(col("src").cast("long"), col("dst").cast("long"),
+        col("w").cast("long"), col("tw").cast("long"))
+      .as[(Long, Long, Long, Long)].rdd
+      .map { case (s, d, w, tw) => (s, (d, w, tw)) }
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    val nodesR: RDD[(Long, Unit)] = nodes
+      .select(col("id").cast("long")).as[Long].rdd
+      .map((_, ())).partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    // dangling-node SET is static graph structure: derive it once
+    val dangR: Option[RDD[(Long, Unit)]] =
+      if (total) None
+      else Some(nodes
+        .join(srcs, nodes("id") === srcs("src"), "left_anti")
+        .select(col("id").cast("long")).as[Long].rdd
+        .map((_, ())).partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK))
+    val lean = total && allReceive
+    var pr: RDD[(Long, Long)] = nodesR.mapValues(_ => Total / n)
+    var prevStore: RDD[_] = null
+    (1 to iters).foreach { _ =>
+      val contrib = edges.join(pr, part)
+        .map { case (_, ((d, w, tw), prv)) =>
+          (d, Math.multiplyExact(Math.multiplyExact(prv, 85L), w) /
+            Math.multiplyExact(100L, tw))
+        }
+        .reduceByKey(part, (a, b) => Math.addExact(a, b)) // the ONE shuffle
+      val next: RDD[(Long, Long)] =
+        if (lean) contrib.mapValues(s => Math.addExact(base, s))
+        else {
+          val dangTerm: Long =
+            if (total) 0L
+            else {
+              // one scalar action per round — same as the DataFrame
+              // loop's dangling-mass aggregate; it also materializes the
+              // previous round's persisted ranks
+              val dm = pr.join(dangR.get, part).map(_._2._1)
+                .fold(0L)(Math.addExact)
+              Math.multiplyExact(dm, 85L) / Math.multiplyExact(100L, n)
+            }
+          nodesR.leftOuterJoin(contrib, part).mapValues { case (_, s) =>
+            Math.addExact(Math.addExact(base, s.getOrElse(0L)), dangTerm)
+          }
+        }
+      pr =
+        if (lean) next // single rank reference per round → linear lineage
+        else {
+          val stored = next.persist(StorageLevel.MEMORY_AND_DISK)
+          if (prevStore != null) prevStore.unpersist(blocking = false)
+          prevStore = stored
+          stored
+        }
+    }
+    val out = spark.createDataFrame(pr).toDF("id", "pr")
+      .select(col("id").cast(idType).as("id"), col("pr"))
+      .localCheckpoint(eager = true)
+    edges.unpersist(blocking = false)
+    nodesR.unpersist(blocking = false)
+    dangR.foreach(_.unpersist(blocking = false))
+    if (prevStore != null) prevStore.unpersist(blocking = false)
+    out
   }
 
   /** [[pageRank]] run TO ITS EXACT INTEGER FIXED POINT: because ranks

@@ -283,6 +283,32 @@ class GraphSpec extends SparkSpec {
     assert(lbls(mv3) == lbls(mv2))
   }
 
+  test("pageRank RDD loop is bit-identical to the DataFrame loop on " +
+      "total, dangling, and isolated-receiver shapes") {
+    def both(e: DataFrame): (Map[Long, Long], Map[Long, Long]) = {
+      def run(df: Boolean) = Graph.pageRank(e, "src", "dst", "w",
+        forceDataFrameLoop = df).as[(Long, Long)].collect().toMap
+      (run(false), run(true))
+    }
+    // total + all-receiving (symmetric): the lean zero-action chain
+    val s = both(sym((1L, 2L, 2L), (2L, 3L, 1L), (3L, 4L, 5L), (2L, 4L, 3L)))
+    assert(s._1 == s._2)
+    // dangling sinks (4 and 5 have no out-edges): per-round mass term
+    val d = both(Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 1L), (1L, 5L, 1L))
+      .toDF("src", "dst", "w"))
+    assert(d._1 == d._2)
+    // total but NOT all-receiving (1 receives nothing): left-join path
+    val i = both(Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 2L, 1L))
+      .toDF("src", "dst", "w"))
+    assert(i._1 == i._2)
+    // and the RDD loop is layout-invariant
+    val e = sym((1L, 2L, 2L), (2L, 3L, 1L), (3L, 4L, 5L))
+    val base = Graph.pageRank(e, "src", "dst", "w").as[(Long, Long)].collect().toMap
+    val rep = Graph.pageRank(e.repartition(13), "src", "dst", "w")
+      .as[(Long, Long)].collect().toMap
+    assert(base == rep)
+  }
+
   test("pageRank to convergence: fixed point equals the iterated recurrence") {
     val e = sym((1L, 2L, 2L), (2L, 3L, 1L), (3L, 4L, 5L), (4L, 1L, 1L), (2L, 4L, 3L))
     val conv = Graph.pageRankConverged(e, "src", "dst", "w")
