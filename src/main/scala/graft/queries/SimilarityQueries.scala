@@ -302,6 +302,19 @@ object SimilarityQueries {
       Similarity.kmeansReport(emb(s, dir), "vec_id", "embedding",
         k = 8, maxIters = 25)),
 
+    // Full-corpus k-means over the FLOAT32-PACKED scan: the per-round
+    // work is a linear scan of the vectors, so the packed layout's byte
+    // halving lands directly on the round cost at scale. UnpackF32
+    // widens losslessly and the 2^20 quantization then runs on the
+    // f32-rounded values — which the oracle replays by CAST(x AS FLOAT)
+    // before the same unrolled rounds.
+    "emb_kmeans_f32" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.unpack_f32
+      val p = graft.Tables.embeddingsPacked(s, dir)
+        .select(col("vec_id"), unpack_f32(col("emb_f32")).as("embedding"))
+      Similarity.kmeansReport(p, "vec_id", "embedding", k = 8, maxIters = 25)
+    }),
+
     // Same fixed-point Lloyd's, seeded by the DETERMINISTIC k-means‖
     // oversampling init (Bahmani 2012; md5-derived u/d² priorities in
     // place of Poisson trials, exact integer distances, greedy weighted
@@ -792,6 +805,7 @@ object SimilarityQueries {
         |FROM dist JOIN lim ON dist.label = lim.label
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "emb_kmeans" -> kmeansSql(k = 8, iters = 25),
+    "emb_kmeans_f32" -> kmeansF32Sql(k = 8, iters = 25),
     "emb_kmeans_kpar" -> kmeansKparSql(k = 8, iters = 25, rounds = 3, l = 16),
     "emb_cluster_sample" -> clusterSampleSql(k = 8, iters = 25, m = 3),
     "sim_ivf_append" -> ivfAppendSql
@@ -887,12 +901,17 @@ object SimilarityQueries {
     * rounds (a converged engine state is a fixed point, so the capped
     * unroll reproduces a detected early stop exactly), report nonempty
     * cells of the final assignment via Σ|x−m|² = Σ|x|² − |s|²/n. */
-  private def kmeansPrefixSql(k: Int, iters: Int): String = {
+  private def kmeansPrefixSql(k: Int, iters: Int): String =
+    kmeansPrefixSqlFrom(k, iters, "x")
+
+  /** `xExpr` maps each raw double element before quantization — "x" for
+    * the plain path, the FLOAT round trip for the packed-f32 path. */
+  private def kmeansPrefixSqlFrom(k: Int, iters: Int, xExpr: String): String = {
     val rounds = (1 to iters).map(kmeansIterSql).mkString(",\n")
     s"""WITH e0 AS MATERIALIZED (
        |  SELECT vec_id,
        |         list_transform(CAST(embedding AS DOUBLE[]),
-       |                        x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)) AS q
+       |                        x -> CAST(floor(($xExpr) * 1048576.0 + 0.5) AS BIGINT)) AS q
        |  FROM embeddings WHERE embedding IS NOT NULL),
        |e AS MATERIALIZED (SELECT vec_id AS id, q FROM e0),
        |smp AS (
@@ -994,8 +1013,14 @@ object SimilarityQueries {
        |ORDER BY cell""".stripMargin
   }
 
-  private def kmeansSql(k: Int, iters: Int): String = {
-    s"""${kmeansPrefixSql(k, iters)}
+  private def kmeansSql(k: Int, iters: Int): String =
+    kmeansSqlFrom(k, iters, "x")
+
+  private def kmeansF32Sql(k: Int, iters: Int): String =
+    kmeansSqlFrom(k, iters, "CAST(CAST(x AS FLOAT) AS DOUBLE)")
+
+  private def kmeansSqlFrom(k: Int, iters: Int, xExpr: String): String = {
+    s"""${kmeansPrefixSqlFrom(k, iters, xExpr)}
        |SELECT CAST(g.cell AS INT) AS cell, h.n AS n,
        |       round(sqrt(list_reduce(list_transform(g.s,
        |           sd -> (CAST(sd AS DOUBLE)/CAST(h.n AS DOUBLE)) * (CAST(sd AS DOUBLE)/CAST(h.n AS DOUBLE))),
