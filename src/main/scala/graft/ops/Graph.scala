@@ -333,7 +333,8 @@ object Graph {
   def pageRankConverged(edges: DataFrame, srcCol: String, dstCol: String,
                         wCol: String, maxIters: Int = 320,
                         checkEvery: Int = 16,
-                        localMaxNodes: Int = 65536): DataFrame = {
+                        localMaxNodes: Int = 65536,
+                        forceDataFrameLoop: Boolean = false): DataFrame = {
     require(maxIters >= 1 && checkEvery >= 1)
     retireLastGeneration()
     val ed = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
@@ -359,7 +360,16 @@ object Graph {
     val base = Base / n
     // same structure probes as [[pageRank]]: on a total all-receiving
     // graph the general recurrence reduces bit-for-bit to the lean form
-    val lean = ow.count() == n && e.select("dst").distinct().count() == n
+    val total = ow.count() == n
+    val lean = total && e.select("dst").distinct().count() == n
+    // ABOVE the driver gate, integral inputs run the RDD round loop —
+    // the same once-partitioned edge relation and per-window check
+    // schedule as [[pageRankRdd]] (spec-proven bit-equal to this
+    // DataFrame loop, which stays the non-integral fallback and the
+    // documented oracle shape)
+    if (integralIds && !forceDataFrameLoop)
+      return pageRankConvergedRdd(e, nodes, srcs, n, total, lean,
+        maxIters, checkEvery)
     val step = if (lean) checkEvery else 1
     var pr = nodes.select(col("id"), lit(Total / n).as("pr"))
       .localCheckpoint(eager = true)
@@ -396,6 +406,100 @@ object Graph {
     require(delta == 0L,
       s"pagerank did not reach its integer fixed point within $maxIters rounds")
     pr.select(col("id"), col("pr"), lit(iters.toLong).as("n_iters"))
+  }
+
+  /** [[pageRankConverged]]'s round loop as RDDs — the [[pageRankRdd]]
+    * design (edges hash-partitioned by src once, narrow per-round rank
+    * join, one |V|-row shuffle per round, zero per-round planning) with
+    * the converged loop's check schedule on top: on a lean graph
+    * `checkEvery` rounds chain lazily between L1-delta actions, so a
+    * ~170-round drain costs ~11 driver barriers; a dangling graph checks
+    * every round exactly like the DataFrame loop. Bit-equal to both the
+    * DataFrame loop and the driver-gate solve (spec-proven). */
+  private def pageRankConvergedRdd(e: DataFrame, nodes: DataFrame,
+                                   srcs: DataFrame, n: Long, total: Boolean,
+                                   lean: Boolean, maxIters: Int,
+                                   checkEvery: Int): DataFrame = {
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    val spark = e.sparkSession
+    import spark.implicits._
+    val idType = nodes.schema("id").dataType
+    val base = Base / n
+    val step = if (lean) checkEvery else 1
+    val p = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, n / 5000L + 1L)).toInt
+    val part = new HashPartitioner(p)
+    val edges: RDD[(Long, (Long, Long, Long))] = e
+      .select(col("src").cast("long"), col("dst").cast("long"),
+        col("w").cast("long"), col("tw").cast("long"))
+      .as[(Long, Long, Long, Long)].rdd
+      .map { case (s, d, w, tw) => (s, (d, w, tw)) }
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    val nodesR: RDD[(Long, Unit)] = nodes
+      .select(col("id").cast("long")).as[Long].rdd
+      .map((_, ())).partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    val dangR: Option[RDD[(Long, Unit)]] =
+      if (total) None
+      else Some(nodes
+        .join(srcs, nodes("id") === srcs("src"), "left_anti")
+        .select(col("id").cast("long")).as[Long].rdd
+        .map((_, ())).partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK))
+    def round(prv: RDD[(Long, Long)]): RDD[(Long, Long)] = {
+      val contrib = edges.join(prv, part)
+        .map { case (_, ((d, w, tw), r)) =>
+          (d, Math.multiplyExact(Math.multiplyExact(r, 85L), w) /
+            Math.multiplyExact(100L, tw))
+        }
+        .reduceByKey(part, (a, b) => Math.addExact(a, b))
+      if (lean) contrib.mapValues(s => Math.addExact(base, s))
+      else {
+        val dangTerm: Long =
+          if (total) 0L
+          else {
+            val dm = prv.join(dangR.get, part).map(_._2._1)
+              .fold(0L)(Math.addExact)
+            Math.multiplyExact(dm, 85L) / Math.multiplyExact(100L, n)
+          }
+        nodesR.leftOuterJoin(contrib, part).mapValues { case (_, s) =>
+          Math.addExact(Math.addExact(base, s.getOrElse(0L)), dangTerm)
+        }
+      }
+    }
+    var pr: RDD[(Long, Long)] = nodesR.mapValues(_ => Total / n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iters = 0
+    var delta = -1L
+    val retired = scala.collection.mutable.ArrayBuffer.empty[RDD[_]]
+    while (delta != 0L && iters < maxIters) {
+      var cur = pr
+      for (_ <- 1 to step) cur = round(cur)
+      val next = cur.persist(StorageLevel.MEMORY_AND_DISK)
+      // ONE action per window: the L1 delta between check points (it
+      // also materializes the window's persisted ranks)
+      delta = next.join(pr, part)
+        .map { case (_, (a, b)) => Math.abs(a - b) }
+        .fold(0L)(Math.addExact)
+      iters += step
+      retired += pr
+      pr = next
+      // the dangling path's per-round scalar action reads the PREVIOUS
+      // window's ranks mid-chain, so retire caches one window late
+      while (retired.length > 2) retired.remove(0).unpersist(blocking = false)
+    }
+    require(delta == 0L,
+      s"pagerank did not reach its integer fixed point within $maxIters rounds")
+    val out = spark.createDataFrame(pr).toDF("id", "pr")
+      .select(col("id").cast(idType).as("id"), col("pr"),
+        lit(iters.toLong).as("n_iters"))
+      .localCheckpoint(eager = true)
+    edges.unpersist(blocking = false)
+    nodesR.unpersist(blocking = false)
+    dangR.foreach(_.unpersist(blocking = false))
+    retired.foreach(_.unpersist(blocking = false))
+    pr.unpersist(blocking = false)
+    out
   }
 
   /** Driver-array execution of [[pageRankConverged]]'s recurrence for

@@ -341,9 +341,15 @@ class GraphSpec extends SparkSpec {
     for (e <- Seq(lean, dangling)) {
       val local = Graph.pageRankConverged(e, "src", "dst", "w")
         .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      // forced-distributed, RDD round loop (the integral-id default)
       val dist = Graph.pageRankConverged(e, "src", "dst", "w", localMaxNodes = 0)
         .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      // forced-distributed, DataFrame round loop (the documented shape)
+      val distDf = Graph.pageRankConverged(e, "src", "dst", "w",
+          localMaxNodes = 0, forceDataFrameLoop = true)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
       assert(local == dist)
+      assert(local == distDf)
     }
   }
 
