@@ -162,6 +162,41 @@ object Tables {
     s.read.parquet(dst)
   }
 
+  /** Int8 scalar-quantized (SQ8) embeddings layout: (vec_id, emb_i8
+    * BINARY, scale DOUBLE). One signed byte per dimension against a
+    * CORPUS-GLOBAL scale (max |x| over every vector element, computed once
+    * at layout-write time and stored as a constant column — RLE makes it
+    * ~free on disk, and readers never re-scan the double table for it).
+    * 8× fewer raw vector bytes than `array<double>`, 2× fewer than the
+    * float32 packing — the first-stage scan format for a 100 TB ANN
+    * corpus; [[graft.ops.Similarity.int8TopK]] ranks on exact integer
+    * dot products over these codes. Same write-once cache contract as
+    * the layouts above. */
+  def embeddingsInt8(s: SparkSession, dir: String): DataFrame = {
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    val cacheKey = layoutCacheKey(src) + ":i8"
+    val dst = relayoutCache.getOrElseUpdate(cacheKey, {
+      val hash = java.security.MessageDigest.getInstance("MD5")
+        .digest(cacheKey.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val out = new java.io.File(s"/tmp/graft-layout/$hash/embeddings_i8.parquet")
+      if (!new java.io.File(out, "_SUCCESS").isFile) {
+        val e = table(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        // corpus-global max |x|: order-free, exact in IEEE doubles, so the
+        // oracle's max(abs(x)) over UNNEST reproduces it bit-for-bit
+        val scale = e.select(max(aggregate(col("v"),
+          lit(0.0), (acc, x) => greatest(acc, abs(x)))).as("scale"))
+        e.crossJoin(broadcast(scale))
+          .select(col("vec_id"),
+            graft.functions.GraftFunctions.pack_i8(col("v"), col("scale")).as("emb_i8"),
+            col("scale"))
+          .write.mode("overwrite").parquet(out.getPath)
+      }
+      out.getPath
+    })
+    s.read.parquet(dst)
+  }
+
   /** Metadata-only row count of `dir/name.parquet` straight from the
     * parquet footer — no Spark job, no scan. This is the "free" table
     * cardinality a catalog would hold at 100 TB, used by callers that

@@ -550,6 +550,11 @@ object HyperplaneSig {
   def matrix(planes: Int, dims: Int): Array[Array[Double]] =
     Array.tabulate(planes, dims)((p, d) => component(p, d))
 
+  /** The single plane component (p, d) — shared with [[RandomProject]],
+    * which keeps the real projection where [[compute]] keeps the sign. */
+  private[functions] def matrixComponent(plane: Int, dim: Int): Double =
+    component(plane, dim)
+
   /** splitmix64 finalizer — uniform component in [-1, 1). */
   private def component(plane: Int, dim: Int): Double = {
     var z = plane.toLong * 0x9E3779B97F4A7C15L + dim.toLong * 0xC2B2AE3D27D4EB4FL + 42L
@@ -737,6 +742,197 @@ object UnpackF32 {
   }
 }
 
+/** Johnson-Lindenstrauss random projection in ONE pass: y_p = <v, r_p>
+  * for `rDims` planes, REAL-valued (where [[HyperplaneSig]] keeps only the
+  * sign bit). Plane components come from the SAME splitmix64 hash-mixing
+  * as sign-LSH — deterministic, no RNG state, no stored matrix — so the
+  * DuckDB oracle embeds [[HyperplaneSig.matrix]]'s constants verbatim and
+  * replays every projection bit-for-bit (left-to-right dim fold). The
+  * dimension-reduction lever for ANN at 100 TB: a 64→16 projection cuts
+  * vector bytes 4× ahead of any distance scan, with the JL guarantee
+  * bounding the distortion; `sim_rp_recall` measures what it costs. */
+case class RandomProject(child: Expression, rDims: Int) extends UnaryExpression {
+  require(rDims > 0 && rDims <= 256)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires ARRAY<DOUBLE> input")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "random_project"
+
+  override protected def nullSafeEval(input: Any): Any =
+    RandomProject.compute(input.asInstanceOf[ArrayData], rDims)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RandomProject.compute($c, $rDims)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RandomProject {
+  def compute(v: ArrayData, rDims: Int): ArrayData = {
+    val dims = v.numElements()
+    val out = new Array[Double](rDims)
+    var p = 0
+    while (p < rDims) {
+      // identical component derivation AND fold order to
+      // HyperplaneSig.compute — the oracle replays both from the same
+      // embedded matrix constants
+      var proj = 0.0
+      var d = 0
+      while (d < dims) {
+        proj += v.getDouble(d) * HyperplaneSig.matrixComponent(p, d)
+        d += 1
+      }
+      out(p) = proj
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Int8 scalar quantization (SQ8) of an `array<double>` embedding against
+  * a corpus-global scale: code[i] = clamp(floor(x[i]*127/scale + 0.5),
+  * -127, 127), one SIGNED BYTE per dimension. The arithmetic is chosen to
+  * be replayable in ANSI SQL (floor(+0.5) instead of a platform round;
+  * left-to-right (x*127)/scale), so the DuckDB oracle reproduces every
+  * code bit-for-bit. vs `array<double>` this is an 8× reduction in raw
+  * vector bytes — the scan-side lever for a 100 TB ANN corpus where the
+  * first-stage ranking tolerates quantization and a small re-rank
+  * restores exactness (same two-stage shape as [[HyperplaneSig]]'s 1-bit
+  * signatures, at 8-bit fidelity). */
+case class PackI8(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.DoubleType, _),
+            org.apache.spark.sql.types.DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(s"$prettyName requires (ARRAY<DOUBLE>, DOUBLE)")
+    }
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pack_i8"
+
+  override protected def nullSafeEval(v: Any, s: Any): Any =
+    PackI8.pack(v.asInstanceOf[ArrayData], s.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, s) => s"graft.functions.PackI8.pack($v, $s)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object PackI8 {
+  def pack(v: ArrayData, scale: Double): Array[Byte] = {
+    val n = v.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val q = math.floor(v.getDouble(i) * 127.0 / scale + 0.5)
+      out(i) = math.max(-127.0, math.min(127.0, q)).toByte
+      i += 1
+    }
+    out
+  }
+}
+
+/** Inverse of [[PackI8]] up to the quantization: BINARY → `array<long>`
+  * of the signed int8 codes (NOT dequantized values — integer codes keep
+  * downstream dot products exact and hash-stable). */
+case class UnpackI8(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires BINARY input")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "unpack_i8"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UnpackI8.unpack(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.UnpackI8.unpack($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object UnpackI8 {
+  def unpack(b: Array[Byte]): ArrayData = {
+    val out = new Array[Long](b.length)
+    var i = 0
+    while (i < b.length) { out(i) = b(i).toLong; i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** Exact integer dot product of two [[PackI8]] codes, straight off the
+  * bytes (no array materialization, no per-element null machinery): the
+  * int8 first-stage ranking kernel. |code| ≤ 127 and realistic dims keep
+  * the sum far inside a long (64 dims → |dot| ≤ 64·127² ≈ 1.03e6). */
+case class DotI8(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires (BINARY, BINARY)")
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dot_i8"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DotI8.dot(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DotI8.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object DotI8 {
+  def dot(a: Array[Byte], b: Array[Byte]): Long = {
+    require(a.length == b.length,
+      s"int8 code length mismatch: ${a.length} vs ${b.length}")
+    var acc = 0L
+    var i = 0
+    while (i < a.length) { acc += a(i).toLong * b(i).toLong; i += 1 }
+    acc
+  }
+  def normSq(a: Array[Byte]): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < a.length) { acc += a(i).toLong * a(i).toLong; i += 1 }
+    acc
+  }
+}
+
+/** Σ code² of a [[PackI8]] blob — the quantized squared norm, exact. */
+case class NormSqI8(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires BINARY input")
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "normsq_i8"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DotI8.normSq(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.DotI8.normSq($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
   private def col(e: Expression): Column = Bridge.column(e)
   private def expr(c: Column): Expression = Bridge.expression(c)
@@ -758,6 +954,11 @@ object GraftFunctions {
   def hyperplane_sig(c: Column, planes: Int): Column = col(HyperplaneSig(expr(c), planes))
   def pack_f32(c: Column): Column = col(PackF32(expr(c)))
   def unpack_f32(c: Column): Column = col(UnpackF32(expr(c)))
+  def random_project(c: Column, rDims: Int): Column = col(RandomProject(expr(c), rDims))
+  def pack_i8(c: Column, scale: Column): Column = col(PackI8(expr(c), expr(scale)))
+  def unpack_i8(c: Column): Column = col(UnpackI8(expr(c)))
+  def dot_i8(a: Column, b: Column): Column = col(DotI8(expr(a), expr(b)))
+  def normsq_i8(c: Column): Column = col(NormSqI8(expr(c)))
   def dateutil_timestamp(c: Column): Column = col(DateUtilTimestamp(expr(c)))
 
   /** Mark a column as provably non-null (Catalyst's KnownNotNull). Use on

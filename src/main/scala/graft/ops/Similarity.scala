@@ -102,6 +102,41 @@ object Similarity {
     topKPerGroup(scored, "qid", "sim", "id", k)
   }
 
+  /** Int8 scalar-quantized (SQ8) top-k over a [[graft.Tables.embeddingsInt8]]
+    * packed layout: ranks by QUANTIZED cosine — an exact integer dot
+    * product of the int8 codes ([[graft.functions.DotI8]], straight off
+    * the bytes) normalized by the exact integer code norms. The scan
+    * reads 1 byte/dimension (8× fewer raw vector bytes than
+    * `array<double>`); every input to the ranking is an integer, so the
+    * result is bit-stable and the DuckDB oracle replays the whole path —
+    * quantization, dot, norms, ranks — to an exact hash match.
+    * Deterministic ties: (sim desc, id asc). At 100 TB this is the
+    * first-stage scan format; compose with an exact re-rank of the
+    * shortlist (as [[binaryTopK]] does for 1-bit codes) when the final
+    * ranking must be full-precision. */
+  def int8TopK(packedCorpus: DataFrame, packedQueries: DataFrame,
+               idCol: String, codeCol: String, qidCol: String,
+               qcodeCol: String, k: Int = 10): DataFrame = {
+    import graft.functions.GraftFunctions.{dot_i8, normsq_i8}
+    val c = Par.spread(packedCorpus.select(col(idCol).as("id"), col(codeCol).as("code")))
+      .filter(col("code").isNotNull)
+      .withColumn("nsq", normsq_i8(col("code")))
+    val q = packedQueries.select(col(qidCol).as("qid"), col(qcodeCol).as("qcode"))
+      .filter(col("qcode").isNotNull)
+      .withColumn("qnsq", normsq_i8(col("qcode")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("qid"))
+      // exact long dot / sqrt(exact long product): both engines evaluate
+      // the same two integers through the same IEEE ops, so sim is
+      // bit-identical (zero-norm codes excluded — a zero vector has no
+      // cosine direction in the full-precision baseline either)
+      .filter(col("nsq") > 0 && col("qnsq") > 0)
+      .withColumn("sim",
+        dot_i8(col("code"), col("qcode")).cast("double") /
+          sqrt((col("nsq") * col("qnsq")).cast("double")))
+    topKPerGroup(scored, "qid", "sim", "id", k)
+  }
+
   /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
     * corpus into `nlist` cells; each query probes its `nProbe` nearest
     * centroids and exact-searches only those cells. The learned-centroid

@@ -433,6 +433,65 @@ object PipelineQueries {
         .orderBy("index_name")
     }),
 
+    // §2.6 STREAMING NEAR-DUP row: banded-SimHash dedup via
+    // flatMapGroupsWithState (NearDupStream) — near-duplicate documents
+    // flagged AS THEY ARRIVE, the streaming face of the batch
+    // MinHash/SimHash dedup family. The stream is keyed by (band,
+    // band-value) buckets (LSH candidate generation as the SHARDING
+    // strategy), verdicts land per-(doc, band) in the sink, and the
+    // reader OR-combines bands and rolls up per source. 3 doc_id-ordered
+    // slices so verdicts span batch boundaries; dup(d) ⇔ ∃ earlier doc in
+    // a shared band within hamming 8 — stated relationally by the oracle.
+    "pipe_stream_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = streamTmp("graft-stream-neardup")
+      val src = cachedFeed("neardup-docs", dir) { f =>
+        val d = graft.Tables.table(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          // synthetic event time = arrival seq; +1 because a row whose
+          // event time EQUALS the zero initial watermark is filtered by
+          // the stateful operator (epoch 0 is not "later than" watermark 0)
+          .select(col("doc_id"), col("text"), col("source"),
+            to_timestamp(col("doc_id") + 1).as("ts"))
+        val total = d.count()
+        val sliced = d.withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
+          .withColumn("bucket", ((col("rn") - 1) * 3 / total).cast("int"))
+          .drop("rn")
+        writeSlices(sliced, f, 3)
+      }
+      val stream = s.readStream
+        .schema("doc_id long, text string, source string, ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val banded = stream
+        .withColumn("sig", graft.functions.GraftFunctions.simhash64(
+          graft.ops.TextAnalysis.tokens(col("text")), graft.functions.SimHash64.Md5))
+        .select(col("doc_id"), col("source"), col("ts"), col("sig"),
+          posexplode(array((0 until 4).map(b =>
+            shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+        .select((col("pos").cast("long") * 65536L + col("col")).as("bucket"),
+          col("doc_id").as("seq"), col("doc_id"), col("source"),
+          col("sig"), col("ts"))
+        .as[graft.streaming.NearDupStream.BandedDoc]
+      val verdicts = graft.streaming.NearDupStream.verdicts(banded,
+        maxHamming = 8, watermark = "3650 days",
+        horizonMs = 365L * 86400000L)
+      val outDir = tmp.resolve("out").toString
+      withFewShufflePartitions(s) {
+        verdicts.toDF().writeStream
+          .format("parquet").option("path", outDir)
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
+      s.read.parquet(outDir)
+        .groupBy("doc_id", "source").agg(max(col("dup")).as("dup"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("dup"), 1L).otherwise(0L)).as("n_near_dups"))
+        .orderBy("source")
+    }),
+
     // §2.6 STATEFUL quota row: RateLimit.admit (flatMapGroupsWithState
     // token bucket — at most `quota` events per event_type per day)
     // driven over 4 micro-batches. Batches are sliced in STRICT
@@ -847,6 +906,38 @@ object PipelineQueries {
         s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
       "pipe_stream_dedup" ->
         s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
+      // Relational statement of the streaming banded-SimHash dedup:
+      // dup(d) ⇔ ∃ earlier doc (smaller doc_id = arrival seq) sharing a
+      // 16-bit band of the md5 SimHash within hamming 8. Same md5-simhash
+      // replay as dedup_simhash's oracle.
+      "pipe_stream_neardup" ->
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+          |  FROM documents WHERE text IS NOT NULL),
+          |th AS (
+          |  SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h FROM toks),
+          |bits AS (
+          |  SELECT doc_id, bb.b AS b,
+          |         sum(CASE WHEN ((h >> bb.b) & 1) = 1 THEN 1 ELSE -1 END) AS c
+          |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bb
+          |  GROUP BY 1, 2),
+          |sigs AS (
+          |  SELECT doc_id,
+          |         bit_or(CASE WHEN c > 0 THEN (1::UBIGINT << b) ELSE 0::UBIGINT END) AS sim
+          |  FROM bits GROUP BY doc_id),
+          |banded AS (
+          |  SELECT doc_id, sim, band.band AS band,
+          |         (sim >> (band.band * 16)) & 65535 AS bucket
+          |  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) band),
+          |dup AS (
+          |  SELECT DISTINCT a.doc_id FROM banded a JOIN banded b
+          |    ON a.band = b.band AND a.bucket = b.bucket AND b.doc_id < a.doc_id
+          |  WHERE bit_count(xor(a.sim, b.sim)) <= 8)
+          |SELECT d.source, count(*) AS n_docs,
+          |       CAST(sum(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dups
+          |FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+          |WHERE d.text IS NOT NULL
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
       "pipe_stream_enrich" ->
         """SELECT CASE WHEN event_type IN ('click', 'view') THEN 'engagement'
           |            WHEN event_type = 'purchase' THEN 'revenue'

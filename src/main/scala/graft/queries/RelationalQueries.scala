@@ -1485,10 +1485,15 @@ object RelationalQueries {
     // calendar-seasonality profile behind every volume alert. Exact
     // integer sums; floats only in the final divisions.
     "q_seasonal_profile" -> ((s, dir) => {
+      // daily is |days| rows but its lineage is the full events scan, and
+      // it feeds BOTH the per-dow profile and the residual join — pin it
+      // once so the corpus is scanned once, not twice (the 10×-rehearsal
+      // ratio was 2.33× exactly because both passes rescaled)
       val daily = t(s, dir, "events")
         .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
         .agg(count(lit(1)).as("x"))
         .withColumn("dow", expr("(d + 4) % 7")) // 1970-01-01 was a Thursday
+        .localCheckpoint()
       val prof = daily.groupBy("dow")
         .agg(sum("x").as("sx"), count(lit(1)).as("nd"))
       daily.join(prof, "dow")
@@ -1509,9 +1514,12 @@ object RelationalQueries {
     // + (N−k)·S²) / (N·(N·Q − S²)) — layout-independent with one final
     // float division per lag.
     "q_autocorr" -> ((s, dir) => {
+      // 1 base + 7 per-lag aggregates all re-derive daily; pin the |days|-
+      // row aggregate once so events is scanned once, not 8 times
       val daily = t(s, dir, "events")
         .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
         .agg(count(lit(1)).as("x"))
+        .localCheckpoint()
       val w = Window.orderBy("d")
       val lagged = daily.select(
         (Seq(col("d"), col("x")) ++

@@ -177,6 +177,50 @@ object SimilarityQueries {
           "vec_id", "embedding", "vec_id", "embedding"))
     }),
 
+    // Johnson-Lindenstrauss random-projection recall: brute-force cosine
+    // over a 64→16 REAL projection (splitmix64-derived planes, the same
+    // matrix family as sign-LSH) vs the full-dimension baseline — the
+    // standard screen before shipping projected vectors (4× fewer bytes
+    // per vector ahead of every distance scan). Oracle-checked: the plane
+    // constants are embedded in the SQL and the projection + ranking are
+    // replayed bit-for-bit.
+    "sim_rp_recall" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.random_project
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val ep = e.select(col("vec_id"),
+        random_project(col("embedding").cast("array<double>"), 16).as("embedding"))
+      recallAt10(
+        Similarity.bruteForceTopK(e, q, "vec_id", "embedding", "vec_id", "embedding"),
+        Similarity.bruteForceTopK(ep, ep.filter(col("vec_id") < 10),
+          "vec_id", "embedding", "vec_id", "embedding"))
+    }),
+
+    // Int8 scalar-quantized (SQ8) top-k over the packed
+    // (vec_id, emb_i8 BINARY, scale) layout: 1 byte/dim on the wire (8×
+    // fewer raw vector bytes than array<double>), exact integer dot/norm
+    // arithmetic off the bytes — the oracle re-quantizes in SQL and
+    // replays the ranking to an exact hash match.
+    "sim_int8_topk" -> ((s, dir) => {
+      val p = graft.Tables.embeddingsInt8(s, dir)
+      Similarity.int8TopK(p, p.filter(col("vec_id") < 10),
+        "vec_id", "emb_i8", "vec_id", "emb_i8")
+        .select(col("qid"), col("id"), col("rank"), round(col("sim"), 4).as("sim"))
+        .orderBy("qid", "rank")
+    }),
+
+    // Int8 recall vs the full-precision brute force — the quality screen
+    // that says what the 8× byte cut costs (oracle-checked end to end)
+    "sim_int8_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val p = graft.Tables.embeddingsInt8(s, dir)
+      recallAt10(
+        Similarity.bruteForceTopK(e, q, "vec_id", "embedding", "vec_id", "embedding"),
+        Similarity.int8TopK(p, p.filter(col("vec_id") < 10),
+          "vec_id", "emb_i8", "vec_id", "emb_i8"))
+    }),
+
     // Embedding near-dup pairs via sign-LSH buckets + exact cosine —
     // oracle-checked (bucket-local pair generation, no n² cross join)
     "emb_near_dups" -> ((s, dir) =>
@@ -434,6 +478,34 @@ object SimilarityQueries {
   private def nrmSql(v: String, dims: Int = 64): String =
     s"sqrt(list_reduce(list_transform(generate_series(1, $dims), j -> $v[j]*$v[j]), (a,b)->a+b))"
 
+  // ---- Int8 (SQ8) oracle: re-derive the corpus-global scale (max |x|,
+  // order-free so any evaluation order matches), re-quantize every vector
+  // with the engine's exact arithmetic — floor((x*127)/s + 0.5) clamped to
+  // ±127 — then rank by the all-integer quantized cosine. Every ranking
+  // input is an integer, so the replay is bit-exact by construction. ----
+  private def int8TopKSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE embedding IS NOT NULL),
+       |sc AS (SELECT max(list_reduce(list_transform(v, x -> abs(x)),
+       |                 (a,b) -> greatest(a,b))) AS s FROM e),
+       |n AS (SELECT vec_id, q,
+       |        list_reduce(list_transform(q, c -> c*c), (a,b) -> a+b) AS nsq
+       |      FROM (SELECT vec_id,
+       |              list_transform(v, x -> CAST(greatest(-127.0, least(127.0,
+       |                floor((x*127.0)/sc.s + 0.5))) AS BIGINT)) AS q
+       |            FROM e CROSS JOIN sc) z),
+       |i8 AS (
+       |  SELECT qid, id, rank, sim FROM (
+       |    SELECT qid, id, sim,
+       |           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rank
+       |    FROM (
+       |      SELECT qq.vec_id AS qid, cc.vec_id AS id,
+       |             CAST(${dotSql("cc.q", "qq.q")} AS DOUBLE) /
+       |               sqrt(CAST(cc.nsq * qq.nsq AS DOUBLE)) AS sim
+       |      FROM n cc CROSS JOIN (SELECT * FROM n WHERE vec_id < 10) qq
+       |      WHERE cc.vec_id <> qq.vec_id AND cc.nsq > 0 AND qq.nsq > 0) s0) t
+       |  WHERE rank <= 10)""".stripMargin
+
   /** One unrolled Lloyd iteration: assign sample rows to the previous
     * centers (first-wins argmin: ORDER BY d2, cell), then per-(cell, dim)
     * sequential-in-sample-order mean; empty cells keep their center. */
@@ -681,6 +753,56 @@ object SimilarityQueries {
          |       CAST(sum(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
          |       round(sum(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END) / 10.0, 2) AS recall_at_10
          |FROM exact x LEFT JOIN bin a ON x.qid = a.qid AND x.id = a.id
+         |GROUP BY x.qid ORDER BY x.qid""".stripMargin,
+    "sim_rp_recall" ->
+      s"""WITH pl AS (SELECT ${planesLit(16, 64)}::DOUBLE[][] AS m),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |p AS (SELECT vec_id,
+         |        list_transform(generate_series(1, 16),
+         |          pp -> list_reduce(list_transform(generate_series(1, 64),
+         |                  j -> v[j]*pl.m[pp][j]), (a,b)->a+b)) AS y
+         |      FROM e CROSS JOIN pl),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         |qp AS (SELECT vec_id AS qid, y AS qy FROM p WHERE vec_id < 10),
+         |exact AS (
+         |  SELECT qid, id FROM (
+         |    SELECT q.qid, e.vec_id AS id,
+         |           row_number() OVER (PARTITION BY q.qid ORDER BY
+         |             ${dotSql("e.v", "q.qv")} / (${nrmSql("e.v")} * ${nrmSql("q.qv")}) DESC,
+         |             e.vec_id) AS rank
+         |    FROM e CROSS JOIN q WHERE e.vec_id <> q.qid) t
+         |  WHERE rank <= 10),
+         |rp AS (
+         |  SELECT qid, id FROM (
+         |    SELECT qq.qid, p.vec_id AS id,
+         |           row_number() OVER (PARTITION BY qq.qid ORDER BY
+         |             ${dotSql("p.y", "qq.qy", 16)} / (${nrmSql("p.y", 16)} * ${nrmSql("qq.qy", 16)}) DESC,
+         |             p.vec_id) AS rank
+         |    FROM p CROSS JOIN qp qq WHERE p.vec_id <> qq.qid) t
+         |  WHERE rank <= 10)
+         |SELECT x.qid,
+         |       CAST(sum(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |       round(sum(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END) / 10.0, 2) AS recall_at_10
+         |FROM exact x LEFT JOIN rp a ON x.qid = a.qid AND x.id = a.id
+         |GROUP BY x.qid ORDER BY x.qid""".stripMargin,
+    "sim_int8_topk" ->
+      s"""$int8TopKSql
+         |SELECT qid, id, rank, round(sim, 4) AS sim FROM i8 ORDER BY qid, rank""".stripMargin,
+    "sim_int8_recall" ->
+      s"""$int8TopKSql,
+         |qv2 AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         |exact AS (
+         |  SELECT qid, id FROM (
+         |    SELECT q.qid, e.vec_id AS id,
+         |           row_number() OVER (PARTITION BY q.qid ORDER BY
+         |             ${dotSql("e.v", "q.qv")} / (${nrmSql("e.v")} * ${nrmSql("q.qv")}) DESC,
+         |             e.vec_id) AS rank
+         |    FROM e CROSS JOIN qv2 q WHERE e.vec_id <> q.qid) t
+         |  WHERE rank <= 10)
+         |SELECT x.qid,
+         |       CAST(sum(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |       round(sum(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END) / 10.0, 2) AS recall_at_10
+         |FROM exact x LEFT JOIN i8 a ON x.qid = a.qid AND x.id = a.id
          |GROUP BY x.qid ORDER BY x.qid""".stripMargin,
     "sim_truncated_recall" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

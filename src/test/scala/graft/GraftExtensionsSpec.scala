@@ -70,6 +70,23 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(nulls.select(pack_f32(col("v"))).head.isNullAt(0))
   }
 
+  test("random_project: JL projection matches the embedded plane matrix") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions._
+    import spark.implicits._
+    val v = Seq(1.0, -0.5, 0.25, 2.0)
+    val got = Seq((1L, v)).toDF("id", "v")
+      .select(random_project(col("v"), 3).as("y"))
+      .head.getSeq[Double](0)
+    val m = graft.functions.HyperplaneSig.matrix(3, 4)
+    val want = (0 until 3).map(p =>
+      (0 until 4).map(d => v(d) * m(p)(d)).foldLeft(0.0)(_ + _))
+    assert(got == want) // bit-exact: same fold order as the matrix replay
+    // nulls pass through
+    val nulls = Seq((1L, null.asInstanceOf[Seq[Double]])).toDF("id", "v")
+    assert(nulls.select(random_project(col("v"), 3)).head.isNullAt(0))
+  }
+
   test("optimizer rule eliminates gzip roundtrips from the plan") {
     import org.apache.spark.sql.functions._
     import graft.functions.GraftFunctions._

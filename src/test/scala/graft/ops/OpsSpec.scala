@@ -321,6 +321,49 @@ class OpsSpec extends SparkSpec {
     assert(rows(1)._2 == Seq[Byte](0, 0, 0, 0) && rows(1)._3 == 0.0)
   }
 
+  test("SQ8 pack/unpack/dot: 1 byte per dim, clamped codes, exact integer algebra") {
+    import graft.functions.GraftFunctions._
+    val df = Seq((1L, Seq(0.5, -1.0, 0.25, 0.0), 1.0)).toDF("id", "v", "s")
+    val packed = df.select(pack_i8(col("v"), col("s")).as("b"))
+    val blob = packed.head.getAs[Array[Byte]](0)
+    assert(blob.length == 4) // 1 byte per dimension
+    // codes = floor(x*127/s + 0.5) clamped to ±127
+    assert(packed.select(unpack_i8(col("b"))).head.getSeq[Long](0) ==
+      Seq(64L, -127L, 32L, 0L))
+    // out-of-range values clamp instead of wrapping
+    val big = Seq((1L, Seq(9.0, -9.0), 1.0)).toDF("id", "v", "s")
+      .select(unpack_i8(pack_i8(col("v"), col("s"))))
+    assert(big.head.getSeq[Long](0) == Seq(127L, -127L))
+    // dot and normsq are the exact integer sums off the bytes
+    val two = Seq((Seq(1.0, 2.0, -3.0), Seq(2.0, 0.0, 1.0), 127.0))
+      .toDF("a", "b", "s")
+      .select(dot_i8(pack_i8(col("a"), col("s")), pack_i8(col("b"), col("s"))).as("d"),
+        normsq_i8(pack_i8(col("a"), col("s"))).as("n"))
+    assert(two.as[(Long, Long)].head == ((1L * 2 + 2 * 0 + -3 * 1, 1L + 4 + 9)))
+    // nulls pass through (null-intolerant)
+    val nulls = Seq((null.asInstanceOf[Seq[Double]], 1.0)).toDF("v", "s")
+    assert(nulls.select(pack_i8(col("v"), col("s"))).head.isNullAt(0))
+  }
+
+  test("int8TopK ranks an identical vector first with quantized cosine exactly 1.0") {
+    import graft.functions.GraftFunctions._
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0, 0.5, -0.25)),
+      (1L, Seq(1.0, 0.0, 0.5, -0.25)),  // duplicate of 0
+      (2L, Seq(-1.0, 0.2, -0.5, 0.25)), // near-opposite
+      (3L, Seq(0.0, 1.0, 0.0, 0.6))
+    ).toDF("vec_id", "v")
+    val scale = vecs.select(max(aggregate(col("v"),
+      lit(0.0), (acc, x) => greatest(acc, abs(x)))).as("s"))
+    val packed = vecs.crossJoin(broadcast(scale))
+      .select(col("vec_id"), pack_i8(col("v"), col("s")).as("code"))
+    val got = Similarity.int8TopK(packed, packed.filter(col("vec_id") === 0),
+      "vec_id", "code", "vec_id", "code", k = 3)
+      .orderBy("rank").as[(Long, Long, Long, Double)].collect()
+    assert(got.head._2 == 1L && got.head._4 == 1.0) // identical codes: exactly 1
+    assert(got.last._2 == 2L && got.last._4 < 0)    // opposite ranks last, negative
+  }
+
   test("bigram top share: exact ratio, null under two tokens") {
     val got = Seq("a b a b a", "x y z", "solo", "r r r r")
       .toDF("t")
