@@ -200,6 +200,77 @@ object Graph {
     pr.select("id", "pr")
   }
 
+  /** Personalized (topic-sensitive) PageRank, Haveliwala 2002: the
+    * teleport mass lands on a SEED set instead of uniformly — the ranking
+    * primitive behind "items related to THIS topic/basket" on the
+    * co-purchase graph. Same exact integer fixed-point arithmetic as
+    * [[pageRank]] (Total = 1e12 mass, 0.85 damping, positive-operand
+    * floor division), so the DuckDB oracle unrolls the identical
+    * recurrence: pr0 = Total//|S| on seeds else 0; each round every node
+    * earns its in-mass and seeds additionally earn (15%·Total)//|S|.
+    * Restricted to TOTAL graphs (every node has out-edges — any
+    * symmetric edge union qualifies): no dangling scalar, one join + one
+    * aggregate per round, rank relation |V| rows. Seeds outside the
+    * graph hold no mass (intersected with the node set). */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           wCol: String, seeds: DataFrame, seedIdCol: String,
+                           iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 200)
+    retireLastGeneration()
+    val ed = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).as("w"))
+      .transform(mat)
+    val ow = ed.groupBy("src").agg(sum(col("w")).as("tw"))
+    val e = ed.join(ow, "src").transform(mat)
+    val nodes = ed.select(col("src").as("id"))
+      .union(ed.select(col("dst").as("id")))
+      .distinct()
+      .transform(mat)
+    val n = nodes.count()
+    require(ow.count() == n,
+      "personalizedPageRank requires a total graph (every node has " +
+        "out-edges); pass the symmetric edge union")
+    val sd = seeds.select(col(seedIdCol).as("id")).distinct()
+      .join(nodes, "id").transform(mat)
+    val nS = sd.count()
+    require(nS > 0, "personalizedPageRank: empty seed set")
+    val seedBase = sd.select(col("id"), lit(Base / nS).as("sb")).transform(mat)
+    // every node receives a contribution row (true on any symmetric
+    // union — the expected input shape): the per-round node left join is
+    // provably a no-op, so the round reduces to join → aggregate → one
+    // tiny seed join, pr referenced once → LINEAR lineage, zero
+    // per-round driver actions (the same lean-plan reduction pageRank
+    // applies on total all-receiving graphs)
+    val allReceive = e.select("dst").distinct().count() == n
+    var pr = nodes
+      .join(sd.select(col("id"), lit(Total / nS).as("p0")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("p0"), lit(0L)).as("pr"))
+    (1 to iters).foreach { _ =>
+      val contrib = e.join(pr.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"), expr("(pr * 85 * w) div (100 * tw)").as("c"))
+        .groupBy("dst")
+        .agg(sum("c").as("s"))
+      pr =
+        if (allReceive)
+          contrib
+            .join(seedBase.withColumnRenamed("id", "dst"), Seq("dst"), "left")
+            .select(col("dst").as("id"),
+              (coalesce(col("sb"), lit(0L)) + col("s")).as("pr"))
+        else {
+          // keep ALL nodes in the relation: a node whose in-mass floors
+          // to zero still appears (rank 0), like pageRank's output.
+          // Doubled node-relation reference per round → truncate lineage.
+          nodes
+            .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+            .join(seedBase, Seq("id"), "left")
+            .select(col("id"),
+              (coalesce(col("sb"), lit(0L)) + coalesce(col("s"), lit(0L))).as("pr"))
+            .localCheckpoint(eager = true)
+        }
+    }
+    pr.select("id", "pr")
+  }
+
   /** The PageRank round loop as RDDs over integral ids/weights — same
     * exact integer recurrence as the DataFrame loop (Math.multiplyExact/
     * addExact mirror ANSI overflow-throws; `div` operands are all

@@ -1256,6 +1256,26 @@ object RelationalQueries {
       }
     }),
 
+    // Personalized (topic-sensitive) PageRank: teleport mass restricted
+    // to a seed set (every 20th item) — "items related to THIS topic" on
+    // the symmetric co-purchase graph. Same integer fixed point as
+    // q_pagerank; the oracle unrolls the seeded recurrence.
+    "q_pagerank_topic" -> ((s, dir) => {
+      import graft.ops.Graph
+      val pairs = copurchasePairs(s, dir)
+      val edges = pairs.select(col("item_a").as("src"), col("item_b").as("dst"),
+          col("n_ab").as("w"))
+        .union(pairs.select(col("item_b"), col("item_a"), col("n_ab")))
+      val seeds = t(s, dir, "part")
+        .select(col("p_partkey").as("id")).filter(col("id") % 20 === 0)
+      graphResult(s) {
+        Graph.personalizedPageRank(edges, "src", "dst", "w", seeds, "id", iters = 5)
+          .select(col("id").as("part_id"), col("pr").as("rank_fp"))
+          .orderBy(col("rank_fp").desc, col("part_id"))
+          .limit(50)
+      }
+    }),
+
     // PageRank on the DIRECTED (a<b) co-purchase edge list — a graph with
     // real dangling nodes (items appearing only as dst have no out-edges):
     // exercises the terminal-mass redistribution term that a total edge
@@ -2290,6 +2310,41 @@ object RelationalQueries {
        |ORDER BY rank_fp DESC, part_id LIMIT 50""".stripMargin
   }
 
+  /** q_pagerank_topic oracle: the SEEDED recurrence unrolled — pr0 =
+    * Total//|S| on seeds else 0; per round every node earns its floored
+    * in-mass and seeds additionally earn (15%·Total)//|S|. The graph is
+    * the total symmetric co-purchase union (nodes ≡ ow.src), so no
+    * dangling scalar and no lost receivers. */
+  private def pagerankTopicSql: String = {
+    def round(i: Int): String = {
+      val prev = if (i == 1) "p0" else s"p${i - 1}"
+      s"""c$i AS (SELECT e.dst AS id,
+         |             CAST(sum((p.pr * 85 * e.w) // (100 * e.tw)) AS BIGINT) AS s
+         |      FROM e JOIN $prev p ON p.id = e.src GROUP BY e.dst),
+         |p$i AS (SELECT nd.id,
+         |             CASE WHEN nd.id % 20 = 0 THEN 150000000000 // ns.k ELSE 0 END
+         |               + COALESCE(c.s, 0) AS pr
+         |      FROM (SELECT src AS id FROM ow) nd
+         |      CROSS JOIN ns LEFT JOIN c$i c ON c.id = nd.id)""".stripMargin
+    }
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+       |            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |pp AS (SELECT a.it AS src, b.it AS dst, count(*) AS w
+       |       FROM li a JOIN li b ON a.bk = b.bk AND a.it < b.it
+       |       GROUP BY 1, 2 HAVING count(*) >= 2),
+       |edges AS (SELECT src, dst, w FROM pp UNION ALL SELECT dst, src, w FROM pp),
+       |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS tw FROM edges GROUP BY 1),
+       |e AS (SELECT edges.src, edges.dst, edges.w, ow.tw
+       |      FROM edges JOIN ow ON ow.src = edges.src),
+       |ns AS (SELECT count(*) AS k FROM ow WHERE src % 20 = 0),
+       |p0 AS (SELECT ow.src AS id,
+       |              CASE WHEN ow.src % 20 = 0 THEN 1000000000000 // ns.k ELSE 0 END AS pr
+       |       FROM ow, ns),
+       |${(1 to 5).map(round).mkString(",\n")}
+       |SELECT id AS part_id, CAST(pr AS BIGINT) AS rank_fp FROM p5
+       |ORDER BY rank_fp DESC, part_id LIMIT 50""".stripMargin
+  }
+
   /** q_pagerank_dangling oracle: the directed-graph recurrence unrolled —
     * per round, a contribution CTE, a dangling-mass scalar CTE (ranks of
     * nodes absent from ow), and a node-relation left join so isolated
@@ -2471,6 +2526,7 @@ object RelationalQueries {
 
   val sql: Map[String, String] = Map(
     "q_pagerank" -> pagerankSql,
+    "q_pagerank_topic" -> pagerankTopicSql,
     "q_pagerank_dangling" -> pagerankDanglingSql,
     // depth 208 = 13 check windows of 16: the sf0.01 graph fixes at
     // n_iters 176 (measured); the unroll reaches comfortably past it

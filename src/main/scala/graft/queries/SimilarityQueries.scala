@@ -209,6 +209,23 @@ object SimilarityQueries {
         .orderBy("qid", "rank")
     }),
 
+    // IVF over the SQ8 scan — FAISS's IVF+SQ8 composition: the coarse
+    // quantizer trains/assigns/probes on the DEQUANTIZED codes
+    // ((code·scale)/127, one codegen widening over the 1-byte scan), the
+    // identical IVF plan runs on top, and the oracle replays the whole
+    // pipeline over the same re-quantized doubles.
+    "sim_ivf_topk_i8" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.unpack_i8
+      val p = graft.Tables.embeddingsInt8(s, dir)
+        .select(col("vec_id"),
+          transform(unpack_i8(col("emb_i8")),
+            c => (c.cast("double") * col("scale")) / lit(127.0)).as("embedding"))
+      Similarity.ivfTopK(
+        p, p.filter(col("vec_id") < 10), "vec_id", "embedding", "vec_id", "embedding")
+        .select(col("qid"), col("id"), col("rank"), round(col("sim"), 4).as("sim"))
+        .orderBy("qid", "rank")
+    }),
+
     // Int8 recall vs the full-precision brute force — the quality screen
     // that says what the 8× byte cut costs (oracle-checked end to end)
     "sim_int8_recall" -> ((s, dir) => {
@@ -538,9 +555,24 @@ object SimilarityQueries {
   private def ivfF32Sql: String = ivfSqlFrom(
     "list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(CAST(x AS FLOAT) AS DOUBLE))")
 
-  private def ivfSqlFrom(vExpr: String): String = {
+  /** The IVF oracle over int8-DEQUANTIZED vectors (FAISS's IVF+SQ8 shape):
+    * every vector re-quantized with the engine's exact SQ8 arithmetic and
+    * widened back as (code·scale)/127, so the quantizer training, cell
+    * assignment, probes and ranking all replay on identical doubles. The
+    * corpus-global scale rides in as a column of the FROM-clause derived
+    * table (DuckDB lambdas admit column references but not subqueries). */
+  private def ivfI8Sql: String = ivfSqlFrom(
+    "list_transform(CAST(embedding AS DOUBLE[]), x -> " +
+      "(CAST(CAST(greatest(-127.0, least(127.0, floor((x*127.0)/s0 + 0.5))) AS BIGINT) AS DOUBLE) * s0)/127.0)",
+    """(SELECT emb.*,
+      |   (SELECT max(list_reduce(list_transform(CAST(e2.embedding AS DOUBLE[]), x -> abs(x)),
+      |               (a,b) -> greatest(a,b)))
+      |    FROM embeddings e2 WHERE e2.embedding IS NOT NULL) AS s0
+      | FROM embeddings emb)""".stripMargin)
+
+  private def ivfSqlFrom(vExpr: String, fromExpr: String = "embeddings"): String = {
     val iters = (1 to 5).map(lloydIterSql).mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, $vExpr AS v FROM embeddings
+    s"""WITH e AS (SELECT vec_id, $vExpr AS v FROM $fromExpr
        |           WHERE embedding IS NOT NULL),
        |smp AS (
        |  SELECT v, rk FROM (
@@ -788,6 +820,9 @@ object SimilarityQueries {
     "sim_int8_topk" ->
       s"""$int8TopKSql
          |SELECT qid, id, rank, round(sim, 4) AS sim FROM i8 ORDER BY qid, rank""".stripMargin,
+    "sim_ivf_topk_i8" ->
+      s"""$ivfI8Sql
+         |SELECT qid, id, rank, round(sim, 4) AS sim FROM ivf ORDER BY qid, rank""".stripMargin,
     "sim_int8_recall" ->
       s"""$int8TopKSql,
          |qv2 AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),

@@ -65,6 +65,16 @@ class QueriesSmokeSpec extends SparkSpec {
       s"the vocab-sized join must stay keyed and shuffled:\n${plan.take(3000)}")
   }
 
+  test("sim_int8_topk scans the packed bytes, never a double-array column") {
+    // the point of the SQ8 layout is the 8× scan cut: the corpus-side
+    // read schema must be the BINARY codes (+ tiny id/scale), with no
+    // array<double> embedding column resurrected anywhere in the plan
+    val plan = exec("sim_int8_topk")
+    assert(plan.contains("emb_i8"), s"expected the packed scan:\n${plan.take(3000)}")
+    assert(!plan.contains("unpack_i8") && !plan.contains("array<double>"),
+      s"ranking must stay on the bytes (DotI8/NormSqI8), never widen:\n${plan.take(3000)}")
+  }
+
   test("incremental rollup merge is two scans + one merge aggregate, no join") {
     val plan = SparkEntry.queries("q_incremental_rollup")(spark, sf)
       .queryExecution.executedPlan.toString

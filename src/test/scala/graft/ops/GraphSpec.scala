@@ -50,6 +50,39 @@ class GraphSpec extends SparkSpec {
     Graph.triangleCounts(pairs.toDF("a", "b"), "a", "b")
       .as[(Long, Long)].collect().toMap
 
+  test("personalized PageRank: mass concentrates at the seed, decays with distance") {
+    // path 1-2-3-4, seed {1}: teleport mass lands only on 1. Asserted
+    // near the fixed point (40 rounds; the point-mass start oscillates
+    // with path parity at low round counts). NOTE the correct stationary
+    // shape: the seed's NEIGHBOR out-ranks the seed here (node 2 collects
+    // node 1's entire out-mass plus half of node 3's; solving the
+    // stationary equations gives pi_2 = 1.185 pi_1) — what personalization
+    // guarantees is proximity dominance (seed beats distance-2+) and
+    // monotone decay beyond the neighbor, not seed-first
+    val e = sym((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+    val seeds = Seq(1L).toDF("id")
+    val r = Graph.personalizedPageRank(e, "src", "dst", "w", seeds, "id", iters = 40)
+      .as[(Long, Long)].collect().toMap
+    assert(r(1L) > r(3L) && r(1L) > r(4L)) // seed beats distance >= 2
+    assert(r(2L) > r(3L) && r(3L) > r(4L)) // monotone decay past the neighbor
+    // total mass bounded by 1e12, minus flooring loss
+    assert(r.values.sum <= 1000000000000L && r.values.sum > 990000000000L)
+    // uniform seed set over ALL nodes = plain PageRank, bit-for-bit
+    val all = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val ppr = Graph.personalizedPageRank(e, "src", "dst", "w", all, "id")
+      .as[(Long, Long)].collect().toMap
+    val pr = Graph.pageRank(e, "src", "dst", "w").as[(Long, Long)].collect().toMap
+    assert(ppr == pr)
+    // seeds outside the graph hold no mass; a non-total graph is refused
+    val r2 = Graph.personalizedPageRank(e, "src", "dst", "w",
+      Seq(1L, 99L).toDF("id"), "id", iters = 40).as[(Long, Long)].collect().toMap
+    assert(r2 == r)
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(Seq((1L, 2L, 1L)).toDF("src", "dst", "w"),
+        "src", "dst", "w", seeds, "id").count()
+    }
+  }
+
   test("triangle counts: one triangle gives each corner exactly 1") {
     assert(tris((1L, 2L), (2L, 3L), (1L, 3L)) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
