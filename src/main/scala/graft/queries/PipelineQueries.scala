@@ -492,6 +492,44 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // §2.6 STREAMING CARDINALITY row: per-(type, day) distinct-user
+    // monitoring with BOUNDED state — a KMV sketch of md5 user hashes per
+    // window (CardinalityStream, ≤ k hashes per group regardless of
+    // cardinality; exact below k, which the oracle states as a plain
+    // count(DISTINCT)). One running row per active group per batch;
+    // n_events is monotone so the reader keeps the final row per window.
+    "pipe_stream_cardinality" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = streamTmp("graft-stream-card")
+      val src = cachedFeed("cardinality", dir)(f =>
+        orderedSlices(graft.Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("ts")), f))
+      val stream = s.readStream
+        .schema("event_id long, user_id long, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val hits = stream.select(
+          col("event_type").as("key"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          md5(col("user_id").cast("string")).as("uhash"),
+          col("ts"))
+        .as[graft.streaming.CardinalityStream.Hit]
+      val est = graft.streaming.CardinalityStream.estimates(hits,
+        k = 4096, watermark = "3650 days", horizonMs = 30L * 86400000L)
+      val outDir = tmp.resolve("out").toString
+      withFewShufflePartitions(s) {
+        est.toDF().writeStream
+          .format("parquet").option("path", outDir)
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
+      s.read.parquet(outDir)
+        .groupBy(col("key").as("event_type"), col("day"))
+        .agg(max(col("n_events")).as("n_events"),
+          max_by(col("n_users_est"), col("n_events")).as("n_users"))
+        .orderBy("event_type", "day")
+    }),
+
     // §2.6 STATEFUL quota row: RateLimit.admit (flatMapGroupsWithState
     // token bucket — at most `quota` events per event_type per day)
     // driven over 4 micro-batches. Batches are sliced in STRICT
@@ -906,6 +944,14 @@ object PipelineQueries {
         s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
       "pipe_stream_dedup" ->
         s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
+      // The KMV stream stays below k = 4096 everywhere on this corpus
+      // (max 587 distinct users per (type, day) at sf0.1), so the
+      // exact-below-k contract makes the estimate a plain distinct count
+      "pipe_stream_cardinality" ->
+        """SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+          |       count(*) AS n_events,
+          |       count(DISTINCT user_id) AS n_users
+          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       // Relational statement of the streaming banded-SimHash dedup:
       // dup(d) ⇔ ∃ earlier doc (smaller doc_id = arrival seq) sharing a
       // 16-bit band of the md5 SimHash within hamming 8. Same md5-simhash
