@@ -1175,4 +1175,97 @@ object Graph {
         (count(lit(1)) / 2).cast("long").as("n_edges"))
       .select(lit(r.toLong).as("n_rounds"), col("n_nodes"), col("n_edges"))
   }
+
+  /** HITS (Kleinberg, JACM 1999) hubs & authorities over a directed edge
+    * list, in exact integer fixed point. Per round: each authority earns
+    * the sum of its in-neighbours' hub mass, authorities are L1-normalized
+    * back to Total (1e12) by `(a·Total) div ΣA` (the product needs 128-bit
+    * intermediates — DECIMAL(38,0) here, HUGEINT in the DuckDB oracle),
+    * then hubs symmetrically from the normalized authorities. Floor
+    * division with positive operands throughout, so the scores are
+    * bit-identical across layouts and engines. Returns one row per node
+    * with both scores (0 for the side a node never plays — e.g. on a
+    * bipartite customer→part graph customers are pure hubs).
+    *
+    * Scale: the edge relation is materialized once and each round is TWO
+    * (join + re-aggregate) passes on the src/dst keys plus two 1-row
+    * broadcast normalization scalars — same per-round shuffle shape as
+    * [[pageRank]]. Score relations are |V| rows; the raw aggregate is
+    * persisted before its normalization sum (double reference: values +
+    * Σ) and each NORMALIZED relation is localCheckpoint'ed — each l1norm
+    * references its input twice, so without the per-round lineage fence
+    * the plan TREE (not the work) would quadruple per round and plan
+    * stringification alone goes super-linear by round 3 (observed: a
+    * bench run pinned at 100% CPU inside generateTreeString). Null
+    * endpoints / self-loops / duplicate links should be fronted by
+    * [[normalizeDirected]] as usual. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 20)
+    retireLastGeneration()
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .transform(mat)
+    val hubs = e.select(col("src").as("id")).distinct().transform(mat)
+    val nh = hubs.count()
+    // 128-bit normalize: x in [0, S], S ≤ Total·maxdeg, x·Total ≤ ~1e28
+    def l1norm(scores: DataFrame, c: String): DataFrame = {
+      val s = scores.agg(sum(col(c)).cast("decimal(38,0)").as("s1"))
+      scores.crossJoin(broadcast(s))
+        .select(col("id"),
+          expr(s"(cast($c as decimal(38,0)) * ${Total}L) div s1").as(c))
+        .localCheckpoint(eager = true)
+    }
+    var h = hubs.select(col("id"), lit(Total / nh).as("h"))
+    var a: DataFrame = null
+    (1 to iters).foreach { _ =>
+      a = l1norm(
+        e.join(h.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id")).agg(sum("h").as("a"))
+          .transform(mat), "a")
+      h = l1norm(
+        e.join(a.withColumnRenamed("id", "dst"), "dst")
+          .groupBy(col("src").as("id")).agg(sum("a").as("h"))
+          .transform(mat), "h")
+    }
+    h.join(a, Seq("id"), "full_outer")
+      .select(col("id"), coalesce(col("h"), lit(0L)).as("hub_fp"),
+        coalesce(col("a"), lit(0L)).as("auth_fp"))
+  }
+
+  /** Link prediction by the Resource-Allocation index (Zhou, Lü &
+    * Zhang, EPJ B 2009): for a non-adjacent pair (x, y), RA = Σ over
+    * common neighbours z of 1/deg(z) — here Total div deg(z) in 1e-12
+    * integer fixed point, so scores replay exactly in the oracle. The
+    * wedge enumeration joins the symmetric edge list with itself on the
+    * shared endpoint; its cost is Σ_z deg(z)², so wedges through
+    * super-hubs (deg > `maxDeg`) are excluded BEFORE the join — the
+    * standard hub cap (a hub's 1/deg contribution is negligible anyway;
+    * the oracle applies the identical cap, so this is part of the
+    * operator's contract, not an approximation of it). Existing edges are
+    * removed by an anti-join on the canonical pair. Input must be
+    * [[normalize]]d (deduplicated a < b pairs). Returns (item_a, item_b,
+    * n_common, ra_fp) for non-adjacent pairs with ≥ 1 common neighbour.
+    */
+  def linkPredictRA(pairs: DataFrame, aCol: String, bCol: String,
+                    maxDeg: Long = 1024L): DataFrame = {
+    require(maxDeg >= 1)
+    retireLastGeneration()
+    val sym = pairs.select(col(aCol).as("z"), col(bCol).as("x"))
+      .union(pairs.select(col(bCol).as("z"), col(aCol).as("x")))
+      .transform(mat)
+    val deg = sym.groupBy("z").agg(count(lit(1)).as("d"))
+      .filter(col("d") <= maxDeg)
+    // attach the degree to each wedge leg once; wedge = self-join on z
+    val legs = sym.join(deg, "z").transform(mat)
+    val l1 = legs.select(col("z"), col("x"), col("d"))
+    val l2 = legs.select(col("z"), col("x").as("y"))
+    val cand = l1.join(l2, "z").filter(col("x") < col("y"))
+      .groupBy("x", "y")
+      .agg(count(lit(1)).as("n_common"),
+        sum(expr(s"${Total}L div d")).as("ra_fp"))
+    cand.join(pairs,
+        cand("x") === pairs(aCol) && cand("y") === pairs(bCol), "left_anti")
+      .select(col("x").as("item_a"), col("y").as("item_b"),
+        col("n_common"), col("ra_fp"))
+  }
 }

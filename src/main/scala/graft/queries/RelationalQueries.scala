@@ -1276,6 +1276,53 @@ object RelationalQueries {
       }
     }),
 
+    // HITS hubs & authorities (Kleinberg 1999) on the BIPARTITE
+    // customer→part purchase graph — the one link-analysis shape PageRank
+    // doesn't cover: two mutually-recursive scores (good buyers point at
+    // good parts, good parts are bought by good buyers). Exact 1e-12
+    // integer fixed point with per-round L1 normalization in 128-bit
+    // intermediates; the oracle unrolls the identical recurrence in
+    // HUGEINT. Result: top 25 authorities (parts) + top 25 hubs
+    // (customers) by score.
+    "q_hits" -> ((s, dir) => {
+      import graft.ops.Graph
+      val e = t(s, dir, "orders")
+        .select(col("o_custkey").as("src"), col("o_orderkey").as("ok"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("dst")), "ok")
+        .filter(col("src").isNotNull && col("dst").isNotNull)
+        .select("src", "dst").distinct()
+      graphResult(s) {
+        val r = Graph.hits(e, "src", "dst", iters = 3)
+        val auth = r
+          .select(lit("authority").as("role"), col("id"),
+            col("auth_fp").as("score_fp"))
+          .orderBy(col("score_fp").desc, col("id")).limit(25)
+        val hub = r
+          .select(lit("hub").as("role"), col("id"),
+            col("hub_fp").as("score_fp"))
+          .orderBy(col("score_fp").desc, col("id")).limit(25)
+        auth.union(hub)
+      }
+    }),
+
+    // Link prediction by the Resource-Allocation index (Zhou 2009) on the
+    // co-purchase graph: for non-adjacent item pairs, Σ 1/deg(z) over
+    // common neighbours z in 1e-12 integer fixed point — "items never yet
+    // bought together that the graph says should be". Wedges through
+    // super-hubs (deg > 1024) are excluded before the self-join (the
+    // contract both engines share), bounding the enumeration at Σ deg²
+    // over non-hub nodes.
+    "q_link_predict" -> ((s, dir) => {
+      import graft.ops.Graph
+      val pairs = copurchasePairs(s, dir).select(col("item_a"), col("item_b"))
+      graphResult(s) {
+        Graph.linkPredictRA(pairs, "item_a", "item_b", maxDeg = 1024)
+          .orderBy(col("ra_fp").desc, col("item_a"), col("item_b"))
+          .limit(50)
+      }
+    }),
+
     // PageRank on the DIRECTED (a<b) co-purchase edge list — a graph with
     // real dangling nodes (items appearing only as dst have no out-edges):
     // exercises the terminal-mass redistribution term that a total edge
@@ -2345,6 +2392,65 @@ object RelationalQueries {
        |ORDER BY rank_fp DESC, part_id LIMIT 50""".stripMargin
   }
 
+  /** q_hits oracle: the 3 HITS rounds unrolled — per round an in-mass
+    * aggregate, a HUGEINT L1 normalization `(a·1e12) // ΣA`, then the
+    * symmetric hub step. Every operand positive, floor division
+    * throughout ⇒ bit-for-bit with the engine's DECIMAL(38,0) `div`. */
+  private def hitsSql: String = {
+    def round(i: Int): String = {
+      val ph = if (i == 1) "h0" else s"hn${i - 1}"
+      s"""ar$i AS (SELECT e.p AS id, CAST(sum(h.h) AS BIGINT) AS a
+         |      FROM e JOIN $ph h ON h.id = e.c GROUP BY e.p),
+         |sa$i AS (SELECT CAST(sum(a) AS HUGEINT) AS s FROM ar$i),
+         |an$i AS (SELECT id,
+         |             CAST((CAST(a AS HUGEINT) * 1000000000000) // sa$i.s AS BIGINT) AS a
+         |      FROM ar$i, sa$i),
+         |hr$i AS (SELECT e.c AS id, CAST(sum(a.a) AS BIGINT) AS h
+         |      FROM e JOIN an$i a ON a.id = e.p GROUP BY e.c),
+         |sh$i AS (SELECT CAST(sum(h) AS HUGEINT) AS s FROM hr$i),
+         |hn$i AS (SELECT id,
+         |             CAST((CAST(h AS HUGEINT) * 1000000000000) // sh$i.s AS BIGINT) AS h
+         |      FROM hr$i, sh$i)""".stripMargin
+    }
+    s"""WITH e AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+       |           FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |           WHERE o.o_custkey IS NOT NULL AND l.l_partkey IS NOT NULL),
+       |hs AS (SELECT DISTINCT c FROM e),
+       |nh AS (SELECT count(*) AS n FROM hs),
+       |h0 AS (SELECT c AS id, 1000000000000 // nh.n AS h FROM hs, nh),
+       |${(1 to 3).map(round).mkString(",\n")}
+       |SELECT * FROM (
+       |  (SELECT 'authority' AS role, id, a AS score_fp FROM an3
+       |   ORDER BY a DESC, id LIMIT 25)
+       |  UNION ALL
+       |  (SELECT 'hub' AS role, id, h AS score_fp FROM hn3
+       |   ORDER BY h DESC, id LIMIT 25))
+       |ORDER BY role, score_fp DESC, id""".stripMargin
+  }
+
+  /** q_link_predict oracle: the same wedge enumeration with the identical
+    * deg ≤ 1024 hub cap, RA score as positive-operand floor division. */
+  private def linkPredictSql: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+       |            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |pp AS (SELECT a.it AS src, b.it AS dst
+       |       FROM li a JOIN li b ON a.bk = b.bk AND a.it < b.it
+       |       GROUP BY 1, 2 HAVING count(*) >= 2),
+       |sym AS (SELECT src AS z, dst AS x FROM pp
+       |        UNION ALL SELECT dst, src FROM pp),
+       |deg AS (SELECT z, count(*) AS d FROM sym GROUP BY 1
+       |        HAVING count(*) <= 1024),
+       |legs AS (SELECT sym.z, sym.x, deg.d FROM sym JOIN deg ON deg.z = sym.z),
+       |cand AS (SELECT l1.x AS x, l2.x AS y, count(*) AS n_common,
+       |               CAST(sum(1000000000000 // l1.d) AS BIGINT) AS ra_fp
+       |         FROM legs l1 JOIN legs l2 ON l1.z = l2.z AND l1.x < l2.x
+       |         GROUP BY 1, 2),
+       |nw AS (SELECT c.* FROM cand c LEFT JOIN pp
+       |         ON pp.src = c.x AND pp.dst = c.y
+       |       WHERE pp.src IS NULL)
+       |SELECT x AS item_a, y AS item_b, n_common, ra_fp FROM nw
+       |ORDER BY ra_fp DESC, item_a, item_b LIMIT 50""".stripMargin
+
   /** q_pagerank_dangling oracle: the directed-graph recurrence unrolled —
     * per round, a contribution CTE, a dangling-mass scalar CTE (ranks of
     * nodes absent from ow), and a node-relation left join so isolated
@@ -2527,6 +2633,8 @@ object RelationalQueries {
   val sql: Map[String, String] = Map(
     "q_pagerank" -> pagerankSql,
     "q_pagerank_topic" -> pagerankTopicSql,
+    "q_hits" -> hitsSql,
+    "q_link_predict" -> linkPredictSql,
     "q_pagerank_dangling" -> pagerankDanglingSql,
     // depth 208 = 13 check windows of 16: the sf0.01 graph fixes at
     // n_iters 176 (measured); the unroll reaches comfortably past it

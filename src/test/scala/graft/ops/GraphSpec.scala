@@ -399,4 +399,81 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(one == many && one.nonEmpty)
   }
+
+  private def hitsScores(e: DataFrame, iters: Int = 3): Map[Long, (Long, Long)] =
+    Graph.hits(e, "src", "dst", iters = iters)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+  test("HITS: broad buyer out-hubs narrow buyers, shared part out-auths niche parts") {
+    // customers 1,2,3 → part 100; customer 1 additionally → 101, 102
+    val e = Seq((1L, 100L), (2L, 100L), (3L, 100L), (1L, 101L), (1L, 102L))
+      .toDF("src", "dst")
+    val r = hitsScores(e)
+    assert(r(1L)._1 > r(2L)._1)            // hub: 1 beats 2
+    assert(r(2L)._1 == r(3L)._1)           // symmetric customers tie
+    assert(r(100L)._2 > r(101L)._2)        // authority: 100 beats 101
+    assert(r(101L)._2 == r(102L)._2)       // symmetric parts tie
+  }
+
+  test("HITS: bipartite sides are pure — customers carry no authority, parts no hub mass") {
+    val e = Seq((1L, 100L), (2L, 100L), (2L, 101L)).toDF("src", "dst")
+    val r = hitsScores(e)
+    Seq(1L, 2L).foreach(c => assert(r(c)._2 == 0L))
+    Seq(100L, 101L).foreach(p => assert(r(p)._1 == 0L))
+  }
+
+  test("HITS: each L1 normalization restores ~Total mass (bounded flooring loss)") {
+    val e = Seq((1L, 100L), (2L, 100L), (2L, 101L), (3L, 101L), (3L, 102L))
+      .toDF("src", "dst")
+    val r = hitsScores(e)
+    val auth = r.values.map(_._2).sum
+    val hub = r.values.map(_._1).sum
+    // flooring drops < 1 unit per node per normalization
+    assert(auth <= 1000000000000L && auth > 1000000000000L - 10L)
+    assert(hub <= 1000000000000L && hub > 1000000000000L - 10L)
+  }
+
+  test("HITS scores are bit-identical across partition layouts") {
+    val e = (for (c <- 1L to 9L; p <- 100L to 109L if (c * 7 + p) % 3 != 0)
+      yield (c, p)).toDF("src", "dst")
+    assert(hitsScores(e.repartition(1)) == hitsScores(e.repartition(7)))
+  }
+
+  private def raPairs(e: DataFrame, maxDeg: Long = 1024L): Map[(Long, Long), (Long, Long)] =
+    Graph.linkPredictRA(e, "a", "b", maxDeg)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+
+  test("RA link prediction: wedge through one shared neighbour, score = Total/deg") {
+    // path 2 - 1 - 3: candidate (2,3) via z=1, deg(1)=2
+    val r = raPairs(Seq((1L, 2L), (1L, 3L)).toDF("a", "b"))
+    assert(r == Map((2L, 3L) -> (1L, 500000000000L)))
+  }
+
+  test("RA link prediction: existing edges are never candidates") {
+    val r = raPairs(Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b"))
+    // triangle: every wedge closes an EXISTING edge → nothing to predict
+    assert(r.isEmpty)
+  }
+
+  test("RA link prediction: multiple common neighbours accumulate") {
+    // 1 and 2 share neighbours 10 (deg 2) and 11 (deg 4)
+    val r = raPairs(Seq((1L, 10L), (2L, 10L), (1L, 11L), (2L, 11L),
+      (3L, 11L), (4L, 11L)).toDF("a", "b"))
+    assert(r((1L, 2L))._1 == 2L)
+    assert(r((1L, 2L))._2 == 500000000000L + 250000000000L)
+  }
+
+  test("RA link prediction: super-hub wedges are excluded by the degree cap") {
+    // star hub 1 with 5 leaves; cap 4 removes every wedge
+    val star = (2L to 6L).map(l => (1L, l)).toDF("a", "b")
+    assert(raPairs(star, maxDeg = 4L).isEmpty)
+    assert(raPairs(star, maxDeg = 5L).size == 10) // all leaf pairs back
+  }
+
+  test("RA link prediction is layout-invariant") {
+    val e = (for (i <- 1L to 7L; j <- (i + 1) to 7L if (i * 3 + j) % 4 != 0)
+      yield (i, j)).toDF("a", "b")
+    assert(raPairs(e.repartition(1)) == raPairs(e.repartition(5)))
+  }
 }
