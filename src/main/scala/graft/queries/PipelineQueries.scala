@@ -818,6 +818,33 @@ object PipelineQueries {
         .orderBy("index_name")
     }),
 
+    // CSV wire format: the same envelope corpus round-tripped through
+    // gzipped CSV-with-header — the other common S3 landing format for
+    // Kinesis Firehose-style delivery. The base64 payload is flattened to
+    // one line (Spark's `base64` emits MIME-chunked output with CRLF every
+    // 76 chars; an embedded newline would force multiLine CSV parsing,
+    // which is NOT splittable — a 100-TB read would collapse to one task
+    // per file). The arrival timestamp round-trips losslessly through an
+    // explicit microsecond format on both write and read (Spark's CSV
+    // default keeps milliseconds only). Proves ingestion parity across a
+    // third on-the-wire format (parquet, JSONL, CSV).
+    "pipe_csv_source" -> ((s, dir) => {
+      val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+      val wire = cachedFeed("csv-wire", dir) { f =>
+        val p = f.resolve("wire").toString
+        envelopes(s, dir)
+          .withColumn("data", translate(base64(col("data")), "\r\n", ""))
+          .write.option("header", "true").option("timestampFormat", tsFmt)
+          .option("compression", "gzip").csv(p)
+        p
+      }
+      val env = s.read.schema(graft.model.Schemas.envelopeJson)
+        .option("header", "true").option("timestampFormat", tsFmt).csv(wire)
+      Router.good(Pipeline.transform(env, cfg, base64Data = true))
+        .groupBy("index_name").agg(count(lit(1)).as("n"))
+        .orderBy("index_name")
+    }),
+
     // K3 ROUND-TRIP: the dead-letter re-drive loop. The badmix failures are
     // written through the real sink (gzip NDJSON, Hive log_type/ym/dd
     // layout) and then READ BACK — the operational path when an upstream
@@ -993,6 +1020,8 @@ object PipelineQueries {
       "pipe_stream_restart" ->
         s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
       "pipe_jsonl_source" ->
+        s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
+      "pipe_csv_source" ->
         s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
       "pipe_stream_outer_join" ->
         """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),

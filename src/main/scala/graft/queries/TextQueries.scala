@@ -123,6 +123,40 @@ object TextQueries {
         .orderBy("lang", "rnk")
     }),
 
+    // Zipf power-law fit per source: OLS of ln(freq) on ln(rank) over the
+    // top 500 token ranks — the corpus-health screen (natural text sits
+    // near slope −1; log-log linearity breaks on templated/synthetic
+    // text). Contract shared exactly with the oracle: tokens with f ≥ 2
+    // (the heavy tail never reaches rank 500, so the pre-filter cuts the
+    // per-source window input from vocab-sized to near-bounded at scale),
+    // rank by (f DESC, token), fit the first 500. Sums are 500 doubles per
+    // source; round(4) absorbs summation-order ulps (txt_entropy
+    // precedent).
+    "txt_zipf_fit" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("f").desc, col("t"))
+      val xy = docs(s, dir)
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("t"))
+        .filter(length(col("t")) > 0)
+        .groupBy("source", "t").agg(count(lit(1)).as("f"))
+        .filter(col("f") >= 2)
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") <= 500)
+        .select(col("source"), log(col("r").cast("double")).as("x"),
+          log(col("f").cast("double")).as("y"))
+      val fit = xy.groupBy("source").agg(
+        count(lit(1)).as("n_ranks"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      val slope = (col("n_ranks") * col("sxy") - col("sx") * col("sy")) /
+        (col("n_ranks") * col("sxx") - col("sx") * col("sx"))
+      fit.select(col("source"), col("n_ranks"),
+          round(slope, 4).as("zipf_slope"),
+          round((col("sy") - slope * col("sx")) / col("n_ranks"), 4).as("ln_c"))
+        .orderBy("source")
+    }),
+
     // Gopher-style quality signals: char-entropy (gibberish/repetition
     // detector, custom codegen expression) and top-bigram share (the
     // most-repeated word pair's fraction of all bigrams)
@@ -451,6 +485,21 @@ object TextQueries {
         .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
         .limit(100)
     }),
+
+    // Asymmetric CONTAINMENT dedup (Broder 1997's other measure): a short
+    // doc living inside a long one — excerpts, quoted posts, boilerplate
+    // wrappers — scores near 1.0 on containment while its Jaccard can be
+    // arbitrarily low, so every resemblance-based family above misses it.
+    // One exploded-shingle equi-join is both candidate generator and exact
+    // counter; stop-shingles (df > 128) are dropped from the universe on
+    // both engines, bounding the postings join at Σ df² ≤ 128·|postings|.
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(docs(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.5, maxDf = 128L)
+        .select(col("id_a"), col("id_b"), col("common"),
+          round(col("containment"), 4).as("containment"))
+        .orderBy(round(col("containment"), 4).desc, col("id_a"), col("id_b"))
+        .limit(100)),
 
     // Cross-snapshot dedup: incoming docs (doc_id % 7 != 0) that
     // near-duplicate any reference-corpus doc (doc_id % 7 == 0) at
@@ -1000,6 +1049,23 @@ object TextQueries {
         |        FROM documents) t
         |  GROUP BY lang, token) x
         |WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin,
+    "txt_zipf_fit" ->
+      """WITH tok AS (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |             FROM documents),
+        |f AS (SELECT source, t, count(*) AS f FROM tok WHERE t <> ''
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |rk AS (SELECT source, f,
+        |              row_number() OVER (PARTITION BY source ORDER BY f DESC, t) AS r
+        |       FROM f),
+        |xy AS (SELECT source, ln(r) AS x, ln(f) AS y FROM rk WHERE r <= 500),
+        |s AS (SELECT source, count(*) AS n_ranks, sum(x) AS sx, sum(y) AS sy,
+        |             sum(x*y) AS sxy, sum(x*x) AS sxx
+        |      FROM xy GROUP BY 1)
+        |SELECT source, n_ranks,
+        |       round((n_ranks*sxy - sx*sy)/(n_ranks*sxx - sx*sx), 4) AS zipf_slope,
+        |       round((sy - (n_ranks*sxy - sx*sy)/(n_ranks*sxx - sx*sx)*sx)/n_ranks, 4)
+        |         AS ln_c
+        |FROM s ORDER BY source""".stripMargin,
     "txt_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -1138,6 +1204,29 @@ object TextQueries {
         |  FROM sized a JOIN sized b
         |    ON a.source = b.source AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 32
         |) WHERE j >= 0.2 ORDER BY round(j, 4) DESC, id_a, id_b LIMIT 100""".stripMargin,
+    // Containment oracle: identical shingle universe (word trigrams,
+    // df ≤ 128 cap), exact integer counts, one double division at the end.
+    "dedup_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |              ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |                     i -> array_to_string(t[i:i+2], ' ')))
+        |         END AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |        FROM documents WHERE text IS NOT NULL)),
+        |g AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |rare AS (SELECT g FROM g GROUP BY g HAVING count(*) <= 128),
+        |kg AS (SELECT g.doc_id, g.g FROM g JOIN rare USING (g)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM kg GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |          FROM kg a JOIN kg b ON a.g = b.g AND a.doc_id != b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT id_a, id_b, common, round(c, 4) AS containment FROM (
+        |  SELECT i.id_a, i.id_b, i.common, CAST(i.common AS DOUBLE) / sz.n AS c
+        |  FROM inter i JOIN sz ON sz.doc_id = i.id_a)
+        |WHERE c >= 0.5
+        |ORDER BY round(c, 4) DESC, id_a, id_b LIMIT 100""".stripMargin,
     // SimHash oracle: recompute the md5-portable signatures in SQL — per
     // token the first 16 md5 hex chars as a UBIGINT (== the engine's first
     // 8 digest bytes big-endian), sign-sum all 64 bits, band into 4×16-bit

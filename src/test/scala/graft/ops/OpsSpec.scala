@@ -32,6 +32,41 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("containment: an excerpt inside a long doc scores ~1 while its jaccard is low") {
+    val long = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      base)
+    val excerpt = base // wholly contained in `long`
+    val d = Seq((1L, excerpt), (2L, long), (3L, unrelated)).toDF("doc_id", "text")
+    val r = Dedup.containmentPairs(d, "doc_id", "text", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(r.contains((1L, 2L)))   // excerpt → container, directed
+    assert(!r.contains((2L, 1L)))  // container is NOT inside the excerpt
+    assert(!r.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("containment: stop-shingle df cap drops boilerplate from the universe") {
+    // 5 docs all share one boilerplate sentence; with maxDf 4 the shared
+    // shingles vanish and nothing pairs
+    val bp = "standard footer text repeated on every single page here now"
+    val d = (1L to 5L).map(i => (i, s"$bp unique token$i")).toDF("doc_id", "text")
+    val capped = Dedup.containmentPairs(d, "doc_id", "text",
+      threshold = 0.5, maxDf = 4L)
+    assert(capped.count() == 0L)
+    val uncapped = Dedup.containmentPairs(d, "doc_id", "text",
+      threshold = 0.5, maxDf = 5L)
+    assert(uncapped.count() > 0L)
+  }
+
+  test("containment pairs are layout-invariant") {
+    val long = base + " plus more trailing words to grow the container document"
+    val d = Seq((1L, base), (2L, long), (3L, unrelated), (4L, base)).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.containmentPairs(df, "doc_id", "text", threshold = 0.3)
+        .as[(Long, Long, Long, Double)].collect().toSet
+    assert(run(d.repartition(1)) == run(d.repartition(7)))
+  }
+
   test("prefix-filtering candidates are lossless: every jaccard>=t pair survives") {
     // brute-force truth: all pairs with jaccard >= 0.5
     val n = docs.count().toInt
