@@ -112,16 +112,25 @@ object TextQueries {
 
     // Vocabulary analysis: top-10 terms per language (explode → map-side
     // combinable agg → small window over the vocabulary)
-    "txt_top_terms" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("lang").orderBy(col("n").desc, col("token"))
+    // Top terms per language via the k-bounded [[TopKByCount]] aggregate:
+    // the row_number-window form range-shuffles and sorts the whole
+    // per-lang VOCABULARY (Heaps-law unbounded at corpus scale); the
+    // typed aggregate ships ≤ 10 (count, token) pairs per lang per map
+    // partition across the exchange and sorts nothing. Identical output
+    // (total order (n DESC, token) matches the window's ORDER BY
+    // bit-for-bit — the oracle is unchanged); a plan guard pins the
+    // window-free shape.
+    "txt_top_terms" -> ((s, dir) =>
       docs(s, dir)
         .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("token"))
         .groupBy("lang", "token").agg(count(lit(1)).as("n"))
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 10)
-        .orderBy("lang", "rnk")
-    }),
+        .groupBy("lang")
+        .agg(graft.functions.TopKByCount.topk_by_count(
+          struct(col("n"), col("token")), 10).as("tk"))
+        .select(col("lang"), posexplode(col("tk")))
+        .select(col("lang"), col("col.key").as("token"), col("col.n").as("n"),
+          (col("pos") + 1).cast("long").as("rnk"))
+        .orderBy("lang", "rnk")),
 
     // Zipf power-law fit per source: OLS of ln(freq) on ln(rank) over the
     // top 500 token ranks — the corpus-health screen (natural text sits

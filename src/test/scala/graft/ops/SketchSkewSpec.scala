@@ -252,6 +252,52 @@ class SketchSkewSpec extends SparkSpec {
     assert(joinLine.get.contains("source"), joinLine.get)
   }
 
+  test("topk_by_count equals the row_number window bit-for-bit, incl. cutoff ties") {
+    import spark.implicits._
+    import graft.functions.TopKByCount.topk_by_count
+    // engineered ties AT the k-cutoff: several keys share count 5
+    val rows = (('a' to 'z').flatMap(c => Seq.fill(5)(("g1", c.toString))) ++
+      (1 to 40).flatMap(i => Seq.fill(i % 7 + 1)(("g2", s"k$i"))))
+      .toDF("g", "key")
+    val counts = rows.groupBy("g", "key").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("n").desc, col("key"))
+    val windowed = counts.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10).select("g", "key", "n", "rnk")
+      .as[(String, String, Long, Int)].collect().toSet
+    val agged = counts.groupBy("g")
+      .agg(topk_by_count(struct(col("n"), col("key")), 10).as("tk"))
+      .select(col("g"), posexplode(col("tk")))
+      .select(col("g"), col("col.key"), col("col.n"), (col("pos") + 1).cast("int"))
+      .as[(String, String, Long, Int)].collect().toSet
+    assert(agged == windowed)
+  }
+
+  test("topk_by_count buffer serde round-trips and merge equals single ingest") {
+    import graft.functions.TopKCountBuffer
+    val a = new TopKCountBuffer(5)
+    val b = new TopKCountBuffer(5)
+    val single = new TopKCountBuffer(5)
+    val items = Seq((3L, "c"), (9L, "x"), (9L, "a"), (1L, "z"), (7L, "m"),
+      (9L, "b"), (2L, "q"), (7L, "a"))
+    items.take(4).foreach { case (n, k) => a.add(n, k) }
+    items.drop(4).foreach { case (n, k) => b.add(n, k) }
+    items.foreach { case (n, k) => single.add(n, k) }
+    val merged = TopKCountBuffer.fromBytes(5, a.toBytes)
+    merged.addAll(TopKCountBuffer.fromBytes(5, b.toBytes))
+    assert(merged.ranked.toSeq == single.ranked.toSeq)
+    // rank order is (count DESC, key ASC)
+    assert(single.ranked.head == ((9L, "a")))
+    assert(single.ranked.toSeq.take(3) == Seq((9L, "a"), (9L, "b"), (9L, "x")))
+  }
+
+  test("txt_top_terms plans the bounded aggregate, never a vocab-wide window") {
+    val plan = graft.SparkEntry.queries("txt_top_terms")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window sort over the vocabulary:\n${plan.take(3000)}")
+    assert(plan.contains("topk_by_count"), plan.take(3000))
+  }
+
   test("salted equi-join equals the plain join result") {
     import spark.implicits._
     // skewed fact: key 1 carries half the rows
