@@ -1041,4 +1041,69 @@ object Similarity {
     }
     KmFit(q, dim, prev, lastAgg)
   }
+
+  /** Maximal-marginal-relevance diversified re-rank (Carbonell &
+    * Goldstein, SIGIR 1998) over the int8-quantized scan: per query, take
+    * the `shortlist` nearest candidates by EXACT integer squared L2 over
+    * the codes (d² = |a|² + |b|² − 2·a·b, every term from the codegen
+    * byte-scan expressions), then greedily select `m` of them maximizing
+    * λ·relevance − (1−λ)·redundancy with λ = 1/2, i.e. arg max
+    * (min_{s∈S} d²(c, s)) − d²(q, c) — the first pick is the plain
+    * nearest neighbour, each later pick trades closeness to the query
+    * against distance to everything already picked. ALL scores are
+    * integers (no cosine, no sqrt), so selection — including every
+    * tie-break, (score DESC, id ASC) — replays bit-for-bit in the
+    * oracle's unrolled greedy CTEs.
+    *
+    * Scale: the shortlist comes from the k-bounded [[topKPerGroup]]
+    * aggregate over the (gated, bounded-query-set) scored scan — ≤ k
+    * candidates per query per map partition cross the exchange. The
+    * greedy loop then touches ONLY (query × shortlist) rows: each of the
+    * m−1 unrolled steps is a qid-equi-join of a ≤shortlist-row relation
+    * against a ≤(step)-row selected set, localCheckpoint'ed so the loop's
+    * plan stays flat. Returns (qid, rnk, id, d2q). */
+  def mmrRerank(packedCorpus: DataFrame, packedQueries: DataFrame,
+                idCol: String, codeCol: String, qidCol: String,
+                qcodeCol: String, shortlist: Int = 20, m: Int = 5): DataFrame = {
+    import graft.functions.GraftFunctions.{dot_i8, normsq_i8}
+    require(m >= 1 && shortlist >= m)
+    val c = Par.spread(packedCorpus.select(col(idCol).as("id"), col(codeCol).as("code")))
+      .filter(col("code").isNotNull)
+      .withColumn("nsq", normsq_i8(col("code")))
+    val q = packedQueries.select(col(qidCol).as("qid"), col(qcodeCol).as("qcode"))
+      .filter(col("qcode").isNotNull)
+      .withColumn("qnsq", normsq_i8(col("qcode")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("d2q",
+        col("nsq") + col("qnsq") - lit(2L) * dot_i8(col("code"), col("qcode")))
+    // top-`shortlist` by (d2q ASC, id ASC) via the bounded aggregate
+    // (score = −d2q is exact: d2q ≤ 64·(254)² ≪ 2^53)
+    val cand = topKPerGroup(
+        scored.withColumn("neg", -col("d2q").cast("double")),
+        "qid", "neg", "id", shortlist)
+      .select(col("qid"), col("id"), (-col("sim")).cast("long").as("d2q"))
+      .join(c.select(col("id"), col("code")), "id")
+      .localCheckpoint(eager = true)
+    def pick(scoredCand: DataFrame, rnk: Int): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("score").desc, col("id"))
+      scoredCand.withColumn("w", row_number().over(w)).filter(col("w") === 1)
+        .select(col("qid"), col("id"), col("code"), col("d2q"),
+          lit(rnk.toLong).as("rnk"))
+    }
+    var sel = pick(cand.withColumn("score", -col("d2q")), 1)
+      .localCheckpoint(eager = true)
+    (2 to m).foreach { r =>
+      val remaining = cand.join(sel.select("qid", "id"), Seq("qid", "id"), "left_anti")
+      val scoredCand = remaining
+        .join(sel.select(col("qid"), col("code").as("scode")), "qid")
+        .groupBy("qid", "id", "code", "d2q")
+        .agg(min(normsq_i8(col("code")) + normsq_i8(col("scode")) -
+          lit(2L) * dot_i8(col("code"), col("scode"))).as("mind"))
+        .withColumn("score", col("mind") - col("d2q"))
+      sel = sel.union(pick(scoredCand, r)).localCheckpoint(eager = true)
+    }
+    sel.select(col("qid"), col("rnk"), col("id"), col("d2q"))
+  }
 }

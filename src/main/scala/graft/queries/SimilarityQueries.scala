@@ -209,6 +209,21 @@ object SimilarityQueries {
         .orderBy("qid", "rank")
     }),
 
+    // MMR diversified re-rank over the SQ8 scan (Carbonell 1998): top-20
+    // shortlist by EXACT integer squared L2 on the codes, then 5 greedy
+    // picks maximizing (min d² to the already-picked) − (d² to the
+    // query), λ = 1/2 — pure-integer scores, so the greedy selection
+    // (every tie-break included) replays bit-for-bit in unrolled CTEs.
+    // The diversification that plain top-k lacks: near-duplicate
+    // neighbours collapse to one representative; the remaining picks
+    // spread across the shortlist's distinct regions.
+    "sim_mmr_rerank" -> ((s, dir) => {
+      val p = graft.Tables.embeddingsInt8(s, dir)
+      Similarity.mmrRerank(p, p.filter(col("vec_id") < 10),
+          "vec_id", "emb_i8", "vec_id", "emb_i8")
+        .orderBy("qid", "rnk")
+    }),
+
     // IVF over the SQ8 scan — FAISS's IVF+SQ8 composition: the coarse
     // quantizer trains/assigns/probes on the DEQUANTIZED codes
     // ((code·scale)/127, one codegen widening over the 1-byte scan), the
@@ -523,6 +538,53 @@ object SimilarityQueries {
        |      WHERE cc.vec_id <> qq.vec_id AND cc.nsq > 0 AND qq.nsq > 0) s0) t
        |  WHERE rank <= 10)""".stripMargin
 
+  /** sim_mmr_rerank oracle: re-quantize (same SQ8 arithmetic), shortlist
+    * 20 by integer d² (row_number (d2q, id)), then the 5 greedy picks
+    * unrolled — per step an anti-joined min-d²-to-selected aggregate and
+    * a (score DESC, id) argmax. Every score is an integer. */
+  private def mmrSql: String = {
+    def step(r: Int): String = {
+      val prev = s"u${r - 1}"
+      s"""m$r AS (
+         |  SELECT c.qid, c.id, min(${d2Sql("c.cq", "s.cq")}) AS mind
+         |  FROM cand c JOIN $prev s ON s.qid = c.qid
+         |  WHERE NOT EXISTS (SELECT 1 FROM $prev x
+         |                    WHERE x.qid = c.qid AND x.id = c.id)
+         |  GROUP BY c.qid, c.id),
+         |s$r AS (
+         |  SELECT qid, id, cq, d2q, $r AS rnk FROM (
+         |    SELECT c.qid, c.id, c.cq, c.d2q,
+         |           row_number() OVER (PARTITION BY c.qid
+         |             ORDER BY (m.mind - c.d2q) DESC, c.id) AS w
+         |    FROM m$r m JOIN cand c ON c.qid = m.qid AND c.id = m.id) z
+         |  WHERE w = 1),
+         |u$r AS (SELECT * FROM $prev UNION ALL SELECT * FROM s$r)""".stripMargin
+    }
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE embedding IS NOT NULL),
+       |sc AS (SELECT max(list_reduce(list_transform(v, x -> abs(x)),
+       |                 (a,b) -> greatest(a,b))) AS s FROM e),
+       |n AS (SELECT vec_id,
+       |        list_transform(v, x -> CAST(greatest(-127.0, least(127.0,
+       |          floor((x*127.0)/sc.s + 0.5))) AS BIGINT)) AS q
+       |      FROM e CROSS JOIN sc),
+       |d AS (SELECT qq.vec_id AS qid, cc.vec_id AS id, cc.q AS cq,
+       |             ${d2Sql("cc.q", "qq.q")} AS d2q
+       |      FROM n cc CROSS JOIN (SELECT * FROM n WHERE vec_id < 10) qq
+       |      WHERE cc.vec_id <> qq.vec_id),
+       |cand AS (SELECT qid, id, cq, d2q FROM (
+       |    SELECT qid, id, cq, d2q,
+       |           row_number() OVER (PARTITION BY qid ORDER BY d2q, id) AS w
+       |    FROM d) z WHERE w <= 20),
+       |u1 AS (SELECT qid, id, cq, d2q, 1 AS rnk FROM (
+       |    SELECT qid, id, cq, d2q,
+       |           row_number() OVER (PARTITION BY qid ORDER BY d2q, id) AS w
+       |    FROM cand) z WHERE w = 1),
+       |${(2 to 5).map(step).mkString(",\n")}
+       |SELECT qid, CAST(rnk AS BIGINT) AS rnk, id, d2q FROM u5
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
   /** One unrolled Lloyd iteration: assign sample rows to the previous
     * centers (first-wins argmin: ORDER BY d2, cell), then per-(cell, dim)
     * sequential-in-sample-order mean; empty cells keep their center. */
@@ -820,6 +882,7 @@ object SimilarityQueries {
     "sim_int8_topk" ->
       s"""$int8TopKSql
          |SELECT qid, id, rank, round(sim, 4) AS sim FROM i8 ORDER BY qid, rank""".stripMargin,
+    "sim_mmr_rerank" -> mmrSql,
     "sim_ivf_topk_i8" ->
       s"""$ivfI8Sql
          |SELECT qid, id, rank, round(sim, 4) AS sim FROM ivf ORDER BY qid, rank""".stripMargin,

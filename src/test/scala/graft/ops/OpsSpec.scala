@@ -399,6 +399,38 @@ class OpsSpec extends SparkSpec {
     assert(got.last._2 == 2L && got.last._4 < 0)    // opposite ranks last, negative
   }
 
+  test("MMR re-rank: first pick is the nearest neighbour; a duplicate loses its slot to a diverse pick") {
+    // q at origin; 1 and 2 are EXACT duplicates; 3 is equidistant from q
+    // but orthogonal to 1. First pick: d2q ties (all 9) → min id = 1.
+    // Second: score(2) = d²(2,1) − d²(q,2) = 0 − 9 = −9 but score(3) =
+    // d²(3,1) − d²(q,3) = 18 − 9 = +9 → the duplicate loses to the
+    // diverse pick even at equal relevance.
+    val rows = Seq(
+      (0L, Array[Byte](0, 0)),
+      (1L, Array[Byte](3, 0)),
+      (2L, Array[Byte](3, 0)),   // exact duplicate of 1
+      (3L, Array[Byte](0, 3)),   // orthogonal, same distance to q
+      (4L, Array[Byte](20, 20))) // far away, fills the shortlist
+      .toDF("vec_id", "code")
+    val got = Similarity.mmrRerank(rows, rows.filter(col("vec_id") === 0L),
+        "vec_id", "code", "vec_id", "code", shortlist = 4, m = 3)
+      .orderBy("rnk").as[(Long, Long, Long, Long)].collect()
+    assert(got.map(_._3).toSeq == Seq(1L, 3L, 2L),
+      s"expected diversity pick 3 before duplicate 2, got ${got.toSeq}")
+    assert(got.head._4 == 9L) // d²(q, 1) = 3²
+  }
+
+  test("MMR re-rank is layout-invariant") {
+    val rows = (0L to 30L).map(i =>
+      (i, Array[Byte]((i % 7).toByte, (i % 5).toByte, (3 - i % 3).toByte)))
+      .toDF("vec_id", "code")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.mmrRerank(df, df.filter(col("vec_id") < 2L),
+          "vec_id", "code", "vec_id", "code", shortlist = 10, m = 4)
+        .as[(Long, Long, Long, Long)].collect().toSet
+    assert(run(rows.repartition(1)) == run(rows.repartition(7)))
+  }
+
   test("bigram top share: exact ratio, null under two tokens") {
     val got = Seq("a b a b a", "x y z", "solo", "r r r r")
       .toDF("t")
