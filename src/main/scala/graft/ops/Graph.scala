@@ -1213,7 +1213,6 @@ object Graph {
       scores.crossJoin(broadcast(s))
         .select(col("id"),
           expr(s"(cast($c as decimal(38,0)) * ${Total}L) div s1").as(c))
-        .localCheckpoint(eager = true)
     }
     var h = hubs.select(col("id"), lit(Total / nh).as("h"))
     var a: DataFrame = null
@@ -1222,10 +1221,16 @@ object Graph {
         e.join(h.withColumnRenamed("id", "src"), "src")
           .groupBy(col("dst").as("id")).agg(sum("h").as("a"))
           .transform(mat), "a")
+      // ONE lineage fence per round, on h: a's un-fenced plan (a persisted
+      // aggregate over the checkpointed previous h, referenced twice by
+      // its own normalization) bounds the round's tree at depth ~4×e-plan
+      // — constant per round, so only h needs the truncation that keeps
+      // the loop's plan from compounding (see the Scaladoc above)
       h = l1norm(
         e.join(a.withColumnRenamed("id", "dst"), "dst")
           .groupBy(col("src").as("id")).agg(sum("a").as("h"))
           .transform(mat), "h")
+        .localCheckpoint(eager = true)
     }
     h.join(a, Seq("id"), "full_outer")
       .select(col("id"), coalesce(col("h"), lit(0L)).as("hub_fp"),
