@@ -14,6 +14,13 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     graft.Tables.table(s, dir, "documents")
 
+  /** RAKE phrase-boundary stopwords — part of the operator contract,
+    * embedded identically in the engine and the oracle SQL. */
+  private val RakeStops = Seq("the", "a", "an", "of", "and", "in", "to",
+    "is", "on", "for", "with", "as", "by", "at")
+  private def rakeStopsSql: String =
+    RakeStops.map(w => s"'$w'").mkString(", ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Token statistics per language bucket
@@ -164,6 +171,42 @@ object TextQueries {
           round(slope, 4).as("zipf_slope"),
           round((col("sy") - slope * col("sx")) / col("n_ranks"), 4).as("ln_c"))
         .orderBy("source")
+    }),
+
+    // RAKE keyphrase extraction (Rose et al. 2010): candidate phrases are
+    // maximal stopword-free token runs (both engines share the same
+    // separator trick: stopwords → '|', join, split — no positional
+    // window needed), capped at 5 tokens; word score = deg/freq over all
+    // phrase occurrences per source, in 1e-9 integer fixed point
+    // ((deg·1e9) div freq — floor division of positives, exact in both
+    // engines) so phrase scores are INTEGER sums with deterministic
+    // (score DESC, phrase) ranking; top 15 per source ship through the
+    // k-bounded TopKByCount aggregate, never a phrase-vocabulary sort.
+    "txt_keyphrases" -> ((s, dir) => {
+      import graft.functions.TopKByCount.topk_by_count
+      val marked = transform(TextAnalysis.tokens(col("text")),
+        t => when(t.isInCollection(RakeStops), lit("|")).otherwise(t))
+      val phrases = docs(s, dir)
+        .select(col("source"),
+          explode(split(concat_ws(" ", marked), "\\s*\\|\\s*")).as("p"))
+        .filter(col("p") =!= "")
+        .withColumn("ws", split(col("p"), " "))
+        .filter(size(col("ws")) <= 5)
+      val words = phrases.select(col("source"),
+        size(col("ws")).cast("long").as("plen"), explode(col("ws")).as("t"))
+      val wfp = words.groupBy("source", "t")
+        .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+        .withColumn("wfp", expr("(deg * 1000000000L) div freq"))
+      val scored = phrases.select("source", "p").distinct()
+        .withColumn("t", explode(split(col("p"), " ")))
+        .join(wfp.select("source", "t", "wfp"), Seq("source", "t"))
+        .groupBy("source", "p").agg(sum("wfp").as("score_fp"))
+      scored.groupBy("source")
+        .agg(topk_by_count(struct(col("score_fp"), col("p")), 15).as("tk"))
+        .select(col("source"), posexplode(col("tk")))
+        .select(col("source"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col.key").as("phrase"), col("col.n").as("score_fp"))
+        .orderBy("source", "rnk")
     }),
 
     // Gopher-style quality signals: char-entropy (gibberish/repetition
@@ -1058,6 +1101,33 @@ object TextQueries {
         |        FROM documents) t
         |  GROUP BY lang, token) x
         |WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin,
+    // RAKE oracle: same stopword→'|' separator segmentation, same 1e-9
+    // integer word scores, row_number top-15 per source.
+    "txt_keyphrases" ->
+      s"""WITH ph AS (
+         |  SELECT source, unnest(list_filter(
+         |    string_split_regex(array_to_string(
+         |      list_transform(string_split_regex(trim(text), '\\s+'),
+         |        t -> CASE WHEN t IN ($rakeStopsSql) THEN '|' ELSE t END), ' '),
+         |      '\\s*\\|\\s*'), x -> x <> '')) AS p
+         |  FROM documents),
+         |cand AS (SELECT source, p, string_split(p, ' ') AS ws FROM ph
+         |         WHERE len(string_split(p, ' ')) <= 5),
+         |words AS (SELECT source, len(ws) AS plen, unnest(ws) AS t FROM cand),
+         |wfp AS (SELECT source, t,
+         |               (CAST(sum(plen) AS BIGINT) * 1000000000) // count(*) AS wfp
+         |        FROM words GROUP BY 1, 2),
+         |dp AS (SELECT DISTINCT source, p FROM cand),
+         |sc AS (SELECT d.source, d.p, CAST(sum(w.wfp) AS BIGINT) AS score_fp
+         |       FROM (SELECT source, p, unnest(string_split(p, ' ')) AS t FROM dp) d
+         |       JOIN wfp w ON w.source = d.source AND w.t = d.t
+         |       GROUP BY 1, 2)
+         |SELECT source, CAST(rnk AS BIGINT) AS rnk, p AS phrase, score_fp FROM (
+         |  SELECT source, p, score_fp,
+         |         row_number() OVER (PARTITION BY source
+         |           ORDER BY score_fp DESC, p) AS rnk
+         |  FROM sc) z
+         |WHERE rnk <= 15 ORDER BY source, rnk""".stripMargin,
     "txt_zipf_fit" ->
       """WITH tok AS (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS t
         |             FROM documents),
