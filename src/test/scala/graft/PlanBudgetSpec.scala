@@ -43,7 +43,13 @@ class PlanBudgetSpec extends SparkSpec {
     "emb_centroid_outliers" -> 5,
     // sketch partial -> final + estimate join + order
     "q_kmv_distinct" -> 4,
-    "q_sampled_quantiles" -> 3)
+    "q_sampled_quantiles" -> 3,
+    // round-9 additions (post-localCheckpoint tails: the bucket build /
+    // shortlist stages are fenced, so the final plan carries only the
+    // downstream aggregation exchanges)
+    "dedup_containment" -> 2,
+    "txt_zipf_fit" -> 4,
+    "txt_keyphrases" -> 5)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name stays within its shuffle budget ($budget)") {
