@@ -85,22 +85,43 @@ case class TopKByCount(child: Expression, k: Int,
 
 /** k-bounded ordered set on (count DESC, key ASC); the LAST element is the
   * weakest retained entry and is evicted when a stronger one arrives.
-  * Assumes each key appears once per group input (the canonical use feeds
-  * a pre-aggregated (group, key) → count relation); duplicate (n, key)
-  * entries collapse via the set semantics. */
+  *
+  * PRECONDITION: each key appears once per group input (the canonical use
+  * feeds a pre-aggregated (group, key) → count relation). The precondition
+  * is fundamental, not an implementation shortcut — a k-bounded buffer
+  * cannot SUM duplicate keys exactly (a key evicted early can never be
+  * credited when it reappears; that is the heavy-hitter problem, served by
+  * [[graft.ops.HeavyHitters]]'s Misra-Gries sketch instead). Violations
+  * are detected LOUDLY where bounded state can see them: a key re-added
+  * with a different count while still retained throws (an exact duplicate
+  * (n, key) stays idempotent). A duplicate that straddles an eviction is
+  * undetectable by construction — hence the documented precondition. */
 final class TopKCountBuffer(val k: Int) {
   private val set = new java.util.TreeSet[(Long, String)](
     (a: (Long, String), b: (Long, String)) => {
       val c = java.lang.Long.compare(b._1, a._1) // count DESC
       if (c != 0) c else a._2.compareTo(b._2)    // key ASC
     })
+  // retained-key → count mirror for the duplicate-key detector (O(1) probe)
+  private val counts = new java.util.HashMap[String, Long]()
 
   def add(n: Long, key: String): Unit = {
-    if (set.size < k) { set.add((n, key)); () }
-    else {
+    if (counts.containsKey(key)) {
+      val prev = counts.get(key)
+      if (prev == n) return // exact duplicate collapses, as before
+      throw new IllegalStateException(
+        s"topk_by_count: key '$key' arrived with counts $prev and $n in one " +
+          "group — input must be pre-aggregated to one (count, key) row per " +
+          "key (sum duplicates upstream, or use a heavy-hitters sketch)")
+    }
+    if (set.size < k) {
+      set.add((n, key)); counts.put(key, n); ()
+    } else {
       val weakest = set.last()
       if (n > weakest._1 || (n == weakest._1 && key.compareTo(weakest._2) < 0)) {
-        if (set.add((n, key))) { set.remove(set.last()); () }
+        set.add((n, key)); counts.put(key, n)
+        val evicted = set.last()
+        set.remove(evicted); counts.remove(evicted._2); ()
       }
     }
   }

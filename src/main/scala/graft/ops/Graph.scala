@@ -214,7 +214,8 @@ object Graph {
     * graph hold no mass (intersected with the node set). */
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
                            wCol: String, seeds: DataFrame, seedIdCol: String,
-                           iters: Int = 5): DataFrame = {
+                           iters: Int = 5,
+                           forceDataFrameLoop: Boolean = false): DataFrame = {
     require(iters >= 1 && iters <= 200)
     retireLastGeneration()
     val ed = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
@@ -242,6 +243,22 @@ object Graph {
     // per-round driver actions (the same lean-plan reduction pageRank
     // applies on total all-receiving graphs)
     val allReceive = e.select("dst").distinct().count() == n
+    // Integral ids/weights take the co-partitioned RDD round loop — same
+    // integer recurrence (spec-proven bit-equal), edges hash-partitioned
+    // by src ONCE, one shuffle per round (the dst re-aggregate), zero
+    // per-round Catalyst planning. Non-integral inputs (and the parity
+    // spec) keep the DataFrame loop below.
+    val integral = {
+      import org.apache.spark.sql.types._
+      def ok(t: DataType) = t match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      ok(ed.schema("src").dataType) && ok(ed.schema("dst").dataType) &&
+        ok(ed.schema("w").dataType)
+    }
+    if (integral && !forceDataFrameLoop)
+      return personalizedPageRankRdd(e, nodes, sd, n, nS, allReceive, iters)
     var pr = nodes
       .join(sd.select(col("id"), lit(Total / nS).as("p0")), Seq("id"), "left")
       .select(col("id"), coalesce(col("p0"), lit(0L)).as("pr"))
@@ -269,6 +286,84 @@ object Graph {
         }
     }
     pr.select("id", "pr")
+  }
+
+  /** The personalized-PageRank round loop as RDDs over integral
+    * ids/weights — same exact integer recurrence as the DataFrame loop
+    * above (spec-proven bit-equal on all-receiving and
+    * isolated-receiver total graphs), same machinery as [[pageRankRdd]]:
+    * edges (with per-source total weight) hash-partition by src once and
+    * persist, every round's rank join is co-partitioned → narrow, the
+    * per-round shuffle is the |V|-row contribution re-aggregate only,
+    * and the seed-teleport relation is a persisted co-partitioned RDD
+    * joined narrowly each round. On an all-receiving graph (any
+    * symmetric union) the rounds chain lazily into one linear-lineage
+    * job — zero per-round driver actions and zero per-round Catalyst
+    * planning (the q_components finding). */
+  private def personalizedPageRankRdd(e: DataFrame, nodes: DataFrame,
+                                      sd: DataFrame, n: Long, nS: Long,
+                                      allReceive: Boolean,
+                                      iters: Int): DataFrame = {
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    val spark = e.sparkSession
+    import spark.implicits._
+    val idType = nodes.schema("id").dataType
+    val p = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, n / 5000L + 1L)).toInt
+    val part = new HashPartitioner(p)
+    val edges: RDD[(Long, (Long, Long, Long))] = e
+      .select(col("src").cast("long"), col("dst").cast("long"),
+        col("w").cast("long"), col("tw").cast("long"))
+      .as[(Long, Long, Long, Long)].rdd
+      .map { case (s, d, w, tw) => (s, (d, w, tw)) }
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    val nodesR: RDD[(Long, Unit)] = nodes
+      .select(col("id").cast("long")).as[Long].rdd
+      .map((_, ())).partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    val seedBase = Base / nS
+    val sbR: RDD[(Long, Long)] = sd
+      .select(col("id").cast("long")).as[Long].rdd
+      .map((_, seedBase)).partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    var pr: RDD[(Long, Long)] = nodesR.leftOuterJoin(sbR, part)
+      .mapValues { case (_, s) => if (s.isDefined) Total / nS else 0L }
+    var prevStore: RDD[_] = null
+    (1 to iters).foreach { _ =>
+      val contrib = edges.join(pr, part)
+        .map { case (_, ((d, w, tw), prv)) =>
+          (d, Math.multiplyExact(Math.multiplyExact(prv, 85L), w) /
+            Math.multiplyExact(100L, tw))
+        }
+        .reduceByKey(part, (a, b) => Math.addExact(a, b)) // the ONE shuffle
+      pr =
+        if (allReceive)
+          // every node receives → contrib's key set IS the node set; one
+          // rank reference per round → lazy linear-lineage chain
+          contrib.leftOuterJoin(sbR, part).mapValues { case (s, sb) =>
+            Math.addExact(sb.getOrElse(0L), s)
+          }
+        else {
+          // keep zero-rank nodes in the relation, like the DataFrame loop
+          val stored = nodesR.leftOuterJoin(contrib, part)
+            .leftOuterJoin(sbR, part)
+            .mapValues { case ((_, s), sb) =>
+              Math.addExact(sb.getOrElse(0L), s.getOrElse(0L))
+            }
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          if (prevStore != null) prevStore.unpersist(blocking = false)
+          prevStore = stored
+          stored
+        }
+    }
+    val out = spark.createDataFrame(pr).toDF("id", "pr")
+      .select(col("id").cast(idType).as("id"), col("pr"))
+      .localCheckpoint(eager = true)
+    edges.unpersist(blocking = false)
+    nodesR.unpersist(blocking = false)
+    sbR.unpersist(blocking = false)
+    if (prevStore != null) prevStore.unpersist(blocking = false)
+    out
   }
 
   /** The PageRank round loop as RDDs over integral ids/weights — same
@@ -1200,14 +1295,34 @@ object Graph {
     * endpoints / self-loops / duplicate links should be fronted by
     * [[normalizeDirected]] as usual. */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
-           iters: Int = 3): DataFrame = {
+           iters: Int = 3, forceDataFrameLoop: Boolean = false): DataFrame = {
     require(iters >= 1 && iters <= 20)
     retireLastGeneration()
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .transform(mat)
     val hubs = e.select(col("src").as("id")).distinct().transform(mat)
     val nh = hubs.count()
-    // 128-bit normalize: x in [0, S], S ≤ Total·maxdeg, x·Total ≤ ~1e28
+    require(nh > 0, "hits: empty edge relation — no hub nodes to score")
+    // Integral ids take the co-partitioned RDD round loop (below): same
+    // integer recurrence (BigInt replays the DECIMAL(38,0) normalize
+    // exactly), but edges hash-partition by each endpoint ONCE and every
+    // round is two narrow joins + two key re-aggregates — no per-round
+    // Catalyst planning, no per-round lineage fences (RDD actions never
+    // stringify a SQL plan). Non-integral ids keep the DataFrame loop
+    // (also forced by specs for the parity proof).
+    val integral = {
+      import org.apache.spark.sql.types._
+      def ok(t: DataType) = t match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      ok(e.schema("src").dataType) && ok(e.schema("dst").dataType)
+    }
+    if (integral && !forceDataFrameLoop) return hitsRdd(e, nh, iters)
+    // 128-bit normalize: x in [0, S], S ≤ Total·maxdeg, x·Total ≤ ~1e28.
+    // s1 > 0 is structural: scores enter ≥ Total/nh > 0 on every hub and
+    // L1 mass only moves along edges, so the sum stays positive (the RDD
+    // twin asserts the same invariant at runtime).
     def l1norm(scores: DataFrame, c: String): DataFrame = {
       val s = scores.agg(sum(col(c)).cast("decimal(38,0)").as("s1"))
       scores.crossJoin(broadcast(s))
@@ -1235,6 +1350,82 @@ object Graph {
     h.join(a, Seq("id"), "full_outer")
       .select(col("id"), coalesce(col("h"), lit(0L)).as("hub_fp"),
         coalesce(col("a"), lit(0L)).as("auth_fp"))
+  }
+
+  /** The HITS round loop as RDDs over integral ids — spec-proven
+    * bit-equal to the DataFrame loop. Same recurrence: raw score = key
+    * re-aggregate of the opposite score over edges; normalize = (x ·
+    * Total) div Σx with the 128-bit intermediate replayed in BigInt
+    * (operands nonnegative, so BigInt `/` is the same floor as DECIMAL's
+    * `div`). What it buys over the DataFrame loop (the q_components /
+    * q_pagerank finding): the edge relation hash-partitions by EACH
+    * endpoint once (one src-keyed copy, one dst-keyed copy, both
+    * persisted); every round's score join is then co-partitioned →
+    * narrow, the only shuffles are the two per-round re-aggregates, and
+    * there is no per-round Catalyst planning or plan-stringification tax
+    * (the DataFrame loop needs a lineage fence per round just to keep
+    * generateTreeString from going super-linear). Per-round driver
+    * actions: the two Σx normalization scalars — exactly the two 1-row
+    * aggregates the DataFrame loop broadcasts. */
+  private def hitsRdd(e: DataFrame, nh: Long, iters: Int): DataFrame = {
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    val spark = e.sparkSession
+    import spark.implicits._
+    // the full_outer of hub and authority ids in the DataFrame loop
+    // coerces the two endpoint types; mirror it via the union schema
+    val outType = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).schema("id").dataType
+    val p = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, nh / 5000L + 1L)).toInt
+    val part = new HashPartitioner(p)
+    val bySrc: RDD[(Long, Long)] = e
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].rdd
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    val byDst: RDD[(Long, Long)] = e
+      .select(col("dst").cast("long"), col("src").cast("long"))
+      .as[(Long, Long)].rdd
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    val tot = Total
+    // (x · Total) div s1 in BigInt == the DataFrame loop's DECIMAL(38,0)
+    // path bit-for-bit: x ≥ 0, s1 > 0, both divisions floor
+    def l1norm(raw: RDD[(Long, Long)]): RDD[(Long, Long)] = {
+      val s1 = raw.map(kv => BigInt(kv._2)).fold(BigInt(0))(_ + _)
+      require(s1 > 0, "hits: L1 mass vanished — degenerate normalization")
+      raw.mapValues(v => ((BigInt(v) * tot) / s1).toLong)
+    }
+    // distinct hub keys without an extra shuffle: bySrc is already
+    // hash-partitioned by src, so the key-collapse is partition-local
+    var h: RDD[(Long, Long)] = bySrc.mapValues(_ => ())
+      .reduceByKey(part, (u, _) => u).mapValues(_ => tot / nh)
+    var a: RDD[(Long, Long)] = null
+    val stored = scala.collection.mutable.Buffer[RDD[_]]()
+    (1 to iters).foreach { _ =>
+      val aRaw = bySrc.join(h, part)
+        .map { case (_, (dst, hv)) => (dst, hv) }
+        .reduceByKey(part, (x, y) => Math.addExact(x, y))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      stored += aRaw
+      a = l1norm(aRaw) // narrow over the persisted raw; stays partitioned
+      val hRaw = byDst.join(a, part)
+        .map { case (_, (src, av)) => (src, av) }
+        .reduceByKey(part, (x, y) => Math.addExact(x, y))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      stored += hRaw
+      h = l1norm(hRaw)
+    }
+    val res = h.fullOuterJoin(a, part).map { case (id, (hv, av)) =>
+      (id, hv.getOrElse(0L), av.getOrElse(0L))
+    }
+    val out = spark.createDataFrame(res).toDF("id", "hub_fp", "auth_fp")
+      .select(col("id").cast(outType).as("id"), col("hub_fp"), col("auth_fp"))
+      .localCheckpoint(eager = true)
+    bySrc.unpersist(blocking = false)
+    byDst.unpersist(blocking = false)
+    stored.foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** Link prediction by the Resource-Allocation index (Zhou, Lü &

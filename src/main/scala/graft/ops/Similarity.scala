@@ -60,6 +60,28 @@ object Similarity {
     * the edge of sane broadcast territory. */
   val BruteForceMaxQueryRows: Int = 65536
 
+  /** Shared admission gate for every broadcast-query scan entry point
+    * ([[bruteForceTopK]], [[int8TopK]], [[binaryTopK]], [[pqTopK]],
+    * [[mmrRerank]]): each scans |corpus| × |queries| pairs with the query
+    * relation broadcast, so the cost is quadratic whenever the query set
+    * is a corpus sample and the broadcast stops fitting past
+    * [[BruteForceMaxQueryRows]]. Query sets above `maxQueryRows` are
+    * refused unless the caller explicitly opts in. The size probe is a
+    * `limit(bound+1).count()` — it never scans more than bound+1 query
+    * rows regardless of corpus size. */
+  private[graft] def gateQuerySet(queries: DataFrame, api: String,
+                                  maxQueryRows: Int,
+                                  acceptQuadraticCost: Boolean): Unit = {
+    if (!acceptQuadraticCost) {
+      val n = queries.limit(maxQueryRows + 1).count()
+      require(n <= maxQueryRows,
+        s"$api query set exceeds $maxQueryRows rows — the scan is " +
+          "|corpus| x |queries| and the query side must broadcast. Use " +
+          "lshTopK/ivfTopK (top-k) or Dedup.embeddingNearDups (threshold " +
+          "pairs) at scale, or opt in with acceptQuadraticCost = true.")
+    }
+  }
+
   /** Brute-force cosine top-k: every query (small, broadcast) against the
     * whole corpus. Returns (qid, id, rank, sim). Deterministic tiebreak on
     * id.
@@ -84,14 +106,7 @@ object Similarity {
                      k: Int = 10,
                      maxQueryRows: Int = BruteForceMaxQueryRows,
                      acceptQuadraticCost: Boolean = false): DataFrame = {
-    if (!acceptQuadraticCost) {
-      val n = queries.limit(maxQueryRows + 1).count()
-      require(n <= maxQueryRows,
-        s"bruteForceTopK query set exceeds $maxQueryRows rows — the scan is " +
-          "|corpus| x |queries| and the query side must broadcast. Use " +
-          "lshTopK/ivfTopK (top-k) or Dedup.embeddingNearDups (threshold " +
-          "pairs) at scale, or opt in with acceptQuadraticCost = true.")
-    }
+    gateQuerySet(queries, "bruteForceTopK", maxQueryRows, acceptQuadraticCost)
     val c = Par.spread(corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v")))
       .withColumn("nrm", l2norm(col("v")))
     val q = queries.select(col(qidCol).as("qid"), col(qvecCol).cast("array<double>").as("qv"))
@@ -116,8 +131,11 @@ object Similarity {
     * ranking must be full-precision. */
   def int8TopK(packedCorpus: DataFrame, packedQueries: DataFrame,
                idCol: String, codeCol: String, qidCol: String,
-               qcodeCol: String, k: Int = 10): DataFrame = {
+               qcodeCol: String, k: Int = 10,
+               maxQueryRows: Int = BruteForceMaxQueryRows,
+               acceptQuadraticCost: Boolean = false): DataFrame = {
     import graft.functions.GraftFunctions.{dot_i8, normsq_i8}
+    gateQuerySet(packedQueries, "int8TopK", maxQueryRows, acceptQuadraticCost)
     val c = Par.spread(packedCorpus.select(col(idCol).as("id"), col(codeCol).as("code")))
       .filter(col("code").isNotNull)
       .withColumn("nsq", normsq_i8(col("code")))
@@ -271,7 +289,10 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, qidCol: String, qvecCol: String,
              k: Int = 10, m: Int = 4, ks: Int = 16,
-             trainSample: Int = 4096): DataFrame = {
+             trainSample: Int = 4096,
+             maxQueryRows: Int = BruteForceMaxQueryRows,
+             acceptQuadraticCost: Boolean = false): DataFrame = {
+    gateQuerySet(queries, "pqTopK", maxQueryRows, acceptQuadraticCost)
     val c = Par.spread(corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v")))
       .filter(col("v").isNotNull)
@@ -426,7 +447,10 @@ object Similarity {
     * (hamming asc, id asc) then (sim desc, id asc). */
   def binaryTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                  vecCol: String, qidCol: String, qvecCol: String,
-                 k: Int = 10, rerank: Int = 64): DataFrame = {
+                 k: Int = 10, rerank: Int = 64,
+                 maxQueryRows: Int = BruteForceMaxQueryRows,
+                 acceptQuadraticCost: Boolean = false): DataFrame = {
+    gateQuerySet(queries, "binaryTopK", maxQueryRows, acceptQuadraticCost)
     val c = Par.spread(corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v")))
       .filter(col("v").isNotNull)
@@ -1064,9 +1088,12 @@ object Similarity {
     * plan stays flat. Returns (qid, rnk, id, d2q). */
   def mmrRerank(packedCorpus: DataFrame, packedQueries: DataFrame,
                 idCol: String, codeCol: String, qidCol: String,
-                qcodeCol: String, shortlist: Int = 20, m: Int = 5): DataFrame = {
+                qcodeCol: String, shortlist: Int = 20, m: Int = 5,
+                maxQueryRows: Int = BruteForceMaxQueryRows,
+                acceptQuadraticCost: Boolean = false): DataFrame = {
     import graft.functions.GraftFunctions.{dot_i8, normsq_i8}
     require(m >= 1 && shortlist >= m)
+    gateQuerySet(packedQueries, "mmrRerank", maxQueryRows, acceptQuadraticCost)
     val c = Par.spread(packedCorpus.select(col(idCol).as("id"), col(codeCol).as("code")))
       .filter(col("code").isNotNull)
       .withColumn("nsq", normsq_i8(col("code")))

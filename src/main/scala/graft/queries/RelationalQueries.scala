@@ -1302,7 +1302,10 @@ object RelationalQueries {
           .select(lit("hub").as("role"), col("id"),
             col("hub_fp").as("score_fp"))
           .orderBy(col("score_fp").desc, col("id")).limit(25)
+        // explicit final sort: the oracle's ORDER BY (role, score DESC,
+        // id) must not ride on union/coalesce partition-order accidents
         auth.union(hub)
+          .orderBy(col("role"), col("score_fp").desc, col("id"))
       }
     }),
 

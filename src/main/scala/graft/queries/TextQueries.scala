@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Dedup, IntervalJoin, Multimodal, TextAnalysis}
@@ -149,22 +149,33 @@ object TextQueries {
     // source; round(4) absorbs summation-order ulps (txt_entropy
     // precedent).
     "txt_zipf_fit" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("source").orderBy(col("f").desc, col("t"))
-      val xy = docs(s, dir)
+      import graft.functions.TopKByCount.topk_by_count
+      // top-500 (f DESC, token) ranks per source through the k-bounded
+      // aggregate — the same window-free switch txt_top_terms took: the
+      // row_number form range-shuffles and sorts the per-source f≥2
+      // vocabulary (Heaps-law unbounded); this ships ≤500 (f, token)
+      // pairs per source per map partition. The OLS sums then fold the
+      // ≤500-element array IN PLACE (sequential, deterministic) — no
+      // second exchange, no per-rank rows. Sources with a single rank
+      // are excluded in both engines: x = ln(1) = 0 makes the OLS
+      // denominator exactly 0 (Spark NaN vs DuckDB NULL — an
+      // engine/oracle divergence on degenerate input, not a fit).
+      val tk = docs(s, dir)
         .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("t"))
         .filter(length(col("t")) > 0)
         .groupBy("source", "t").agg(count(lit(1)).as("f"))
         .filter(col("f") >= 2)
-        .withColumn("r", row_number().over(w))
-        .filter(col("r") <= 500)
-        .select(col("source"), log(col("r").cast("double")).as("x"),
-          log(col("f").cast("double")).as("y"))
-      val fit = xy.groupBy("source").agg(
-        count(lit(1)).as("n_ranks"),
-        sum("x").as("sx"), sum("y").as("sy"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"))
+        .groupBy("source")
+        .agg(topk_by_count(struct(col("f"), col("t")), 500).as("tk"))
+        .filter(size(col("tk")) >= 2)
+      def asum(c: Column) = aggregate(c, lit(0.0), (a, x) => a + x)
+      val xs = transform(col("tk"), (_, i) => log((i + 1).cast("double")))
+      val ys = transform(col("tk"), e => log(e.getField("n").cast("double")))
+      val fit = tk.select(col("source"),
+        size(col("tk")).cast("long").as("n_ranks"),
+        asum(xs).as("sx"), asum(ys).as("sy"),
+        asum(zip_with(xs, ys, (x, y) => x * y)).as("sxy"),
+        asum(transform(xs, x => x * x)).as("sxx"))
       val slope = (col("n_ranks") * col("sxy") - col("sx") * col("sy")) /
         (col("n_ranks") * col("sxx") - col("sx") * col("sx"))
       fit.select(col("source"), col("n_ranks"),
@@ -196,7 +207,11 @@ object TextQueries {
         size(col("ws")).cast("long").as("plen"), explode(col("ws")).as("t"))
       val wfp = words.groupBy("source", "t")
         .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
-        .withColumn("wfp", expr("(deg * 1000000000L) div freq"))
+        // 128-bit intermediate for deg·1e9 (the hits-l1norm pattern): a
+        // long multiply overflows past deg ≈ 9.2e9 — plausible corpus
+        // degree at 100 TB; div returns BIGINT either way, and the
+        // quotient itself is bounded (deg/freq ≤ 5 tokens per phrase)
+        .withColumn("wfp", expr("(cast(deg as decimal(38,0)) * 1000000000) div freq"))
       val scored = phrases.select("source", "p").distinct()
         .withColumn("t", explode(split(col("p"), " ")))
         .join(wfp.select("source", "t", "wfp"), Seq("source", "t"))
@@ -1144,7 +1159,7 @@ object TextQueries {
         |       round((n_ranks*sxy - sx*sy)/(n_ranks*sxx - sx*sx), 4) AS zipf_slope,
         |       round((sy - (n_ranks*sxy - sx*sy)/(n_ranks*sxx - sx*sx)*sx)/n_ranks, 4)
         |         AS ln_c
-        |FROM s ORDER BY source""".stripMargin,
+        |FROM s WHERE n_ranks >= 2 ORDER BY source""".stripMargin,
     "txt_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -48,7 +48,9 @@ class PlanBudgetSpec extends SparkSpec {
     // shortlist stages are fenced, so the final plan carries only the
     // downstream aggregation exchanges)
     "dedup_containment" -> 2,
-    "txt_zipf_fit" -> 4,
+    // token-count agg + per-source topk agg + final order; the OLS sums
+    // fold the ≤500-element topk array in place (no per-rank exchange)
+    "txt_zipf_fit" -> 3,
     "txt_keyphrases" -> 5)
 
   budgets.foreach { case (name, budget) =>

@@ -439,6 +439,39 @@ class GraphSpec extends SparkSpec {
     assert(hitsScores(e.repartition(1)) == hitsScores(e.repartition(7)))
   }
 
+  test("HITS RDD loop is bit-identical to the DataFrame loop; empty input refused") {
+    // bipartite (disjoint hub/authority sides) and a directed graph whose
+    // nodes play both roles (exercises the full-outer score merge)
+    val bip = Seq((1L, 100L), (2L, 100L), (2L, 101L), (3L, 101L), (3L, 102L),
+      (1L, 102L)).toDF("src", "dst")
+    val dir = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
+      .toDF("src", "dst")
+    for (e <- Seq(bip, dir)) {
+      def run(df: Boolean) = Graph.hits(e, "src", "dst", iters = 3,
+        forceDataFrameLoop = df)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(run(false) == run(true))
+    }
+    intercept[IllegalArgumentException] {
+      Graph.hits(Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst")
+    }
+  }
+
+  test("personalized PageRank RDD loop is bit-identical to the DataFrame loop") {
+    // all-receiving (symmetric union) and isolated-receiver total shapes
+    val symg = sym((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 1L), (2L, 4L, 3L))
+    // total (every node has out-edges) but node 3 receives nothing
+    val iso = Seq((1L, 2L, 1L), (2L, 1L, 1L), (3L, 1L, 2L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(1L, 3L).toDF("id")
+    for (e <- Seq(symg, iso)) {
+      def run(df: Boolean) = Graph.personalizedPageRank(e, "src", "dst", "w",
+        seeds, "id", iters = 5, forceDataFrameLoop = df)
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(run(false) == run(true))
+    }
+  }
+
   private def raPairs(e: DataFrame, maxDeg: Long = 1024L): Map[(Long, Long), (Long, Long)] =
     Graph.linkPredictRA(e, "a", "b", maxDeg)
       .as[(Long, Long, Long, Long)].collect()

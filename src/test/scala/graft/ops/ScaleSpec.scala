@@ -64,6 +64,33 @@ class ScaleSpec extends SparkSpec {
     assert(ok.count() == 5 * 3)
   }
 
+  test("every broadcast-query ANN scan refuses an oversized query set unless opted in") {
+    val emb = (0L until 40L).map(i => (i, Array.tabulate(4)(d => (i + d).toDouble)))
+      .toDF("vec_id", "embedding")
+    val packed = emb.select(col("vec_id"),
+      graft.functions.GraftFunctions.pack_i8(
+        col("embedding").cast("array<double>"), lit(1.0)).as("code"))
+    def trips(f: => org.apache.spark.sql.DataFrame): Unit = {
+      val e = intercept[IllegalArgumentException](f)
+      assert(e.getMessage.contains("acceptQuadraticCost"))
+    }
+    trips(Similarity.int8TopK(packed, packed, "vec_id", "code",
+      "vec_id", "code", k = 3, maxQueryRows = 16))
+    trips(Similarity.binaryTopK(emb, emb, "vec_id", "embedding",
+      "vec_id", "embedding", k = 3, maxQueryRows = 16))
+    trips(Similarity.pqTopK(emb, emb, "vec_id", "embedding",
+      "vec_id", "embedding", k = 3, m = 2, maxQueryRows = 16))
+    trips(Similarity.mmrRerank(packed, packed, "vec_id", "code",
+      "vec_id", "code", shortlist = 4, m = 2, maxQueryRows = 16))
+    // explicit opt-in runs the same calls; under-bound sets need no opt-in
+    assert(Similarity.int8TopK(packed, packed, "vec_id", "code",
+      "vec_id", "code", k = 3, maxQueryRows = 16,
+      acceptQuadraticCost = true).count() == 40 * 3)
+    assert(Similarity.mmrRerank(packed, packed.filter(col("vec_id") < 5),
+      "vec_id", "code", "vec_id", "code", shortlist = 4, m = 2,
+      maxQueryRows = 16).count() == 5 * 2)
+  }
+
   test("BPE-ish subword count: letter runs, digit runs, punctuation marks") {
     val got = Seq("hello, world42 x-ray").toDF("t")
       .select(graft.ops.TextAnalysis.subwordCount(col("t"))).as[Int].head()

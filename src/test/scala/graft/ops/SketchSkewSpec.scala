@@ -279,7 +279,7 @@ class SketchSkewSpec extends SparkSpec {
     val b = new TopKCountBuffer(5)
     val single = new TopKCountBuffer(5)
     val items = Seq((3L, "c"), (9L, "x"), (9L, "a"), (1L, "z"), (7L, "m"),
-      (9L, "b"), (2L, "q"), (7L, "a"))
+      (9L, "b"), (2L, "q"), (7L, "d"))
     items.take(4).foreach { case (n, k) => a.add(n, k) }
     items.drop(4).foreach { case (n, k) => b.add(n, k) }
     items.foreach { case (n, k) => single.add(n, k) }
@@ -291,8 +291,27 @@ class SketchSkewSpec extends SparkSpec {
     assert(single.ranked.toSeq.take(3) == Seq((9L, "a"), (9L, "b"), (9L, "x")))
   }
 
+  test("topk_by_count detects non-pre-aggregated input loudly") {
+    import graft.functions.TopKCountBuffer
+    val buf = new TopKCountBuffer(5)
+    buf.add(9L, "a")
+    buf.add(9L, "a") // exact duplicate stays idempotent
+    assert(buf.ranked.toSeq == Seq((9L, "a")))
+    // same key, different count while retained: the precondition (one
+    // pre-aggregated (count, key) row per key) is provably violated
+    val e = intercept[IllegalStateException](buf.add(7L, "a"))
+    assert(e.getMessage.contains("pre-aggregated"))
+  }
+
   test("txt_top_terms plans the bounded aggregate, never a vocab-wide window") {
     val plan = graft.SparkEntry.queries("txt_top_terms")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window sort over the vocabulary:\n${plan.take(3000)}")
+    assert(plan.contains("topk_by_count"), plan.take(3000))
+  }
+
+  test("txt_zipf_fit plans the bounded aggregate, never a vocab-wide window") {
+    val plan = graft.SparkEntry.queries("txt_zipf_fit")(
       spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"window sort over the vocabulary:\n${plan.take(3000)}")
     assert(plan.contains("topk_by_count"), plan.take(3000))
