@@ -19,6 +19,30 @@ import graft.functions.GraftFunctions.{shingle_hashes, simhash64}
   */
 object Dedup {
 
+  /** One-generation registry for the multi-consumer ops (the
+    * [[graft.ops.Graph]] pattern, adapted to lineage fences): each
+    * invocation retires the checkpoint blocks the PREVIOUS one pinned, so
+    * repeated bench/suite invocations hold one generation of dedup state
+    * instead of accumulating for the session — the accumulation was what
+    * put [[containmentPairs]]' intermediates under suite memory pressure
+    * and made one bench sample pay a full rebuild (round-9 finding: 5.5×
+    * max/min spread). The frames ARE localCheckpoints (the plan fence the
+    * shuffle-budget guard pins); retiring only the previous invocation's
+    * blocks is safe because its results are fully consumed by the time
+    * the next invocation starts — a caller holding a result across two
+    * invocations must materialize it first (same contract as Graph's
+    * generation cache). */
+  private val generation = new scala.collection.mutable.ArrayBuffer[DataFrame]
+  private def retireLastGeneration(): Unit = generation.synchronized {
+    generation.foreach(_.unpersist(blocking = false))
+    generation.clear()
+  }
+  private def fence(df: DataFrame): DataFrame = {
+    val p = df.localCheckpoint(eager = true)
+    generation.synchronized { generation += p }
+    p
+  }
+
   /** Exact dedup: keep the smallest id per canonical-text fingerprint.
     * Deterministic survivor choice (min id) so replays are stable.
     * `min_by` aggregation, not a row_number window: aggregates combine
@@ -167,6 +191,7 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, threshold: Double = 0.5,
                        maxDf: Long = 128L): DataFrame = {
+    retireLastGeneration()
     val sh = Par.spread(df.select(col(idCol), col(textCol)))
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
@@ -179,19 +204,18 @@ object Dedup {
     // the broadcast→shuffle plan cliff), and each unordered pair is
     // generated ONCE (halving the exploded volume vs x≠y); both directed
     // rows are emitted after the count, which is symmetric.
-    // localCheckpoint: three consumers (set sizes twice — one join per
-    // direction — and the pair generator) would otherwise each replay the
-    // corpus-scan → explode → collect_list lineage; the relation is
-    // vocab-sized with ≤ maxDf-element arrays, far smaller than its input
-    val buckets = sh.groupBy("g")
+    // one-generation lineage fence (see [[fence]]): three consumers (set
+    // sizes twice — one join per direction — and the pair generator)
+    // would otherwise each replay the corpus-scan → explode →
+    // collect_list lineage; the relation is vocab-sized with
+    // ≤ maxDf-element arrays, far smaller than its input
+    val buckets = fence(sh.groupBy("g")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) <= maxDf)
-      .localCheckpoint()
+      .filter(size(col("ids")) <= maxDf))
     // capped-universe set size per doc INCLUDES singleton buckets (df = 1
     // shingles belong to S(a) even though they pair with nothing)
-    val sizes = buckets.select(explode(col("ids")).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+    val sizes = fence(buckets.select(explode(col("ids")).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n")))
     val common = buckets.filter(size(col("ids")) >= 2).select(explode(expr(
         """flatten(transform(sequence(2, size(ids)), j ->
           |  transform(slice(ids, 1, j - 1),
@@ -429,7 +453,23 @@ object Dedup {
   def againstReference(incoming: DataFrame, reference: DataFrame,
                        idCol: String, textCol: String,
                        threshold: Double = 0.8,
-                       numPerm: Int = 64, bands: Int = 32): DataFrame = {
+                       numPerm: Int = 64, bands: Int = 32): DataFrame =
+    crossNearDupPairs(incoming, reference, idCol, textCol, threshold,
+        numPerm, bands)
+      .groupBy(col("inc_id").as(idCol))
+      .agg(count(lit(1)).as("n_ref_matches"),
+        round(max(col("jaccard")), 4).as("max_jaccard"))
+
+  /** Verified near-dup pairs BETWEEN two corpora — the pair-level
+    * primitive under [[againstReference]] (contamination report) and
+    * [[clusterAppend]] (incremental cluster-MV fold). Candidates come
+    * from the banded-LSH (band, bucket) equi-join of the two corpora's
+    * signatures (never incoming × reference), then exact Jaccard verifies
+    * candidates only. Returns (inc_id, ref_id, jaccard ≥ threshold). */
+  def crossNearDupPairs(incoming: DataFrame, reference: DataFrame,
+                        idCol: String, textCol: String,
+                        threshold: Double = 0.8,
+                        numPerm: Int = 64, bands: Int = 32): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val rowsPerBand = numPerm / bands
     def banded(df: DataFrame, pfx: String): DataFrame =
@@ -461,9 +501,44 @@ object Dedup {
       .withColumn("jaccard",
         col("common").cast("double") / (col("n_i") + col("n_r") - col("common")))
       .filter(col("jaccard") >= threshold)
-      .groupBy(col("inc_id").as(idCol))
-      .agg(count(lit(1)).as("n_ref_matches"),
-        round(max(col("jaccard")), 4).as("max_jaccard"))
+      .select("inc_id", "ref_id", "jaccard")
+  }
+
+  /** Incremental cluster-MV maintenance: fold a DELTA of documents into
+    * an existing (id, cluster) near-dup MV — the production form the MV
+    * pattern ([[clusterMV]]) names — WITHOUT re-traversing the accepted
+    * corpus. New edges come from two Δ-driven screens: verified pairs
+    * WITHIN the delta ([[minhashCandidatePairs]] + [[jaccardVerify]] over
+    * the delta only) and verified delta × base pairs
+    * ([[crossNearDupPairs]]: banded-LSH equi-join — base text is scanned
+    * once for signatures, but base-internal pairs are never re-derived
+    * and base components never re-run). The fold is
+    * [[Graph.incrementalComponents]]: base endpoints lift to their MV
+    * label, the Δ-sized label graph contracts, only merged clusters
+    * relabel.
+    *
+    * EXACTLY equals the full recompute (near-dup clusters over base ∪
+    * delta): signatures are doc-local, so the full verified pair set
+    * partitions into base-internal (already folded into the MV),
+    * delta-internal, and cross pairs — the two screens produce precisely
+    * the last two, and min-label components compose over edge unions.
+    * Cost is Δ-sized: |delta| signatures, bucket joins keyed by the
+    * delta's buckets, and a label-graph contraction. */
+  def clusterAppend(baseMv: DataFrame, baseDocs: DataFrame,
+                    deltaDocs: DataFrame, idCol: String, textCol: String,
+                    threshold: Double = 0.8, numPerm: Int = 64,
+                    bands: Int = 32): DataFrame = {
+    val deltaPairs = jaccardVerify(
+        minhashCandidatePairs(deltaDocs, idCol, textCol, numPerm, bands),
+        deltaDocs, idCol, textCol)
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b")
+    val crossPairs = crossNearDupPairs(deltaDocs, baseDocs, idCol, textCol,
+        threshold, numPerm, bands)
+      .select(col("inc_id").as("id_a"), col("ref_id").as("id_b"))
+    Graph.incrementalComponents(baseMv, "id", "cluster",
+        deltaPairs.unionByName(crossPairs), "id_a", "id_b")
+      .select(col("id"), col("l").as("cluster"))
   }
 
   /** Embedding near-dup: cosine ≥ threshold pairs. Exact within-bucket via

@@ -642,6 +642,26 @@ object TextQueries {
         .orderBy(col("size").desc, col("cluster"))
         .limit(100)),
 
+    // Incremental cluster-MV maintenance: the corpus splits into an
+    // accepted base (doc_id % 10 != 0, its MV built once per session) and
+    // a 10% delta; the delta folds in via Dedup.clusterAppend — delta
+    // signatures LSH-screened within the delta and against the base,
+    // Δ-sized label-graph contraction, base pairs/components never
+    // re-derived (spec-guarded). The ORACLE is the full recompute: the
+    // same all-pairs recursive-CTE census dedup_clusters replays over the
+    // whole corpus — incremental maintenance must be invisible in the
+    // result.
+    "dedup_cluster_append" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val delta = d.filter(col("doc_id") % 10 === 0)
+      val base = d.filter(col("doc_id") % 10 =!= 0)
+      val baseMv = Dedup.clusterMV(base, dir + "#base", "doc_id", "text")
+      Dedup.clusterAppend(baseMv, base, delta, "doc_id", "text")
+        .groupBy("cluster").agg(count(lit(1)).as("size"))
+        .orderBy(col("size").desc, col("cluster"))
+        .limit(100)
+    }),
+
     // Canonical-doc retention: the dedup ENDGAME — cluster near-dups
     // (same verified ≥0.8 edge set as dedup_clusters), then keep the
     // best copy per cluster (longest text, tie → smallest id) plus all
@@ -1491,6 +1511,35 @@ object TextQueries {
         |    ON a.doc_id < b.doc_id AND least(a.n, b.n) >= 0.8 * greatest(a.n, b.n)
         |) WHERE j >= 0.8 ORDER BY id_a, id_b""".stripMargin,
     "dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |              ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |                     i -> array_to_string(t[i:i+2], ' ')))
+        |         END AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)
+        |), sized AS (SELECT doc_id, s, len(s) AS n FROM sh),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / (a.n + b.n - len(list_intersect(a.s, b.s))) AS j
+        |    FROM sized a JOIN sized b
+        |      ON a.doc_id < b.doc_id AND least(a.n, b.n) >= 0.8 * greatest(a.n, b.n)
+        |  ) WHERE j >= 0.8
+        |),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id
+        |)
+        |SELECT cluster, count(*) AS size FROM (
+        |  SELECT id, min(r) AS cluster FROM reach GROUP BY id
+        |) GROUP BY cluster ORDER BY size DESC, cluster LIMIT 100""".stripMargin,
+    // full-recompute oracle: incremental MV maintenance must reproduce
+    // the whole-corpus cluster census exactly
+    "dedup_cluster_append" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id,
         |         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]

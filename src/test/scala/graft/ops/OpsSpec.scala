@@ -637,6 +637,41 @@ class OpsSpec extends SparkSpec {
     assert(survivors == Seq(3L))
   }
 
+  test("clusterAppend equals the full recompute and never re-derives base pairs") {
+    val mk = (id: Long, words: Seq[String]) => (id, words.mkString(" "))
+    val w = (1 to 40).map(i => s"w$i"); val x = (1 to 40).map(i => s"x$i")
+    val y = (1 to 40).map(i => s"y$i"); val z = (1 to 40).map(i => s"z$i")
+    // base: near-dup groups {1,2} and {5,6}, singleton 9
+    val base = Seq(mk(1L, w), mk(2L, w.updated(0, "ALT")),
+      mk(5L, x), mk(6L, x.updated(3, "ALT")), mk(9L, y)).toDF("doc_id", "text")
+    // delta: 10 joins base cluster {1,2}; 11 clusters with base SINGLETON
+    // 9 (not in the MV); 12-13 near-dup each other only; 14 unrelated
+    val delta = Seq(mk(10L, w.updated(1, "ALT2")), mk(11L, y.updated(0, "ALT")),
+      mk(12L, z), mk(13L, z.updated(2, "ALT")),
+      mk(14L, (1 to 40).map(i => s"q$i"))).toDF("doc_id", "text")
+    def fullClusters(d: org.apache.spark.sql.DataFrame) =
+      Dedup.nearDupClusters(
+        Dedup.jaccardVerify(
+            Dedup.minhashCandidatePairs(d, "doc_id", "text", 64, 32),
+            d, "doc_id", "text")
+          .filter(col("jaccard") >= 0.8).select("id_a", "id_b"))
+    val full = fullClusters(base.union(delta)).as[(Long, Long)].collect().toMap
+    val mv = fullClusters(base).localCheckpoint(true)
+    val inc = Dedup.clusterAppend(mv, base, delta, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(inc == full)
+    assert(inc(10L) == 1L && inc(11L) == 9L && inc(13L) == 12L && !inc.contains(14L))
+    // base pairs are NEVER re-derived: hand the append an MV that labels
+    // the base near-dups 1 and 2 APART — a maintenance fold must respect
+    // the MV (a full recompute would re-merge them)
+    val forked = Seq((1L, 1L), (2L, 2L), (5L, 5L), (6L, 5L)).toDF("id", "cluster")
+    val out = Dedup.clusterAppend(forked, base,
+        Seq(mk(12L, z), mk(13L, z.updated(2, "ALT"))).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) == 1L && out(2L) == 2L && out(13L) == 12L)
+  }
+
   test("contamination report: verbatim benchmark doc scores 1.0, unrelated below") {
     val words = (1 to 30).map(i => s"tok$i")
     val bench = Seq((900L, words.mkString(" "))).toDF("doc_id", "text")
