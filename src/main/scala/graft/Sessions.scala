@@ -29,6 +29,15 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel(logLevel)
+    // SPARK_GRAFT_STATE_STORE=rocksdb flips every stateful streaming row
+    // onto the RocksDB provider (state spills to local disk, heap bounded
+    // by block cache — the 100 TB-cardinality provider; see
+    // StreamingPipeline.useRocksDbStateStore). Default stays the
+    // HDFS-backed in-memory provider. Results must be provider-invariant:
+    // the A/B gate runs the whole Verify suite under both and diffs
+    // hashes.
+    if (sys.env.get("SPARK_GRAFT_STATE_STORE").exists(_.equalsIgnoreCase("rocksdb")))
+      graft.streaming.StreamingPipeline.useRocksDbStateStore(spark)
     spark
   }
 }

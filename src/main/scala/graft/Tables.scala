@@ -61,6 +61,28 @@ object Tables {
   private def layoutCacheKey(src: java.io.File): String =
     s"v2:${src.getAbsolutePath}:${src.length}:${src.lastModified}"
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** The /tmp/graft-layout entry dirs a given fixture dir's tables
+    * CURRENTLY key to — the exact ownership set [[graft.ColdStart]]
+    * purges in scoped cold mode. Derived by replaying [[layoutCacheKey]]
+    * (plus the f32/i8 packed-layout suffixes) over the dir's parquet
+    * files, so the scoping is content-keyed, not heuristic: entries for
+    * other fixture dirs, or for a different version of THIS dir's files
+    * (different size/mtime → different key), are never touched. */
+  private[graft] def layoutCacheDirsFor(dir: String): Seq[java.io.File] = {
+    val names = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    names.flatMap { n =>
+      val src = new java.io.File(s"$dir/$n.parquet")
+      if (!src.isFile) Nil
+      else Seq("", ":f32", ":i8").map(sfx =>
+        new java.io.File(s"/tmp/graft-layout/${md5hex(layoutCacheKey(src) + sfx)}"))
+    }.filter(_.exists)
+  }
+
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(s, dir)
     else read(s, dir, name, identity)
@@ -101,8 +123,7 @@ object Tables {
     if (rows < 1000 || rowGroups >= 4) return raw
     val cacheKey = layoutCacheKey(src)
     val dst = relayoutCache.getOrElseUpdate(cacheKey, {
-      val hash = java.security.MessageDigest.getInstance("MD5")
-        .digest(cacheKey.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val hash = md5hex(cacheKey)
       val out = new java.io.File(s"/tmp/graft-layout/$hash/$name.parquet")
       // _SUCCESS is Spark's atomic completion marker: a crashed or
       // in-flight previous write leaves it absent and we rewrite
@@ -149,8 +170,7 @@ object Tables {
     val src = new java.io.File(s"$dir/embeddings.parquet")
     val cacheKey = layoutCacheKey(src) + ":f32"
     val dst = relayoutCache.getOrElseUpdate(cacheKey, {
-      val hash = java.security.MessageDigest.getInstance("MD5")
-        .digest(cacheKey.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val hash = md5hex(cacheKey)
       val out = new java.io.File(s"/tmp/graft-layout/$hash/embeddings_f32.parquet")
       if (!new java.io.File(out, "_SUCCESS").isFile)
         table(s, dir, "embeddings")
@@ -176,8 +196,7 @@ object Tables {
     val src = new java.io.File(s"$dir/embeddings.parquet")
     val cacheKey = layoutCacheKey(src) + ":i8"
     val dst = relayoutCache.getOrElseUpdate(cacheKey, {
-      val hash = java.security.MessageDigest.getInstance("MD5")
-        .digest(cacheKey.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val hash = md5hex(cacheKey)
       val out = new java.io.File(s"/tmp/graft-layout/$hash/embeddings_i8.parquet")
       if (!new java.io.File(out, "_SUCCESS").isFile) {
         val e = table(s, dir, "embeddings")

@@ -248,6 +248,12 @@ private[streaming] object KinesisShim {
         val tmp = java.nio.file.Files.createTempDirectory(
           dir.getParentFile.toPath, s"$hash.build-").toFile
         buildShardSpill(parquetFiles(eventsPath), nShards, shard, tmp)
+        // ownership marker for scoped cold-start purges (graft.ColdStart):
+        // records which events path fed this spill, so a cold bench of one
+        // fixture never deletes a spill a concurrent JVM built from another
+        java.nio.file.Files.write(
+          new java.io.File(tmp, "_graft_source").toPath,
+          new java.io.File(eventsPath).getAbsolutePath.getBytes("UTF-8"))
         new java.io.FileOutputStream(new java.io.File(tmp, "_SUCCESS")).close()
         // a crashed earlier build (no _SUCCESS) may squat on the target;
         // clear it so the rename can land. Two processes clearing/renaming
