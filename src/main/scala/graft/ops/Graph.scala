@@ -1428,6 +1428,48 @@ object Graph {
     out
   }
 
+  /** Synchronous label-propagation community detection (Raghavan, Albert
+    * & Kumara, Phys. Rev. E 2007), made DETERMINISTIC: every node starts
+    * as its own label; each round every node simultaneously adopts the
+    * label that is most frequent among its NEIGHBOURS' current labels,
+    * ties broken by the smallest label — the rule is a pure function of
+    * the previous round's labels, so the result is layout-invariant and
+    * an external engine replays it round for round (the classic
+    * formulation breaks ties randomly and updates asynchronously, which
+    * is unreproducible by design; fixed `iters` also sidesteps the
+    * bipartite oscillation non-termination). Complements the components
+    * family: CC finds CONNECTIVITY classes, LPA finds DENSITY classes —
+    * communities inside one connected component.
+    *
+    * Scale: per round one co-partitioned join of the symmetric edge list
+    * (materialized once) against the |V|-row label relation, then two
+    * key aggregates ((node, label) counts → per-node argmax via min_by,
+    * both map-side combinable); the label relation is referenced once
+    * per round, so the rounds chain into one linear-lineage lazy plan —
+    * zero per-round driver actions. Input: undirected pairs, routed
+    * through [[normalize]] (loops/dups/orientations collapsed).
+    * Returns (id, l). */
+  def labelPropagation(pairs: DataFrame, aCol: String, bCol: String,
+                       iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 20)
+    retireLastGeneration()
+    val e = normalize(pairs, aCol, bCol)
+    val sym = e.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(e.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .transform(mat)
+    var lab = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("l"))
+    (1 to iters).foreach { _ =>
+      lab = sym.join(lab.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("l"))
+        .groupBy("id", "l").agg(count(lit(1)).as("c"))
+        .groupBy("id")
+        .agg(min_by(col("l"),
+          struct((-col("c")).as("nc"), col("l").as("lt"))).as("l"))
+    }
+    lab
+  }
+
   /** Link prediction by the Resource-Allocation index (Zhou, Lü &
     * Zhang, EPJ B 2009): for a non-adjacent pair (x, y), RA = Σ over
     * common neighbours z of 1/deg(z) — here Total div deg(z) in 1e-12

@@ -845,6 +845,24 @@ object PipelineQueries {
         .orderBy("index_name")
     }),
 
+    // ORC wire source: the columnar wire format next to the CSV/JSONL
+    // rows — envelopes written once as zlib ORC (the binary payload
+    // column is carried NATIVELY; no base64 leg, unlike the CSV wire),
+    // read back self-describing (no caller-supplied schema), and run
+    // through the identical decode→route→enrich pipeline to the same
+    // per-index counts oracle. A green row proves the ORC write→read
+    // round trip is lossless for binary + timestamp envelope columns.
+    "pipe_orc_source" -> ((s, dir) => {
+      val wire = cachedFeed("orc-wire", dir) { f =>
+        val p = f.resolve("wire").toString
+        envelopes(s, dir).write.option("compression", "zlib").orc(p)
+        p
+      }
+      Router.good(Pipeline.transform(s.read.orc(wire), cfg))
+        .groupBy("index_name").agg(count(lit(1)).as("n"))
+        .orderBy("index_name")
+    }),
+
     // K3 ROUND-TRIP: the dead-letter re-drive loop. The badmix failures are
     // written through the real sink (gzip NDJSON, Hive log_type/ym/dd
     // layout) and then READ BACK — the operational path when an upstream
@@ -1022,6 +1040,8 @@ object PipelineQueries {
       "pipe_jsonl_source" ->
         s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
       "pipe_csv_source" ->
+        s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
+      "pipe_orc_source" ->
         s"SELECT $indexExpr AS index_name, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
       "pipe_stream_outer_join" ->
         """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),

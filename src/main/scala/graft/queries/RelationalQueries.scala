@@ -400,6 +400,21 @@ object RelationalQueries {
           round(expr("percentile(value, 0.95)"), 4).as("p95"))
         .orderBy("event_type")),
 
+    // EXACT global order statistics WITHOUT a global sort: iterative
+    // histogram-refinement selection (Selection.kthSmallest — ≤5 scans
+    // per statistic, 2^16 driver counters, range filter prunable by
+    // parquet stats) — the exact-verifier tier next to the sketch
+    // quantiles; q_percentiles' percentile() sorts per group in executor
+    // memory, this never materializes an ordered relation anywhere.
+    "q_exact_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      val cents = t(s, dir, "lineitem")
+        .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      graft.ops.Selection.quantiles(cents, "cents", Seq(25, 50, 75))
+        .toDF("p", "k", "cents")
+        .orderBy("p")
+    }),
+
     // Aggregate stats incl. distinct counts
     "q_event_stats" -> ((s, dir) =>
       t(s, dir, "events").agg(
@@ -1180,6 +1195,18 @@ object RelationalQueries {
         .orderBy(desc("n_ab"), col("item_a"), col("item_b"))
         .limit(20)),
 
+    // Item-based collaborative filtering (Sarwar 2001): top-5 cosine
+    // neighbours per item over the binary order-item incidence matrix —
+    // "customers who bought X also bought". Pair generation basket-local
+    // (Σ basket², never items²), degrees broadcast, top-k per item via
+    // the bounded-heap aggregate; integer score inputs → oracle replays
+    // ranks and scores bit-for-bit.
+    "q_item_similarity" -> ((s, dir) =>
+      graft.ops.Affinity.itemSimilarity(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", k = 5, minSupport = 2L)
+        .orderBy(col("item"), col("rank"))
+        .limit(500)),
+
     // Bucketed co-located join: both sides written ONCE as 8-bucket
     // hash-bucketed tables on the order key, then sort-merge-joined with
     // NO join-side Exchange (the scan's bucketing satisfies the required
@@ -1306,6 +1333,23 @@ object RelationalQueries {
         // id) must not ride on union/coalesce partition-order accidents
         auth.union(hub)
           .orderBy(col("role"), col("score_fp").desc, col("id"))
+      }
+    }),
+
+    // Label-propagation community detection (Raghavan 2007, made
+    // deterministic: synchronous rounds, ties to the smallest label) on
+    // the co-purchase graph — DENSITY classes inside the connectivity
+    // classes q_components finds. 4 rounds; the oracle unrolls the
+    // identical recurrence. Output: community census.
+    "q_lpa_communities" -> ((s, dir) => {
+      import graft.ops.Graph
+      val pairs = copurchasePairs(s, dir).select(col("item_a"), col("item_b"))
+      graphResult(s) {
+        Graph.labelPropagation(pairs, "item_a", "item_b", iters = 4)
+          .groupBy(col("l").as("community"))
+          .agg(count(lit(1)).as("size"))
+          .orderBy(col("size").desc, col("community"))
+          .limit(50)
       }
     }),
 
@@ -2395,6 +2439,30 @@ object RelationalQueries {
        |ORDER BY rank_fp DESC, part_id LIMIT 50""".stripMargin
   }
 
+  /** q_lpa_communities oracle: the synchronous LPA recurrence unrolled —
+    * per round every node adopts the most frequent neighbour label, ties
+    * to the smallest label (row_number over (count DESC, label)). */
+  private def lpaCommunitiesSql: String = {
+    def round(i: Int): String = {
+      val prev = if (i == 1) "l0" else s"l${i - 1}"
+      s"""c$i AS (SELECT e.dst AS id, p.l AS l, count(*) AS c
+         |      FROM e JOIN $prev p ON p.id = e.src GROUP BY 1, 2),
+         |l$i AS (SELECT id, l FROM (
+         |        SELECT id, l, row_number() OVER (PARTITION BY id
+         |          ORDER BY c DESC, l) AS rn FROM c$i) WHERE rn = 1)""".stripMargin
+    }
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+       |            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |pp AS (SELECT a.it AS src, b.it AS dst
+       |       FROM li a JOIN li b ON a.bk = b.bk AND a.it < b.it
+       |       GROUP BY 1, 2 HAVING count(*) >= 2),
+       |e AS (SELECT src, dst FROM pp UNION ALL SELECT dst, src FROM pp),
+       |l0 AS (SELECT DISTINCT src AS id, src AS l FROM e),
+       |${(1 to 4).map(round).mkString(",\n")}
+       |SELECT l AS community, count(*) AS size FROM l4
+       |GROUP BY 1 ORDER BY size DESC, community LIMIT 50""".stripMargin
+  }
+
   /** q_hits oracle: the 3 HITS rounds unrolled — per round an in-mass
     * aggregate, a HUGEINT L1 normalization `(a·1e12) // ΣA`, then the
     * symmetric hub step. Every operand positive, floor division
@@ -2636,6 +2704,7 @@ object RelationalQueries {
   val sql: Map[String, String] = Map(
     "q_pagerank" -> pagerankSql,
     "q_pagerank_topic" -> pagerankTopicSql,
+    "q_lpa_communities" -> lpaCommunitiesSql,
     "q_hits" -> hitsSql,
     "q_link_predict" -> linkPredictSql,
     "q_pagerank_dangling" -> pagerankDanglingSql,
@@ -3081,6 +3150,15 @@ object RelationalQueries {
         |       round(quantile_cont(value, 0.5), 4) AS p50,
         |       round(quantile_cont(value, 0.95), 4) AS p95
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_exact_quantiles" ->
+      """WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |           FROM lineitem),
+        |n AS (SELECT count(*) AS n FROM v),
+        |r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM v),
+        |q AS (SELECT p, CAST((p * n.n + 99) // 100 AS BIGINT) AS k
+        |      FROM (SELECT unnest([25, 50, 75]) AS p), n)
+        |SELECT q.p, q.k, r.cents FROM q JOIN r ON r.rn = q.k
+        |ORDER BY q.p""".stripMargin,
     "q_event_stats" ->
       """SELECT count(DISTINCT user_id) AS users, count(DISTINCT event_type) AS types,
         |       round(sum(value), 2) AS total_value, round(avg(value), 4) AS avg_value,
@@ -3584,6 +3662,28 @@ object RelationalQueries {
         |           JOIN ic ib ON pairs.item_b = ib.it
         |           CROSS JOIN tot
         |ORDER BY n_ab DESC, item_a, item_b LIMIT 20""".stripMargin,
+    "q_item_similarity" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |               FROM lineitem
+        |               WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |pairs AS (SELECT a.it AS ia, b.it AS ib, count(*) AS n_ab
+        |          FROM items a JOIN items b
+        |            ON a.bk = b.bk AND a.it < b.it
+        |          GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT it, count(*) AS n FROM items GROUP BY 1),
+        |sym AS (SELECT ia AS item, ib AS nb, n_ab FROM pairs
+        |        UNION ALL SELECT ib, ia, n_ab FROM pairs),
+        |scored AS (SELECT s.item, s.nb,
+        |                  s.n_ab::DOUBLE / sqrt(da.n::DOUBLE * db.n::DOUBLE) AS c
+        |           FROM sym s JOIN deg da ON s.item = da.it
+        |                      JOIN deg db ON s.nb = db.it),
+        |rk AS (SELECT item, nb, c,
+        |              row_number() OVER (PARTITION BY item
+        |                ORDER BY c DESC, nb) AS rank
+        |       FROM scored)
+        |SELECT item, CAST(rank AS BIGINT) AS rank, nb AS neighbor,
+        |       round(c, 6) AS cos
+        |FROM rk WHERE rank <= 5 ORDER BY item, rank LIMIT 500""".stripMargin,
     "q_ts_resample" ->
       """WITH obs AS (
         |  SELECT event_type,

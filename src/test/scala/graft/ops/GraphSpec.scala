@@ -439,6 +439,23 @@ class GraphSpec extends SparkSpec {
     assert(hitsScores(e.repartition(1)) == hitsScores(e.repartition(7)))
   }
 
+  test("label propagation: bridged cliques form two communities inside one component") {
+    // K4 on {1..4} + K4 on {11..14} + one bridge edge (4, 11): connected
+    // components would merge everything; LPA keeps the density classes
+    val cliq = for (s <- Seq(1L, 11L); i <- 0 to 3; j <- (i + 1) to 3)
+      yield (s + i, s + j)
+    val e = (cliq :+ ((4L, 11L))).toDF("a", "b")
+    val l = Graph.labelPropagation(e, "a", "b", iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(Set(1L, 2L, 3L, 4L).map(l).size == 1)
+    assert(Set(11L, 12L, 13L, 14L).map(l).size == 1)
+    assert(l(1L) != l(11L))
+    // deterministic across partition layouts
+    val r = Graph.labelPropagation(e.repartition(7), "a", "b", iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(r == l)
+  }
+
   test("HITS RDD loop is bit-identical to the DataFrame loop; empty input refused") {
     // bipartite (disjoint hub/authority sides) and a directed graph whose
     // nodes play both roles (exercises the full-outer score merge)

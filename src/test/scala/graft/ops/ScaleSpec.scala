@@ -91,6 +91,20 @@ class ScaleSpec extends SparkSpec {
       maxQueryRows = 16).count() == 5 * 2)
   }
 
+  test("exact selection matches the sorted reference on duplicates and negatives") {
+    val xs = (1 to 3000).map(i => ((i * 2654435761L) % 997) - 498)
+    val df = xs.toDF("v")
+    val sorted = xs.sorted
+    for (k <- Seq(1, 2, 500, 1500, 2999, 3000))
+      assert(Selection.kthSmallest(df, "v", k.toLong) == sorted(k - 1))
+    // a tiny bucket count forces several refinement passes
+    assert(Selection.kthSmallest(df, "v", 1500L, buckets = 4) == sorted(1499))
+    // quantiles: k = ceil(p*n/100) order statistics, actual data values
+    val qs = Selection.quantiles(df, "v", Seq(50, 100))
+    assert(qs == Seq((50, 1500L, sorted(1499)), (100, 3000L, sorted(2999))))
+    intercept[IllegalArgumentException](Selection.kthSmallest(df, "v", 0L))
+  }
+
   test("BPE-ish subword count: letter runs, digit runs, punctuation marks") {
     val got = Seq("hello, world42 x-ray").toDF("t")
       .select(graft.ops.TextAnalysis.subwordCount(col("t"))).as[Int].head()
