@@ -460,43 +460,81 @@ object Dedup {
       .agg(count(lit(1)).as("n_ref_matches"),
         round(max(col("jaccard")), 4).as("max_jaccard"))
 
+  /** Banded LSH signature relation (id, band, bucket) — the PERSISTABLE
+    * screen-side artifact for cross-corpus dedup: at production scale the
+    * accepted corpus's signatures live as a maintained table next to the
+    * corpus (the standard MinHash-pipeline shape, Lee et al. 2022), so an
+    * incremental screen never re-reads the corpus text. */
+  def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
+                       numPerm: Int = 64, bands: Int = 32): DataFrame = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val rowsPerBand = numPerm / bands
+    Par.spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("id"),
+        minhashSignature(hashedShingles(col(textCol)), numPerm).as("sig"))
+      .select(col("id"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(slice(col("sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand)))): _*)))
+      .toDF("id", "band", "bucket")
+  }
+
+  /** Hashed shingle sets (id, sh, n) — the verify-side artifact paired
+    * with [[bandedSignatures]]. */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.GraftFunctions.known_not_null
+    Par.spread(df.select(col(idCol), col(textCol)))
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        known_not_null(hashedShingles(col(textCol))).as("sh"))
+      .withColumn("n", known_not_null(size(col("sh"))))
+  }
+
+  /** Once-per-(session, corpus) materialization of a corpus's screen
+    * artifacts — (bandedSignatures, shingleSets), both localCheckpointed.
+    * The session-cache stand-in for the production persisted signature
+    * table; same keying/lifecycle as [[clusterMV]]. */
+  private val screenMvCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), (DataFrame, DataFrame)]()
+
+  def screenMV(docs: DataFrame, corpusKey: String, idCol: String,
+               textCol: String, numPerm: Int = 64,
+               bands: Int = 32): (DataFrame, DataFrame) =
+    screenMvCache.computeIfAbsent(
+      (s"$corpusKey|$idCol|$textCol|$numPerm|$bands",
+        docs.sparkSession.sparkContext.startTime), _ =>
+        (bandedSignatures(docs, idCol, textCol, numPerm, bands).localCheckpoint(),
+          shingleSets(docs, idCol, textCol).localCheckpoint()))
+
   /** Verified near-dup pairs BETWEEN two corpora — the pair-level
     * primitive under [[againstReference]] (contamination report) and
     * [[clusterAppend]] (incremental cluster-MV fold). Candidates come
     * from the banded-LSH (band, bucket) equi-join of the two corpora's
     * signatures (never incoming × reference), then exact Jaccard verifies
-    * candidates only. Returns (inc_id, ref_id, jaccard ≥ threshold). */
+    * candidates only. With `referenceScreen` (a [[screenMV]] pair) the
+    * reference corpus's TEXT is never touched — both its bands and its
+    * shingle sets come from the persisted artifacts, so the whole screen
+    * is incoming-sized. Returns (inc_id, ref_id, jaccard ≥ threshold). */
   def crossNearDupPairs(incoming: DataFrame, reference: DataFrame,
                         idCol: String, textCol: String,
                         threshold: Double = 0.8,
-                        numPerm: Int = 64, bands: Int = 32): DataFrame = {
-    require(numPerm % bands == 0, "bands must divide numPerm")
-    val rowsPerBand = numPerm / bands
-    def banded(df: DataFrame, pfx: String): DataFrame =
-      Par.spread(df.select(col(idCol), col(textCol)))
-        .select(col(idCol).as(s"${pfx}id"),
-          minhashSignature(hashedShingles(col(textCol)), numPerm).as("sig"))
-        .select(col(s"${pfx}id"),
-          posexplode(array((0 until bands).map(b =>
-            xxhash64(slice(col("sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand)))): _*)))
-        .toDF(s"${pfx}id", "band", "bucket")
-
-    val cands = banded(incoming, "inc_")
-      .join(banded(reference, "ref_"), Seq("band", "bucket"))
+                        numPerm: Int = 64, bands: Int = 32,
+                        referenceScreen: Option[(DataFrame, DataFrame)] = None)
+      : DataFrame = {
+    val incBanded = bandedSignatures(incoming, idCol, textCol, numPerm, bands)
+      .toDF("inc_id", "band", "bucket")
+    val refBanded = referenceScreen.map(_._1)
+      .getOrElse(bandedSignatures(reference, idCol, textCol, numPerm, bands))
+      .toDF("ref_id", "band", "bucket")
+    val cands = incBanded.join(refBanded, Seq("band", "bucket"))
       .select(col("inc_id"), col("ref_id"))
       .distinct()
-
-    import graft.functions.GraftFunctions.known_not_null
-    def sh(df: DataFrame, id: String, shc: String, nc: String): DataFrame =
-      Par.spread(df.select(col(idCol), col(textCol)))
-        .filter(col(textCol).isNotNull)
-        .select(col(idCol).as(id),
-          known_not_null(hashedShingles(col(textCol))).as(shc))
-        .withColumn(nc, known_not_null(size(col(shc))))
-
+    val incSh = shingleSets(incoming, idCol, textCol).toDF("inc_id", "sh_i", "n_i")
+    val refSh = referenceScreen.map(_._2)
+      .getOrElse(shingleSets(reference, idCol, textCol))
+      .toDF("ref_id", "sh_r", "n_r")
     cands
-      .join(sh(incoming, "inc_id", "sh_i", "n_i"), "inc_id")
-      .join(sh(reference, "ref_id", "sh_r", "n_r"), "ref_id")
+      .join(incSh, "inc_id")
+      .join(refSh, "ref_id")
       .withColumn("common", size(array_intersect(col("sh_i"), col("sh_r"))))
       .withColumn("jaccard",
         col("common").cast("double") / (col("n_i") + col("n_r") - col("common")))
@@ -510,9 +548,11 @@ object Dedup {
     * corpus. New edges come from two Δ-driven screens: verified pairs
     * WITHIN the delta ([[minhashCandidatePairs]] + [[jaccardVerify]] over
     * the delta only) and verified delta × base pairs
-    * ([[crossNearDupPairs]]: banded-LSH equi-join — base text is scanned
-    * once for signatures, but base-internal pairs are never re-derived
-    * and base components never re-run). The fold is
+    * ([[crossNearDupPairs]]: banded-LSH equi-join — with a `baseScreen`
+    * ([[screenMV]]: the persisted signature/shingle artifacts) the base
+    * TEXT is never touched at all; without one it is scanned once for
+    * signatures. Base-internal pairs are never re-derived and base
+    * components never re-run either way). The fold is
     * [[Graph.incrementalComponents]]: base endpoints lift to their MV
     * label, the Δ-sized label graph contracts, only merged clusters
     * relabel.
@@ -527,14 +567,16 @@ object Dedup {
   def clusterAppend(baseMv: DataFrame, baseDocs: DataFrame,
                     deltaDocs: DataFrame, idCol: String, textCol: String,
                     threshold: Double = 0.8, numPerm: Int = 64,
-                    bands: Int = 32): DataFrame = {
+                    bands: Int = 32,
+                    baseScreen: Option[(DataFrame, DataFrame)] = None)
+      : DataFrame = {
     val deltaPairs = jaccardVerify(
         minhashCandidatePairs(deltaDocs, idCol, textCol, numPerm, bands),
         deltaDocs, idCol, textCol)
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b")
     val crossPairs = crossNearDupPairs(deltaDocs, baseDocs, idCol, textCol,
-        threshold, numPerm, bands)
+        threshold, numPerm, bands, referenceScreen = baseScreen)
       .select(col("inc_id").as("id_a"), col("ref_id").as("id_b"))
     Graph.incrementalComponents(baseMv, "id", "cluster",
         deltaPairs.unionByName(crossPairs), "id_a", "id_b")

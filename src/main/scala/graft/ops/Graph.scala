@@ -1194,8 +1194,13 @@ object Graph {
                             newEdges: DataFrame, aCol: String, bCol: String,
                             localMaxEdges: Long = 65536): DataFrame = {
     val lab = labels.select(col(idCol).as("id"), col(lblCol).as("l"))
-    val ne = normalize(newEdges, aCol, bCol)
-      .select(col(aCol).as("a"), col(bCol).as("b"))
+    // Δ-sized; fenced FIRST so neither the normalize nor the new-node
+    // probe below replays the caller's delta lineage (clusterAppend feeds
+    // this a verified-pair pipeline — without this fence the screen ran
+    // twice, once for the edge fold and once for the node universe)
+    val rawNe = newEdges.select(col(aCol).as("a"), col(bCol).as("b"))
+      .localCheckpoint(eager = true)
+    val ne = normalize(rawNe, "a", "b")
       .localCheckpoint(eager = true) // read 3x below; Δ-sized
     val la = lab.select(col("id").as("a"), col("l").as("la"))
     val lb = lab.select(col("id").as("b"), col("l").as("lb"))
@@ -1205,8 +1210,8 @@ object Graph {
     // unseen endpoints join the MV as their own singleton components —
     // taken from the RAW delta (nulls dropped) so a self-loop-only new
     // node still reports, matching [[starComponentLabels]]' universe
-    val newNodes = newEdges.select(col(aCol).as("id"))
-      .union(newEdges.select(col(bCol).as("id")))
+    val newNodes = rawNe.select(col("a").as("id"))
+      .union(rawNe.select(col("b").as("id")))
       .filter(col("id").isNotNull).distinct()
       .join(lab, Seq("id"), "left_anti")
       .select(col("id"), col("id").as("l"))

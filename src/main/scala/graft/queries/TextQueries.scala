@@ -656,7 +656,11 @@ object TextQueries {
       val delta = d.filter(col("doc_id") % 10 === 0)
       val base = d.filter(col("doc_id") % 10 =!= 0)
       val baseMv = Dedup.clusterMV(base, dir + "#base", "doc_id", "text")
-      Dedup.clusterAppend(baseMv, base, delta, "doc_id", "text")
+      // the persisted-signature-table stand-in: base bands + shingle sets
+      // materialized once per session, so the append never reads base text
+      val screen = Dedup.screenMV(base, dir + "#base", "doc_id", "text")
+      Dedup.clusterAppend(baseMv, base, delta, "doc_id", "text",
+          baseScreen = Some(screen))
         .groupBy("cluster").agg(count(lit(1)).as("size"))
         .orderBy(col("size").desc, col("cluster"))
         .limit(100)
