@@ -1433,6 +1433,43 @@ object Graph {
     out
   }
 
+  /** Multi-source shortest paths by synchronous Bellman–Ford rounds over
+    * positive integer edge weights: dist₀ = 0 on the seed set; each round
+    * every edge relaxes once — dist'(v) = min(dist(v), min over in-edges
+    * (u,v,w) of dist(u)+w) — so after K rounds every ≤K-hop shortest path
+    * is exact (fixed K keeps the recurrence a pure unrollable function;
+    * pair with small-diameter graphs or raise `rounds`). Unreached nodes
+    * are absent, not ∞.
+    *
+    * Scale: the round is ONE union + ONE min-aggregate — the previous
+    * distance relation is referenced exactly once (the relaxed candidates
+    * are unioned with the carried distances BEFORE the min, instead of a
+    * full-outer join that would reference it twice), so the K rounds
+    * chain into a single linear-lineage lazy plan with zero per-round
+    * driver actions and no lineage fences. Per round the shuffle is the
+    * |reached|-row min re-aggregate; edges are materialized once.
+    * Math.addExact semantics via ANSI long addition (overflow throws,
+    * never wraps). Returns (id, dist). */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+                    wCol: String, seeds: DataFrame, seedIdCol: String,
+                    rounds: Int = 6): DataFrame = {
+    require(rounds >= 1 && rounds <= 64)
+    retireLastGeneration()
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).cast("long").as("w"))
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("w") >= 0L)
+      .transform(mat)
+    var dist = seeds.select(col(seedIdCol).as("id")).distinct()
+      .select(col("id"), lit(0L).as("d"))
+    (1 to rounds).foreach { _ =>
+      dist = dist
+        .union(e.join(dist.withColumnRenamed("id", "src"), "src")
+          .select(col("dst").as("id"), (col("d") + col("w")).as("d")))
+        .groupBy("id").agg(min(col("d")).as("d"))
+    }
+    dist
+  }
+
   /** Synchronous label-propagation community detection (Raghavan, Albert
     * & Kumara, Phys. Rev. E 2007), made DETERMINISTIC: every node starts
     * as its own label; each round every node simultaneously adopts the

@@ -352,6 +352,138 @@ object Similarity {
       .select(col("qid"), col("id"), col("rank"), (-col("sim")).as("adc"))
   }
 
+  /** IVF-PQ composed index — Jégou, Douze & Schmid's IVFADC (TPAMI 2011):
+    * the coarse quantizer partitions the corpus into `nlist` cells (same
+    * deterministic md5-sample + driver-Lloyd as [[ivfTopK]]); each vector
+    * is then stored as its cell id plus the `m` PQ codes of its RESIDUAL
+    * v − c(cell). Residual quantization concentrates the codebooks on the
+    * within-cell displacement distribution — recovering most of the
+    * accuracy plain [[pqTopK]] loses to coarse structure — and is the
+    * composition every production ANN engine ships as IVF+PQ. A query
+    * probes its `nProbe` nearest cells and builds, PER PROBED CELL, the
+    * ADC table of its residual against the codebooks; only the probed
+    * cells' postings are scanned, each scored by m table lookups.
+    *
+    * Scale: assignment + encoding is one broadcast-literal pass
+    * (codegen'd, no shuffle); the scan joins postings to the broadcast
+    * (qid, cell, dtab) probe relation on cell id; ≤ k candidates per
+    * (query, partition) cross the exchange. Index bytes/vector: 4 (cell)
+    * + m codes — with nProbe/nlist scan selectivity ON TOP of PQ's 64×
+    * compression. Determinism: both trainings replay the md5-ordered
+    * sample through sequential Lloyd folds (sample residuals taken
+    * against the FINAL coarse centers with the same first-wins argmin
+    * the distributed expression applies); codes are first-wins argmins;
+    * the ADC fold is fixed-length — the DuckDB oracle replays the whole
+    * pipeline (coarse + m residual codebooks trained in SQL) to an exact
+    * hash match. Returns (qid, id, rank, adc) with adc = approximate
+    * residual L2². */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, qidCol: String, qvecCol: String,
+                k: Int = 10, nlist: Int = 16, nProbe: Int = 4,
+                m: Int = 4, ks: Int = 16,
+                trainSample: Int = 4096): DataFrame = {
+    val c = Par.spread(corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v")))
+      .filter(col("v").isNotNull)
+
+    val sample: Array[Array[Double]] = corpus
+      .select(col(vecCol).cast("array<double>").as("v"),
+        md5(col(idCol).cast("string")).as("h"), col(idCol).as("id"))
+      .filter(col("v").isNotNull)
+      .orderBy(col("h"), col("id"))
+      .limit(trainSample)
+      .select("v")
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "IVF-PQ training sample is empty")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val centers = lloyd(sample, nlist, iters = 5)
+
+    // first-wins sample assignment against the FINAL coarse centers
+    // (strict-< scan in cell order: ties keep the lower cell, NaN
+    // distances never win — the driver mirror of the clamped argmin
+    // expression below and the oracle's ORDER BY d2, cell)
+    def assignDriver(v: Array[Double]): Int = {
+      var best = 0; var bestD = Double.NaN; var i = 0
+      while (i < centers.length) {
+        var d = 0.0; var j = 0
+        while (j < dim) { val t = v(j) - centers(i)(j); d += t * t; j += 1 }
+        if (i == 0) bestD = d
+        else if (d < bestD || (bestD.isNaN && !d.isNaN)) { bestD = d; best = i }
+        i += 1
+      }
+      best
+    }
+    val resSample: Array[Array[Double]] = sample.map { v =>
+      val ct = centers(assignDriver(v))
+      Array.tabulate(dim)(j => v(j) - ct(j))
+    }
+    val books: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
+      lloyd(resSample.map(v =>
+        java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub)),
+        ks, iters = 5).map(_.toSeq).toSeq
+    }
+    val bookLit = typedlit(books)
+    val ctLit = typedlit(centers.map(_.toSeq).toSeq)
+
+    // corpus: clamped first-wins coarse cell (ivfTopK's expression), the
+    // residual against that cell's center, then the m residual PQ codes
+    val d2s = transform(ctLit, ct => aggregate(
+      zip_with(col("v"), ct, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x))
+    val assigned = c
+      .withColumn("d2s", d2s)
+      .withColumn("cell",
+        greatest(array_position(col("d2s"), array_min(col("d2s"))) - 1, lit(0L)).cast("int"))
+      .withColumn("rv", zip_with(col("v"),
+        element_at(ctLit, col("cell") + 1), (x, y) => x - y))
+    def code(vec: Column, s: Column): Column = {
+      val subv = slice(vec, s * sub + 1, lit(sub))
+      val dss = transform(element_at(bookLit, s + 1), ct => aggregate(
+        zip_with(subv, ct, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x))
+      greatest(array_position(dss, array_min(dss)) - 1, lit(0L))
+    }
+    val enc = assigned.select(col("id"), col("cell"),
+      transform(sequence(lit(0), lit(m - 1)), s => code(col("rv"), s)).as("codes"))
+
+    // queries: nProbe nearest cells, then per (qid, cell) the ADC table
+    // of the query RESIDUAL against the codebooks
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centersDf = centers.zipWithIndex.map { case (ct, i) => (i, ct) }
+      .toSeq.toDF("cell", "ct")
+    val q = queries.select(col(qidCol).as("qid"),
+      col(qvecCol).cast("array<double>").as("qv"))
+      .filter(col("qv").isNotNull)
+    val probeDf = q.crossJoin(broadcast(centersDf))
+      .withColumn("d2", aggregate(
+        zip_with(col("qv"), col("ct"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d2").asc, col("cell").asc)))
+      .filter(col("rk") <= math.min(nProbe, centers.length))
+      .withColumn("qr", zip_with(col("qv"), col("ct"), (x, y) => x - y))
+    val dtab = transform(sequence(lit(0), lit(m - 1)), s => {
+      val subq = slice(col("qr"), s * sub + 1, lit(sub))
+      transform(element_at(bookLit, s + 1), ct => aggregate(
+        zip_with(subq, ct, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x))
+    })
+    val qt = probeDf.select(col("qid"), col("cell"), dtab.as("dtab"))
+
+    val joined = enc.join(broadcast(qt), Seq("cell"))
+      .filter(col("id").cast("long") =!= col("qid").cast("long"))
+      .withColumn("adc", aggregate(
+        zip_with(col("codes"), col("dtab"),
+          (cd, tab) => element_at(tab, cd.cast("int") + 1)),
+        lit(0.0), (acc, x) => acc + x))
+    topKPerGroup(joined.withColumn("nadc", -col("adc")), "qid", "nadc", "id", k)
+      .select(col("qid"), col("id"), col("rank"), (-col("sim")).as("adc"))
+  }
+
   /** Driver-side Lloyd iterations over a fixed-order sample (the sample is
     * bounded by `trainSample`, so this is O(sample × nlist × dim × iters)
     * scalar work — milliseconds). Init = the first `nlist` DISTINCT sample

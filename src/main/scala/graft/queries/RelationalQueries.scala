@@ -1336,6 +1336,32 @@ object RelationalQueries {
       }
     }),
 
+    // Multi-source shortest paths (synchronous Bellman–Ford rounds) on
+    // the co-purchase graph with affinity distance w = 1e6 div n_ab
+    // (strongly co-purchased items are CLOSE): exact distance from every
+    // part to its nearest "hub" seed (every 500th part) within 6 hops —
+    // the graph-proximity feature for recommendations/segmentation. The
+    // round chain references the distance relation once per round (union
+    // before min, never a full-outer), so 6 rounds are one lazy
+    // linear-lineage plan; oracle unrolls the identical min-plus
+    // recurrence.
+    "q_shortest_paths" -> ((s, dir) => {
+      import graft.ops.Graph
+      val pairs = copurchasePairs(s, dir)
+      val w = expr("1000000L div n_ab")
+      val edges = pairs.select(col("item_a").as("src"),
+          col("item_b").as("dst"), w.as("w"))
+        .union(pairs.select(col("item_b"), col("item_a"), w))
+      val seeds = t(s, dir, "part").select(col("p_partkey").as("id"))
+        .filter(col("id") % 500 === 0)
+      graphResult(s) {
+        Graph.shortestPaths(edges, "src", "dst", "w", seeds, "id", rounds = 6)
+          .select(col("id").as("part_id"), col("d").as("dist"))
+          .orderBy(col("dist"), col("part_id"))
+          .limit(100)
+      }
+    }),
+
     // Label-propagation community detection (Raghavan 2007, made
     // deterministic: synchronous rounds, ties to the smallest label) on
     // the co-purchase graph — DENSITY classes inside the connectivity
@@ -2439,6 +2465,32 @@ object RelationalQueries {
        |ORDER BY rank_fp DESC, part_id LIMIT 50""".stripMargin
   }
 
+  /** q_shortest_paths oracle: the min-plus Bellman–Ford recurrence
+    * unrolled — per round carry the previous distances and every relaxed
+    * in-edge candidate through one min-aggregate. */
+  private def shortestPathsSql: String = {
+    def round(i: Int): String = {
+      val prev = if (i == 1) "d0" else s"d${i - 1}"
+      s"""d$i AS (SELECT id, CAST(min(d) AS BIGINT) AS d FROM (
+         |        SELECT id, d FROM $prev
+         |        UNION ALL
+         |        SELECT e.dst AS id, p.d + e.w AS d
+         |        FROM e JOIN $prev p ON e.src = p.id) GROUP BY id)""".stripMargin
+    }
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+       |            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |pp AS (SELECT a.it AS src, b.it AS dst, count(*) AS n_ab
+       |       FROM li a JOIN li b ON a.bk = b.bk AND a.it < b.it
+       |       GROUP BY 1, 2 HAVING count(*) >= 2),
+       |e AS (SELECT src, dst, 1000000 // n_ab AS w FROM pp
+       |      UNION ALL SELECT dst, src, 1000000 // n_ab FROM pp),
+       |d0 AS (SELECT p_partkey AS id, CAST(0 AS BIGINT) AS d FROM part
+       |       WHERE p_partkey % 500 = 0),
+       |${(1 to 6).map(round).mkString(",\n")}
+       |SELECT id AS part_id, d AS dist FROM d6
+       |ORDER BY dist, part_id LIMIT 100""".stripMargin
+  }
+
   /** q_lpa_communities oracle: the synchronous LPA recurrence unrolled —
     * per round every node adopts the most frequent neighbour label, ties
     * to the smallest label (row_number over (count DESC, label)). */
@@ -2705,6 +2757,7 @@ object RelationalQueries {
     "q_pagerank" -> pagerankSql,
     "q_pagerank_topic" -> pagerankTopicSql,
     "q_lpa_communities" -> lpaCommunitiesSql,
+    "q_shortest_paths" -> shortestPathsSql,
     "q_hits" -> hitsSql,
     "q_link_predict" -> linkPredictSql,
     "q_pagerank_dangling" -> pagerankDanglingSql,

@@ -123,6 +123,21 @@ object SimilarityQueries {
         .orderBy("qid", "rank")
     }),
 
+    // IVF-PQ (Jégou 2011's IVFADC): coarse 16-cell quantizer + 4
+    // RESIDUAL-trained PQ codebooks; queries probe 4 cells and scan only
+    // those postings with per-cell ADC tables of the query residual —
+    // probe selectivity ON TOP of PQ's 64× compression, the composition
+    // production ANN engines ship. Oracle replays the ENTIRE pipeline —
+    // coarse Lloyd, sample residuals, 4 residual codebooks, probes, ADC —
+    // in SQL to an exact hash match.
+    "sim_ivfpq_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfPqTopK(
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding", "vec_id", "embedding")
+        .select(col("qid"), col("id"), col("rank"), round(col("adc"), 4).as("adc"))
+        .orderBy("qid", "rank")
+    }),
+
     // PQ recall vs the exact-L2 baseline (ADC approximates L2², so the
     // honest reference ranking is L2, not cosine) — oracle-checked
     "sim_pq_recall" -> ((s, dir) => {
@@ -745,6 +760,128 @@ object SimilarityQueries {
        |  WHERE rank <= 10)""".stripMargin
   }
 
+  /** sim_ivfpq_topk oracle — the full IVFADC pipeline in SQL: coarse
+    * 16-cell quantizer (same md5 sample + sequential Lloyd folds as the
+    * IVF oracle), corpus + sample assigned first-wins to the FINAL
+    * centers, residuals taken, FOUR residual codebooks trained per
+    * subspace slice, corpus residuals encoded, queries probe 4 cells and
+    * score probed postings by per-(query, cell) ADC tables of the query
+    * residual. Ends in `ivfpq AS (qid, id, rank, adc)`.
+    *
+    * Every CTE is MATERIALIZED explicitly: the coarse-center chain `c5`
+    * is referenced 4× (corpus assign, sample assign, probes, residuals)
+    * and `res`/`probe` 5× each — DuckDB's default CTE inlining re-plans
+    * the whole Lloyd chain per reference and the oracle goes from <1 s
+    * to >10 min; with materialization it is sub-second. */
+  private def ivfPqSql: String = ivfPqSqlRaw.replace("AS (", "AS MATERIALIZED (")
+
+  private def ivfPqSqlRaw: String = {
+    val m = 4; val sub = 16; val ks = 16
+    def d2N(v: String, c: String): String =
+      s"list_reduce(list_transform(generate_series(1, $sub), j -> ($v[j]-$c[j])*($v[j]-$c[j])), (a,b)->a+b)"
+    def lloydIter(p: String, i: Int): String = {
+      val prev = if (i == 1) s"${p}init" else s"$p" + s"c${i - 1}"
+      s"""${p}a$i AS (
+         |  SELECT rk, v, cell FROM (
+         |    SELECT s.rk, s.v, c.cell,
+         |           row_number() OVER (PARTITION BY s.rk ORDER BY ${d2N("s.v", "c.c")}, c.cell) AS w
+         |    FROM ${p}smp s CROSS JOIN $prev c) z
+         |  WHERE w = 1),
+         |${p}m$i AS (
+         |  SELECT cell, list(m ORDER BY j) AS c FROM (
+         |    SELECT cell, jj.j AS j,
+         |           list_reduce(list(v[jj.j] ORDER BY rk), (a,b)->a+b) / count(*) AS m
+         |    FROM ${p}a$i CROSS JOIN (SELECT unnest(generate_series(1, $sub)) AS j) jj
+         |    GROUP BY cell, jj.j) g
+         |  GROUP BY cell),
+         |${p}c$i AS (SELECT i.cell, COALESCE(m.c, i.c) AS c FROM ${p}init i LEFT JOIN ${p}m$i m ON i.cell = m.cell)""".stripMargin
+    }
+    def subspace(s: Int): String = {
+      val p = s"s$s"
+      val off = s * sub
+      val sliced = s"[${off + 1}:${off + sub}]"
+      s"""${p}smp AS (SELECT v$sliced AS v, rk FROM rsmp),
+         |${p}init AS (
+         |  SELECT c, cell FROM (
+         |    SELECT v AS c, row_number() OVER (ORDER BY rk) - 1 AS cell FROM (
+         |      SELECT v, rk, row_number() OVER (PARTITION BY v ORDER BY rk) AS dup FROM ${p}smp) d
+         |    WHERE dup = 1) x
+         |  WHERE cell < $ks),
+         |${(1 to 5).map(i => lloydIter(p, i)).mkString(",\n")},
+         |${p}asg AS (
+         |  SELECT id, cell FROM (
+         |    SELECT r.id, c.cell,
+         |           row_number() OVER (PARTITION BY r.id ORDER BY ${d2N(s"r.r$sliced", "c.c")}, c.cell) AS w
+         |    FROM res r CROSS JOIN ${p}c5 c) z
+         |  WHERE w = 1),
+         |${p}qd AS (SELECT p.qid, p.cell AS pcell, c.cell AS bcell,
+         |                  ${d2N(s"p.qr$sliced", "c.c")} AS ds
+         |           FROM probe p CROSS JOIN ${p}c5 c)""".stripMargin
+    }
+    val coarseIters = (1 to 5).map(lloydIterSql).mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE embedding IS NOT NULL),
+       |smp AS (
+       |  SELECT v, rk FROM (
+       |    SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+       |    FROM e) s
+       |  WHERE rk <= 4096),
+       |init AS (
+       |  SELECT c, cell FROM (
+       |    SELECT v AS c, row_number() OVER (ORDER BY rk) - 1 AS cell FROM (
+       |      SELECT v, rk, row_number() OVER (PARTITION BY v ORDER BY rk) AS dup FROM smp) d
+       |    WHERE dup = 1) x
+       |  WHERE cell < 16),
+       |$coarseIters,
+       |asg AS (
+       |  SELECT id, v, cell FROM (
+       |    SELECT e.vec_id AS id, e.v, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY ${d2Sql("e.v", "c.c")}, c.cell) AS w
+       |    FROM e CROSS JOIN c5 c) z
+       |  WHERE w = 1),
+       |res AS (SELECT a.id, a.cell,
+       |               list_transform(generate_series(1, 64), j -> a.v[j] - c.c[j]) AS r
+       |        FROM asg a JOIN c5 c ON c.cell = a.cell),
+       |csmp AS (
+       |  SELECT rk, v, cell FROM (
+       |    SELECT s.rk, s.v, c.cell,
+       |           row_number() OVER (PARTITION BY s.rk ORDER BY ${d2Sql("s.v", "c.c")}, c.cell) AS w
+       |    FROM smp s CROSS JOIN c5 c) z
+       |  WHERE w = 1),
+       |rsmp AS (SELECT s.rk,
+       |                list_transform(generate_series(1, 64), j -> s.v[j] - c.c[j]) AS v
+       |         FROM csmp s JOIN c5 c ON c.cell = s.cell),
+       |qv AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+       |probe AS (
+       |  SELECT qid, cell,
+       |         list_transform(generate_series(1, 64), j -> qv[j] - c[j]) AS qr
+       |  FROM (
+       |    SELECT q.qid, c.cell, c.c, q.qv,
+       |           row_number() OVER (PARTITION BY q.qid ORDER BY ${d2Sql("q.qv", "c.c")}, c.cell) AS pr
+       |    FROM qv q CROSS JOIN c5 c) z
+       |  WHERE pr <= 4),
+       |${(0 until m).map(subspace).mkString(",\n")},
+       |ivfpq AS (
+       |  SELECT qid, id, rank, adc FROM (
+       |    SELECT t.qid, t.id, t.adc,
+       |           row_number() OVER (PARTITION BY t.qid ORDER BY t.adc ASC, t.id) AS rank
+       |    FROM (
+       |      SELECT p.qid, r.id,
+       |             s0qd.ds + s1qd.ds + s2qd.ds + s3qd.ds AS adc
+       |      FROM res r
+       |      JOIN probe p ON p.cell = r.cell AND r.id <> p.qid
+       |      JOIN s0asg a0 ON a0.id = r.id
+       |      JOIN s0qd ON s0qd.qid = p.qid AND s0qd.pcell = r.cell AND s0qd.bcell = a0.cell
+       |      JOIN s1asg a1 ON a1.id = r.id
+       |      JOIN s1qd ON s1qd.qid = p.qid AND s1qd.pcell = r.cell AND s1qd.bcell = a1.cell
+       |      JOIN s2asg a2 ON a2.id = r.id
+       |      JOIN s2qd ON s2qd.qid = p.qid AND s2qd.pcell = r.cell AND s2qd.bcell = a2.cell
+       |      JOIN s3asg a3 ON a3.id = r.id
+       |      JOIN s3qd ON s3qd.qid = p.qid AND s3qd.pcell = r.cell AND s3qd.bcell = a3.cell
+       |    ) t) ranked
+       |  WHERE rank <= 10)""".stripMargin
+  }
+
   /** emb_semantic_prune oracle: retrain the √n-cell quantizer with the
     * same md5-ordered sample + sequential Lloyd folds as the IVF oracle
     * (cell count a scalar subquery so it tracks the corpus), assign the
@@ -794,6 +931,9 @@ object SimilarityQueries {
     "sim_pq_topk" ->
       s"""$pqSql
          |SELECT qid, id, rank, round(adc, 4) AS adc FROM pq ORDER BY qid, rank""".stripMargin,
+    "sim_ivfpq_topk" ->
+      s"""$ivfPqSql
+         |SELECT qid, id, rank, round(adc, 4) AS adc FROM ivfpq ORDER BY qid, rank""".stripMargin,
     "sim_pq_recall" ->
       s"""$pqSql,
          |exact AS (

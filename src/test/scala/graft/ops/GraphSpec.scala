@@ -439,6 +439,27 @@ class GraphSpec extends SparkSpec {
     assert(hitsScores(e.repartition(1)) == hitsScores(e.repartition(7)))
   }
 
+  test("shortest paths: weighted multi-source Bellman-Ford, hop-bounded, layout-invariant") {
+    // path 1 -2- 2 -5- 3 -1- 4, separate pair 9 -7- 10; seeds {1, 10}
+    val e = Seq((1L, 2L, 2L), (2L, 3L, 5L), (3L, 4L, 1L), (9L, 10L, 7L))
+      .toDF("src", "dst", "w")
+    val sym = e.union(e.select(col("dst"), col("src"), col("w")))
+    val seeds = Seq(1L, 10L).toDF("id")
+    val d = Graph.shortestPaths(sym, "src", "dst", "w", seeds, "id", rounds = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(d == Map(1L -> 0L, 2L -> 2L, 3L -> 7L, 4L -> 8L,
+      10L -> 0L, 9L -> 7L))
+    // the K-round contract: one round relaxes exactly one hop
+    val d1 = Graph.shortestPaths(sym, "src", "dst", "w",
+        Seq(1L).toDF("id"), "id", rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(d1 == Map(1L -> 0L, 2L -> 2L))
+    val dr = Graph.shortestPaths(sym.repartition(7), "src", "dst", "w",
+        seeds, "id", rounds = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(dr == d)
+  }
+
   test("label propagation: bridged cliques form two communities inside one component") {
     // K4 on {1..4} + K4 on {11..14} + one bridge edge (4, 11): connected
     // components would merge everything; LPA keeps the density classes

@@ -296,6 +296,26 @@ class OpsSpec extends SparkSpec {
     assert(a.size == 12 * 5)
   }
 
+  test("IVF-PQ ranks an exact duplicate first and is layout-invariant") {
+    val vecs = (0 until 80).map(i =>
+      (i.toLong, Array.tabulate(64)(d => math.sin(i * 3.7 + d * 1.3)))) :+
+      ((999L, Array.tabulate(64)(d => math.sin(5 * 3.7 + d * 1.3)))) // dup of 5
+    val emb = vecs.toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") === 5)
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqTopK(c, q, "vec_id", "embedding", "vec_id", "embedding",
+          k = 5, nlist = 4, nProbe = 2, m = 4, ks = 8)
+        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+    val r = run(emb)
+    // the duplicate shares the query's cell and codes, so its ADC is the
+    // pure quantization floor — it must survive into the top-k (ADC is an
+    // approximation: another vector's UNDERestimated distance may edge it
+    // off rank 1, which is the PQ trade, not a bug)
+    assert(r.map(_._2).contains(999L))
+    assert(r.head._4 <= r.last._4) // ranked by ascending approximate L2²
+    assert(run(emb.repartition(7)) == r)
+  }
+
   test("interval join matches pairs within tolerance, inclusive, no dups") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)
