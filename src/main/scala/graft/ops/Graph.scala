@@ -1452,15 +1452,31 @@ object Graph {
     * never wraps). Returns (id, dist). */
   def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
                     wCol: String, seeds: DataFrame, seedIdCol: String,
-                    rounds: Int = 6): DataFrame = {
+                    rounds: Int = 6,
+                    forceDataFrameLoop: Boolean = false): DataFrame = {
     require(rounds >= 1 && rounds <= 64)
     retireLastGeneration()
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(wCol).cast("long").as("w"))
       .filter(col("src").isNotNull && col("dst").isNotNull && col("w") >= 0L)
       .transform(mat)
-    var dist = seeds.select(col(seedIdCol).as("id")).distinct()
-      .select(col("id"), lit(0L).as("d"))
+    val sd = seeds.select(col(seedIdCol).as("id")).distinct()
+    // Integral ids take the co-partitioned RDD round loop (the
+    // pageRank/HITS pattern): edges hash-partitioned once, the per-round
+    // shuffle is the min re-aggregate only, zero per-round Catalyst
+    // planning. Non-integral ids (and the parity spec) keep the
+    // DataFrame loop.
+    val integral = {
+      import org.apache.spark.sql.types._
+      def ok(t: DataType) = t match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      ok(e.schema("src").dataType) && ok(e.schema("dst").dataType) &&
+        ok(sd.schema("id").dataType)
+    }
+    if (integral && !forceDataFrameLoop) return shortestPathsRdd(e, sd, rounds)
+    var dist = sd.select(col("id"), lit(0L).as("d"))
     (1 to rounds).foreach { _ =>
       dist = dist
         .union(e.join(dist.withColumnRenamed("id", "src"), "src")
@@ -1468,6 +1484,47 @@ object Graph {
         .groupBy("id").agg(min(col("d")).as("d"))
     }
     dist
+  }
+
+  /** The Bellman–Ford round loop as RDDs over integral ids — spec-proven
+    * bit-equal to the DataFrame loop (ANSI long addition ≙
+    * Math.addExact). Edges hash-partition once and persist; every
+    * round's distance join is co-partitioned → narrow; the per-round
+    * shuffle is the union's min re-aggregate; the rounds chain lazily
+    * into ONE job with zero per-round driver actions or Catalyst
+    * planning. */
+  private def shortestPathsRdd(e: DataFrame, sd: DataFrame,
+                               rounds: Int): DataFrame = {
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    val spark = e.sparkSession
+    import spark.implicits._
+    // the DataFrame loop's union(seeds, relaxed dst) coerces types;
+    // mirror it via the union schema
+    val outType = sd.select(col("id"))
+      .union(e.select(col("dst").as("id"))).schema("id").dataType
+    val p = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, 8))
+    val part = new HashPartitioner(p)
+    val edges: RDD[(Long, (Long, Long))] = e
+      .select(col("src").cast("long"), col("dst").cast("long"), col("w"))
+      .as[(Long, Long, Long)].rdd
+      .map { case (s, d, w) => (s, (d, w)) }
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    var dist: RDD[(Long, Long)] = sd.select(col("id").cast("long")).as[Long]
+      .rdd.map((_, 0L)).partitionBy(part)
+    (1 to rounds).foreach { _ =>
+      val relaxed = edges.join(dist, part)
+        .map { case (_, ((d, w), dd)) => (d, Math.addExact(dd, w)) }
+      dist = dist.union(relaxed)
+        .reduceByKey(part, (a, b) => math.min(a, b)) // the ONE shuffle
+    }
+    val out = spark.createDataFrame(dist).toDF("id", "d")
+      .select(col("id").cast(outType).as("id"), col("d"))
+      .localCheckpoint(eager = true)
+    edges.unpersist(blocking = false)
+    out
   }
 
   /** Synchronous label-propagation community detection (Raghavan, Albert

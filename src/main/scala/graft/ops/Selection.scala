@@ -28,13 +28,21 @@ object Selection {
     * bucket math, loud failure otherwise). */
   def kthSmallest(df: DataFrame, c: String, k: Long,
                   buckets: Int = 1 << 16): Long = {
-    require(buckets >= 2)
     val stats = df.agg(count(col(c)).as("n"), min(col(c)).as("lo"),
       max(col(c)).as("hi")).head()
-    val n = stats.getLong(0)
+    kthSmallestIn(df, c, k, stats.getLong(0), stats.getLong(1),
+      stats.getLong(2), buckets)
+  }
+
+  /** [[kthSmallest]] with the (count, min, max) stats pass already paid —
+    * lets a multi-statistic caller ([[quantiles]]) share ONE stats scan
+    * across all its selections. */
+  def kthSmallestIn(df: DataFrame, c: String, k: Long, n: Long,
+                    lo0: Long, hi0: Long, buckets: Int = 1 << 16): Long = {
+    require(buckets >= 2)
     require(k >= 1 && k <= n, s"k=$k out of range 1..$n")
-    var lo = stats.getLong(1)
-    var hi = stats.getLong(2)
+    var lo = lo0
+    var hi = hi0
     require(BigInt(hi) - BigInt(lo) <= BigInt(Long.MaxValue),
       "value range exceeds a signed 64-bit difference")
     var kk = k
@@ -62,12 +70,15 @@ object Selection {
     * actual data value, duplicates counted). Returns (p, k, value). */
   def quantiles(df: DataFrame, c: String,
                 ps: Seq[Int] = Seq(25, 50, 75)): Seq[(Int, Long, Long)] = {
-    val n = df.agg(count(col(c))).head().getLong(0)
+    val stats = df.agg(count(col(c)).as("n"), min(col(c)).as("lo"),
+      max(col(c)).as("hi")).head() // ONE stats scan for every statistic
+    val n = stats.getLong(0)
     require(n > 0, "quantiles of an empty relation")
     ps.map { p =>
       require(p >= 1 && p <= 100, s"percentage $p out of 1..100")
       val k = (BigInt(p) * n + 99) / 100 // ceil(p·n/100), overflow-safe
-      (p, k.toLong, kthSmallest(df, c, k.toLong))
+      (p, k.toLong, kthSmallestIn(df, c, k.toLong, n,
+        stats.getLong(1), stats.getLong(2)))
     }
   }
 }

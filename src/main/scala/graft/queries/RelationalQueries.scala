@@ -408,11 +408,16 @@ object RelationalQueries {
     // memory, this never materializes an ordered relation anywhere.
     "q_exact_quantiles" -> ((s, dir) => {
       import s.implicits._
+      // cached across the ≤3 refinement scans each statistic pays (the
+      // 100 TB form instead reads the source per pass, range-pruned)
       val cents = t(s, dir, "lineitem")
         .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
-      graft.ops.Selection.quantiles(cents, "cents", Seq(25, 50, 75))
-        .toDF("p", "k", "cents")
-        .orderBy("p")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try
+        graft.ops.Selection.quantiles(cents, "cents", Seq(25, 50, 75))
+          .toDF("p", "k", "cents")
+          .orderBy("p")
+      finally { cents.unpersist(blocking = false); () }
     }),
 
     // Aggregate stats incl. distinct counts

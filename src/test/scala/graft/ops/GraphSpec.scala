@@ -458,6 +458,11 @@ class GraphSpec extends SparkSpec {
         seeds, "id", rounds = 6)
       .as[(Long, Long)].collect().toMap
     assert(dr == d)
+    // the RDD round loop is bit-identical to the DataFrame loop
+    val ddf = Graph.shortestPaths(sym, "src", "dst", "w", seeds, "id",
+        rounds = 6, forceDataFrameLoop = true)
+      .as[(Long, Long)].collect().toMap
+    assert(ddf == d)
   }
 
   test("label propagation: bridged cliques form two communities inside one component") {
