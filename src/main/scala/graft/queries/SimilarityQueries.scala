@@ -157,6 +157,26 @@ object SimilarityQueries {
         Similarity.pqTopK(e, q, "vec_id", "embedding", "vec_id", "embedding"))
     }),
 
+    // IVF-PQ recall vs the exact-L2 baseline — the quality screen for
+    // the composed index: residual codebooks + probe truncation, both
+    // losses measured in one number per query (oracle-checked end to end)
+    "sim_ivfpq_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val c = e.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v")).filter(col("v").isNotNull)
+      val qq = q.select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qv")).filter(col("qv").isNotNull)
+      val scored = c.crossJoin(broadcast(qq))
+        .filter(col("id") =!= col("qid"))
+        .withColumn("nd2", -aggregate(
+          zip_with(col("v"), col("qv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x))
+      val exact = Similarity.topKPerGroup(scored, "qid", "nd2", "id", 10)
+      recallAt10(exact,
+        Similarity.ivfPqTopK(e, q, "vec_id", "embedding", "vec_id", "embedding"))
+    }),
+
     // Binary-quantized ANN: sign-bit signatures (32× compression), top-64
     // Hamming pre-filter, exact cosine re-rank — oracle-checked (the
     // signature fold, xor/popcount and both rank stages are relational)
@@ -934,6 +954,20 @@ object SimilarityQueries {
     "sim_ivfpq_topk" ->
       s"""$ivfPqSql
          |SELECT qid, id, rank, round(adc, 4) AS adc FROM ivfpq ORDER BY qid, rank""".stripMargin,
+    "sim_ivfpq_recall" ->
+      s"""$ivfPqSql,
+         |exact AS MATERIALIZED (
+         |  SELECT qid, id FROM (
+         |    SELECT q.qid, e.vec_id AS id,
+         |           row_number() OVER (PARTITION BY q.qid ORDER BY
+         |             ${d2Sql("e.v", "q.qv")} ASC, e.vec_id) AS rank
+         |    FROM e CROSS JOIN qv q WHERE e.vec_id <> q.qid) t
+         |  WHERE rank <= 10)
+         |SELECT x.qid,
+         |       CAST(sum(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |       round(sum(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END) / 10.0, 2) AS recall_at_10
+         |FROM exact x LEFT JOIN ivfpq a ON x.qid = a.qid AND x.id = a.id
+         |GROUP BY x.qid ORDER BY x.qid""".stripMargin,
     "sim_pq_recall" ->
       s"""$pqSql,
          |exact AS (
