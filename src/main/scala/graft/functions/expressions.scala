@@ -461,7 +461,8 @@ object MinHashSignature {
   * mixing step) → distinct array<long>. The composed built-in form
   * (sequence+transform+slice+concat_ws) re-evaluates its inputs per lambda
   * element — observed ~1ms/doc; this is O(tokens). */
-case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+case class ShingleHashes(child: Expression, n: Int,
+                         distinct: Boolean = true) extends UnaryExpression {
   require(n > 0)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(org.apache.spark.sql.types.StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -470,20 +471,21 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
-  override def prettyName: String = "shingle_hashes"
+  override def prettyName: String =
+    if (distinct) "shingle_hashes" else "shingle_hash_list"
 
   override protected def nullSafeEval(input: Any): Any =
-    ShingleHashes.compute(input.asInstanceOf[ArrayData], n)
+    ShingleHashes.compute(input.asInstanceOf[ArrayData], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHashes.compute($c, $n)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHashes.compute($c, $n, $distinct)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 object ShingleHashes {
-  def compute(tokens: ArrayData, n: Int): ArrayData = {
+  def compute(tokens: ArrayData, n: Int, distinct: Boolean): ArrayData = {
     val cnt = tokens.numElements()
     val th = new Array[Long](cnt)
     var i = 0
@@ -496,7 +498,7 @@ object ShingleHashes {
       i += 1
     }
     val m = if (cnt <= n) 1 else cnt - n + 1
-    val set = new java.util.HashSet[java.lang.Long](m * 2)
+    val set = if (distinct) new java.util.HashSet[java.lang.Long](m * 2) else null
     val out = new scala.collection.mutable.ArrayBuffer[Any](m)
     var s = 0
     while (s < m) {
@@ -508,7 +510,7 @@ object ShingleHashes {
         h *= -8796714831421723037L // 64-bit odd mixing constant
         j += 1
       }
-      if (set.add(h)) out += h
+      if (set == null || set.add(h)) out += h
       s += 1
     }
     new GenericArrayData(out.toArray)
@@ -950,6 +952,8 @@ object GraftFunctions {
   def minhash_signature(c: Column, numPerm: Int): Column =
     col(MinHashSignature(expr(c), numPerm))
   def shingle_hashes(c: Column, n: Int): Column = col(ShingleHashes(expr(c), n))
+  def shingle_hash_list(c: Column, n: Int): Column =
+    col(ShingleHashes(expr(c), n, distinct = false))
   def winnow_fps(c: Column, k: Int, w: Int): Column = col(WinnowFps(expr(c), k, w))
   def hyperplane_sig(c: Column, planes: Int): Column = col(HyperplaneSig(expr(c), planes))
   def pack_f32(c: Column): Column = col(PackF32(expr(c)))

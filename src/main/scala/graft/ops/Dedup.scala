@@ -238,6 +238,98 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** Word n-gram MULTISET as strings (duplicates kept — the frequency
+    * currency for [[cosinePairsTf]], where [[wordShingles]]' distinct set
+    * would erase exactly the repetition signal cosine exists to see).
+    * Reference form for specs; the hot path is
+    * `GraftFunctions.shingle_hash_list` (the non-distinct
+    * [[graft.functions.ShingleHashes]] pass) — this composed form
+    * re-evaluates the token split per lambda element, O(tokens²)/doc
+    * (measured 12 s of a 20 s stage at sf0.1). n = 1 degrades to plain
+    * tokens. */
+  def wordShingleList(c: Column, n: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(c)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Shingle-frequency COSINE pairs over the df-capped n-gram space — the
+    * vector-model angle between documents (Salton) on n-gram TERM
+    * FREQUENCIES, the third member of the near-dup measure family next to
+    * resemblance (Jaccard, set-valued) and containment (asymmetric):
+    * repetition-aware — a doc that repeats a phrase 10× is FAR from one
+    * using it once, where their shingle SETS are identical. N-grams with
+    * document frequency > `maxDf` are dropped from the universe first —
+    * numerator and BOTH norms count the capped universe, so the cap is the
+    * operator's contract (mirrored exactly by the oracle), and it is also
+    * what bounds the candidate join: per-gram postings buckets hold
+    * ≤ maxDf (id, tf) entries, in-bucket pairs come from the positional
+    * i<j lambda (each unordered pair once, no postings self-join — the
+    * containmentPairs plan finding), so pair volume ≤ maxDf × |postings|.
+    * (The default n = 3 matters on small-vocabulary corpora: unigram dfs
+    * saturate any useful cap, while n-gram dfs stay selective — the same
+    * reason the whole shingle family works.) Everything is integer until
+    * the final comparison: cos²(a,b) in 1e-12 fixed point as
+    * (dot² · Total) div (‖a‖²·‖b‖²) with DECIMAL(38,0) intermediates
+    * (dot²·Total ≈ 1e24 overflows a long at corpus tf scales), and the
+    * cos ≥ threshold test becomes the EXACT integer test
+    * cos2_fp ≥ ⌊threshold²·Total⌋ (tf ≥ 0 ⇒ cos ≥ 0, so squaring is
+    * monotone). Returns (id_a < id_b, dot, cos2_fp). */
+  def cosinePairsTf(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3, threshold: Double = 0.8,
+                    maxDf: Long = 128L): DataFrame = {
+    require(threshold >= 0.0 && threshold <= 1.0)
+    require(maxDf >= 2)
+    retireLastGeneration()
+    val thresholdFp = math.floor(threshold * threshold * 1e12).toLong
+    // hashed gram identity (one rolling-hash pass, codegen — the string
+    // form is O(tokens²)/doc): dfs, tfs and dots are hash-invariant, so
+    // the oracle replays them from string grams (the txt_contamination /
+    // minhash contract; 64-bit collisions are measurement noise)
+    val tf = Par.spread(df.select(col(idCol), col(textCol)))
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        explode(graft.functions.GraftFunctions.shingle_hash_list(
+          TextAnalysis.tokens(col(textCol)), n)).as("t"))
+      .groupBy("t", "id").agg(count(lit(1)).as("tf"))
+    // one shuffle on the gram builds df-capped postings buckets of
+    // (id, tf) structs; sorted by id so the i<j lambda emits each
+    // unordered pair exactly once — no postings self-join (the
+    // containmentPairs plan finding). Fenced: two consumers (norms and
+    // the pair generator) must not each replay the corpus scan →
+    // explode → aggregate lineage.
+    val buckets = fence(tf.groupBy("t")
+      .agg(sort_array(collect_list(struct(col("id"), col("tf")))).as("ps"))
+      .filter(size(col("ps")) <= maxDf))
+    // capped-universe squared norm per doc INCLUDES singleton buckets
+    // (a df-1 gram contributes to ‖a‖² even though it pairs with nothing)
+    val norms = fence(buckets.select(explode(col("ps")).as("p"))
+      .groupBy(col("p.id").as("id"))
+      .agg(sum(col("p.tf") * col("p.tf")).as("nsq")))
+    // pair rows are the operator's real currency (Σ df² over the capped
+    // vocab — measured exactly 10× at 10× data, the linear contract);
+    // the norm joins ride on the doc-sized relation, which AQE broadcasts
+    val dots = buckets.filter(size(col("ps")) >= 2).select(explode(expr(
+        """flatten(transform(sequence(2, size(ps)), j ->
+          |  transform(slice(ps, 1, j - 1), x -> named_struct(
+          |    'id_a', x.id, 'id_b', element_at(ps, j).id,
+          |    'c', x.tf * element_at(ps, j).tf))))""".stripMargin)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("p.c"))
+      .groupBy("id_a", "id_b").agg(sum("c").as("dot"))
+    dots
+      .join(norms.select(col("id").as("id_a"), col("nsq").as("nsq_a")), "id_a")
+      .join(norms.select(col("id").as("id_b"), col("nsq").as("nsq_b")), "id_b")
+      .withColumn("cos2_fp", expr(
+        """(cast(dot as decimal(38,0)) * cast(dot as decimal(38,0))
+          | * 1000000000000L)
+          | div (cast(nsq_a as decimal(38,0)) * nsq_b)""".stripMargin))
+      .filter(col("cos2_fp") >= thresholdFp)
+      .select(col("id_a"), col("id_b"), col("dot"),
+        col("cos2_fp").cast("long").as("cos2_fp"))
+  }
+
   /** MinHash-estimated Jaccard for all candidate pairs (no exact verify):
     * fraction of agreeing signature components. */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,

@@ -1527,6 +1527,53 @@ object Graph {
     out
   }
 
+  /** DETERMINISTIC random-walk corpus over an undirected graph — the
+    * graph → sequence-corpus step that sampling-based graph embeddings
+    * train on (DeepWalk, Perozzi 2014; node2vec's p=q=1 case): from every
+    * seed, `walksPerSeed` walks of `steps` uniform-neighbour steps. The
+    * "randomness" is a pure hash function of (seed, walk index, step,
+    * candidate): next(u) = argmin over neighbours v of
+    * md5(seed‖walk‖step‖v) — layout-invariant, replayable bit-for-bit by
+    * an external engine (the A-ES weighted-sampling trick applied to
+    * walk transitions), and statistically uniform per step because md5
+    * order on distinct inputs is. A walk that reaches an isolated node
+    * stops (inner join); step rows accumulate per round.
+    *
+    * Scale: per step ONE co-partitioned join of the walk-front relation
+    * (|seeds|·walksPerSeed rows) against the symmetric edge list
+    * (materialized once), then one map-side-combinable argmin aggregate
+    * per walk; per-step candidate volume is Σ deg(front) — bounded by
+    * walksPerSeed · max-degree, never |V|² — and the rounds chain into
+    * one lazy plan with zero per-round driver actions. Returns
+    * (seed, walk, step, node), steps 1..`steps`. */
+  def randomWalks(pairs: DataFrame, aCol: String, bCol: String,
+                  seeds: DataFrame, seedIdCol: String,
+                  walksPerSeed: Int = 3, steps: Int = 5): DataFrame = {
+    require(walksPerSeed >= 1 && walksPerSeed <= 64)
+    require(steps >= 1 && steps <= 32)
+    retireLastGeneration()
+    val e = normalize(pairs, aCol, bCol)
+    val sym = e.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(e.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .transform(mat)
+    var front = seeds.select(col(seedIdCol).as("seed")).distinct()
+      .select(col("seed"),
+        explode(expr(s"sequence(1, $walksPerSeed)")).as("walk"),
+        col("seed").as("node"))
+    val arms = (1 to steps).map { t =>
+      front = front
+        .join(sym.withColumnRenamed("src", "node"), "node")
+        .withColumn("h", md5(concat_ws("_",
+          col("seed"), col("walk"), lit(t), col("dst"))))
+        .groupBy("seed", "walk")
+        .agg(min_by(col("dst"), col("h")).as("node"))
+      front.withColumn("step", lit(t.toLong))
+    }
+    arms.reduce(_.unionByName(_))
+      .select(col("seed"), col("walk").cast("long").as("walk"),
+        col("step"), col("node"))
+  }
+
   /** Synchronous label-propagation community detection (Raghavan, Albert
     * & Kumara, Phys. Rev. E 2007), made DETERMINISTIC: every node starts
     * as its own label; each round every node simultaneously adopts the
@@ -1604,5 +1651,52 @@ object Graph {
         cand("x") === pairs(aCol) && cand("y") === pairs(bCol), "left_anti")
       .select(col("x").as("item_a"), col("y").as("item_b"),
         col("n_common"), col("ra_fp"))
+  }
+
+  /** Link prediction by the Jaccard neighbourhood coefficient (Liben-
+    * Nowell & Kleinberg 2003): for a non-adjacent pair (x, y),
+    * J = |Γ(x)∩Γ(y)| / |Γ(x)∪Γ(y)| = n_common / (deg(x)+deg(y)−n_common)
+    * — RA's size-normalized sibling (RA rewards LOW-degree witnesses;
+    * Jaccard penalizes LARGE neighbourhoods symmetrically). Same wedge
+    * machinery as [[linkPredictRA]]: common neighbours are counted by the
+    * symmetric-edge self-join on the shared endpoint z with the identical
+    * deg(z) ≤ `maxDeg` hub cap applied BEFORE the join (Σ deg² bounded;
+    * the cap is part of the operator's contract, replayed exactly by the
+    * oracle — a hub's witness adds ~0 to Jaccard anyway since it inflates
+    * both unions). The DENOMINATOR degrees are the full, uncapped
+    * neighbourhood sizes — a per-node count, one broadcast-sized relation,
+    * no quadratic term. Score in 1e-12 integer fixed point with the
+    * 128-bit intermediate (n_common · Total overflows a long at
+    * web-graph co-citation counts). Input must be [[normalize]]d
+    * (deduplicated a < b pairs). Returns (item_a, item_b, n_common,
+    * jac_fp) for non-adjacent pairs with ≥ 1 (non-hub) common neighbour. */
+  def linkPredictJaccard(pairs: DataFrame, aCol: String, bCol: String,
+                         maxDeg: Long = 1024L): DataFrame = {
+    require(maxDeg >= 1)
+    retireLastGeneration()
+    val sym = pairs.select(col(aCol).as("z"), col(bCol).as("x"))
+      .union(pairs.select(col(bCol).as("z"), col(aCol).as("x")))
+      .transform(mat)
+    // full degree of every node (Jaccard's denominator); the wedge legs
+    // below re-derive the CAPPED degree of the shared endpoint from the
+    // same relation — one scan, two aggregates, both node-sized
+    val degAll = sym.groupBy(col("x").as("id")).agg(count(lit(1)).as("deg"))
+      .transform(mat)
+    val degZ = sym.groupBy("z").agg(count(lit(1)).as("d"))
+      .filter(col("d") <= maxDeg).select("z")
+    val legs = sym.join(degZ, "z").transform(mat)
+    val cand = legs.join(legs.select(col("z"), col("x").as("y")), "z")
+      .filter(col("x") < col("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("n_common"))
+    val scored = cand
+      .join(degAll.select(col("id").as("x"), col("deg").as("dx")), "x")
+      .join(degAll.select(col("id").as("y"), col("deg").as("dy")), "y")
+      .withColumn("jac_fp", expr(
+        s"(cast(n_common as decimal(38,0)) * ${Total}L) " +
+          "div (dx + dy - n_common)"))
+    scored.join(pairs,
+        scored("x") === pairs(aCol) && scored("y") === pairs(bCol), "left_anti")
+      .select(col("x").as("item_a"), col("y").as("item_b"),
+        col("n_common"), col("jac_fp").cast("long").as("jac_fp"))
   }
 }

@@ -81,4 +81,80 @@ object Selection {
         stats.getLong(1), stats.getLong(2)))
     }
   }
+
+  /** Exact PER-GROUP interpolated median of a LONG column — every group's
+    * selection refined SIMULTANEOUSLY: each pass is ONE map-side-combined
+    * aggregate keyed by (group, selector, bucket), so the pass count stays
+    * ≤ ceil(64/log2(buckets)) + 1 regardless of how many groups there are,
+    * and per-group state never leaves the ≤ `maxGroups`·buckets·2 driver
+    * histogram (the group count is gated — this is for LOW-cardinality
+    * dimensions like corpus sources; a high-cardinality grouping belongs
+    * to the sketch tier). Both middle order statistics k = ⌈n/2⌉ and
+    * ⌈(n+1)/2⌉ are tracked as separate selectors, so an even-sized group
+    * interpolates exactly like SQL `median`. The per-pass filter is a
+    * broadcast range join (group equi-key + value between the group's
+    * surviving range), which parquet min/max pruning turns into a partial
+    * scan on clustered layouts.
+    *
+    * Returns a LOCAL result relation (group: string, n: long,
+    * med_2x: long) where med_2x = lower + upper middle value — kept
+    * DOUBLED so downstream arithmetic (deviations, MAD tests) stays in
+    * exact integers; med itself is med_2x / 2.0. */
+  def groupedMedian(df: DataFrame, g: String, c: String,
+                    buckets: Int = 1 << 12,
+                    maxGroups: Int = 256): DataFrame = {
+    require(buckets >= 2)
+    val spark = df.sparkSession
+    val in = df.select(col(g).cast("string").as("_g"), col(c).as("_v"))
+    val stats = in.groupBy("_g")
+      .agg(count(lit(1)).as("n"), min("_v").as("lo"), max("_v").as("hi"))
+      .collect()
+    require(stats.length <= maxGroups,
+      s"groupedMedian: ${stats.length} groups > $maxGroups — a " +
+        "high-cardinality grouping belongs to the sketch tier")
+    // selector state: (group, which) -> (lo, hi, k remaining in range)
+    final case class Sel(grp: String, var lo: Long, var hi: Long, var k: Long)
+    val sels = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Sel)]
+    val ns = scala.collection.mutable.Map.empty[String, Long]
+    stats.foreach { r =>
+      val (grp, n, lo, hi) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      require(BigInt(hi) - BigInt(lo) <= BigInt(Long.MaxValue),
+        s"groupedMedian($grp): value range exceeds a 64-bit difference")
+      ns(grp) = n
+      sels += ((grp, 1, Sel(grp, lo, hi, (n + 1) / 2)))
+      sels += ((grp, 2, Sel(grp, lo, hi, (n + 2) / 2)))
+    }
+    while (sels.exists { case (_, _, s) => s.lo < s.hi }) {
+      val active = sels.filter { case (_, _, s) => s.lo < s.hi }
+      val widths = active.map { case (grp, w, s) =>
+        (grp, w, s.lo, s.hi, ((BigInt(s.hi) - BigInt(s.lo)) / buckets + 1).toLong)
+      }
+      val ranges = spark.createDataFrame(widths.toSeq)
+        .toDF("_g", "_w", "_lo", "_hi", "_wd")
+      val histo = in.join(broadcast(ranges), "_g")
+        .filter(col("_v") >= col("_lo") && col("_v") <= col("_hi"))
+        .select(col("_g"), col("_w"),
+          expr("(_v - _lo) div _wd").as("_b"))
+        .groupBy("_g", "_w", "_b").agg(count(lit(1)).as("cnt"))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getLong(3))
+        .toMap
+      active.foreach { case (grp, w, s) =>
+        val width = ((BigInt(s.hi) - BigInt(s.lo)) / buckets + 1).toLong
+        var b = 0L
+        var acc = 0L
+        while (acc + histo.getOrElse((grp, w, b), 0L) < s.k) {
+          acc += histo.getOrElse((grp, w, b), 0L); b += 1
+        }
+        s.k -= acc
+        s.lo = Math.addExact(s.lo, Math.multiplyExact(b, width))
+        s.hi = math.min(s.hi, Math.addExact(s.lo, width - 1))
+      }
+    }
+    val med2x = sels.groupBy(_._1).map { case (grp, ss) =>
+      (grp, ns(grp), ss.map(_._3.lo).sum)
+    }
+    spark.createDataFrame(med2x.toSeq).toDF("grp", "n", "med_2x")
+  }
 }

@@ -530,6 +530,47 @@ object PipelineQueries {
         .orderBy("event_type", "day")
     }),
 
+    // §2.6 STREAMING HEAVY-HITTERS row: per-day top talkers (users by
+    // event count) with BOUNDED state — a Misra-Gries summary of ≤ 4096
+    // counters per event-time window via flatMapGroupsWithState
+    // (HeavyStream), the streaming face of the batch MisraGries aggregate.
+    // The ingest-skew panel: the hot key about to melt a shuffle partition
+    // is exactly what this surfaces live. Exact below k (this corpus
+    // peaks at 1356 distinct users/day at sf0.1), which the oracle states
+    // as a plain count + rank. One running top-5 per active group per
+    // batch; n_events is monotone so the reader keeps the final rows.
+    "pipe_stream_heavy" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = streamTmp("graft-stream-heavy")
+      val src = cachedFeed("heavy", dir)(f =>
+        orderedSlices(graft.Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts")), f))
+      val stream = s.readStream
+        .schema("event_id long, user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val hits = stream.select(
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          col("user_id").cast("string").as("key"),
+          col("ts"))
+        .as[graft.streaming.HeavyStream.Hit]
+      val tops = graft.streaming.HeavyStream.topTalkers(hits,
+        k = 4096, top = 5, watermark = "3650 days",
+        horizonMs = 30L * 86400000L)
+      val outDir = tmp.resolve("out").toString
+      withFewShufflePartitions(s) {
+        tops.toDF().writeStream
+          .format("parquet").option("path", outDir)
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
+      val out = s.read.parquet(outDir)
+      out.join(out.groupBy("day").agg(max("n_events").as("n_events")),
+          Seq("day", "n_events"))
+        .select(col("day"), col("rnk"), col("key").as("user_id"), col("n"))
+        .orderBy("day", "rnk")
+    }),
+
     // §2.6 STATEFUL quota row: RateLimit.admit (flatMapGroupsWithState
     // token bucket — at most `quota` events per event_type per day)
     // driven over 4 micro-batches. Batches are sliced in STRICT
@@ -997,6 +1038,21 @@ object PipelineQueries {
           |       count(*) AS n_events,
           |       count(DISTINCT user_id) AS n_users
           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      // The MG stream stays below k = 4096 distinct users per day on this
+      // corpus, so the exact-below-k contract makes every counter a plain
+      // count and the top-5 a rank over it (ties broken by the string key,
+      // matching the engine's (count desc, key asc) emission order)
+      "pipe_stream_heavy" ->
+        """WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day,
+          |                  CAST(user_id AS VARCHAR) AS user_id,
+          |                  count(*) AS n
+          |           FROM events GROUP BY 1, 2),
+          |r AS (SELECT day, user_id, n,
+          |             row_number() OVER (PARTITION BY day
+          |                                ORDER BY n DESC, user_id) AS rnk
+          |      FROM c)
+          |SELECT day, rnk, user_id, n FROM r WHERE rnk <= 5
+          |ORDER BY day, rnk""".stripMargin,
       // Relational statement of the streaming banded-SimHash dedup:
       // dup(d) ⇔ ∃ earlier doc (smaller doc_id = arrival seq) sharing a
       // 16-bit band of the md5 SimHash within hamming 8. Same md5-simhash

@@ -1418,6 +1418,24 @@ object RelationalQueries {
       }
     }),
 
+    // Deterministic random-walk corpus (DeepWalk, Perozzi 2014) on the
+    // co-purchase graph: 3 walks × 5 steps from every 500th part —
+    // the graph → sequence-corpus step graph embeddings train on. Each
+    // transition is argmin-md5 over the neighbours (A-ES applied to walk
+    // steps), so the oracle replays every hop bit-for-bit; per step one
+    // front⋈edges join + one argmin aggregate, rounds chained lazily.
+    "q_random_walks" -> ((s, dir) => {
+      import graft.ops.Graph
+      val pairs = copurchasePairs(s, dir).select(col("item_a"), col("item_b"))
+      val seeds = t(s, dir, "part").select(col("p_partkey").as("id"))
+        .filter(col("id") % 500 === 0)
+      graphResult(s) {
+        Graph.randomWalks(pairs, "item_a", "item_b", seeds, "id",
+            walksPerSeed = 3, steps = 5)
+          .orderBy(col("seed"), col("walk"), col("step"))
+      }
+    }),
+
     // Label-propagation community detection (Raghavan 2007, made
     // deterministic: synchronous rounds, ties to the smallest label) on
     // the co-purchase graph — DENSITY classes inside the connectivity
@@ -1448,6 +1466,22 @@ object RelationalQueries {
       graphResult(s) {
         Graph.linkPredictRA(pairs, "item_a", "item_b", maxDeg = 1024)
           .orderBy(col("ra_fp").desc, col("item_a"), col("item_b"))
+          .limit(50)
+      }
+    }),
+
+    // Link prediction by the Jaccard neighbourhood coefficient (Liben-
+    // Nowell & Kleinberg 2003) on the same co-purchase graph — RA's
+    // size-normalized sibling: n_common / (deg_x + deg_y − n_common) in
+    // 1e-12 integer fixed point. Wedge enumeration shares RA's deg ≤ 1024
+    // hub cap (contract, not approximation); denominator degrees are the
+    // full neighbourhood sizes (node-sized relation, no quadratic term).
+    "q_link_jaccard" -> ((s, dir) => {
+      import graft.ops.Graph
+      val pairs = copurchasePairs(s, dir).select(col("item_a"), col("item_b"))
+      graphResult(s) {
+        Graph.linkPredictJaccard(pairs, "item_a", "item_b", maxDeg = 1024)
+          .orderBy(col("jac_fp").desc, col("item_a"), col("item_b"))
           .limit(50)
       }
     }),
@@ -2630,6 +2664,65 @@ object RelationalQueries {
        |SELECT x AS item_a, y AS item_b, n_common, ra_fp FROM nw
        |ORDER BY ra_fp DESC, item_a, item_b LIMIT 50""".stripMargin
 
+  /** q_link_jaccard oracle: the same capped wedge enumeration; Jaccard
+    * denominator from the FULL symmetric degree; HUGEINT product before
+    * the floor division replays the engine's DECIMAL(38,0) intermediate. */
+  private def linkJaccardSql: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+       |            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |pp AS (SELECT a.it AS src, b.it AS dst
+       |       FROM li a JOIN li b ON a.bk = b.bk AND a.it < b.it
+       |       GROUP BY 1, 2 HAVING count(*) >= 2),
+       |sym AS (SELECT src AS z, dst AS x FROM pp
+       |        UNION ALL SELECT dst, src FROM pp),
+       |degall AS (SELECT x AS id, count(*) AS deg FROM sym GROUP BY 1),
+       |degz AS (SELECT z FROM sym GROUP BY z HAVING count(*) <= 1024),
+       |legs AS (SELECT sym.z, sym.x FROM sym JOIN degz ON degz.z = sym.z),
+       |cand AS (SELECT l1.x AS x, l2.x AS y, count(*) AS n_common
+       |         FROM legs l1 JOIN legs l2 ON l1.z = l2.z AND l1.x < l2.x
+       |         GROUP BY 1, 2),
+       |sc AS (SELECT c.x, c.y, c.n_common,
+       |              CAST((CAST(c.n_common AS HUGEINT) * 1000000000000)
+       |                   // (dx.deg + dy.deg - c.n_common) AS BIGINT) AS jac_fp
+       |       FROM cand c JOIN degall dx ON dx.id = c.x
+       |                   JOIN degall dy ON dy.id = c.y),
+       |nw AS (SELECT sc.* FROM sc LEFT JOIN pp
+       |         ON pp.src = sc.x AND pp.dst = sc.y
+       |       WHERE pp.src IS NULL)
+       |SELECT x AS item_a, y AS item_b, n_common, jac_fp FROM nw
+       |ORDER BY jac_fp DESC, item_a, item_b LIMIT 50""".stripMargin
+
+  /** q_random_walks oracle: the walk recurrence unrolled — per step an
+    * inner join of the walk front with the symmetric edge list and an
+    * arg_min over the md5 transition keys, replaying every hop
+    * bit-for-bit (md5 order is engine-independent). */
+  private def randomWalksSql: String = {
+    def step(t: Int): String = {
+      val prev = if (t == 1) "f0" else s"f${t - 1}"
+      s"""f$t AS (SELECT f.seed, f.walk,
+         |            arg_min(s.dst, md5(f.seed || '_' || f.walk ||
+         |                               '_${t}_' || s.dst)) AS node
+         |     FROM $prev f JOIN sym s ON s.src = f.node GROUP BY 1, 2)"""
+        .stripMargin
+    }
+    val arms = (1 to 5).map(t =>
+      s"SELECT seed, walk, CAST($t AS BIGINT) AS step, node FROM f$t")
+      .mkString("\n  UNION ALL ")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+       |            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |pp AS (SELECT a.it AS src, b.it AS dst
+       |       FROM li a JOIN li b ON a.bk = b.bk AND a.it < b.it
+       |       GROUP BY 1, 2 HAVING count(*) >= 2),
+       |sym AS (SELECT src, dst FROM pp UNION ALL SELECT dst, src FROM pp),
+       |seeds AS (SELECT p_partkey AS seed FROM part WHERE p_partkey % 500 = 0),
+       |f0 AS (SELECT seed, w.widx AS walk, seed AS node
+       |       FROM seeds, (SELECT unnest(generate_series(1, 3)) AS widx) w),
+       |${(1 to 5).map(step).mkString(",\n")}
+       |SELECT seed, walk, step, node FROM (
+       |  $arms)
+       |ORDER BY seed, walk, step""".stripMargin
+  }
+
   /** q_pagerank_dangling oracle: the directed-graph recurrence unrolled —
     * per round, a contribution CTE, a dangling-mass scalar CTE (ranks of
     * nodes absent from ow), and a node-relation left join so isolated
@@ -2814,8 +2907,10 @@ object RelationalQueries {
     "q_pagerank_topic" -> pagerankTopicSql,
     "q_lpa_communities" -> lpaCommunitiesSql,
     "q_shortest_paths" -> shortestPathsSql,
+    "q_random_walks" -> randomWalksSql,
     "q_hits" -> hitsSql,
     "q_link_predict" -> linkPredictSql,
+    "q_link_jaccard" -> linkJaccardSql,
     "q_pagerank_dangling" -> pagerankDanglingSql,
     // depth 208 = 13 check windows of 16: the sf0.01 graph fixes at
     // n_iters 176 (measured); the unroll reaches comfortably past it

@@ -568,6 +568,54 @@ object TextQueries {
         .orderBy(round(col("containment"), 4).desc, col("id_a"), col("id_b"))
         .limit(100)),
 
+    // Shingle-frequency COSINE dedup — the vector-model angle on word
+    // trigram FREQUENCIES, third measure of the family (resemblance /
+    // containment / cosine): repetition-aware where shingle SETS are
+    // blind. Integer end-to-end: cos² in 1e-12 fixed point from
+    // (dot², ‖a‖²·‖b‖²) with DECIMAL(38,0) intermediates, the ≥0.8 test
+    // run as an exact integer comparison. Candidates and exact dots from
+    // ONE df ≤ 128-capped postings-bucket mechanism (numerator and norms
+    // both count the capped universe — the contract both engines share),
+    // pair volume bounded at maxDf × |postings|.
+    "dedup_cosine_tf" -> ((s, dir) =>
+      Dedup.cosinePairsTf(docs(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.8, maxDf = 128L)
+        .orderBy(col("cos2_fp").desc, col("id_a"), col("id_b"))
+        .limit(100)),
+
+    // Robust per-source length outliers — median/MAD, the estimator that
+    // survives the very outliers it hunts (mean/stddev is dragged by
+    // them; Gopher-style fixed thresholds need per-corpus tuning).
+    // EXACT medians at scale via Selection.groupedMedian: every source's
+    // selection refined simultaneously, ≤ 6 histogram passes total
+    // REGARDLESS of corpus size, O(sources × 4096) driver state, no
+    // per-group sort. All arithmetic in doubled/quadrupled integers
+    // (med_2x, mad_4x), so the |x−med| > 3·MAD test is an exact integer
+    // comparison — bit-replayable by the oracle from plain medians.
+    "txt_doc_outliers" -> ((s, dir) => {
+      import graft.ops.Selection
+      val d = docs(s, dir).select(col("source"), col("n_chars"))
+      val med = Selection.groupedMedian(d, "source", "n_chars")
+        .select(col("grp").as("source"), col("n").as("n_docs"),
+          col("med_2x"))
+      // dev2 = 2·|x − med| (integer); its doubled median = 4·MAD
+      val dev = d.join(broadcast(med.select("source", "med_2x")), "source")
+        .select(col("source"),
+          abs(col("n_chars") * 2 - col("med_2x")).as("dev2"))
+      val mad = Selection.groupedMedian(dev, "source", "dev2")
+        .select(col("grp").as("source"), col("med_2x").as("mad_4x"))
+      val out = dev.join(broadcast(mad), "source")
+        .groupBy("source")
+        .agg(sum(when(col("dev2") * 2 > col("mad_4x") * 3, 1L)
+          .otherwise(0L)).as("n_outliers"))
+      med.join(mad, "source").join(out, "source")
+        .select(col("source"), col("n_docs"),
+          (col("med_2x") / 2.0).as("med_chars"),
+          (col("mad_4x") / 4.0).as("mad_chars"),
+          col("n_outliers"))
+        .orderBy("source")
+    }),
+
     // Cross-snapshot dedup: incoming docs (doc_id % 7 != 0) that
     // near-duplicate any reference-corpus doc (doc_id % 7 == 0) at
     // Jaccard ≥ 0.8. Candidates come from banded LSH (incoming bands ×
@@ -1345,6 +1393,60 @@ object TextQueries {
         |  FROM inter i JOIN sz ON sz.doc_id = i.id_a)
         |WHERE c >= 0.5
         |ORDER BY round(c, 4) DESC, id_a, id_b LIMIT 100""".stripMargin,
+    // shingle-tf cosine oracle: identical trigram MULTISET (duplicates
+    // kept — the frequency signal) and df ≤ 128 cap, exact integer dot
+    // products and squared norms, the engine's DECIMAL(38,0) fixed point
+    // replayed in HUGEINT (floor division, positive operands).
+    "dedup_cosine_tf" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |              ELSE list_transform(generate_series(1, len(t) - 2),
+        |                     i -> array_to_string(t[i:i+2], ' '))
+        |         END AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |        FROM documents WHERE text IS NOT NULL)),
+        |tf AS (
+        |  SELECT doc_id, t, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(s) AS t FROM sh)
+        |  GROUP BY 1, 2),
+        |rare AS (SELECT t FROM tf GROUP BY t HAVING count(*) <= 128),
+        |kt AS (SELECT tf.doc_id, tf.t, tf.tf FROM tf JOIN rare USING (t)),
+        |nsq AS (SELECT doc_id, sum(tf * tf) AS nsq FROM kt GROUP BY 1),
+        |dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |                CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+        |         FROM kt a JOIN kt b ON a.t = b.t AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2)
+        |SELECT id_a, id_b, dot, cos2_fp FROM (
+        |  SELECT d.id_a, d.id_b, d.dot,
+        |         CAST((CAST(d.dot AS HUGEINT) * d.dot * 1000000000000)
+        |              // (CAST(na.nsq AS HUGEINT) * nb.nsq) AS BIGINT) AS cos2_fp
+        |  FROM dots d JOIN nsq na ON na.doc_id = d.id_a
+        |              JOIN nsq nb ON nb.doc_id = d.id_b)
+        |WHERE cos2_fp >= 640000000000
+        |ORDER BY cos2_fp DESC, id_a, id_b LIMIT 100""".stripMargin,
+    // median/MAD oracle: interpolated medians doubled into exact integers
+    // (2·median of BIGINT is integral), the 3-MAD test as 2·dev2 > 3·mad_4x
+    // — the engine's identical integer comparison.
+    "txt_doc_outliers" ->
+      """WITH d AS (SELECT source, n_chars FROM documents),
+        |m AS (SELECT source, count(*) AS n_docs,
+        |             CAST(2 * median(n_chars) AS BIGINT) AS med2x
+        |      FROM d GROUP BY 1),
+        |dev AS (SELECT d.source, abs(2 * d.n_chars - m.med2x) AS dev2
+        |        FROM d JOIN m USING (source)),
+        |md AS (SELECT source, CAST(2 * median(dev2) AS BIGINT) AS mad4x
+        |       FROM dev GROUP BY 1),
+        |o AS (SELECT dev.source,
+        |             CAST(sum(CASE WHEN 2 * dev.dev2 > 3 * md.mad4x
+        |                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |      FROM dev JOIN md USING (source) GROUP BY 1)
+        |SELECT m.source, m.n_docs,
+        |       m.med2x / 2.0 AS med_chars,
+        |       md.mad4x / 4.0 AS mad_chars,
+        |       o.n_outliers
+        |FROM m JOIN md USING (source) JOIN o USING (source)
+        |ORDER BY source""".stripMargin,
     // SimHash oracle: recompute the md5-portable signatures in SQL — per
     // token the first 16 md5 hex chars as a UBIGINT (== the engine's first
     // 8 digest bytes big-endian), sign-sum all 64 bits, band into 4×16-bit

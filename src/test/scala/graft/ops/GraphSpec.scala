@@ -552,4 +552,67 @@ class GraphSpec extends SparkSpec {
       yield (i, j)).toDF("a", "b")
     assert(raPairs(e.repartition(1)) == raPairs(e.repartition(5)))
   }
+
+  private def jacPairs(e: DataFrame, maxDeg: Long = 1024L): Map[(Long, Long), (Long, Long)] =
+    Graph.linkPredictJaccard(e, "a", "b", maxDeg)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+
+  test("Jaccard link prediction: path wedge scores |∩|/|∪| exactly") {
+    // path 2 - 1 - 3: candidate (2,3), Γ(2)={1}, Γ(3)={1} → J = 1/1
+    val r = jacPairs(Seq((1L, 2L), (1L, 3L)).toDF("a", "b"))
+    assert(r == Map((2L, 3L) -> (1L, 1000000000000L)))
+    // triangle: every wedge closes an existing edge → nothing predicted
+    assert(jacPairs(Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b")).isEmpty)
+  }
+
+  test("Jaccard link prediction: hub cap prunes wedges, denominators stay FULL") {
+    // x=1, y=2 share z=10 (deg 2, kept); x also touches hub 11 (deg 4)
+    val e = Seq((1L, 10L), (2L, 10L), (1L, 11L), (3L, 11L), (4L, 11L),
+      (5L, 11L)).toDF("a", "b")
+    val r = jacPairs(e, maxDeg = 3L)
+    // n_common counts only the capped wedge (z=10); deg(1)=2 includes the
+    // hub edge → J(1,2) = 1 / (2 + 1 − 1) = 0.5
+    assert(r((1L, 2L)) == (1L, 500000000000L))
+    // no candidate is built THROUGH the hub: (3,4) share only z=11
+    assert(!r.contains((3L, 4L)))
+  }
+
+  test("Jaccard link prediction is layout-invariant") {
+    val e = (for (i <- 1L to 7L; j <- (i + 1) to 7L if (i * 3 + j) % 4 != 0)
+      yield (i, j)).toDF("a", "b")
+    assert(jacPairs(e.repartition(1)) == jacPairs(e.repartition(5)))
+  }
+
+  test("random walks replay the md5-argmin recurrence hop for hop") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    val seeds = Seq(1L, 4L, 99L) // 99 is isolated: its walks emit nothing
+    val got = Graph.randomWalks(edges.toDF("a", "b"), "a", "b",
+        seeds.toDF("id"), "id", walksPerSeed = 2, steps = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // driver replica of the contract: next = argmin_v md5("seed_walk_t_v")
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val nbrs = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2) }
+    val want = for {
+      seed <- seeds; walk <- 1L to 2L
+      (step, node) <- (1L to 3L).scanLeft((0L, seed)) { case ((_, u), t) =>
+        (t, nbrs.get(u).map(_.minBy(v => md5(s"${seed}_${walk}_${t}_$v")))
+          .getOrElse(-1L))
+      }.tail if node != -1L
+    } yield (seed, walk, step, node)
+    assert(got == want.toSet)
+    assert(!got.exists(_._1 == 99L))
+  }
+
+  test("random walks are layout-invariant") {
+    val e = (for (i <- 1L to 9L; j <- (i + 1) to 9L if (i + j) % 3 != 0)
+      yield (i, j)).toDF("a", "b")
+    val seeds = Seq(1L, 5L, 9L).toDF("id")
+    def run(df: DataFrame) = Graph.randomWalks(df, "a", "b",
+        seeds, "id", walksPerSeed = 2, steps = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(run(e.repartition(1)) == run(e.repartition(7)))
+  }
 }

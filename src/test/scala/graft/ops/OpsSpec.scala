@@ -58,6 +58,44 @@ class OpsSpec extends SparkSpec {
     assert(uncapped.count() > 0L)
   }
 
+  test("tf-cosine: repetition separates docs whose token SETS are identical") {
+    // same vocabulary {w1, w2}; B repeats w1 4× → jaccard(sets) = 1 but
+    // cos² = (1·4 + 1·1)² / ((1+1)(16+1)) = 25/34 ≈ 0.735, cos ≈ 0.857
+    val d = Seq((1L, "w1 w2"), (2L, "w1 w1 w1 w1 w2"),
+      (3L, "other words entirely")).toDF("doc_id", "text")
+    val r = Dedup.cosinePairsTf(d, "doc_id", "text", n = 1, threshold = 0.9)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(r.isEmpty) // 0.735 < 0.81: the repetition keeps them apart
+    val loose = Dedup.cosinePairsTf(d, "doc_id", "text", n = 1, threshold = 0.8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // floor(25e12 / 34) — exact integer fixed point
+    assert(loose == Set((1L, 2L, 5L, 735294117647L)))
+  }
+
+  test("tf-cosine: identical docs score exactly 1e12; df cap drops boilerplate") {
+    val d = Seq((1L, base), (2L, base), (3L, unrelated)).toDF("doc_id", "text")
+    val r = Dedup.cosinePairsTf(d, "doc_id", "text", n = 1, threshold = 0.99)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(r.map(p => (p._1, p._2, p._4)).toSeq == Seq((1L, 2L, 1000000000000L)))
+    // 5 docs share a boilerplate phrase; df cap 4 removes the shared
+    // tokens from the universe and nothing pairs
+    val bp = "standard footer text repeated on every single page"
+    val bpd = (1L to 5L).map(i => (i, s"$bp token$i")).toDF("doc_id", "text")
+    assert(Dedup.cosinePairsTf(bpd, "doc_id", "text",
+      n = 1, threshold = 0.5, maxDf = 4L).count() == 0L)
+    assert(Dedup.cosinePairsTf(bpd, "doc_id", "text",
+      n = 1, threshold = 0.5, maxDf = 5L).count() > 0L)
+  }
+
+  test("tf-cosine pairs are layout-invariant") {
+    val d = Seq((1L, base), (2L, base + " extra tail"), (3L, unrelated),
+      (4L, nearDup)).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.cosinePairsTf(df, "doc_id", "text", threshold = 0.3)
+        .as[(Long, Long, Long, Long)].collect().toSet
+    assert(run(d.repartition(1)) == run(d.repartition(7)))
+  }
+
   test("containment pairs are layout-invariant") {
     val long = base + " plus more trailing words to grow the container document"
     val d = Seq((1L, base), (2L, long), (3L, unrelated), (4L, base)).toDF("doc_id", "text")

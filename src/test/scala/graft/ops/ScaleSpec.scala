@@ -105,6 +105,27 @@ class ScaleSpec extends SparkSpec {
     intercept[IllegalArgumentException](Selection.kthSmallest(df, "v", 0L))
   }
 
+  test("grouped exact median matches the sorted reference per group") {
+    // per-group sizes both even and odd, duplicates, negatives; one
+    // single-row group and one constant group (range collapses instantly)
+    val rows = (1 to 701).map { i =>
+      (s"g${i % 7}", ((i * 2654435761L) % 499) - 249)
+    } ++ Seq(("solo", 42L), ("flat", 5L), ("flat", 5L), ("flat", 5L))
+    val df = rows.toDF("g", "v")
+    val got = Selection.groupedMedian(df, "g", "v", buckets = 8)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    rows.groupBy(_._1).foreach { case (g, vs) =>
+      val s = vs.map(_._2).sorted
+      val med2x = s((s.length - 1) / 2) + s(s.length / 2)
+      assert(got(g) == (s.length.toLong, med2x),
+        s"group $g: got ${got(g)}, want (${s.length}, $med2x)")
+    }
+    // the low-cardinality gate trips loudly
+    intercept[IllegalArgumentException](
+      Selection.groupedMedian(df, "v", "v", maxGroups = 3))
+  }
+
   test("BPE-ish subword count: letter runs, digit runs, punctuation marks") {
     val got = Seq("hello, world42 x-ray").toDF("t")
       .select(graft.ops.TextAnalysis.subwordCount(col("t"))).as[Int].head()
