@@ -134,4 +134,34 @@ object Analytics {
                          k: Int = 4096): DataFrame =
     if (rows <= exactMaxRows) cohortRetention(df, userCol, tsCol, unit, periodDays)
     else cohortRetentionSketch(df, userCol, tsCol, unit, periodDays, k)
+
+  /** 2-D SKYLINE (pareto frontier — Börzsönyi, Kossmann & Stocker, ICDE
+    * 2001): rows not dominated by any other, where a dominates b iff
+    * a.`maxCol` ≥ b.`maxCol` ∧ a.`minCol` ≤ b.`minCol` with at least one
+    * strict — the multi-objective "best trade-offs" query (price vs
+    * size, quality vs cost) that no single ORDER BY expresses.
+    *
+    * In 2-D the frontier falls out of ONE ordered pass: sort the
+    * DISTINCT value points by (maxCol desc, minCol asc); a point is on
+    * the frontier iff its minCol is strictly below every earlier
+    * point's (the running strict-prefix min) — same-ranked duplicates
+    * dedup into one point, so the tie semantics are exactly the
+    * dominance definition. Scale: the corpus collapses to distinct
+    * value PAIRS first (map-side combined — the window runs on the
+    * value space, not the rows), and the frontier itself (≈ O(log n)
+    * points under independence) broadcasts to the id-recovery join.
+    * Returns the input rows at frontier points. */
+  def skyline2D(df: DataFrame, maxCol: String, minCol: String): DataFrame = {
+    val pts = df.select(col(maxCol).as("_p"), col(minCol).as("_q"))
+      .filter(col("_p").isNotNull && col("_q").isNotNull)
+      .distinct()
+    val w = Window.orderBy(col("_p").desc, col("_q").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sky = pts.withColumn("_m", min("_q").over(w))
+      .filter(col("_m").isNull || col("_q") < col("_m"))
+      .select("_p", "_q")
+    df.join(broadcast(sky),
+        df(maxCol) === sky("_p") && df(minCol) === sky("_q"))
+      .drop("_p", "_q")
+  }
 }

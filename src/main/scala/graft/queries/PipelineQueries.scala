@@ -571,6 +571,80 @@ object PipelineQueries {
         .orderBy("day", "rnk")
     }),
 
+    // §2.6 STREAMING DRIFT row: live PSI per (type, day) — each event
+    // type's SECOND time-half streamed, bucketed against a STATIC
+    // reference (the first half's 10 equal-width value buckets,
+    // broadcast stream-static), counted per event-time day window in
+    // append mode under a 1 s watermark over the strictly time-ordered
+    // feed, then scored by the reader with the identical add-one-smoothed
+    // PSI arithmetic as the batch q_psi_drift. Bounded state: ≤ 10
+    // bucket counters per (type, day) window regardless of volume, and
+    // counts are order-free so the result is a pure function of the
+    // data. Both sides drop the corpus-max day (the window the final
+    // watermark cannot close — the pipe_stream_sessions cutoff).
+    "pipe_stream_psi" -> ((s, dir) => {
+      val tmp = streamTmp("graft-stream-psi")
+      val src = cachedFeed("psi", dir)(f =>
+        orderedSlices(graft.Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .select(col("event_id"), col("event_type"), col("value"), col("ts")), f))
+      val ev = graft.Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
+      val rng = ev.groupBy("event_type").agg(
+          min("value").as("vmin"), max("value").as("vmax"),
+          min("us").as("tmin"), max("us").as("tmax"))
+        .withColumn("mid", col("tmin") + expr("(tmax - tmin) div 2"))
+        .localCheckpoint(eager = true) // |types| rows; stream + reader side
+      def bucketCol = when(col("vmax") === col("vmin"), lit(0L))
+        .otherwise(least(lit(9L),
+          floor((col("value") - col("vmin")) * lit(10.0) /
+            (col("vmax") - col("vmin")))))
+      val stream = s.readStream
+        .schema("event_id long, event_type string, value double, ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val cur = stream.join(broadcast(rng), "event_type")
+        .filter(unix_micros(col("ts")) >= col("mid"))
+        .withColumn("bucket", bucketCol)
+        .withWatermark("ts", "1 second")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("event_type"),
+          expr("unix_micros(window.start) div 86400000000").as("day"),
+          col("bucket"), col("c"))
+      val outDir = tmp.resolve("out").toString
+      withFewShufflePartitions(s) {
+        cur.writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
+      val maxDay = ev.agg(max(expr("us div 86400000000"))).head.getLong(0)
+      val cnt = s.read.parquet(outDir).filter(col("day") < maxDay)
+      val refBase = ev.join(broadcast(rng), "event_type")
+        .filter(col("us") < col("mid")).withColumn("bucket", bucketCol)
+      val refP = rng.select(col("event_type"),
+          explode(sequence(lit(0L), lit(9L))).as("bucket"))
+        .join(refBase.groupBy("event_type", "bucket")
+          .agg(count(lit(1)).as("c")), Seq("event_type", "bucket"), "left")
+        .join(refBase.groupBy("event_type")
+          .agg(count(lit(1)).as("n")), Seq("event_type"), "left")
+        .select(col("event_type"), col("bucket"),
+          ((coalesce(col("c"), lit(0L)) + 1) * lit(1.0) /
+            (coalesce(col("n"), lit(0L)) + 10)).as("p"))
+      val nd = cnt.groupBy("event_type", "day").agg(sum("c").as("n"))
+      nd.select(col("event_type"), col("day"),
+          explode(sequence(lit(0L), lit(9L))).as("bucket"), col("n"))
+        .join(cnt, Seq("event_type", "day", "bucket"), "left")
+        .select(col("event_type"), col("day"), col("bucket"),
+          ((coalesce(col("c"), lit(0L)) + 1) * lit(1.0) /
+            (col("n") + 10)).as("q"))
+        .join(refP, Seq("event_type", "bucket"))
+        .groupBy("event_type", "day")
+        .agg(round(sum((col("q") - col("p")) * log(col("q") / col("p"))), 6)
+          .as("psi"))
+        .orderBy("event_type", "day")
+    }),
+
     // §2.6 STATEFUL quota row: RateLimit.admit (flatMapGroupsWithState
     // token bucket — at most `quota` events per event_type per day)
     // driven over 4 micro-batches. Batches are sliced in STRICT
@@ -1053,6 +1127,51 @@ object PipelineQueries {
           |      FROM c)
           |SELECT day, rnk, user_id, n FROM r WHERE rnk <= 5
           |ORDER BY day, rnk""".stripMargin,
+      // Streaming PSI oracle: the batch q_psi_drift recurrence with a day
+      // dimension on the current side, same per-type midpoint/buckets/
+      // add-one smoothing, same corpus-max-day cutoff.
+      "pipe_stream_psi" ->
+        """WITH ev AS (SELECT event_type, value, epoch_us(ts) AS us FROM events
+          |            WHERE value IS NOT NULL),
+          |rng AS (SELECT event_type, min(value) AS vmin, max(value) AS vmax,
+          |               min(us) AS tmin, max(us) AS tmax
+          |        FROM ev GROUP BY 1),
+          |md AS (SELECT max(us // 86400000000) AS maxday FROM ev),
+          |b AS (SELECT e.event_type, e.us // 86400000000 AS day,
+          |             CASE WHEN e.us < r.tmin + (r.tmax - r.tmin) // 2
+          |                  THEN 'ref' ELSE 'cur' END AS half,
+          |             CASE WHEN r.vmax = r.vmin THEN 0
+          |                  ELSE least(9, CAST(floor((e.value - r.vmin) * 10.0 /
+          |                                           (r.vmax - r.vmin)) AS BIGINT))
+          |             END AS bucket
+          |      FROM ev e JOIN rng r USING (event_type)),
+          |refc AS (SELECT event_type, bucket, count(*) AS c FROM b
+          |         WHERE half = 'ref' GROUP BY 1, 2),
+          |refn AS (SELECT event_type, count(*) AS n FROM b
+          |         WHERE half = 'ref' GROUP BY 1),
+          |refp AS (SELECT s.event_type, s.bucket,
+          |                (COALESCE(c.c, 0) + 1) * 1.0 / (COALESCE(n.n, 0) + 10) AS p
+          |         FROM (SELECT event_type, unnest(generate_series(0, 9)) AS bucket
+          |               FROM rng) s
+          |         LEFT JOIN refc c ON c.event_type = s.event_type
+          |                         AND c.bucket = s.bucket
+          |         LEFT JOIN refn n ON n.event_type = s.event_type),
+          |curc AS (SELECT event_type, day, bucket, count(*) AS c
+          |         FROM b, md WHERE half = 'cur' AND day < md.maxday
+          |         GROUP BY 1, 2, 3),
+          |curn AS (SELECT event_type, day, CAST(sum(c) AS BIGINT) AS n
+          |         FROM curc GROUP BY 1, 2),
+          |curq AS (SELECT n.event_type, n.day, s.bucket,
+          |                (COALESCE(c.c, 0) + 1) * 1.0 / (n.n + 10) AS q
+          |         FROM curn n
+          |         CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bucket) s
+          |         LEFT JOIN curc c ON c.event_type = n.event_type
+          |                         AND c.day = n.day AND c.bucket = s.bucket)
+          |SELECT q.event_type, q.day,
+          |       round(sum((q.q - p.p) * ln(q.q / p.p)), 6) AS psi
+          |FROM curq q JOIN refp p ON p.event_type = q.event_type
+          |                       AND p.bucket = q.bucket
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       // Relational statement of the streaming banded-SimHash dedup:
       // dup(d) ⇔ ∃ earlier doc (smaller doc_id = arrival seq) sharing a
       // 16-bit band of the md5 SimHash within hamming 8. Same md5-simhash

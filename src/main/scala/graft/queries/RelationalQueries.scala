@@ -466,6 +466,21 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // 2-D skyline (pareto frontier, Börzsönyi 2001): the parts no other
+    // part beats on BOTH price (max) and size (min) — the trade-off
+    // query no single ORDER BY expresses. One ordered pass over the
+    // DISTINCT value pairs (running strict-prefix min), frontier
+    // broadcast to the id-recovery join; the oracle states dominance
+    // directly as NOT EXISTS.
+    "q_skyline_parts" -> ((s, dir) =>
+      graft.ops.Analytics.skyline2D(
+          t(s, dir, "part").select("p_partkey", "p_retailprice", "p_size"),
+          "p_retailprice", "p_size")
+        .select(col("p_partkey").as("part_id"),
+          col("p_retailprice").as("price"),
+          col("p_size").cast("long").as("size"))
+        .orderBy(col("price").desc, col("size"), col("part_id"))),
+
     // Aggregate stats incl. distinct counts
     "q_event_stats" -> ((s, dir) =>
       t(s, dir, "events").agg(
@@ -3394,6 +3409,20 @@ object RelationalQueries {
         |  ON f1.event_type = f2.event_type AND f1.bucket = f2.bucket
         | AND f1.half = 'ref' AND f2.half = 'cur'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_skyline_parts" ->
+      """WITH pts AS (SELECT DISTINCT p_retailprice AS price, p_size AS size
+        |             FROM part
+        |             WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL),
+        |sky AS (SELECT price, size FROM pts b
+        |        WHERE NOT EXISTS (
+        |          SELECT 1 FROM pts a
+        |          WHERE a.price >= b.price AND a.size <= b.size
+        |            AND (a.price > b.price OR a.size < b.size)))
+        |SELECT p.p_partkey AS part_id, p.p_retailprice AS price,
+        |       CAST(p.p_size AS BIGINT) AS size
+        |FROM part p JOIN sky ON p.p_retailprice = sky.price
+        |                    AND p.p_size = sky.size
+        |ORDER BY price DESC, size, part_id""".stripMargin,
     "q_event_stats" ->
       """SELECT count(DISTINCT user_id) AS users, count(DISTINCT event_type) AS types,
         |       round(sum(value), 2) AS total_value, round(avg(value), 4) AS avg_value,

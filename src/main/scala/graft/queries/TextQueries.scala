@@ -325,6 +325,25 @@ object TextQueries {
           Seq("spark", "vector", "merge"), k = 20)
         .orderBy("doc_id")),
 
+    // Incremental BM25 index MV: the inverted index's three relations
+    // (postings, term dfs, corpus stats) built for the base corpus
+    // (doc_id % 5 != 0) and MAINTAINED under an append batch (% 5 == 0)
+    // by union / per-term addition / scalar addition — Δ-sized merge,
+    // base postings never rescanned; then the same query scored on the
+    // merged MV. The oracle recomputes BM25 over the WHOLE corpus from
+    // scratch, so the hash match proves merge ≡ full recompute. avgdl
+    // kept as integer sum_dl / n_docs (a merged double avg would not be
+    // merge-order-free).
+    "txt_bm25_append" -> ((s, dir) => {
+      import graft.ops.Search
+      val d = docs(s, dir)
+      val ix = Search.mergeIndex(
+        Search.buildIndex(d.filter(col("doc_id") % 5 =!= 0), "doc_id", "text"),
+        Search.buildIndex(d.filter(col("doc_id") % 5 === 0), "doc_id", "text"))
+      Search.scoreIndex(ix, Seq("spark", "vector", "merge"), k = 20)
+        .orderBy("doc_id")
+    }),
+
     // Weighted sample: 40 documents drawn with probability proportional
     // to n_chars (length-proportional mixture construction) via the
     // deterministic A-ES key — bounded top-k agg, corpus never sorted
@@ -928,6 +947,45 @@ object TextQueries {
         .orderBy("media_id")
     }),
 
+    // Shot-boundary detection on REAL decodes — the video-segmentation
+    // step of a multimodal curation pipeline: 8 synthetic videos × 20
+    // PNG frames (5-frame shots share a raster; odd frames carry the
+    // one-pixel pngNear perturbation, so WITHIN-shot deltas are small
+    // but nonzero), decoded executor-side by javax.imageio, reduced to
+    // mean-RGB, then a per-video lag window flags frames whose max
+    // channel delta vs the previous frame exceeds 5.0. The oracle
+    // recomputes every mean analytically from the raster formula
+    // (lossless PNG — the same contract as mm_features_real), so the
+    // hash match proves codec round-trip + the cut metric end to end.
+    // Scale: decode is mapPartitions (embarrassingly parallel); the lag
+    // window shuffles once by video and is narrow within it.
+    "mm_shot_cuts" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val media = s.range(0, 8L * 20).map { i =>
+        val (v, f) = (i / 20 + 1, i % 20)
+        val base = v * 101L + f / 5
+        val bytes = if (f % 2 == 1) Multimodal.Synth.pngNear(base)
+                    else Multimodal.Synth.png(base)
+        Multimodal.MediaRow(v * 1000 + f, bytes, "image/png", "synth")
+      }
+      val w = Window.partitionBy("video").orderBy("frame")
+      val feats = Multimodal.decodeImages(media).toDF()
+        .select(expr("media_id div 1000").as("video"),
+          (col("media_id") % 1000).as("frame"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+      feats
+        .withColumn("delta", greatest(
+          abs(col("mean_r") - lag("mean_r", 1).over(w)),
+          abs(col("mean_g") - lag("mean_g", 1).over(w)),
+          abs(col("mean_b") - lag("mean_b", 1).over(w))))
+        .filter(col("frame") >= 1)
+        .select(col("video"), col("frame"),
+          round(col("delta"), 4).as("delta"),
+          (col("delta") > 5.0).as("is_cut"))
+        .orderBy("video", "frame")
+    }),
+
     // Image near-dup detection on REAL decodes: perceptual aHash (64-bit,
     // integer-only threshold) through javax.imageio, then banded pairing —
     // 4 × 16-bit bands make Hamming ≤ 3 candidates an EQUI-join by
@@ -1325,6 +1383,33 @@ object TextQueries {
         |       WHERE term IN ('spark', 'vector', 'merge') GROUP BY 1, 2, 3),
         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
         |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base),
+        |sc AS (SELECT tf.doc_id,
+        |              ln(((n_docs - df)::DOUBLE + 0.5) / (df::DOUBLE + 0.5) + 1.0)
+        |                * tf::DOUBLE * 2.2::DOUBLE
+        |                / (tf::DOUBLE + 1.2::DOUBLE *
+        |                   (0.25::DOUBLE + 0.75::DOUBLE * dl::DOUBLE / avgdl)) AS s
+        |       FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN stats),
+        |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY 1),
+        |top AS (SELECT doc_id, score FROM agg
+        |        ORDER BY score DESC, doc_id ASC LIMIT 20)
+        |SELECT doc_id, round(score, 4) AS score FROM top ORDER BY doc_id""".stripMargin,
+    // Incremental-BM25 oracle: FULL recompute over the whole corpus —
+    // the MV merge must reproduce it exactly; avgdl as sum/count to
+    // mirror the engine's integer-sum stats merge.
+    "txt_bm25_append" ->
+      """WITH base AS (
+        |  SELECT doc_id, lower(text) AS txt,
+        |         len(string_split_regex(trim(lower(text)), '\s+')) AS dl
+        |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+        |p AS (SELECT doc_id, dl,
+        |             unnest(string_split_regex(trim(txt), '\s+')) AS term
+        |      FROM base),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM p
+        |       WHERE term IN ('spark', 'vector', 'merge') GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs,
+        |                 CAST(sum(dl) AS BIGINT)::DOUBLE / count(*) AS avgdl
+        |          FROM base),
         |sc AS (SELECT tf.doc_id,
         |              ln(((n_docs - df)::DOUBLE + 0.5) / (df::DOUBLE + 0.5) + 1.0)
         |                * tf::DOUBLE * 2.2::DOUBLE
@@ -1981,6 +2066,43 @@ object TextQueries {
         |ORDER BY lang, bigram""".stripMargin,
     // Analytic replica of the javax.imageio decode: same raster formula as
     // Multimodal.Synth (PNG lossless ⇒ decoded pixels == generated pixels)
+    // Shot-cut oracle: every frame mean recomputed analytically from the
+    // raster formula (incl. the odd-frame (7,7) red nudge with its mod-256
+    // wrap), then the identical per-video lag/greatest/threshold metric.
+    "mm_shot_cuts" ->
+      """WITH vf AS (
+        |  SELECT v.v AS video, f.f AS frame,
+        |         (v.v * 101 + f.f // 5) AS rid, (f.f % 2 = 1) AS nudged
+        |  FROM (SELECT unnest(generate_series(1, 8)) AS v) v,
+        |       (SELECT unnest(generate_series(0, 19)) AS f) f),
+        |dims AS (SELECT video, frame, rid, nudged,
+        |                CAST(8 + rid % 9 AS INTEGER) AS w,
+        |                CAST(8 + rid % 5 AS INTEGER) AS h FROM vf),
+        |px AS (
+        |  SELECT video, frame, rid, nudged, w, h, xs.x AS x, ys.y AS y
+        |  FROM dims
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 16)) AS x) xs
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 12)) AS y) ys
+        |  WHERE xs.x < w AND ys.y < h),
+        |m AS (
+        |  SELECT video, frame,
+        |         (sum((rid*31 + x*7 + y*13) % 256)
+        |          + CASE WHEN any_value(nudged)
+        |                 THEN ((any_value(rid)*31 + 140) % 256 + 8) % 256
+        |                      - (any_value(rid)*31 + 140) % 256
+        |                 ELSE 0 END)::DOUBLE / (w * h) AS mean_r,
+        |         sum((rid*17 + x*11 + y*3) % 256)::DOUBLE / (w * h) AS mean_g,
+        |         sum((rid*23 + x*5 + y*19) % 256)::DOUBLE / (w * h) AS mean_b
+        |  FROM px GROUP BY video, frame, w, h),
+        |d AS (
+        |  SELECT video, frame,
+        |         greatest(
+        |           abs(mean_r - lag(mean_r) OVER wv),
+        |           abs(mean_g - lag(mean_g) OVER wv),
+        |           abs(mean_b - lag(mean_b) OVER wv)) AS delta
+        |  FROM m WINDOW wv AS (PARTITION BY video ORDER BY frame))
+        |SELECT video, frame, round(delta, 4) AS delta, delta > 5.0 AS is_cut
+        |FROM d WHERE frame >= 1 ORDER BY video, frame""".stripMargin,
     "mm_features_real" ->
       """WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 20),
         |dims AS (SELECT doc_id,

@@ -133,4 +133,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(Analytics.cohortRetentionSketch(df, "user_id", "ts").schema ==
       Analytics.cohortRetention(df, "user_id", "ts").schema)
   }
+
+  test("2-D skyline equals the brute-force dominance scan") {
+    // duplicates at a frontier point, an interior duplicate, ties on one
+    // dimension only, and a strictly-dominated chain
+    val rows = Seq((1L, 10.0, 5), (2L, 10.0, 5), (3L, 10.0, 7), (4L, 8.0, 3),
+      (5L, 8.0, 3), (6L, 7.0, 9), (7L, 12.0, 8), (8L, 3.0, 2), (9L, 3.0, 2))
+    val df = rows.toDF("id", "p", "q")
+    def brute = rows.filter { case (_, p, q) =>
+      !rows.exists { case (_, p2, q2) =>
+        p2 >= p && q2 <= q && (p2 > p || q2 < q) }
+    }.map(_._1).toSet
+    val got = Analytics.skyline2D(df, "p", "q")
+      .select("id").as[Long].collect().toSet
+    assert(got == brute)
+    assert(got == Set(1L, 2L, 4L, 5L, 7L, 8L, 9L))
+    // layout invariance: the frontier is a pure function of the values
+    val big = (1L to 500L).map(i =>
+      (i, ((i * 37) % 101).toDouble, ((i * 53) % 97).toInt)).toDF("id", "p", "q")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Analytics.skyline2D(d, "p", "q").select("id").as[Long].collect().toSet
+    assert(run(big.repartition(1)) == run(big.repartition(7)))
+  }
 }

@@ -36,6 +36,25 @@ class SearchSpec extends SparkSpec {
     assert(run(1) == run(13))
   }
 
+  test("index MV merge scores exactly like the full-corpus index") {
+    val docs = (1L to 300L)
+      .map(i => (i, s"term${i % 11} term${i % 5} filler word number$i"))
+      .toDF("doc_id", "text")
+    val terms = Seq("term3", "term4")
+    def score(ix: Search.Bm25Index) =
+      Search.scoreIndex(ix, terms, k = 15).orderBy("doc_id")
+        .as[(Long, Double)].collect().toSeq
+    val full = score(Search.buildIndex(docs, "doc_id", "text"))
+    // three disjoint arrival batches folded left — merge must be
+    // associative-in-effect and never depend on batch sizes
+    val batches = Seq(
+      docs.filter(col("doc_id") % 3 === 0),
+      docs.filter(col("doc_id") % 3 === 1),
+      docs.filter(col("doc_id") % 3 === 2))
+      .map(Search.buildIndex(_, "doc_id", "text"))
+    assert(score(batches.reduce(Search.mergeIndex)) == full)
+  }
+
   test("txt_bm25_topk plan: filter on the generator, bounded final top-k") {
     val plan = org.apache.spark.sql.graft.Bridge.executedPlan(
       graft.SparkEntry.queries("txt_bm25_topk")(
