@@ -791,6 +791,31 @@ object Graph {
       .groupBy("id").agg(count(lit(1)).as("n_tri"))
   }
 
+  /** LOCAL clustering coefficient (Watts & Strogatz 1998): per node,
+    * cc(v) = 2·t(v) / (deg(v)·(deg(v)−1)) — how close v's neighbourhood
+    * is to a clique, the node-level density signal the global triangle
+    * census can't give (a spam-ring member scores ~1, a broadcast hub
+    * ~0 at the same degree). Triangle counts ride [[triangleCounts]]'
+    * degree-oriented enumeration (wedge work ≤ m·√m, never Σ deg²);
+    * degrees are one node-sized aggregate; the ratio is the usual
+    * 1e-12 integer fixed point with a DECIMAL(38,0) intermediate
+    * (2·t·Total overflows a long at web-graph triangle counts). Nodes
+    * with deg < 2 have no defined coefficient and are excluded.
+    * Input: deduplicated a < b pairs. Returns (id, deg, n_tri, cc_fp). */
+  def localClustering(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val tri = triangleCounts(pairs, aCol, bCol)
+    val deg = pairs.select(col(aCol).as("id"))
+      .union(pairs.select(col(bCol).as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2)
+    deg.join(tri, Seq("id"), "left")
+      .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+      .withColumn("cc_fp", expr(
+        s"(cast(n_tri as decimal(38,0)) * 2 * ${Total}L) " +
+          "div (deg * (deg - 1))").cast("long"))
+      .select("id", "deg", "n_tri", "cc_fp")
+  }
+
   /** Bounded k-core peeling: `rounds` synchronous rounds of "drop every
     * node with degree < k, then drop dangling edges", reporting
     * (round, n_nodes, n_edges) after each. Fixed round count (like

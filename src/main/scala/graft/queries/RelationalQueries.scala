@@ -1546,6 +1546,23 @@ object RelationalQueries {
       }
     }),
 
+    // Local clustering coefficient (Watts-Strogatz 1998) on the
+    // co-purchase graph: per-part neighbourhood density in 1e-12 integer
+    // fixed point — spam-ring vs broadcast-hub separation at equal
+    // degree. Triangles ride the degree-oriented enumeration (≤ m·√m
+    // wedge work); the oracle enumerates a<b<c triangles directly.
+    "q_local_clustering" -> ((s, dir) => {
+      import graft.ops.Graph
+      val pairs = copurchasePairs(s, dir).select(col("item_a"), col("item_b"))
+      graphResult(s) {
+        Graph.localClustering(pairs, "item_a", "item_b")
+          .select(col("id").as("part_id"), col("deg"), col("n_tri"),
+            col("cc_fp"))
+          .orderBy(col("cc_fp").desc, col("part_id"))
+          .limit(50)
+      }
+    }),
+
     // Bounded k-core peel (k=3, 3 synchronous rounds) on the same graph —
     // the dense-subgraph skeleton: per round, one degree agg + two node-key
     // semi-joins. Deterministic by fixed round count, so the oracle unrolls
@@ -2923,6 +2940,28 @@ object RelationalQueries {
     "q_lpa_communities" -> lpaCommunitiesSql,
     "q_shortest_paths" -> shortestPathsSql,
     "q_random_walks" -> randomWalksSql,
+    // Local clustering oracle: direct a<b<c triangle enumeration over the
+    // deduplicated pair list; HUGEINT product before the floor division.
+    "q_local_clustering" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+        |            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |pp AS (SELECT a.it AS src, b.it AS dst
+        |       FROM li a JOIN li b ON a.bk = b.bk AND a.it < b.it
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |tri AS (SELECT p1.src AS a, p1.dst AS b, p2.dst AS c
+        |        FROM pp p1 JOIN pp p2 ON p2.src = p1.dst
+        |                   JOIN pp p3 ON p3.src = p1.src AND p3.dst = p2.dst),
+        |tcnt AS (SELECT id, count(*) AS n_tri
+        |         FROM (SELECT unnest([a, b, c]) AS id FROM tri) GROUP BY 1),
+        |deg AS (SELECT id, count(*) AS deg FROM (
+        |          SELECT src AS id FROM pp UNION ALL SELECT dst FROM pp)
+        |        GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT d.id AS part_id, d.deg,
+        |       COALESCE(t.n_tri, 0) AS n_tri,
+        |       CAST((COALESCE(t.n_tri, 0)::HUGEINT * 2 * 1000000000000)
+        |            // (d.deg * (d.deg - 1)) AS BIGINT) AS cc_fp
+        |FROM deg d LEFT JOIN tcnt t ON t.id = d.id
+        |ORDER BY cc_fp DESC, part_id LIMIT 50""".stripMargin,
     "q_hits" -> hitsSql,
     "q_link_predict" -> linkPredictSql,
     "q_link_jaccard" -> linkJaccardSql,

@@ -51,7 +51,18 @@ class PlanBudgetSpec extends SparkSpec {
     // token-count agg + per-source topk agg + final order; the OLS sums
     // fold the ≤500-element topk array in place (no per-rank exchange)
     "txt_zipf_fit" -> 3,
-    "txt_keyphrases" -> 5)
+    "txt_keyphrases" -> 5,
+    // round-10 additions (fence-free tails; the graph rows checkpoint
+    // through graphResult so their final plans carry no exchange to pin)
+    // post-fence: pair groupBy only — the norm joins ride broadcasts
+    "dedup_cosine_tf" -> 2,
+    // two full-vocab index builds (explode+agg / df agg / stats) + merge
+    // aggregates + final order; the read path adds no corpus exchange
+    "txt_bm25_append" -> 8,
+    // distinct value pairs + the single-partition frontier pass + order
+    "q_skyline_parts" -> 3,
+    // two grouped-median stats aggregates + the outlier recount
+    "txt_doc_outliers" -> 3)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name stays within its shuffle budget ($budget)") {

@@ -606,6 +606,23 @@ class GraphSpec extends SparkSpec {
     assert(!got.exists(_._1 == 99L))
   }
 
+  test("local clustering: clique scores 1e12, star hub 0, deg<2 excluded") {
+    // K3 plus a pendant (4-1), plus star hub 10 with 3 mutually-unlinked
+    // leaves: clique corners cc=1 (node 1's extra pendant drops it to
+    // 1/3), hub cc=0, pendant/leaves (deg 1) excluded entirely
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L)).toDF("a", "b")
+    val got = Graph.localClustering(e, "a", "b")
+      .select("id", "deg", "n_tri", "cc_fp")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got == Map(
+      1L -> (3L, 1L, 333333333333L), // 2·1·1e12 div (3·2)
+      2L -> (2L, 1L, 1000000000000L),
+      3L -> (2L, 1L, 1000000000000L),
+      10L -> (3L, 0L, 0L)))
+  }
+
   test("random walks are layout-invariant") {
     val e = (for (i <- 1L to 9L; j <- (i + 1) to 9L if (i + j) % 3 != 0)
       yield (i, j)).toDF("a", "b")
