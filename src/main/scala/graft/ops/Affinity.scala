@@ -7,13 +7,18 @@ import org.apache.spark.sql.functions._
   * ("frequently bought together") — the association-rule primitive
   * (Agrawal & Srikant's support/lift measures, VLDB 1994).
   *
-  * Scale: pairs are generated by a self-EQUI-join of the deduped
-  * (basket, item) table on the basket key with `item_a < item_b` — the
-  * work is Σ basket_size², bounded by the largest basket (baskets are
-  * small by nature; a 13-item basket yields 78 pairs), so the pair set
-  * grows linearly with baskets, never corpus². Item counts and the
-  * basket total are broadcast to the lift join; everything shuffles on
-  * basket or item keys only.
+  * Scale: pairs explode basket-locally from the deduped (basket, sorted
+  * item array) table — the work is Σ basket_size², so the quadratic term
+  * is bounded by a CONTRACTUAL `maxBasket` cap (default 1024, mirrored in
+  * every oracle, the [[Graph.linkPredictJaccard]] `maxDeg` pattern): a
+  * hub basket above the cap is excluded from pairs AND degrees before any
+  * explode, so one pathological 100k-item basket can never emit 5·10⁹
+  * pair rows. The pair set then grows linearly with baskets, never
+  * corpus². Item-degree joins are plain equi-joins on the item key —
+  * item-cardinality relations are NOT broadcast (open-vocabulary item
+  * sets would be a driver-memory cliff; AQE still picks a broadcast at
+  * runtime when the catalog is actually small). Only the 1-row basket
+  * total rides a broadcast.
   */
 object Affinity {
 
@@ -28,15 +33,15 @@ object Affinity {
     * the item-count/total branches reuse that same exchange
     * (ReuseExchange dedups the identical groupBy subtree). */
   def coOccurrence(df: DataFrame, basketCol: String, itemCol: String,
-                   minSupport: Long = 1L): DataFrame = {
-    val baskets = basketItems(df, basketCol, itemCol)
+                   minSupport: Long = 1L, maxBasket: Int = 1024): DataFrame = {
+    val baskets = basketItems(df, basketCol, itemCol, maxBasket)
     val pairs = basketPairCounts(baskets).filter(col("n_ab") >= minSupport)
     val itemCounts = baskets.select(explode(col("_items")).as("_it"))
       .groupBy(col("_it")).agg(count(lit(1)).as("_n"))
     val totals = baskets.agg(count(lit(1)).as("_n_baskets"))
     pairs
-      .join(broadcast(itemCounts.select(col("_it").as("item_a"), col("_n").as("_na"))), "item_a")
-      .join(broadcast(itemCounts.select(col("_it").as("item_b"), col("_n").as("_nb"))), "item_b")
+      .join(itemCounts.select(col("_it").as("item_a"), col("_n").as("_na")), "item_a")
+      .join(itemCounts.select(col("_it").as("item_b"), col("_n").as("_nb")), "item_b")
       .crossJoin(broadcast(totals))
       .withColumn("lift", round(
         col("n_ab").cast("double") * col("_n_baskets").cast("double") /
@@ -49,7 +54,7 @@ object Affinity {
     * (item-based CF, Sarwar et al. WWW 2001): cos(a, b) =
     * |B(a)∩B(b)| / sqrt(|B(a)|·|B(b)|), where B(x) is the set of baskets
     * containing x. Co-occurrence counts come from the basket-local pair
-    * explode (work Σ basket², never items²); per-item degrees broadcast
+    * explode (work Σ basket², `maxBasket`-capped); per-item degrees join
     * onto the pair relation; the top-k neighbours per item ship through
     * the k-bounded heap aggregate — ≤ k candidates per item per map
     * partition cross the exchange, never an item-pair window sort. Both
@@ -60,14 +65,15 @@ object Affinity {
     * bit-identically in an external engine. Returns
     * (item, rank, neighbor, cos). */
   def itemSimilarity(df: DataFrame, basketCol: String, itemCol: String,
-                     k: Int = 10, minSupport: Long = 1L): DataFrame = {
-    val baskets = basketItems(df, basketCol, itemCol)
+                     k: Int = 10, minSupport: Long = 1L,
+                     maxBasket: Int = 1024): DataFrame = {
+    val baskets = basketItems(df, basketCol, itemCol, maxBasket)
     val pairs = basketPairCounts(baskets).filter(col("n_ab") >= minSupport)
     val deg = baskets.select(explode(col("_items")).as("_it"))
       .groupBy("_it").agg(count(lit(1)).as("_n"))
     val scored = pairs
-      .join(broadcast(deg.select(col("_it").as("item_a"), col("_n").as("_na"))), "item_a")
-      .join(broadcast(deg.select(col("_it").as("item_b"), col("_n").as("_nb"))), "item_b")
+      .join(deg.select(col("_it").as("item_a"), col("_n").as("_na")), "item_a")
+      .join(deg.select(col("_it").as("item_b"), col("_n").as("_nb")), "item_b")
       .withColumn("cos", col("n_ab").cast("double") /
         sqrt(col("_na").cast("double") * col("_nb").cast("double")))
     // both directed rows from ONE pass (a union would re-run the pair
@@ -83,12 +89,21 @@ object Affinity {
   }
 
   /** Deduped (basket, sorted item array) table — ONE shuffle on the
-    * basket key; every downstream branch reuses it. */
-  def basketItems(df: DataFrame, basketCol: String, itemCol: String): DataFrame =
+    * basket key; every downstream branch reuses it. Baskets larger than
+    * `maxBasket` are EXCLUDED (contract, mirrored in the oracles): the
+    * downstream pair explode is quadratic in basket size, and a single
+    * hub basket must never dominate the job. The cap is checked AFTER the
+    * linear collect_set (agg state is basket-sized, not basket²), so the
+    * filter itself costs one `size()`. */
+  def basketItems(df: DataFrame, basketCol: String, itemCol: String,
+                  maxBasket: Int = 1024): DataFrame = {
+    require(maxBasket >= 2, s"maxBasket must be >= 2: $maxBasket")
     df.select(col(basketCol).as("_bk"), col(itemCol).as("_it"))
       .filter(col("_bk").isNotNull && col("_it").isNotNull)
       .groupBy("_bk")
       .agg(sort_array(collect_set(col("_it"))).as("_items"))
+      .filter(size(col("_items")) <= maxBasket)
+  }
 
   /** Unordered co-occurrence counts (item_a < item_b) from the basket
     * table — pairs explode basket-locally (Σ basket²), no self-join. */

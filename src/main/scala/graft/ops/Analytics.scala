@@ -141,24 +141,63 @@ object Analytics {
     * strict — the multi-objective "best trade-offs" query (price vs
     * size, quality vs cost) that no single ORDER BY expresses.
     *
-    * In 2-D the frontier falls out of ONE ordered pass: sort the
-    * DISTINCT value points by (maxCol desc, minCol asc); a point is on
-    * the frontier iff its minCol is strictly below every earlier
-    * point's (the running strict-prefix min) — same-ranked duplicates
-    * dedup into one point, so the tie semantics are exactly the
-    * dominance definition. Scale: the corpus collapses to distinct
-    * value PAIRS first (map-side combined — the window runs on the
-    * value space, not the rows), and the frontier itself (≈ O(log n)
-    * points under independence) broadcasts to the id-recovery join.
-    * Returns the input rows at frontier points. */
-  def skyline2D(df: DataFrame, maxCol: String, minCol: String): DataFrame = {
+    * In 2-D a point is on the frontier iff its minCol is strictly below
+    * the min of every strictly-(maxCol)-greater point — so the frontier
+    * falls out of the (maxCol desc, minCol asc) ordered prefix-min, and
+    * that pass DISTRIBUTES by the divide-and-conquer of the paper:
+    * range-band the distinct value points on maxCol (deterministic
+    * k-min-hash sample boundaries, the q_value_buckets ladder), run the
+    * prefix-min window PER BAND, then merge bands through the tiny
+    * per-band min(minCol) table — a point also survives only if it beats
+    * the min of every higher band. No unpartitioned window ever sees an
+    * unbounded relation: the band merge is a buckets²-row broadcast
+    * self-join. Banding compares in double space, which is sound because
+    * strictly-greater after a monotone cast implies strictly greater in
+    * the original ordering (equal values always share a band), while the
+    * within-band window orders by the ORIGINAL columns — exactness is
+    * never ceded to the cast.
+    *
+    * Scale: the corpus collapses to distinct value PAIRS first
+    * (map-side combined — all downstream work is on the value space,
+    * not the rows), bands bound every sort partition at ~|points|/B,
+    * and the frontier itself (≈ O(log n) points under independence)
+    * broadcasts to the id-recovery join. Returns the input rows at
+    * frontier points. */
+  def skyline2D(df: DataFrame, maxCol: String, minCol: String,
+                bands: Int = 32, sampleK: Int = 4096): DataFrame = {
+    require(bands >= 1 && bands <= 1024, s"bands must be in [1,1024]: $bands")
     val pts = df.select(col(maxCol).as("_p"), col(minCol).as("_q"))
       .filter(col("_p").isNotNull && col("_q").isNotNull)
       .distinct()
-    val w = Window.orderBy(col("_p").desc, col("_q").asc)
+    // deterministic band boundaries on _p: md5-keyed k-min sample →
+    // evenly spaced order statistics (double-cast for the sample only)
+    val bl =
+      if (bands == 1) array().cast("array<double>")
+      else array((1 until bands).map(i =>
+        Sketch.sampleQuantile(col("_smp"), i.toDouble / bands)): _*)
+    val bounds = pts
+      .agg(Sketch.hashSample(concat_ws(" ", col("_p"), col("_q")),
+        col("_p"), sampleK).as("_smp"))
+      .select(bl.as("_bl"))
+    // band 0 = highest-_p range: count boundaries strictly above _p.
+    // Equal _p always lands in ONE band, so every cross-band dominator
+    // has strictly greater _p and dominance needs only _q ≤ ours.
+    val banded = pts.crossJoin(broadcast(bounds))
+      .withColumn("_bkt",
+        size(filter(col("_bl"), b => b > col("_p").cast("double"))))
+      .drop("_bl")
+    val w = Window.partitionBy("_bkt").orderBy(col("_p").desc, col("_q").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val sky = pts.withColumn("_m", min("_q").over(w))
+    val local = banded.withColumn("_m", min("_q").over(w))
       .filter(col("_m").isNull || col("_q") < col("_m"))
+    // cross-band merge: the running min _q over all strictly-higher-_p
+    // bands, from the ≤`bands`-row per-band min table (broadcast self-join)
+    val mins = banded.groupBy("_bkt").agg(min("_q").as("_mn"))
+    val prior = mins.as("a")
+      .join(broadcast(mins.as("b")), col("b._bkt") < col("a._bkt"))
+      .groupBy(col("a._bkt").as("_bkt")).agg(min(col("b._mn")).as("_pm"))
+    val sky = local.join(broadcast(prior), Seq("_bkt"), "left")
+      .filter(col("_pm").isNull || col("_q") < col("_pm"))
       .select("_p", "_q")
     df.join(broadcast(sky),
         df(maxCol) === sky("_p") && df(minCol) === sky("_q"))

@@ -274,9 +274,13 @@ object Dedup {
     * the final comparison: cos²(a,b) in 1e-12 fixed point as
     * (dot² · Total) div (‖a‖²·‖b‖²) with DECIMAL(38,0) intermediates
     * (dot²·Total ≈ 1e24 overflows a long at corpus tf scales), and the
-    * cos ≥ threshold test becomes the EXACT integer test
-    * cos2_fp ≥ ⌊threshold²·Total⌋ (tf ≥ 0 ⇒ cos ≥ 0, so squaring is
-    * monotone). Returns (id_a < id_b, dot, cos2_fp). */
+    * cos ≥ threshold test becomes the integer test
+    * cos2_fp ≥ ⌊threshold²·Total⌋ — exact at the 1e-12 fixed-point
+    * granularity: floor quantization admits pairs whose cos² lies in
+    * [⌊t²·1e12⌋/1e12, t²), and the oracle applies the IDENTICAL
+    * quantized threshold, so engine and oracle always agree (tf ≥ 0 ⇒
+    * cos ≥ 0, so squaring is monotone).
+    * Returns (id_a < id_b, dot, cos2_fp). */
   def cosinePairsTf(df: DataFrame, idCol: String, textCol: String,
                     n: Int = 3, threshold: Double = 0.8,
                     maxDf: Long = 128L): DataFrame = {
@@ -284,47 +288,15 @@ object Dedup {
     require(maxDf >= 2)
     retireLastGeneration()
     val thresholdFp = math.floor(threshold * threshold * 1e12).toLong
-    // hashed gram identity (one rolling-hash pass, codegen — the string
-    // form is O(tokens²)/doc): dfs, tfs and dots are hash-invariant, so
-    // the oracle replays them from string grams (the txt_contamination /
-    // minhash contract; 64-bit collisions are measurement noise)
-    val tf = Par.spread(df.select(col(idCol), col(textCol)))
-      .filter(col(textCol).isNotNull)
-      .select(col(idCol).as("id"),
-        explode(graft.functions.GraftFunctions.shingle_hash_list(
-          TextAnalysis.tokens(col(textCol)), n)).as("t"))
-      .groupBy("t", "id").agg(count(lit(1)).as("tf"))
-    // one shuffle on the gram builds df-capped postings buckets of
-    // (id, tf) structs; sorted by id so the i<j lambda emits each
-    // unordered pair exactly once — no postings self-join (the
-    // containmentPairs plan finding). Fenced: two consumers (norms and
-    // the pair generator) must not each replay the corpus scan →
-    // explode → aggregate lineage.
-    val buckets = fence(tf.groupBy("t")
-      .agg(sort_array(collect_list(struct(col("id"), col("tf")))).as("ps"))
-      .filter(size(col("ps")) <= maxDf))
-    // capped-universe squared norm per doc INCLUDES singleton buckets
-    // (a df-1 gram contributes to ‖a‖² even though it pairs with nothing)
-    val norms = fence(buckets.select(explode(col("ps")).as("p"))
-      .groupBy(col("p.id").as("id"))
-      .agg(sum(col("p.tf") * col("p.tf")).as("nsq")))
-    // pair rows are the operator's real currency (Σ df² over the capped
-    // vocab — measured exactly 10× at 10× data, the linear contract);
-    // the norm joins ride on the doc-sized relation, which AQE broadcasts
-    val dots = buckets.filter(size(col("ps")) >= 2).select(explode(expr(
-        """flatten(transform(sequence(2, size(ps)), j ->
-          |  transform(slice(ps, 1, j - 1), x -> named_struct(
-          |    'id_a', x.id, 'id_b', element_at(ps, j).id,
-          |    'c', x.tf * element_at(ps, j).tf))))""".stripMargin)).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("p.c"))
-      .groupBy("id_a", "id_b").agg(sum("c").as("dot"))
-    dots
-      .join(norms.select(col("id").as("id_a"), col("nsq").as("nsq_a")), "id_a")
-      .join(norms.select(col("id").as("id_b"), col("nsq").as("nsq_b")), "id_b")
-      .withColumn("cos2_fp", expr(
-        """(cast(dot as decimal(38,0)) * cast(dot as decimal(38,0))
-          | * 1000000000000L)
-          | div (cast(nsq_a as decimal(38,0)) * nsq_b)""".stripMargin))
+    // stage bodies live in [[CosineTfStages]] (probes time the SAME
+    // plans — no copied formulas to drift). Fenced here: two consumers
+    // (norms and the pair generator) must not each replay the corpus
+    // scan → explode → aggregate lineage.
+    val tf = CosineTfStages.tf(df, idCol, textCol, n)
+    val buckets = fence(CosineTfStages.buckets(tf, maxDf))
+    val norms = fence(CosineTfStages.norms(buckets))
+    val dots = CosineTfStages.dots(buckets)
+    CosineTfStages.score(dots, norms)
       .filter(col("cos2_fp") >= thresholdFp)
       .select(col("id_a"), col("id_b"), col("dot"),
         col("cos2_fp").cast("long").as("cos2_fp"))
@@ -700,4 +672,60 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }
+}
+
+/** The stage plan-bodies of [[Dedup.cosinePairsTf]], factored out so
+  * diagnostic tools (graft.tools.CosProbe) time the IDENTICAL DataFrame
+  * plans the operator runs — a copied stage is a formula waiting to
+  * drift. Contract comments live on the operator; these are its pieces.
+  */
+private[graft] object CosineTfStages {
+  import org.apache.spark.sql.functions._
+
+  /** Hashed-gram (term, doc, tf) table — one rolling-hash pass, codegen
+    * (the string-shingle form is O(tokens²)/doc). */
+  def tf(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    Par.spread(df.select(col(idCol), col(textCol)))
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        explode(graft.functions.GraftFunctions.shingle_hash_list(
+          TextAnalysis.tokens(col(textCol)), n)).as("t"))
+      .groupBy("t", "id").agg(count(lit(1)).as("tf"))
+
+  /** One shuffle on the gram builds df-capped postings buckets of
+    * (id, tf) structs, sorted by id for the i<j pair lambda. */
+  def buckets(tf: DataFrame, maxDf: Long): DataFrame =
+    tf.groupBy("t")
+      .agg(sort_array(collect_list(struct(col("id"), col("tf")))).as("ps"))
+      .filter(size(col("ps")) <= maxDf)
+
+  /** Capped-universe squared norm per doc — INCLUDES singleton buckets
+    * (a df-1 gram contributes to ‖a‖² though it pairs with nothing). */
+  def norms(buckets: DataFrame): DataFrame =
+    buckets.select(explode(col("ps")).as("p"))
+      .groupBy(col("p.id").as("id"))
+      .agg(sum(col("p.tf") * col("p.tf")).as("nsq"))
+
+  /** Per-pair dot products from the positional i<j lambda — each
+    * unordered pair exactly once, no postings self-join. Pair rows are
+    * the operator's real currency: Σ df² over the capped vocab. */
+  def dots(buckets: DataFrame): DataFrame =
+    buckets.filter(size(col("ps")) >= 2).select(explode(expr(
+        """flatten(transform(sequence(2, size(ps)), j ->
+          |  transform(slice(ps, 1, j - 1), x -> named_struct(
+          |    'id_a', x.id, 'id_b', element_at(ps, j).id,
+          |    'c', x.tf * element_at(ps, j).tf))))""".stripMargin)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("p.c"))
+      .groupBy("id_a", "id_b").agg(sum("c").as("dot"))
+
+  /** cos² in 1e-12 fixed point with DECIMAL(38,0) intermediates; the
+    * norm joins ride the doc-sized relation (AQE broadcasts it). */
+  def score(dots: DataFrame, norms: DataFrame): DataFrame =
+    dots
+      .join(norms.select(col("id").as("id_a"), col("nsq").as("nsq_a")), "id_a")
+      .join(norms.select(col("id").as("id_b"), col("nsq").as("nsq_b")), "id_b")
+      .withColumn("cos2_fp", expr(
+        """(cast(dot as decimal(38,0)) * cast(dot as decimal(38,0))
+          | * 1000000000000L)
+          | div (cast(nsq_a as decimal(38,0)) * nsq_b)""".stripMargin))
 }

@@ -56,17 +56,28 @@ object Layout {
     * bucketed-table counterpart of [[zOrdered]]'s skipping layout. */
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int): Unit = {
-    val spark = df.sparkSession
-    // a FRESH session's in-memory catalog does not know a previous run's
-    // managed table, but its warehouse directory survives on disk —
-    // CREATE would fail with LOCATION_ALREADY_EXISTS. Drop both.
+    dropTable(df.sparkSession, table)
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+  }
+
+  /** Plain (unbucketed) managed parquet table with the same
+    * stale-warehouse-directory handling as [[writeBucketed]]. */
+  def writeTable(df: DataFrame, table: String): Unit = {
+    dropTable(df.sparkSession, table)
+    df.write.mode("overwrite").format("parquet").saveAsTable(table)
+  }
+
+  /** a FRESH session's in-memory catalog does not know a previous run's
+    * managed table, but its warehouse directory survives on disk —
+    * CREATE would fail with LOCATION_ALREADY_EXISTS. Drop both. */
+  private def dropTable(spark: org.apache.spark.sql.SparkSession,
+                        table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(path)) fs.delete(path, true)
-    df.write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, key).sortBy(key)
-      .saveAsTable(table)
   }
 }

@@ -335,6 +335,71 @@ object TextAnalysis {
     * rather than dropping the tail; a document shorter than `win` is one
     * whole-document chunk. Pure per-row generate/slice arithmetic — no
     * shuffle, no state; chunk explosion is bounded by n·win/stride. */
+  /** BPE TOKENIZER TRAINING (Sennrich, Haeberli & Birch, ACL 2016 — the
+    * subword-vocabulary algorithm behind GPT/Llama-style tokenizers),
+    * run as a corpus pipeline: `merges` iterations of (count adjacent
+    * symbol pairs weighted by word frequency → take the max-count pair,
+    * ties broken lexicographically → merge it left-to-right in every
+    * word). Returns the learned merge table (step, left_sym, right_sym,
+    * n) — the artifact a tokenizer ships.
+    *
+    * Scale design: the ONLY corpus-sized pass is the word-frequency
+    * aggregation the caller does once; training state is the WORD
+    * VOCABULARY (w, freq) — vocab-sized, never the corpus — re-scanned
+    * once per merge, exactly like the k-means Lloyd loop re-scans its
+    * corpus with vocab-bounded state. Symbol sequences ride ONE string
+    * column: each word is held as " s1  s2  …  sk " (every symbol
+    * space-wrapped, so token boundaries can never false-match inside a
+    * symbol), pair counting is a split + positional-pair explode +
+    * vocab-bounded agg, and applying a merge is a single literal
+    * `replace(s, " l  r ", " lr ")` — left-to-right non-overlapping in
+    * both the JVM and any SQL engine, which IS the BPE merge rule, so an
+    * external engine replays every step bit-for-bit. Per iteration the
+    * driver holds one 3-field argmax row; the state is localCheckpointed
+    * (kmeans pattern) so lineage stays one-step deep.
+    *
+    * Contract: symbols are drawn from `^[a-z]{2,}$` words (the caller
+    * filters; keeps the merge-literal quoting and regex semantics
+    * engine-portable). Stops early when no pair is left to merge. */
+  def bpeTrain(words: DataFrame, wordCol: String, freqCol: String,
+               merges: Int): DataFrame = {
+    require(merges >= 1 && merges <= 4096, s"merges in [1,4096]: $merges")
+    val spark = words.sparkSession
+    var state = words
+      .select(regexp_replace(col(wordCol), "(.)", " $1 ").as("s"),
+        col(freqCol).cast("long").as("freq"))
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= merges && !done) {
+      val top = state
+        .select(col("freq"), split(trim(col("s")), "  ").as("t"))
+        .select(col("freq"), explode(expr(
+          "transform(slice(t, 2, size(t) - 1), (x, i) -> " +
+            "struct(t[i] AS l, x AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("n"))
+        .orderBy(desc("n"), col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val l = top(0).getString(0)
+        val r = top(0).getString(1)
+        out += ((step, l, r, top(0).getLong(2)))
+        val next = state.select(
+          expr(s"replace(s, ' $l  $r ', ' $l$r ')").as("s"), col("freq"))
+          .localCheckpoint(true)
+        state.unpersist(blocking = false)
+        state = next
+        step += 1
+      }
+    }
+    state.unpersist(blocking = false)
+    import spark.implicits._
+    out.toSeq.toDF("step", "left_sym", "right_sym", "n")
+  }
+
   def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
                    win: Int, stride: Int): DataFrame = {
     require(win >= 1 && stride >= 1 && stride <= win,

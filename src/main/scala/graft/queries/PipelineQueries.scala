@@ -541,6 +541,17 @@ object PipelineQueries {
     // batch; n_events is monotone so the reader keeps the final rows.
     "pipe_stream_heavy" -> ((s, dir) => {
       import s.implicits._
+      // contract guard: the plain count+rank oracle is exact only while
+      // every day stays below k=4096 distinct users (the exact-below-k
+      // MG property). Check the corpus property up front so growth fails
+      // HERE, loudly, instead of as an unexplained hash mismatch.
+      val maxDistinctPerDay = graft.Tables.events(s, dir)
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(countDistinct("user_id").as("d"))
+        .agg(coalesce(max("d"), lit(0L))).head.getLong(0)
+      require(maxDistinctPerDay < 4096,
+        s"pipe_stream_heavy exact-below-k contract violated: a day has " +
+          s"$maxDistinctPerDay distinct users >= k=4096")
       val tmp = streamTmp("graft-stream-heavy")
       val src = cachedFeed("heavy", dir)(f =>
         orderedSlices(graft.Tables.events(s, dir)
@@ -580,8 +591,10 @@ object PipelineQueries {
     // PSI arithmetic as the batch q_psi_drift. Bounded state: ≤ 10
     // bucket counters per (type, day) window regardless of volume, and
     // counts are order-free so the result is a pure function of the
-    // data. Both sides drop the corpus-max day (the window the final
-    // watermark cannot close — the pipe_stream_sessions cutoff).
+    // data. Both sides keep exactly the days the final watermark
+    // (max ts − 1 s) can close — day < day(max ts − 1 s) — so a corpus
+    // whose max ts falls in the first second of a day cannot desync the
+    // engine from the oracle.
     "pipe_stream_psi" -> ((s, dir) => {
       val tmp = streamTmp("graft-stream-psi")
       val src = cachedFeed("psi", dir)(f =>
@@ -618,8 +631,14 @@ object PipelineQueries {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start().awaitTermination()
       }
-      val maxDay = ev.agg(max(expr("us div 86400000000"))).head.getLong(0)
-      val cnt = s.read.parquet(outDir).filter(col("day") < maxDay)
+      // cutoff derived from the FINAL WATERMARK (max ts − 1 s), not the
+      // max day: a window is emitted iff its end ≤ watermark, so when the
+      // corpus max ts falls within the first second of its day the
+      // engine can never emit day maxDay−1 — both sides must drop it.
+      // day < wmDay is exactly the emitted set for every corpus shape.
+      val wmDay = ev.agg(max(expr("(us - 1000000) div 86400000000")))
+        .head.getLong(0)
+      val cnt = s.read.parquet(outDir).filter(col("day") < wmDay)
       val refBase = ev.join(broadcast(rng), "event_type")
         .filter(col("us") < col("mid")).withColumn("bucket", bucketCol)
       val refP = rng.select(col("event_type"),
@@ -1136,7 +1155,7 @@ object PipelineQueries {
           |rng AS (SELECT event_type, min(value) AS vmin, max(value) AS vmax,
           |               min(us) AS tmin, max(us) AS tmax
           |        FROM ev GROUP BY 1),
-          |md AS (SELECT max(us // 86400000000) AS maxday FROM ev),
+          |md AS (SELECT max((us - 1000000) // 86400000000) AS maxday FROM ev),
           |b AS (SELECT e.event_type, e.us // 86400000000 AS day,
           |             CASE WHEN e.us < r.tmin + (r.tmax - r.tmin) // 2
           |                  THEN 'ref' ELSE 'cur' END AS half,

@@ -1217,18 +1217,31 @@ object RelationalQueries {
     }),
 
     // Z-order layout diagnostic: Morton-interleave (o_custkey, order-day)
-    // and cut the z-ordering into 16 rank buckets — per-bucket min/max of
+    // and cut the z-ordering into 16 range buckets — per-bucket min/max of
     // BOTH dims shows each bucket is a bounding box (a linear sort would
     // leave one dim spanning its full range in every bucket, skipping
-    // nothing). The write path is Layout.zOrdered (range partition by z).
+    // nothing). Bucket boundaries are order statistics of the
+    // deterministic k-min-hash z-value sample (the q_value_buckets
+    // ladder) broadcast to a shuffle-free bucket expression — NO global
+    // rank of the fact table (ntile over all orders was a one-task sort;
+    // equi-depth-by-sample is the layout write path's own contract,
+    // Layout.zOrdered range-partitions by the same z). Oracle replays the
+    // identical sample, boundaries and bucket ladder.
     "q_zorder_buckets" -> ((s, dir) => {
       val d = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
         datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
           .cast("long").as("dday"))
       val withZ = d.withColumn("zv",
         graft.ops.Layout.zValue2(col("o_custkey"), col("dday")))
-      val w = Window.orderBy(col("zv"), col("o_orderkey"))
-      withZ.withColumn("bucket", ntile(16).over(w))
+      import graft.ops.Sketch
+      val bounds = withZ
+        .agg(Sketch.hashSample(col("o_orderkey"), col("zv"), 1024).as("smp"))
+        .select(array((1 until 16).map(i =>
+          Sketch.sampleQuantile(col("smp"), i / 16.0)): _*).as("bl"))
+      withZ.crossJoin(broadcast(bounds))
+        .withColumn("bucket",
+          (size(filter(col("bl"), b => b < col("zv").cast("double"))) + 1)
+            .cast("int"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"),
           min("o_custkey").as("min_cust"), max("o_custkey").as("max_cust"),
@@ -1252,24 +1265,26 @@ object RelationalQueries {
     }),
 
     // Market-basket affinity: top part pairs by co-occurrence across
-    // orders with lift — pair explode bounded by basket size (equi-join
-    // on the order key), top-20 via TakeOrderedAndProject (bounded heap,
-    // no global sort materialization)
+    // orders with lift — pair explode bounded by the contractual
+    // maxBasket=1024 cap (oracle-mirrored; hub baskets excluded before
+    // the quadratic term), top-20 via TakeOrderedAndProject (bounded
+    // heap, no global sort materialization)
     "q_basket_pairs" -> ((s, dir) =>
       graft.ops.Affinity.coOccurrence(t(s, dir, "lineitem"),
-          "l_orderkey", "l_partkey", minSupport = 2L)
+          "l_orderkey", "l_partkey", minSupport = 2L, maxBasket = 1024)
         .orderBy(desc("n_ab"), col("item_a"), col("item_b"))
         .limit(20)),
 
     // Item-based collaborative filtering (Sarwar 2001): top-5 cosine
     // neighbours per item over the binary order-item incidence matrix —
     // "customers who bought X also bought". Pair generation basket-local
-    // (Σ basket², never items²), degrees broadcast, top-k per item via
-    // the bounded-heap aggregate; integer score inputs → oracle replays
-    // ranks and scores bit-for-bit.
+    // (Σ basket², maxBasket=1024-capped, cap oracle-mirrored), degree
+    // joins plain equi-joins (item-cardinality tables are never
+    // broadcast), top-k per item via the bounded-heap aggregate; integer
+    // score inputs → oracle replays ranks and scores bit-for-bit.
     "q_item_similarity" -> ((s, dir) =>
       graft.ops.Affinity.itemSimilarity(t(s, dir, "lineitem"),
-          "l_orderkey", "l_partkey", k = 5, minSupport = 2L)
+          "l_orderkey", "l_partkey", k = 5, minSupport = 2L, maxBasket = 1024)
         .orderBy(col("item"), col("rank"))
         .limit(500)),
 
@@ -2037,16 +2052,34 @@ object RelationalQueries {
     }),
 
     // Exact Gini concentration of rows over join keys — the single-number
-    // skew verdict next to q_skew_report's quantiles. Rank-sum formula on
-    // the key-cardinality count table (a global sort of THAT table, not
-    // the data; sampled quantiles are the no-sort alternative).
+    // skew verdict next to q_skew_report's quantiles. Rank-sum formula,
+    // but computed WITHOUT ranking the key table: keys sharing a
+    // multiplicity occupy consecutive ranks, and Σ rank·c over such a tie
+    // group depends only on the group's start rank and size — so the
+    // whole sum folds out of the (multiplicity → #keys) HISTOGRAM, a
+    // relation bounded by the largest key multiplicity (dozens of rows at
+    // any scale), never the billions-of-keys count table. Prefix key
+    // counts come from a histogram² broadcast self-join — no window, no
+    // global sort, nothing single-partition. Oracle unchanged (DuckDB
+    // ranks directly; the fold is provably the same sum).
     "q_key_gini" -> ((s, dir) => {
       val counts = t(s, dir, "lineitem")
         .groupBy("l_orderkey").agg(count(lit(1)).as("c"))
-      val w = Window.orderBy(col("c"), col("l_orderkey"))
-      counts.withColumn("i", row_number().over(w))
-        .agg(count(lit(1)).as("n_keys"), sum("c").as("n_rows"),
-          sum(col("i") * col("c")).as("ric"))
+      val hist = counts.groupBy("c").agg(count(lit(1)).as("m"))
+      // s = #keys with strictly smaller multiplicity → the tie group of
+      // multiplicity c covers ranks s+1 .. s+m, so Σ rank·c over it is
+      // c · (s·m + m(m+1)/2)   [m(m+1) is even — the division is exact]
+      val pre = hist.as("a")
+        .join(broadcast(hist.as("b")), col("b.c") < col("a.c"), "left")
+        .groupBy(col("a.c").as("c"), col("a.m").as("m"))
+        .agg(coalesce(sum(col("b.m")), lit(0L)).as("s"))
+      pre
+        .agg(sum("m").as("n_keys"),
+          sum(col("c") * col("m")).as("n_rows"),
+          sum(col("c").cast("decimal(38,0)") *
+              (col("s").cast("decimal(38,0)") * col("m") +
+                (col("m").cast("decimal(38,0)") * (col("m") + lit(1L))) / 2))
+            .as("ric"))
         .select(col("n_keys"), col("n_rows"),
           round(lit(2.0) * col("ric").cast("double") /
               (col("n_keys").cast("double") * col("n_rows").cast("double")) -
@@ -3935,7 +3968,16 @@ object RelationalQueries {
         |s5 AS (SELECT *, ((xc | (xc << 1)) & 1431655765) AS xd,
         |                 ((yc | (yc << 1)) & 1431655765) AS yd FROM s4),
         |z AS (SELECT o_orderkey, o_custkey, dday, (xd | (yd << 1)) AS zv FROM s5),
-        |b AS (SELECT *, ntile(16) OVER (ORDER BY zv, o_orderkey) AS bucket FROM z)
+        |h AS (SELECT zv, md5(o_orderkey::VARCHAR) AS hx FROM z),
+        |r AS (SELECT zv, row_number() OVER (ORDER BY hx) AS rn FROM h),
+        |smp AS (SELECT list_sort(list(zv::DOUBLE)) AS s FROM r WHERE rn <= 1024),
+        |bl AS (SELECT list_transform(range(1, 16), i ->
+        |                s[GREATEST(1, CAST(ceil(i / 16.0 * len(s)) AS INT))]) AS l
+        |       FROM smp),
+        |b AS (SELECT z.*,
+        |             CAST(1 + len(list_filter(bl.l, x -> x < z.zv::DOUBLE)) AS INT)
+        |               AS bucket
+        |      FROM z CROSS JOIN bl)
         |SELECT bucket, count(*) AS n,
         |       min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
         |       min(dday) AS min_day, max(dday) AS max_day
@@ -3949,9 +3991,11 @@ object RelationalQueries {
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
     "q_basket_pairs" ->
-      """WITH items AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
-        |               FROM lineitem
-        |               WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      """WITH items0 AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |                FROM lineitem
+        |                WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |ok AS (SELECT bk FROM items0 GROUP BY 1 HAVING count(*) <= 1024),
+        |items AS (SELECT i.* FROM items0 i JOIN ok USING (bk)),
         |pairs AS (SELECT a.it AS item_a, b.it AS item_b, count(*) AS n_ab
         |          FROM items a JOIN items b
         |            ON a.bk = b.bk AND a.it < b.it
@@ -3966,9 +4010,11 @@ object RelationalQueries {
         |           CROSS JOIN tot
         |ORDER BY n_ab DESC, item_a, item_b LIMIT 20""".stripMargin,
     "q_item_similarity" ->
-      """WITH items AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
-        |               FROM lineitem
-        |               WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      """WITH items0 AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |                FROM lineitem
+        |                WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |ok AS (SELECT bk FROM items0 GROUP BY 1 HAVING count(*) <= 1024),
+        |items AS (SELECT i.* FROM items0 i JOIN ok USING (bk)),
         |pairs AS (SELECT a.it AS ia, b.it AS ib, count(*) AS n_ab
         |          FROM items a JOIN items b
         |            ON a.bk = b.bk AND a.it < b.it

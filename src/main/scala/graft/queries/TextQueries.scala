@@ -18,6 +18,69 @@ object TextQueries {
     * embedded identically in the engine and the oracle SQL. */
   private val RakeStops = Seq("the", "a", "an", "of", "and", "in", "to",
     "is", "on", "for", "with", "as", "by", "at")
+  /** txt_bpe_vocab oracle: the 48 BPE merge steps unrolled as chained
+    * CTE triples (pair counts → argmax → replace), each step the exact
+    * relational statement of [[graft.ops.TextAnalysis.bpeTrain]]'s
+    * iteration. Symbol strings are space-wrapped (" s1  s2 ") so the
+    * replace literal can never match inside a symbol; DuckDB's replace
+    * is left-to-right non-overlapping like the JVM's — the BPE rule. */
+  /** txt_bm25_append AND txt_bm25_bucketed oracle: FULL recompute over
+    * the whole corpus — any MV maintenance path (in-memory merge or
+    * persisted bucketed table + delta append) must reproduce it exactly;
+    * avgdl as sum/count mirrors the engine's integer-sum stats merge. */
+  private val bm25FullRecomputeSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, lower(text) AS txt,
+      |         len(string_split_regex(trim(lower(text)), '\s+')) AS dl
+      |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+      |p AS (SELECT doc_id, dl,
+      |             unnest(string_split_regex(trim(txt), '\s+')) AS term
+      |      FROM base),
+      |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM p
+      |       WHERE term IN ('spark', 'vector', 'merge') GROUP BY 1, 2, 3),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs,
+      |                 CAST(sum(dl) AS BIGINT)::DOUBLE / count(*) AS avgdl
+      |          FROM base),
+      |sc AS (SELECT tf.doc_id,
+      |              ln(((n_docs - df)::DOUBLE + 0.5) / (df::DOUBLE + 0.5) + 1.0)
+      |                * tf::DOUBLE * 2.2::DOUBLE
+      |                / (tf::DOUBLE + 1.2::DOUBLE *
+      |                   (0.25::DOUBLE + 0.75::DOUBLE * dl::DOUBLE / avgdl)) AS s
+      |       FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN stats),
+      |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY 1),
+      |top AS (SELECT doc_id, score FROM agg
+      |        ORDER BY score DESC, doc_id ASC LIMIT 20)
+      |SELECT doc_id, round(score, 4) AS score FROM top ORDER BY doc_id""".stripMargin
+
+  private def bpeVocabSql(merges: Int): String = {
+    val iters = (1 to merges).map { i =>
+      s"""x$i AS MATERIALIZED (SELECT unnest(list_transform(t[2:], (x, j) ->
+         |                      struct_pack(l := t[j], r := x))) AS p, freq
+         |        FROM (SELECT str_split(trim(s), '  ') AS t, freq
+         |              FROM w${i - 1})),
+         |p$i AS MATERIALIZED (SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS n
+         |        FROM x$i GROUP BY 1, 2),
+         |m$i AS MATERIALIZED (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+         |w$i AS MATERIALIZED (SELECT replace(w.s, ' ' || m.l || '  ' || m.r || ' ',
+         |                       ' ' || m.l || m.r || ' ') AS s, w.freq
+         |        FROM w${i - 1} w, m$i m)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to merges).map(i =>
+      s"SELECT $i AS step, l, r, n FROM m$i").mkString("\nUNION ALL\n")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS s,
+       |         CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+       |        FROM documents WHERE text IS NOT NULL)
+       |  WHERE regexp_matches(w, '^[a-z]{2,}$$')
+       |  GROUP BY 1),
+       |$iters
+       |SELECT CAST(step AS INT) AS step, l AS left_sym, r AS right_sym, n
+       |FROM ($union)
+       |ORDER BY step""".stripMargin
+  }
+
   private def rakeStopsSql: String =
     RakeStops.map(w => s"'$w'").mkString(", ")
 
@@ -341,6 +404,32 @@ object TextQueries {
         Search.buildIndex(d.filter(col("doc_id") % 5 =!= 0), "doc_id", "text"),
         Search.buildIndex(d.filter(col("doc_id") % 5 === 0), "doc_id", "text"))
       Search.scoreIndex(ix, Seq("spark", "vector", "merge"), k = 20)
+        .orderBy("doc_id")
+    }),
+
+    // The BM25 index MV PERSISTED as its on-disk layout: postings
+    // bucketed+sorted by term (write-once keyed by source dir, the
+    // q_bucketed_join pattern), base written whole, the %5==0 batch
+    // APPENDED as new per-bucket files — base postings never reread or
+    // shuffled — dfs/stats folded Δ-style; then the query scored off the
+    // catalog tables, where the term IN (...) filter opens ONLY the
+    // query terms' buckets (SelectedBucketsCount plan guard in
+    // SearchSpec). Oracle: full recompute — merge ≡ from-scratch.
+    "txt_bm25_bucketed" -> ((s, dir) => {
+      import graft.ops.Search
+      val d = docs(s, dir)
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val prefix = s"graft_bm25_$tag"
+      if (!s.catalog.tableExists(s"${prefix}_postings")) {
+        Search.persistIndex(
+          Search.buildIndex(d.filter(col("doc_id") % 5 =!= 0), "doc_id", "text"),
+          prefix, buckets = 8)
+        Search.appendIndex(
+          Search.buildIndex(d.filter(col("doc_id") % 5 === 0), "doc_id", "text"),
+          prefix)
+      }
+      Search.scoreIndex(Search.loadIndex(s, prefix),
+          Seq("spark", "vector", "merge"), k = 20)
         .orderBy("doc_id")
     }),
 
@@ -803,6 +892,23 @@ object TextQueries {
           .as("pair"))
         .groupBy("pair").agg(sum("freq").as("n"))
         .orderBy(desc("n"), col("pair")).limit(20)
+    }),
+
+    // FULL BPE tokenizer training (Sennrich 2016) — txt_bpe_pairs run to
+    // a vocabulary: 48 merge iterations over the word-frequency table
+    // (vocab-sized state, the only corpus pass is the word count),
+    // max-count pair per step with lexicographic tiebreak, merges applied
+    // by literal left-to-right replace. The oracle unrolls the identical
+    // 48 steps as chained CTEs (the emb_kmeans pattern) and replays the
+    // merge table bit-for-bit. Contract: ^[a-z]{2,}$ words.
+    "txt_bpe_vocab" -> ((s, dir) => {
+      val words = docs(s, dir)
+        .filter(col("text").isNotNull)
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .filter(col("w").rlike("^[a-z]{2,}$"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      graft.ops.TextAnalysis.bpeTrain(words, "w", "freq", merges = 48)
+        .orderBy("step")
     }),
 
     // Statistical LM quality scoring (the CCNet-style perplexity filter):
@@ -1396,30 +1502,10 @@ object TextQueries {
     // Incremental-BM25 oracle: FULL recompute over the whole corpus —
     // the MV merge must reproduce it exactly; avgdl as sum/count to
     // mirror the engine's integer-sum stats merge.
-    "txt_bm25_append" ->
-      """WITH base AS (
-        |  SELECT doc_id, lower(text) AS txt,
-        |         len(string_split_regex(trim(lower(text)), '\s+')) AS dl
-        |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
-        |p AS (SELECT doc_id, dl,
-        |             unnest(string_split_regex(trim(txt), '\s+')) AS term
-        |      FROM base),
-        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM p
-        |       WHERE term IN ('spark', 'vector', 'merge') GROUP BY 1, 2, 3),
-        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |stats AS (SELECT count(*) AS n_docs,
-        |                 CAST(sum(dl) AS BIGINT)::DOUBLE / count(*) AS avgdl
-        |          FROM base),
-        |sc AS (SELECT tf.doc_id,
-        |              ln(((n_docs - df)::DOUBLE + 0.5) / (df::DOUBLE + 0.5) + 1.0)
-        |                * tf::DOUBLE * 2.2::DOUBLE
-        |                / (tf::DOUBLE + 1.2::DOUBLE *
-        |                   (0.25::DOUBLE + 0.75::DOUBLE * dl::DOUBLE / avgdl)) AS s
-        |       FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN stats),
-        |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY 1),
-        |top AS (SELECT doc_id, score FROM agg
-        |        ORDER BY score DESC, doc_id ASC LIMIT 20)
-        |SELECT doc_id, round(score, 4) AS score FROM top ORDER BY doc_id""".stripMargin,
+    "txt_bm25_append" -> bm25FullRecomputeSql,
+    // Bucketed-index oracle: identical full recompute — the persisted
+    // bucketed MV (base write + delta append) must reproduce it exactly.
+    "txt_bm25_bucketed" -> bm25FullRecomputeSql,
     "txt_weighted_sample" ->
       """WITH keyed AS (
         |  SELECT doc_id,
@@ -1837,6 +1923,7 @@ object TextQueries {
         |      FROM wd)
         |SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p
         |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin,
+    "txt_bpe_vocab" -> bpeVocabSql(merges = 48),
     "txt_lm_quality" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t

@@ -59,10 +59,39 @@ class PlanBudgetSpec extends SparkSpec {
     // two full-vocab index builds (explode+agg / df agg / stats) + merge
     // aggregates + final order; the read path adds no corpus exchange
     "txt_bm25_append" -> 8,
-    // distinct value pairs + the single-partition frontier pass + order
-    "q_skyline_parts" -> 3,
+    // distinct value pairs + banded frontier window + band-min agg +
+    // band-merge self-join aggs + order. The distinct/band subtree
+    // PRINTS four times (bounds, window and band-min branches) but is
+    // ONE physical exchange under (AQE) exchange reuse — the budget
+    // counts string occurrences, hence 10
+    "q_skyline_parts" -> 10,
+    // multiplicity histogram aggs + the histogram² prefix join
+    "q_key_gini" -> 6,
+    // z-sample agg is SinglePartition (≤1024 values); bucket rollup + order
+    "q_zorder_buckets" -> 2,
     // two grouped-median stats aggregates + the outlier recount
     "txt_doc_outliers" -> 3)
+
+  // Queries that once carried (or are at risk of regrowing) a global
+  // unpartitioned window over an unbounded relation — the single-task
+  // sort that "WindowExec: No Partition Defined" warns about. Guarded on
+  // the optimized logical plan: every Window node must have a partition
+  // spec. (Bounded-relation global windows elsewhere document their
+  // bound; these three are contractually window-safe.)
+  private val noGlobalWindow =
+    Seq("q_skyline_parts", "q_key_gini", "q_zorder_buckets")
+
+  noGlobalWindow.foreach { name =>
+    test(s"$name plans no unpartitioned window") {
+      import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.optimizedPlan
+      val bad = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      assert(bad.isEmpty,
+        s"$name: ${bad.size} unpartitioned Window node(s) — a single-task " +
+          s"global sort at scale:\n${bad.mkString("\n").take(2000)}")
+    }
+  }
 
   budgets.foreach { case (name, budget) =>
     test(s"$name stays within its shuffle budget ($budget)") {

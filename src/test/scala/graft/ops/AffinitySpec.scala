@@ -29,6 +29,28 @@ class AffinitySpec extends SparkSpec {
   private def round6(d: Double): Double =
     BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("hub baskets above maxBasket are excluded from pairs AND degrees") {
+    // basket 9 holds 6 items — above the cap of 5 — so none of its pairs
+    // may appear and it must not inflate any item's degree (the Σ basket²
+    // quadratic-term contract; one uncapped hub basket is the 100-TB
+    // failure mode)
+    val rows = Seq(1L -> 10L, 1L -> 20L, 2L -> 10L, 2L -> 20L) ++
+      (1L to 6L).map(i => 9L -> i * 10L)
+    val df = rows.toDF("bk", "it")
+    val capped = Affinity.coOccurrence(df, "bk", "it", maxBasket = 5)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // only baskets 1 and 2 survive: pair (10,20) twice, n(10)=n(20)=2 of
+    // 2 baskets -> lift = 2*2/(2*2) = 1
+    assert(capped == Seq((10L, 20L, 2L, 1.0)))
+    val sim = Affinity.itemSimilarity(df, "bk", "it", k = 3, maxBasket = 5)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(sim.toSet == Set((10L, 1L, 20L, 1.0), (20L, 1L, 10L, 1.0)))
+    // and the cap is a no-op when every basket fits: all C(6,2)=15
+    // distinct pairs ((10,20) rides both the hub and baskets 1-2)
+    assert(Affinity.coOccurrence(df, "bk", "it", maxBasket = 6)
+      .count() == 15L)
+  }
+
   test("q_basket_pairs plan: pair generation is an equi-join on the basket key") {
     val plan = org.apache.spark.sql.graft.Bridge.executedPlan(
       graft.SparkEntry.queries("q_basket_pairs")(

@@ -155,4 +155,31 @@ class AnalyticsSpec extends SparkSpec {
       Analytics.skyline2D(d, "p", "q").select("id").as[Long].collect().toSet
     assert(run(big.repartition(1)) == run(big.repartition(7)))
   }
+
+  test("skyline band count never changes the frontier") {
+    // the distributed merge (per-band local skyline + cross-band
+    // prefix-min) must be invariant to banding: exercise bands ≪, ≈ and
+    // ≫ the distinct-p cardinality, including undersampled boundaries
+    val rows = (1L to 400L).map(i =>
+      (i, ((i * 17) % 59).toDouble, ((i * 31) % 47).toInt))
+    val df = rows.toDF("id", "p", "q")
+    val brute = rows.filter { case (_, p, q) =>
+      !rows.exists { case (_, p2, q2) =>
+        p2 >= p && q2 <= q && (p2 > p || q2 < q) }
+    }.map(_._1).toSet
+    for (b <- Seq(1, 2, 8, 64, 512); k <- Seq(16, 4096))
+      assert(Analytics.skyline2D(df, "p", "q", bands = b, sampleK = k)
+        .select("id").as[Long].collect().toSet == brute,
+        s"bands=$b sampleK=$k")
+  }
+
+  test("skyline plans only partitioned windows") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = (1L to 50L).map(i => (i, i.toDouble, (i % 7).toInt))
+      .toDF("id", "p", "q")
+    val bad = Analytics.skyline2D(df, "p", "q")
+      .queryExecution.optimizedPlan
+      .collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+    assert(bad.isEmpty, s"unpartitioned Window in skyline plan:\n$bad")
+  }
 }

@@ -55,6 +55,41 @@ class SearchSpec extends SparkSpec {
     assert(score(batches.reduce(Search.mergeIndex)) == full)
   }
 
+  test("persisted bucketed postings: pruned reads, Δ append, same scores") {
+    val docs = (1L to 300L)
+      .map(i => (i, s"term${i % 11} term${i % 5} filler word number$i"))
+      .toDF("doc_id", "text")
+    val terms = Seq("term3", "term4")
+    val prefix = "graft_test_bm25ix"
+    Search.persistIndex(
+      Search.buildIndex(docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text"),
+      prefix, buckets = 8)
+    val baseFiles = spark.table(s"${prefix}_postings").inputFiles.toSet
+    Search.appendIndex(
+      Search.buildIndex(docs.filter(col("doc_id") % 3 === 0), "doc_id", "text"),
+      prefix)
+    // Δ-sized maintenance: the append only ADDS bucket files — every
+    // base postings file survives byte-identical (never reread/rewritten)
+    val afterFiles = spark.table(s"${prefix}_postings").inputFiles.toSet
+    assert(baseFiles.subsetOf(afterFiles) && afterFiles.size > baseFiles.size)
+    // read path equality: catalog MV ≡ in-memory merged MV ≡ full index
+    val scored = Search.scoreIndex(Search.loadIndex(spark, prefix), terms, 15)
+      .orderBy("doc_id")
+    val full = Search.scoreIndex(
+        Search.buildIndex(docs, "doc_id", "text"), terms, 15)
+      .orderBy("doc_id").as[(Long, Double)].collect().toSeq
+    assert(scored.as[(Long, Double)].collect().toSeq == full)
+    // bucket pruning: the term IN (...) filter must open only the query
+    // terms' buckets — a full postings scan at 100 TB is the difference
+    // between an index lookup and a corpus pass
+    val plan = org.apache.spark.sql.graft.Bridge.executedPlan(scored).toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plan)
+    assert(sel.isDefined, s"no bucket pruning in plan:\n${plan.take(3000)}")
+    assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
+      s"postings scan opened every bucket: ${sel.get.matched}")
+  }
+
   test("txt_bm25_topk plan: filter on the generator, bounded final top-k") {
     val plan = org.apache.spark.sql.graft.Bridge.executedPlan(
       graft.SparkEntry.queries("txt_bm25_topk")(
