@@ -37,6 +37,17 @@ object Dedup {
     generation.foreach(_.unpersist(blocking = false))
     generation.clear()
   }
+  /** Join-strategy pick for the doc-sized norm/size relation joined onto
+    * the Σdf² pair relation, gated by the FREE corpus row count
+    * (parquet-footer metadata threaded by the caller, the
+    * Checks.uniquenessFor pattern; 0 = unknown/small): broadcast while
+    * the side fits comfortably (≤ 2²¹ docs ≈ 32 MB), SHUFFLE_HASH
+    * beyond — the fallback must build a hash map on the doc-sized side,
+    * never sort-merge (which sorts the pair relation TWICE; measured
+    * 464 s of pure pair-table sort at the 100× rehearsal — README). */
+  private[graft] def normJoinHint(docRows: Long): String =
+    if (docRows > (1L << 21)) "shuffle_hash" else "broadcast"
+
   private def fence(df: DataFrame): DataFrame = {
     val p = df.localCheckpoint(eager = true)
     generation.synchronized { generation += p }
@@ -190,8 +201,9 @@ object Dedup {
     * in id_b) with the shared-shingle count and the containment ratio. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, threshold: Double = 0.5,
-                       maxDf: Long = 128L): DataFrame = {
+                       maxDf: Long = 128L, docRows: Long = 0L): DataFrame = {
     retireLastGeneration()
+    val normHint = normJoinHint(docRows)
     val sh = Par.spread(df.select(col(idCol), col(textCol)))
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
@@ -223,8 +235,15 @@ object Dedup {
           .stripMargin)).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
-      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
+      // doc-sized set sizes onto the Σdf² pair relation — hint gated by
+      // the free corpus row count (normJoinHint): broadcast while the
+      // size table fits, SHUFFLE_HASH beyond it, NEVER the sort-merge
+      // default that sorts the pair relation twice (the 100×-rehearsal
+      // finding — README)
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a"))
+        .hint(normHint), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b"))
+        .hint(normHint), "id_b")
     // both directed rows from ONE pass (a union would reference `common`
     // twice and re-run the whole pair pipeline per arm)
     common.select(explode(array(
@@ -283,11 +302,12 @@ object Dedup {
     * Returns (id_a < id_b, dot, cos2_fp). */
   def cosinePairsTf(df: DataFrame, idCol: String, textCol: String,
                     n: Int = 3, threshold: Double = 0.8,
-                    maxDf: Long = 128L): DataFrame = {
+                    maxDf: Long = 128L, docRows: Long = 0L): DataFrame = {
     require(threshold >= 0.0 && threshold <= 1.0)
     require(maxDf >= 2)
     retireLastGeneration()
     val thresholdFp = math.floor(threshold * threshold * 1e12).toLong
+    val normHint = Dedup.normJoinHint(docRows)
     // stage bodies live in [[CosineTfStages]] (probes time the SAME
     // plans — no copied formulas to drift). Fenced here: two consumers
     // (norms and the pair generator) must not each replay the corpus
@@ -296,7 +316,7 @@ object Dedup {
     val buckets = fence(CosineTfStages.buckets(tf, maxDf))
     val norms = fence(CosineTfStages.norms(buckets))
     val dots = CosineTfStages.dots(buckets)
-    CosineTfStages.score(dots, norms)
+    CosineTfStages.score(dots, norms, normHint)
       .filter(col("cos2_fp") >= thresholdFp)
       .select(col("id_a"), col("id_b"), col("dot"),
         col("cos2_fp").cast("long").as("cos2_fp"))
@@ -718,12 +738,20 @@ private[graft] object CosineTfStages {
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("p.c"))
       .groupBy("id_a", "id_b").agg(sum("c").as("dot"))
 
-  /** cos² in 1e-12 fixed point with DECIMAL(38,0) intermediates; the
-    * norm joins ride the doc-sized relation (AQE broadcasts it). */
-  def score(dots: DataFrame, norms: DataFrame): DataFrame =
+  /** cos² in 1e-12 fixed point with DECIMAL(38,0) intermediates. The
+    * norm joins carry the doc-sized relation onto the far larger pair
+    * relation under the caller's [[Dedup.normJoinHint]] pick: broadcast
+    * while norms fit, SHUFFLE_HASH beyond — never the sort-merge
+    * default, which sorts the Σdf² pair relation twice (measured at the
+    * 100× rehearsal: 464 s of pair-table sort vs pair-scan time —
+    * README). */
+  def score(dots: DataFrame, norms: DataFrame,
+            hint: String = "broadcast"): DataFrame =
     dots
-      .join(norms.select(col("id").as("id_a"), col("nsq").as("nsq_a")), "id_a")
-      .join(norms.select(col("id").as("id_b"), col("nsq").as("nsq_b")), "id_b")
+      .join(norms.select(col("id").as("id_a"), col("nsq").as("nsq_a"))
+        .hint(hint), "id_a")
+      .join(norms.select(col("id").as("id_b"), col("nsq").as("nsq_b"))
+        .hint(hint), "id_b")
       .withColumn("cos2_fp", expr(
         """(cast(dot as decimal(38,0)) * cast(dot as decimal(38,0))
           | * 1000000000000L)

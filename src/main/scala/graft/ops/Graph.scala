@@ -855,6 +855,47 @@ object Graph {
     stats.reduce(_ union _)
   }
 
+  /** k-TRUSS peel (Cohen, NSA TR 2008 — the triangle-support analogue
+    * of the degree k-core): each round computes every surviving edge's
+    * SUPPORT (triangles it closes within the current edge set) and
+    * drops edges with support < k−2; the fixed point is the k-truss,
+    * the standard community-core denser than the k-core. Fixed-round
+    * contract like [[kCorePeel]]: `rounds` peels, per-round
+    * (round, n_nodes, n_edges) — partial progress is well-defined, so
+    * the oracle unrolls the identical rounds whether or not the graph
+    * has converged.
+    *
+    * Scale shape: support is ONE self-join of the symmetric edge list
+    * on the shared-neighbour key plus one re-aggregation on the edge
+    * key — both shuffles co-partition on edge endpoints, nothing is
+    * ever materialized beyond the wedge rows the triangle join itself
+    * enumerates (the [[triangleCounts]] bound). Per-round eager
+    * localCheckpoint truncates lineage (the peel-loop lesson). */
+  def kTruss(pairs: DataFrame, aCol: String, bCol: String,
+             k: Int, rounds: Int): DataFrame = {
+    require(k >= 3 && rounds >= 1 && rounds <= 16)
+    retireLastGeneration()
+    var e = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .localCheckpoint(eager = true)
+    val stats = (1 to rounds).map { r =>
+      val d = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val x = d.select(col("u").as("xu"), col("v").as("xv"))
+      val y = d.select(col("u").as("yu"), col("v").as("yv"))
+      e = e.join(x, col("xu") === col("a"))
+        .join(y, col("yu") === col("b") && col("yv") === col("xv"))
+        .groupBy("a", "b").agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= k - 2)
+        .select("a", "b")
+        .localCheckpoint(eager = true)
+      e.select(explode(array(col("a"), col("b"))).as("u"))
+        .agg(countDistinct("u").as("n_nodes"),
+          (count(lit(1)) / 2).cast("long").as("n_edges"))
+        .select(lit(r).as("round"), col("n_nodes"), col("n_edges"))
+    }
+    stats.reduce(_ union _)
+  }
+
   /** Connected components by MIN-LABEL PROPAGATION to the fixed point:
     * every node starts labeled with its own id; each round a node takes
     * the minimum label among itself and its neighbors; at the fixed point

@@ -130,4 +130,63 @@ object Sketch {
         16, 10).cast("int") % w).cast("int")
       element_at(sketch, lit(i * w + 1) + b)
     }.reduce(least(_, _))
+  /** HYPERLOGLOG distinct-count estimate per group (Flajolet, Fusy,
+    * Gandouet & Meunier, AofA 2007) — the constant-state cardinality
+    * sketch next to [[kmvSketch]]: m = 64 registers, each holding the
+    * max leading-zero rank seen in its hash substream. State crossing
+    * every exchange is ≤ 64 (group, register, rank) rows — partial max
+    * per map side — regardless of cardinality.
+    *
+    * Deterministic and engine-replayable like every sketch here: the
+    * hash is the first 64 bits of md5 (register = top 6 bits, rank =
+    * leading zeros of the remaining 58 + 1, computed EXACTLY via the
+    * binary-string length, never floating log2), the register sum
+    * Σ 2^(−M_j) is carried as the INTEGER Σ 2^(63−M_j) in DECIMAL(38,0)
+    * (a double sum of 59-exponent-spread powers rounds
+    * order-dependently), and only the final division and the
+    * small-range linear-counting branch (raw ≤ 2.5m with empty
+    * registers → m·ln(m/V)) are double — one expression, same value in
+    * any IEEE engine. Returns (group, hll_<alias>) rounded to 4. */
+  def hllDistinct(df: org.apache.spark.sql.DataFrame, groupCol: String,
+                  valueCol: String, alias: String): org.apache.spark.sql.DataFrame =
+    hllEstimate(hllRegisters(df, Seq(groupCol), valueCol), groupCol, alias)
+
+  /** The HLL REGISTER TABLE per group — ≤ 64 (group, j, mj) rows, the
+    * sketch's whole state. Registers MERGE by plain `max(mj)` over any
+    * regrouping (max is associative/commutative/idempotent), which is
+    * the 100-TB story: per-partition / per-day register tables roll up
+    * to coarser groups WITHOUT rescanning values, and the merged
+    * estimate is bit-identical to the direct one ([[hllEstimate]] is a
+    * pure function of the registers). */
+  def hllRegisters(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
+                   valueCol: String): org.apache.spark.sql.DataFrame = {
+    val hx = md5(col(valueCol).cast("string").cast("binary"))
+    val topByte = conv(substring(hx, 1, 2), 16, 10).cast("long")
+    val low56 = conv(substring(hx, 3, 14), 16, 10).cast("long")
+    val j = shiftright(topByte, 2) // top 6 of 64 bits
+    val w = (topByte % 4L) * lit(72057594037927936L) + low56 // low 58 bits
+    val rank = when(w === 0L, lit(59)).otherwise(lit(59) - length(bin(w)))
+    df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ j.as("j") :+ rank.as("rank"): _*)
+      .groupBy(groupCols.map(col) :+ col("j"): _*).agg(max("rank").as("mj"))
+  }
+
+  /** The estimate tail off a register table (group, j, mj) — see
+    * [[hllDistinct]] for the arithmetic contract. */
+  def hllEstimate(regs: org.apache.spark.sql.DataFrame, groupCol: String,
+                  alias: String): org.apache.spark.sql.DataFrame = {
+    val two63 = lit("9223372036854775808").cast("decimal(38,0)")
+    regs
+      .groupBy(col(groupCol))
+      .agg((sum(expr("CAST(shiftleft(1L, 63 - mj) AS decimal(38,0))")) +
+          (lit(64) - count(lit(1))).cast("decimal(38,0)") * two63).as("s_int"),
+        (lit(64) - count(lit(1))).cast("long").as("v"))
+      .withColumn("raw",
+        lit(0.709) * lit(64.0) * lit(64.0) * lit(9223372036854775808.0) /
+          col("s_int").cast("double"))
+      .select(col(groupCol),
+        round(when(col("raw") <= 160.0 && col("v") > 0L,
+            lit(64.0) * log(lit(64.0) / col("v").cast("double")))
+          .otherwise(col("raw")), 4).as(s"hll_$alias"))
+  }
 }

@@ -360,15 +360,36 @@ object TextAnalysis {
     *
     * Contract: symbols are drawn from `^[a-z]{2,}$` words (the caller
     * filters; keeps the merge-literal quoting and regex semantics
-    * engine-portable). Stops early when no pair is left to merge. */
+    * engine-portable — ASCII also makes the JVM/UTF-8/engine string
+    * orders coincide for the tiebreak). Stops early when no pair is
+    * left to merge.
+    *
+    * Small-vocabulary gate (the kmeans/graph driver-solve precedent):
+    * when the vocabulary holds ≤ `localMaxRows` words the merge loop
+    * runs on the driver over the collected (word, freq) table —
+    * spec-proven bit-equal to the distributed loop (BpeSpec), it only
+    * removes 2·merges tiny-job round trips. The distributed loop is the
+    * scale path and stays reachable via localMaxRows = 0. */
   def bpeTrain(words: DataFrame, wordCol: String, freqCol: String,
-               merges: Int): DataFrame = {
+               merges: Int, localMaxRows: Long = 65536): DataFrame = {
     require(merges >= 1 && merges <= 4096, s"merges in [1,4096]: $merges")
     val spark = words.sparkSession
+    if (words.limit(localMaxRows.toInt.max(0) + 1).count() <= localMaxRows) {
+      import spark.implicits._
+      val vocab = words
+        .select(col(wordCol).cast("string"), col(freqCol).cast("long"))
+        .as[(String, Long)].collect()
+      return bpeTrainLocal(vocab, merges)
+        .toDF("step", "left_sym", "right_sym", "n")
+    }
+    // the state is vocab-sized — a handful of partitions keeps the
+    // per-iteration job scheduling cost from dominating 48 tiny scans
     var state = words
       .select(regexp_replace(col(wordCol), "(.)", " $1 ").as("s"),
         col(freqCol).cast("long").as("freq"))
+      .coalesce(8)
       .localCheckpoint(true)
+    var last = state
     val out = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
     var step = 1
     var done = false
@@ -387,17 +408,195 @@ object TextAnalysis {
         val l = top(0).getString(0)
         val r = top(0).getString(1)
         out += ((step, l, r, top(0).getLong(2)))
-        val next = state.select(
+        state = state.select(
           expr(s"replace(s, ' $l  $r ', ' $l$r ')").as("s"), col("freq"))
-          .localCheckpoint(true)
-        state.unpersist(blocking = false)
-        state = next
+        // replace is a narrow per-row op — let 4 of them chain lazily and
+        // cut lineage every 4th merge (a checkpoint per merge doubles the
+        // job count for no correctness gain); fully-merged single-symbol
+        // words can never pair again, so each checkpoint sheds them
+        if (step % 4 == 0) {
+          val next = state.filter(col("s").contains("  ")).localCheckpoint(true)
+          last.unpersist(blocking = false)
+          last = next
+          state = next
+        }
         step += 1
       }
     }
-    state.unpersist(blocking = false)
+    last.unpersist(blocking = false)
     import spark.implicits._
     out.toSeq.toDF("step", "left_sym", "right_sym", "n")
+  }
+
+  /** BPE ENCODING as a corpus pipeline — the apply side of [[bpeTrain]]:
+    * run a learned merge table over every document and report the
+    * per-group token compression (the number a tokenizer-budget planner
+    * actually needs). ONE corpus pass: each document becomes one
+    * symbol-string (alphabetic tokens char-expanded to the space-wrapped
+    * form, anything else an opaque single symbol; words joined by '|',
+    * which no [a-z] merge literal can cross), the merge table folds into
+    * a chain of literal `replace` calls inside a single codegen'd
+    * projection — no shuffle until the final per-group rollup. Symbol
+    * counts before/after are the same split-and-filter expression any
+    * engine reproduces. Returns (group, n_docs, sym_before, sym_after,
+    * ratio). */
+  def bpeEncodeReport(docs: DataFrame, textCol: String, byCol: String,
+                      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.forall { case (l, r) =>
+      l.matches("[a-z]+") && r.matches("[a-z]+") },
+      "merge symbols must be ^[a-z]+$ (the bpeTrain contract)")
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val repr0 = concat_ws("|", transform(toks, w =>
+      when(w.rlike("^[a-z]+$"), regexp_replace(w, "(.)", " $1 "))
+        .otherwise(concat(lit(" "), w, lit(" ")))))
+    def nSyms(c: Column): Column =
+      size(filter(split(c, " +"), x => x =!= "" && x =!= "|")).cast("long")
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(byCol), repr0.as("s"))
+      .withColumn("n_before", nSyms(col("s")))
+    val enc = merges.foldLeft(base) { case (d, (l, r)) =>
+      d.withColumn("s", expr(s"replace(s, ' $l  $r ', ' $l$r ')")) }
+    enc.withColumn("n_after", nSyms(col("s")))
+      .groupBy(col(byCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_before").as("sym_before"), sum("n_after").as("sym_after"))
+      .withColumn("ratio", round(
+        col("sym_after").cast("double") / col("sym_before").cast("double"), 6))
+  }
+
+  /** The textbook BPE loop on the driver — the [[bpeTrain]] gate's exact
+    * small-vocab replay: count weighted adjacent pairs, argmax with
+    * (count desc, pair asc) tiebreak, left-to-right non-overlapping
+    * merge. Symbol sequences here are Vectors; the distributed loop's
+    * space-wrapped string replace implements the identical rule. */
+  private[graft] def bpeTrainLocal(vocabIn: Seq[(String, Long)],
+      merges: Int): Seq[(Int, String, String, Long)] = {
+    var vocab: Seq[(Vector[String], Long)] =
+      vocabIn.map { case (w, f) => w.map(_.toString).toVector -> f }
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
+    var stop = false
+    while (step <= merges && !stop) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      if (counts.isEmpty) stop = true
+      else {
+        val ((l, r), n) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((step, l, r, n))
+        vocab = vocab.flatMap { case (syms, f) =>
+          val m = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              m += l + r; i += 2
+            } else { m += syms(i); i += 1 }
+          }
+          val v = m.result()
+          if (v.length >= 2) Some(v -> f) else None // no pair can form
+        }
+        step += 1
+      }
+    }
+    out.result()
+  }
+
+  /** BATCH PERCEPTRON training (Rosenblatt 1958 in the batch-subgradient
+    * form: w ← w + Σ_{misclassified} y·x once per epoch) — the linear
+    * classifier a curation pipeline trains to distill a quality/language
+    * signal into surface features, kept FULLY INTEGER so training
+    * replays bit-for-bit in any engine: features and labels are
+    * fixed-point longs, the margin w·x, the misclassification test
+    * y·m ≤ 0 and the per-epoch update sum are exact 64-bit arithmetic —
+    * and an integer Σ commutes across partitions, so the learned
+    * weights are a pure function of the data, independent of
+    * partitioning or visit order (the property per-sample SGD
+    * fundamentally lacks — THE distributed-training contract).
+    *
+    * One corpus pass per epoch over a localCheckpointed feature table;
+    * driver state is the |x|-long weight vector (bounded). Margins stay
+    * far inside Int64: |w_k| grows ≤ Σ|x_k| per epoch, so at 1e9 docs ×
+    * 1e3-scaled features × 64 epochs the margin bound ≈ 6·10^16 < 2^63.
+    * Returns one row per epoch: (epoch, w_<col>…). */
+  def perceptronTrain(feats: DataFrame, yCol: String, xCols: Seq[String],
+                      epochs: Int): Seq[(Int, Array[Long])] = {
+    require(epochs >= 1 && epochs <= 64, s"epochs in [1,64]: $epochs")
+    require(xCols.nonEmpty, "need at least one feature column")
+    val f = feats.localCheckpoint(true)
+    var w = Array.fill(xCols.length)(0L)
+    val hist = Seq.newBuilder[(Int, Array[Long])]
+    for (e <- 1 to epochs) {
+      val margin = xCols.zipWithIndex
+        .map { case (c, i) => col(c) * lit(w(i)) }
+        .reduce(_ + _)
+      val mis = (col(yCol) * margin) <= 0L
+      val row = f.select(xCols.map(c =>
+        coalesce(sum(when(mis, col(yCol) * col(c)).otherwise(lit(0L))),
+          lit(0L)).as(c)): _*).head()
+      w = Array.tabulate(xCols.length)(i => w(i) + row.getLong(i))
+      hist += ((e, w.clone()))
+    }
+    f.unpersist(blocking = false)
+    hist.result()
+  }
+
+  /** TEXTRANK keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    * PageRank over the word co-occurrence graph — nodes are content
+    * words (lowercase ^[a-z]{3,}$, stopwords out), edges join words
+    * ADJACENT in the filtered token sequence, undirected, weighted by
+    * corpus pair count (pairs seen < `minW` times dropped — the same
+    * sparsifier as the co-purchase graph). The rank recurrence is the
+    * exact integer fixed-point form of [[Graph.pageRank]]'s oracle:
+    * pr ← Total·15%//n + Σ (pr_src·85·w)//(100·tw), Total = 1e12 —
+    * floor division everywhere, so every round is order-free exact
+    * arithmetic and the whole unroll replays bit-for-bit in SQL.
+    * Scale: the state is vocab-sized (distinct content words), each
+    * round is one co-partitioned join + aggregation on (word) keys;
+    * the corpus is scanned ONCE to build edges. Returns the full
+    * (word, rank_fp) table after `iters` rounds. */
+  def textRank(docs: DataFrame, textCol: String, stops: Seq[String],
+               iters: Int = 5, minW: Long = 2L): DataFrame = {
+    require(iters >= 1 && iters <= 64, s"iters in [1,64]: $iters")
+    val stopList = stops.map(w => s"'$w'").mkString(", ")
+    val ft = expr(
+      s"""filter(split(trim(lower(`$textCol`)), '\\\\s+'),
+         |       x -> x rlike '^[a-z]{3,}$$' AND NOT x IN ($stopList))"""
+        .stripMargin)
+    val pairs = docs.filter(col(textCol).isNotNull)
+      .select(ft.as("ft"))
+      .filter(size(col("ft")) >= 2) // <2 content words ⇒ no pairs
+      .select(explode(expr(
+        """transform(slice(ft, 2, size(ft) - 1),
+          |          (x, j) -> named_struct('l', element_at(ft, j + 1), 'r', x))"""
+          .stripMargin)).as("p"))
+      .filter(col("p.l") =!= col("p.r"))
+    val pe = pairs
+      .select(least(col("p.l"), col("p.r")).as("a"),
+        greatest(col("p.l"), col("p.r")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minW)
+    val edges = pe.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .union(pe.select(col("b"), col("a"), col("w")))
+    val ow = edges.groupBy("src").agg(sum("w").as("tw"))
+      .localCheckpoint(true) // vocab-sized; seeds p0 AND every round's join
+    val e = edges.join(ow, "src").localCheckpoint(true)
+    val n = ow.count() // driver scalar, vocab-bounded
+    require(n > 0, "textRank: empty co-occurrence graph")
+    val teleport = 150000000000L / n
+    var p = ow.select(col("src").as("id"), lit(1000000000000L / n).as("pr"))
+    var last = p
+    for (i <- 1 to iters) {
+      p = e.join(p, e("src") === p("id"))
+        .groupBy(col("dst").as("id"))
+        .agg((lit(teleport) +
+          sum(expr("(pr * 85 * w) div (100 * tw)"))).as("pr"))
+        .select(col("id"), col("pr"))
+        .localCheckpoint(true)
+      last.unpersist(blocking = false)
+      last = p
+    }
+    p.select(col("id").as("word"), col("pr").cast("long").as("rank_fp"))
   }
 
   def chunkWindows(docs: DataFrame, idCol: String, textCol: String,

@@ -1015,6 +1015,42 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // HyperLogLog distinct-count estimates (Flajolet 2007) next to the
+    // KMV row: 64 max-rank registers per group — CONSTANT state at any
+    // cardinality (KMV ships k hashes; HLL ships 64 bytes) — exact
+    // integer register algebra, estimate replayed bit-for-bit by the
+    // oracle (register sum carried as Σ 2^(63−M_j) integers; only the
+    // final divide / linear-counting branch is double). Exact distinct
+    // joined alongside to show the estimator's error live (separate
+    // aggregation — same reasoning as q_kmv_distinct's NB).
+    "q_hll_distinct" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val sketch = graft.ops.Sketch.hllDistinct(ev, "event_type", "user_id", "users")
+      val exact = ev.groupBy("event_type").agg(countDistinct("user_id").as("n_exact"))
+      sketch.join(exact, "event_type")
+        .select("event_type", "n_exact", "hll_users")
+        .orderBy("event_type")
+    }),
+
+    // HLL MERGEABILITY — the property that makes the sketch the 100-TB
+    // distinct counter: per-(type, day) register tables max-merged up to
+    // type level land on the BIT-IDENTICAL estimate as the direct
+    // type-level sketch (registers are an idempotent max-semilattice;
+    // the estimate is a pure function of them). The oracle replays both
+    // paths independently; the hash witnesses merged == direct.
+    "q_hll_merge" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+        .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      val perDay = graft.ops.Sketch.hllRegisters(
+        ev, Seq("event_type", "day"), "user_id")
+      val merged = perDay.groupBy("event_type", "j").agg(max("mj").as("mj"))
+      graft.ops.Sketch.hllEstimate(merged, "event_type", "merged")
+        .join(graft.ops.Sketch.hllDistinct(ev, "event_type", "user_id", "direct"),
+          "event_type")
+        .select("event_type", "hll_merged", "hll_direct")
+        .orderBy("event_type")
+    }),
+
     // Count-Min sketch heavy-hitter estimates: one fixed 4×256 counter
     // array summarizes ALL user frequencies (memory independent of key
     // cardinality — the sketch for 100 TB of events is the same 8 KiB),
@@ -1588,6 +1624,21 @@ object RelationalQueries {
         copurchasePairs(s, dir).select("item_a", "item_b"), "item_a", "item_b")
       graphResult(s) {
         Graph.kCorePeel(pairs, "item_a", "item_b", k = 3, rounds = 3)
+          .orderBy("round")
+      }
+    }),
+
+    // 4-TRUSS peel (Cohen 2008) over the co-purchase graph — the
+    // triangle-support core next to q_kcore's degree core: per round
+    // every edge keeps iff it closes ≥ k−2 = 2 triangles among the
+    // surviving edges. Fixed 4-round contract; the oracle unrolls the
+    // identical support-join/filter rounds.
+    "q_ktruss" -> ((s, dir) => {
+      import graft.ops.Graph
+      val pairs = Graph.normalize(
+        copurchasePairs(s, dir).select("item_a", "item_b"), "item_a", "item_b")
+      graphResult(s) {
+        Graph.kTruss(pairs, "item_a", "item_b", k = 4, rounds = 4)
           .orderBy("round")
       }
     }),
@@ -2868,6 +2919,42 @@ object RelationalQueries {
     * past the sf0.01 fixed point), then the first no-op round selected by
     * a lag window over the per-round edge counts — the engine's
     * convergence rule expressed relationally. */
+  /** q_ktruss oracle: the triangle-support peel unrolled — per round a
+    * symmetric edge view, the wedge self-join counting each edge's
+    * support, and the support ≥ k−2 filter. */
+  private def trussSql(k: Int, rounds: Int): String = {
+    // every CTE MATERIALIZED: d_i and e_i are each referenced 2-3 times
+    // per round, so the default inline expansion is 4^rounds copies of
+    // the wedge join (measured: the un-materialized 4-round chain never
+    // finished at sf0.01; materialized it's sub-second)
+    val iters = (1 to rounds).map { i =>
+      s"""d${i - 1} AS MATERIALIZED (
+         |  SELECT a AS u, b AS v FROM e${i - 1}
+         |  UNION ALL SELECT b, a FROM e${i - 1}),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.a, e.b
+         |  FROM e${i - 1} e JOIN d${i - 1} x ON x.u = e.a
+         |       JOIN d${i - 1} y ON y.u = e.b AND y.v = x.v
+         |  GROUP BY e.a, e.b HAVING count(*) >= ${k - 2})""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to rounds).map { i =>
+      s"""SELECT $i AS round,
+         |  (SELECT count(DISTINCT u)
+         |   FROM (SELECT a AS u FROM e$i UNION ALL SELECT b FROM e$i)) AS n_nodes,
+         |  count(*) AS n_edges FROM e$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+       |            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |pp AS (SELECT a.it AS a, b.it AS b
+       |       FROM li a JOIN li b ON a.bk = b.bk AND a.it < b.it
+       |       GROUP BY 1, 2 HAVING count(*) >= 2),
+       |e0 AS MATERIALIZED (SELECT a, b FROM pp),
+       |$iters
+       |SELECT CAST(round AS INT) AS round, CAST(n_nodes AS BIGINT) AS n_nodes,
+       |       CAST(n_edges AS BIGINT) AS n_edges
+       |FROM ($union) ORDER BY round""".stripMargin
+  }
+
   private def kcoreConvergedSql(k: Int, depth: Int): String = {
     // MATERIALIZED: each e_i is referenced three times (its k-filter and
     // both semi-join sides of the next round) — default CTE inlining would
@@ -3005,6 +3092,7 @@ object RelationalQueries {
     // depth 14: sf0.01 converges at round 11; the unroll just needs to
     // reach PAST the fixed point, extra rounds are no-ops
     "q_kcore_converged" -> kcoreConvergedSql(k = 3, depth = 14),
+    "q_ktruss" -> trussSql(k = 4, rounds = 4),
     "q_components" -> componentsSql(depth = 20),
     // incremental maintenance must land exactly where a full recompute
     // does — the oracle IS the full-graph recompute
@@ -3784,6 +3872,76 @@ object RelationalQueries {
         |SELECT e.event_type, ex.n_exact, round(e.kmv, 2) AS kmv_users
         |FROM est e JOIN ex ON e.event_type = ex.event_type
         |ORDER BY e.event_type""".stripMargin,
+    "q_hll_distinct" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |         ('0x' || substr(md5(user_id::VARCHAR), 1, 16))::UBIGINT AS u
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r AS (SELECT event_type, u >> 58 AS j,
+        |             CASE WHEN (u & 288230376151711743) = 0 THEN 59
+        |                  ELSE 59 - len(bin(u & 288230376151711743)) END AS rank
+        |      FROM h),
+        |regs AS (SELECT event_type, j, max(rank) AS mj FROM r GROUP BY 1, 2),
+        |agg AS (SELECT event_type,
+        |               CAST(sum(CAST(1 AS BIGINT) << (63 - mj)) AS DECIMAL(38,0))
+        |                 + CAST(64 - count(*) AS DECIMAL(38,0)) * 9223372036854775808
+        |                 AS s_int,
+        |               64 - count(*) AS v
+        |        FROM regs GROUP BY 1),
+        |est AS (SELECT event_type,
+        |               0.709::DOUBLE * 64.0 * 64.0 * 9223372036854775808.0
+        |                 / s_int::DOUBLE AS raw, v
+        |        FROM agg),
+        |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+        |       FROM events GROUP BY 1)
+        |SELECT e.event_type, ex.n_exact,
+        |       round(CASE WHEN e.raw <= 160 AND e.v > 0
+        |                  THEN 64.0 * ln(64.0 / e.v) ELSE e.raw END, 4)
+        |         AS hll_users
+        |FROM est e JOIN ex ON e.event_type = ex.event_type
+        |ORDER BY e.event_type""".stripMargin,
+    "q_hll_merge" ->
+      """WITH h AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         ('0x' || substr(md5(user_id::VARCHAR), 1, 16))::UBIGINT AS u
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r AS (SELECT event_type, day, u >> 58 AS j,
+        |             CASE WHEN (u & 288230376151711743) = 0 THEN 59
+        |                  ELSE 59 - len(bin(u & 288230376151711743)) END AS rank
+        |      FROM h),
+        |regs_day AS (SELECT event_type, day, j, max(rank) AS mj
+        |             FROM r GROUP BY 1, 2, 3),
+        |regs_m AS (SELECT event_type, j, max(mj) AS mj FROM regs_day GROUP BY 1, 2),
+        |regs_d AS (SELECT event_type, j, max(rank) AS mj FROM r GROUP BY 1, 2),
+        |agg_m AS (SELECT event_type,
+        |                 CAST(sum(CAST(1 AS BIGINT) << (63 - mj)) AS DECIMAL(38,0))
+        |                   + CAST(64 - count(*) AS DECIMAL(38,0)) * 9223372036854775808
+        |                   AS s_int,
+        |                 64 - count(*) AS v
+        |          FROM regs_m GROUP BY 1),
+        |agg_d AS (SELECT event_type,
+        |                 CAST(sum(CAST(1 AS BIGINT) << (63 - mj)) AS DECIMAL(38,0))
+        |                   + CAST(64 - count(*) AS DECIMAL(38,0)) * 9223372036854775808
+        |                   AS s_int,
+        |                 64 - count(*) AS v
+        |          FROM regs_d GROUP BY 1),
+        |est_m AS (SELECT event_type,
+        |                 0.709::DOUBLE * 64.0 * 64.0 * 9223372036854775808.0
+        |                   / s_int::DOUBLE AS raw, v
+        |          FROM agg_m),
+        |est_d AS (SELECT event_type,
+        |                 0.709::DOUBLE * 64.0 * 64.0 * 9223372036854775808.0
+        |                   / s_int::DOUBLE AS raw, v
+        |          FROM agg_d)
+        |SELECT m.event_type,
+        |       round(CASE WHEN m.raw <= 160 AND m.v > 0
+        |                  THEN 64.0 * ln(64.0 / m.v) ELSE m.raw END, 4)
+        |         AS hll_merged,
+        |       round(CASE WHEN d.raw <= 160 AND d.v > 0
+        |                  THEN 64.0 * ln(64.0 / d.v) ELSE d.raw END, 4)
+        |         AS hll_direct
+        |FROM est_m m JOIN est_d d ON m.event_type = d.event_type
+        |ORDER BY m.event_type""".stripMargin,
     "q_cms_merge" ->
       """WITH ev AS (SELECT event_type, user_id::VARCHAR AS v FROM events
         |            WHERE user_id IS NOT NULL),

@@ -53,7 +53,12 @@ object TextQueries {
       |        ORDER BY score DESC, doc_id ASC LIMIT 20)
       |SELECT doc_id, round(score, 4) AS score FROM top ORDER BY doc_id""".stripMargin
 
-  private def bpeVocabSql(merges: Int): String = {
+  /** The shared BPE-training CTE chain (w0 word vocab + per-step pair
+    * count / argmax / merge-apply CTEs, all MATERIALIZED so DuckDB
+    * replays the chain linearly instead of inlining it exponentially) —
+    * the relational statement of [[graft.ops.TextAnalysis.bpeTrain]],
+    * used by both the vocab and encode oracles. */
+  private def bpeChainSql(merges: Int): String = {
     val iters = (1 to merges).map { i =>
       s"""x$i AS MATERIALIZED (SELECT unnest(list_transform(t[2:], (x, j) ->
          |                      struct_pack(l := t[j], r := x))) AS p, freq
@@ -66,23 +71,202 @@ object TextQueries {
          |                       ' ' || m.l || m.r || ' ') AS s, w.freq
          |        FROM w${i - 1} w, m$i m)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to merges).map(i =>
-      s"SELECT $i AS step, l, r, n FROM m$i").mkString("\nUNION ALL\n")
-    s"""WITH w0 AS MATERIALIZED (
+    s"""w0 AS MATERIALIZED (
        |  SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS s,
        |         CAST(count(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
        |        FROM documents WHERE text IS NOT NULL)
        |  WHERE regexp_matches(w, '^[a-z]{2,}$$')
        |  GROUP BY 1),
-       |$iters
+       |$iters""".stripMargin
+  }
+
+  /** txt_bpe_vocab oracle: the learned merge table off the chain. */
+  private def bpeVocabSql(merges: Int): String = {
+    val union = (1 to merges).map(i =>
+      s"SELECT $i AS step, l, r, n FROM m$i").mkString("\nUNION ALL\n")
+    s"""WITH ${bpeChainSql(merges)}
        |SELECT CAST(step AS INT) AS step, l AS left_sym, r AS right_sym, n
        |FROM ($union)
        |ORDER BY step""".stripMargin
   }
 
+  /** txt_bpe_encode oracle: the training chain, then the merges folded
+    * over the document corpus — one replace CTE per step, LEFT-joined to
+    * its merge row so an exhausted merge table leaves documents
+    * unchanged (mirroring the engine's early stop). */
+  private def bpeEncodeSql(merges: Int): String = {
+    val docIters = (1 to merges).map { i =>
+      s"""e$i AS MATERIALIZED (
+         |  SELECT d.source, d.n_before,
+         |         CASE WHEN m.l IS NULL THEN d.s
+         |              ELSE replace(d.s, ' ' || m.l || '  ' || m.r || ' ',
+         |                           ' ' || m.l || m.r || ' ') END AS s
+         |  FROM e${i - 1} d LEFT JOIN m$i m ON true)""".stripMargin
+    }.mkString(",\n")
+    val nSyms = "len(list_filter(string_split_regex(s, ' +'), " +
+      "x -> x <> '' AND x <> '|'))"
+    s"""WITH ${bpeChainSql(merges)},
+       |e0 AS MATERIALIZED (
+       |  SELECT source, s, $nSyms AS n_before
+       |  FROM (SELECT source,
+       |               array_to_string(list_transform(
+       |                 string_split_regex(trim(lower(text)), '\\s+'), w ->
+       |                   CASE WHEN regexp_matches(w, '^[a-z]+$$')
+       |                        THEN regexp_replace(w, '(.)', ' \\1 ', 'g')
+       |                        ELSE ' ' || w || ' ' END), '|') AS s
+       |        FROM documents WHERE text IS NOT NULL)),
+       |$docIters
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(n_before) AS BIGINT) AS sym_before,
+       |       CAST(sum($nSyms) AS BIGINT) AS sym_after,
+       |       round(sum($nSyms)::DOUBLE / sum(n_before)::DOUBLE, 6) AS ratio
+       |FROM e$merges GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   private def rakeStopsSql: String =
     RakeStops.map(w => s"'$w'").mkString(", ")
+
+  /** The integer surface-feature table shared by the perceptron queries
+    * (one row per doc): y = ±1 on lang='en', x1 = per-mille English
+    * stopword ratio, x2 = per-mille all-lowercase-alpha token ratio,
+    * x3 = mean token length ×10, x4 = per-mille digit-bearing token
+    * ratio, x5 = capped token count, x0 = bias. Every feature is an
+    * exact 64-bit floor-division value — no float anywhere, so the
+    * whole training loop replays bit-for-bit in the oracle. */
+  private def perceptronFeats(d: DataFrame): DataFrame =
+    d.filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .withColumn("t", split(trim(lower(col("text"))), "\\s+"))
+      .withColumn("n", size(col("t")).cast("long"))
+      .select(col("source"),
+        when(col("lang") === "en", 1L).otherwise(lit(-1L)).as("y"),
+        lit(1L).as("x0"),
+        expr("(1000 * cast(size(filter(t, x -> x IN " +
+          "('the','a','of','and','to','in','is'))) AS BIGINT)) div n").as("x1"),
+        expr("(1000 * cast(size(filter(t, x -> x rlike '^[a-z]+$')) " +
+          "AS BIGINT)) div n").as("x2"),
+        expr("(10 * aggregate(t, cast(0 AS BIGINT), " +
+          "(acc, x) -> acc + length(x))) div n").as("x3"),
+        expr("(1000 * cast(size(filter(t, x -> x rlike '[0-9]')) " +
+          "AS BIGINT)) div n").as("x4"),
+        least(col("n"), lit(500L)).as("x5"))
+
+  private val PerceptronX = Seq("x0", "x1", "x2", "x3", "x4", "x5")
+  private val PerceptronEpochs = 8
+
+  /** The perceptron-training CTE chain: `feat` (mirroring
+    * [[perceptronFeats]]) and one (margin, update-sum, weight) CTE
+    * triple per epoch — the exact integer recurrence of
+    * [[graft.ops.TextAnalysis.perceptronTrain]] unrolled (the
+    * emb_kmeans / txt_bpe_vocab pattern). */
+  private def perceptronChainSql(epochs: Int): String = {
+    val xs = PerceptronX
+    val margin = xs.map(c => s"f.$c * w.w_$c").mkString(" + ")
+    val iters = (1 to epochs).map { i =>
+      val upd = xs.map(c =>
+        s"COALESCE(sum(CASE WHEN y * m <= 0 THEN y * $c END), 0) AS d_$c")
+        .mkString(",\n         ")
+      val next = xs.map(c => s"w.w_$c + u.d_$c AS w_$c").mkString(", ")
+      s"""m$i AS MATERIALIZED (
+         |  SELECT f.y, ${xs.map(c => s"f.$c").mkString(", ")}, $margin AS m
+         |  FROM feat f, w${i - 1} w),
+         |u$i AS (SELECT $upd FROM m$i),
+         |w$i AS (SELECT $next FROM w${i - 1} w, u$i u)""".stripMargin
+    }.mkString(",\n")
+    s"""feat AS MATERIALIZED (
+       |  SELECT source,
+       |         CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+       |              ELSE CAST(-1 AS BIGINT) END AS y,
+       |         CAST(1 AS BIGINT) AS x0,
+       |         (1000 * CAST(len(list_filter(t, x -> x IN
+       |            ('the','a','of','and','to','in','is'))) AS BIGINT)) // n AS x1,
+       |         (1000 * CAST(len(list_filter(t, x ->
+       |            regexp_matches(x, '^[a-z]+$$'))) AS BIGINT)) // n AS x2,
+       |         (10 * CAST(list_sum(list_transform(t, x -> len(x)))
+       |            AS BIGINT)) // n AS x3,
+       |         (1000 * CAST(len(list_filter(t, x ->
+       |            regexp_matches(x, '[0-9]'))) AS BIGINT)) // n AS x4,
+       |         least(n, 500) AS x5
+       |  FROM (SELECT source, lang,
+       |               string_split_regex(trim(lower(text)), '\\s+') AS t,
+       |               CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+       |                    AS BIGINT) AS n
+       |        FROM documents
+       |        WHERE text IS NOT NULL AND length(trim(text)) > 0)),
+       |w0 AS (SELECT ${PerceptronX.map(c => s"CAST(0 AS BIGINT) AS w_$c").mkString(", ")}),
+       |$iters""".stripMargin
+  }
+
+  /** txt_perceptron_weights oracle: the per-epoch weight trajectory. */
+  private def perceptronWeightsSql(epochs: Int): String = {
+    val union = (1 to epochs).map(i =>
+      s"SELECT $i AS epoch, ${PerceptronX.map(c => s"w_$c").mkString(", ")} FROM w$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${perceptronChainSql(epochs)}
+       |SELECT CAST(epoch AS INT) AS epoch,
+       |       ${PerceptronX.map(c => s"CAST(w_$c AS BIGINT) AS w_$c").mkString(", ")}
+       |FROM ($union)
+       |ORDER BY epoch""".stripMargin
+  }
+
+  /** txt_perceptron oracle: train, then score every doc with the final
+    * weights (pred = margin > 0 — the y·m ≤ 0 update test's decision
+    * side) and fold the per-source confusion. */
+  private def perceptronReportSql(epochs: Int): String = {
+    val margin = PerceptronX.map(c => s"f.$c * w.w_$c").mkString(" + ")
+    s"""WITH ${perceptronChainSql(epochs)},
+       |sc AS (SELECT f.source, f.y, $margin AS m FROM feat f, w$epochs w)
+       |SELECT source,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(count(*) FILTER (WHERE y = 1) AS BIGINT) AS n_en,
+       |       CAST(count(*) FILTER (WHERE m > 0) AS BIGINT) AS pred_en,
+       |       CAST(count(*) FILTER (WHERE (m > 0) = (y = 1)) AS BIGINT)
+       |         AS n_correct,
+       |       (10000 * CAST(count(*) FILTER (WHERE (m > 0) = (y = 1))
+       |                     AS BIGINT)) // CAST(count(*) AS BIGINT) AS acc_fp
+       |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** txt_textrank oracle: the co-occurrence graph (adjacent content
+    * words after the stop/shape filter, undirected, weight = corpus
+    * pair count ≥ 2) pushed through the SAME integer PageRank unroll as
+    * q_pagerank — per round every word earns teleport Total·15%//n plus
+    * its floor-divided in-mass. */
+  private def textrankSql(iters: Int): String = {
+    def round(i: Int): String = {
+      val prev = if (i == 1) "p0" else s"p${i - 1}"
+      s"""p$i AS (SELECT e.dst AS id,
+         |             150000000000 // nn.n
+         |               + CAST(sum((p.pr * 85 * e.w) // (100 * e.tw)) AS BIGINT) AS pr
+         |      FROM e JOIN $prev p ON p.id = e.src, nn
+         |      GROUP BY e.dst, nn.n)""".stripMargin
+    }
+    s"""WITH tk AS (
+       |  SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |           x -> regexp_matches(x, '^[a-z]{3,}$$')
+       |                AND x NOT IN ($rakeStopsSql)) AS ft
+       |  FROM documents WHERE text IS NOT NULL),
+       |pr0 AS (SELECT unnest(list_transform(ft[2:], (x, j) ->
+       |                 struct_pack(l := ft[j], r := x))) AS p
+       |        FROM tk),
+       |pe AS MATERIALIZED (
+       |       SELECT least(p.l, p.r) AS a, greatest(p.l, p.r) AS b,
+       |              CAST(count(*) AS BIGINT) AS w
+       |       FROM pr0 WHERE p.l <> p.r GROUP BY 1, 2 HAVING count(*) >= 2),
+       |edges AS MATERIALIZED (
+       |          SELECT a AS src, b AS dst, w FROM pe
+       |          UNION ALL SELECT b, a, w FROM pe),
+       |ow AS MATERIALIZED (
+       |       SELECT src, CAST(sum(w) AS BIGINT) AS tw FROM edges GROUP BY 1),
+       |e AS MATERIALIZED (
+       |      SELECT edges.src, edges.dst, edges.w, ow.tw
+       |      FROM edges JOIN ow ON ow.src = edges.src),
+       |nn AS (SELECT count(*) AS n FROM ow),
+       |p0 AS (SELECT ow.src AS id, 1000000000000 // nn.n AS pr FROM ow, nn),
+       |${(1 to iters).map(round).mkString(",\n")}
+       |SELECT id AS word, CAST(pr AS BIGINT) AS rank_fp FROM p$iters
+       |ORDER BY rank_fp DESC, word LIMIT 30""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -670,7 +854,8 @@ object TextQueries {
     // both engines, bounding the postings join at Σ df² ≤ 128·|postings|.
     "dedup_containment" -> ((s, dir) =>
       Dedup.containmentPairs(docs(s, dir), "doc_id", "text",
-          n = 3, threshold = 0.5, maxDf = 128L)
+          n = 3, threshold = 0.5, maxDf = 128L,
+          docRows = graft.Tables.footerRowCount(dir, "documents"))
         .select(col("id_a"), col("id_b"), col("common"),
           round(col("containment"), 4).as("containment"))
         .orderBy(round(col("containment"), 4).desc, col("id_a"), col("id_b"))
@@ -687,7 +872,8 @@ object TextQueries {
     // pair volume bounded at maxDf × |postings|.
     "dedup_cosine_tf" -> ((s, dir) =>
       Dedup.cosinePairsTf(docs(s, dir), "doc_id", "text",
-          n = 3, threshold = 0.8, maxDf = 128L)
+          n = 3, threshold = 0.8, maxDf = 128L,
+          docRows = graft.Tables.footerRowCount(dir, "documents"))
         .orderBy(col("cos2_fp").desc, col("id_a"), col("id_b"))
         .limit(100)),
 
@@ -910,6 +1096,76 @@ object TextQueries {
       graft.ops.TextAnalysis.bpeTrain(words, "w", "freq", merges = 48)
         .orderBy("step")
     }),
+
+    // BPE ENCODE — the apply side of txt_bpe_vocab: the 48 learned
+    // merges folded over every document in ONE corpus pass (a chain of
+    // literal replaces in a single projection, no shuffle before the
+    // per-source rollup), reporting symbol counts before/after — the
+    // token-budget compression number. Oracle replays training AND
+    // encoding (merge CTEs left-joined so an early-exhausted merge
+    // table degrades identically in both engines).
+    "txt_bpe_encode" -> ((s, dir) => {
+      val words = docs(s, dir)
+        .filter(col("text").isNotNull)
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .filter(col("w").rlike("^[a-z]{2,}$"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      val merges = graft.ops.TextAnalysis
+        .bpeTrain(words, "w", "freq", merges = 48)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.ops.TextAnalysis.bpeEncodeReport(docs(s, dir), "text", "source", merges)
+        .orderBy("source")
+    }),
+
+    // BATCH PERCEPTRON language classifier (Rosenblatt 1958) — the
+    // trained linear filter of the GPT-3/CCNet curation recipe: learn
+    // lang='en' from integer surface features (stopword/alpha/digit
+    // per-mille ratios, mean token length, capped length) in 8 batch
+    // epochs of EXACT 64-bit arithmetic — integer sums commute across
+    // partitions, so the learned weights are partitioning-independent
+    // (the property per-sample SGD lacks) and the oracle replays
+    // training bit-for-bit. Output: per-source confusion + accuracy.
+    "txt_perceptron" -> ((s, dir) => {
+      val f = perceptronFeats(docs(s, dir)).localCheckpoint(true)
+      val hist = graft.ops.TextAnalysis
+        .perceptronTrain(f, "y", PerceptronX, PerceptronEpochs)
+      val w = hist.last._2
+      val margin = PerceptronX.zipWithIndex
+        .map { case (c, i) => col(c) * lit(w(i)) }.reduce(_ + _)
+      f.select(col("source"), col("y"), margin.as("m"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_en"),
+          sum(when(col("m") > 0L, 1L).otherwise(0L)).as("pred_en"),
+          sum(when((col("m") > 0L) === (col("y") === 1L), 1L)
+            .otherwise(0L)).as("n_correct"))
+        .withColumn("acc_fp", expr("(10000 * n_correct) div n_docs"))
+        .orderBy("source")
+    }),
+
+    // The weight trajectory of the same training run — each epoch's
+    // weight vector is an exact integer, so the full learning curve
+    // hash-matches the oracle's unrolled recurrence.
+    "txt_perceptron_weights" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.TextAnalysis
+        .perceptronTrain(perceptronFeats(docs(s, dir)), "y",
+          PerceptronX, PerceptronEpochs)
+        .map { case (e, ws) => (e, ws(0), ws(1), ws(2), ws(3), ws(4), ws(5)) }
+        .toDF("epoch", "w_x0", "w_x1", "w_x2", "w_x3", "w_x4", "w_x5")
+        .orderBy("epoch")
+    }),
+
+    // TEXTRANK keywords (Mihalcea 2004): integer PageRank over the
+    // word co-occurrence graph — the unsupervised keyword extractor
+    // next to RAKE's (txt_keyphrases) heuristic one. Same fixed-point
+    // recurrence as q_pagerank, replayed exactly by the oracle.
+    "txt_textrank" -> ((s, dir) =>
+      graft.ops.TextAnalysis.textRank(docs(s, dir), "text", RakeStops,
+          iters = 5, minW = 2L)
+        .orderBy(col("rank_fp").desc, col("word"))
+        .limit(30)),
 
     // Statistical LM quality scoring (the CCNet-style perplexity filter):
     // every document scored by its average bigram log-probability under
@@ -1924,6 +2180,10 @@ object TextQueries {
         |SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p
         |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin,
     "txt_bpe_vocab" -> bpeVocabSql(merges = 48),
+    "txt_bpe_encode" -> bpeEncodeSql(merges = 48),
+    "txt_perceptron" -> perceptronReportSql(PerceptronEpochs),
+    "txt_perceptron_weights" -> perceptronWeightsSql(PerceptronEpochs),
+    "txt_textrank" -> textrankSql(iters = 5),
     "txt_lm_quality" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t

@@ -70,7 +70,22 @@ class PlanBudgetSpec extends SparkSpec {
     // z-sample agg is SinglePartition (≤1024 values); bucket rollup + order
     "q_zorder_buckets" -> 2,
     // two grouped-median stats aggregates + the outlier recount
-    "txt_doc_outliers" -> 3)
+    "txt_doc_outliers" -> 3,
+    // round-11 additions
+    // register agg (partial→final) + estimate agg + exact countDistinct
+    // (2-exchange expand) + order — all on ≤64-rows/group state
+    "q_hll_distinct" -> 5,
+    // + the (type, day)→type max-merge re-aggregation
+    "q_hll_merge" -> 6,
+    // the truss rounds are checkpoint-fenced (the peel-loop pattern);
+    // the final plan is the unioned per-round stat aggregates only
+    "q_ktruss" -> 1,
+    // feature scan → per-source confusion agg + order (training epochs
+    // run on the fenced feature table, off this plan)
+    "txt_perceptron" -> 2,
+    // pagerank rounds checkpoint-fenced; final = top-k order on the
+    // vocab-sized rank table
+    "txt_textrank" -> 1)
 
   // Queries that once carried (or are at risk of regrowing) a global
   // unpartitioned window over an unbounded relation — the single-task

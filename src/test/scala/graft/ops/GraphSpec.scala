@@ -632,4 +632,31 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(run(e.repartition(1)) == run(e.repartition(7)))
   }
+
+  private def trussRounds(pairs: (Long, Long)*): Seq[(Int, Long, Long)] =
+    Graph.kTruss(pairs.toDF("a", "b"), "a", "b", k = 4, rounds = 3)
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+
+  test("k-truss: K4 is its own 4-truss — every edge closes 2 triangles") {
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(trussRounds(k4: _*) ==
+      Seq((1, 4L, 6L), (2, 4L, 6L), (3, 4L, 6L)))
+  }
+
+  test("k-truss: a pendant triangle on K4 peels in round 1") {
+    // K4 on 1..4 plus triangle (3,4,5): edges (3,5),(4,5) close ONE
+    // triangle each; (3,4) closes 3 — the pendant dies, K4 survives,
+    // and (3,4)'s support falls back to 2 within the survivor set
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(trussRounds(k4 ++ Seq((3L, 5L), (4L, 5L)): _*) ==
+      Seq((1, 4L, 6L), (2, 4L, 6L), (3, 4L, 6L)))
+  }
+
+  test("k-truss: two triangles sharing an edge cascade to empty") {
+    // {a,b,c} + {b,c,d}: (b,c) has support 2 and survives round 1 while
+    // every other edge (support 1) dies; round 2 kills (b,c) too —
+    // the cascade a fixed-round peel must expose
+    val got = trussRounds((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(got == Seq((1, 2L, 1L), (2, 0L, 0L), (3, 0L, 0L)))
+  }
 }

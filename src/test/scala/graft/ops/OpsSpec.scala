@@ -58,6 +58,31 @@ class OpsSpec extends SparkSpec {
     assert(uncapped.count() > 0L)
   }
 
+  test("norm-join gate: broadcast while small, hash join past the cutoff — never a pair-table sort") {
+    // the 100×-rehearsal finding: past the broadcast threshold, the
+    // sort-merge default sorts the Σdf² pair relation twice. The gate
+    // must pick broadcast below 2²¹ docs and SHUFFLE_HASH above, and the
+    // big-corpus plan must contain a ShuffledHashJoin and NO SortMergeJoin
+    assert(Dedup.normJoinHint(0L) == "broadcast")
+    assert(Dedup.normJoinHint(1L << 21) == "broadcast")
+    assert(Dedup.normJoinHint((1L << 21) + 1) == "shuffle_hash")
+    val d = Seq((1L, "w1 w2 w3"), (2L, "w1 w2 w4")).toDF("doc_id", "text")
+    def plan(rows: Long) = Dedup.cosinePairsTf(
+        d, "doc_id", "text", n = 1, threshold = 0.5, maxDf = 128L,
+        docRows = rows)
+      .queryExecution.executedPlan.toString
+    val big = plan(3000000L)
+    assert(big.contains("ShuffledHashJoin"), big.take(2000))
+    assert(!big.contains("SortMergeJoin"), big.take(2000))
+    assert(plan(0L).contains("BroadcastHashJoin"))
+    // same gate, same guarantees on the containment side
+    val cBig = Dedup.containmentPairs(d, "doc_id", "text",
+        threshold = 0.1, maxDf = 128L, docRows = 3000000L)
+      .queryExecution.executedPlan.toString
+    assert(cBig.contains("ShuffledHashJoin") && !cBig.contains("SortMergeJoin"),
+      cBig.take(2000))
+  }
+
   test("tf-cosine: repetition separates docs whose token SETS are identical") {
     // same vocabulary {w1, w2}; B repeats w1 4× → jaccard(sets) = 1 but
     // cos² = (1·4 + 1·1)² / ((1+1)(16+1)) = 25/34 ≈ 0.735, cos ≈ 0.857

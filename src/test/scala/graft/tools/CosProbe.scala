@@ -31,8 +31,11 @@ object CosProbe {
     val dots = t("dots")(
       CosineTfStages.dots(buckets).localCheckpoint(true))
     println(s"PROBE dots=${dots.count()}")
-    // threshold 0.8 → ⌊0.64·1e12⌋, the dedup_cosine_tf contract
-    val fin = t("joins")(CosineTfStages.score(dots, norms)
+    // threshold 0.8 → ⌊0.64·1e12⌋, the dedup_cosine_tf contract; the
+    // norm-join hint rides the same footer-metadata gate as the operator
+    val hint = graft.ops.Dedup.normJoinHint(
+      graft.Tables.footerRowCount(dir, "documents"))
+    val fin = t("joins")(CosineTfStages.score(dots, norms, hint)
       .filter(col("cos2_fp") >= 640000000000L).count())
     println(s"PROBE final=$fin dir=$dir")
     spark.stop()
