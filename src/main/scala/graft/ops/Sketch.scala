@@ -160,33 +160,46 @@ object Sketch {
     * pure function of the registers). */
   def hllRegisters(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
                    valueCol: String): org.apache.spark.sql.DataFrame = {
-    val hx = md5(col(valueCol).cast("string").cast("binary"))
-    val topByte = conv(substring(hx, 1, 2), 16, 10).cast("long")
-    val low56 = conv(substring(hx, 3, 14), 16, 10).cast("long")
-    val j = shiftright(topByte, 2) // top 6 of 64 bits
-    val w = (topByte % 4L) * lit(72057594037927936L) + low56 // low 58 bits
-    val rank = when(w === 0L, lit(59)).otherwise(lit(59) - length(bin(w)))
+    val (j, rank) = hllJRank(col(valueCol))
     df.filter(col(valueCol).isNotNull)
       .select(groupCols.map(col) :+ j.as("j") :+ rank.as("rank"): _*)
       .groupBy(groupCols.map(col) :+ col("j"): _*).agg(max("rank").as("mj"))
   }
 
-  /** The estimate tail off a register table (group, j, mj) — see
+  /** The per-row (register index, rank) pair for a value — the map side
+    * of the sketch, exposed so STREAMING register tables can ride the
+    * built-in windowed max aggregate (bounded state: ≤ 64 register rows
+    * per group-window in the state store). */
+  def hllJRank(value: Column): (Column, Column) = {
+    val hx = md5(value.cast("string").cast("binary"))
+    val topByte = conv(substring(hx, 1, 2), 16, 10).cast("long")
+    val low56 = conv(substring(hx, 3, 14), 16, 10).cast("long")
+    val j = shiftright(topByte, 2) // top 6 of 64 bits
+    val w = (topByte % 4L) * lit(72057594037927936L) + low56 // low 58 bits
+    val rank = when(w === 0L, lit(59)).otherwise(lit(59) - length(bin(w)))
+    (j, rank)
+  }
+
+  /** The estimate tail off a register table (groups…, j, mj) — see
     * [[hllDistinct]] for the arithmetic contract. */
   def hllEstimate(regs: org.apache.spark.sql.DataFrame, groupCol: String,
+                  alias: String): org.apache.spark.sql.DataFrame =
+    hllEstimate(regs, Seq(groupCol), alias)
+
+  def hllEstimate(regs: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
                   alias: String): org.apache.spark.sql.DataFrame = {
     val two63 = lit("9223372036854775808").cast("decimal(38,0)")
     regs
-      .groupBy(col(groupCol))
+      .groupBy(groupCols.map(col): _*)
       .agg((sum(expr("CAST(shiftleft(1L, 63 - mj) AS decimal(38,0))")) +
           (lit(64) - count(lit(1))).cast("decimal(38,0)") * two63).as("s_int"),
         (lit(64) - count(lit(1))).cast("long").as("v"))
       .withColumn("raw",
         lit(0.709) * lit(64.0) * lit(64.0) * lit(9223372036854775808.0) /
           col("s_int").cast("double"))
-      .select(col(groupCol),
+      .select(groupCols.map(col) :+
         round(when(col("raw") <= 160.0 && col("v") > 0L,
             lit(64.0) * log(lit(64.0) / col("v").cast("double")))
-          .otherwise(col("raw")), 4).as(s"hll_$alias"))
+          .otherwise(col("raw")), 4).as(s"hll_$alias"): _*)
   }
 }

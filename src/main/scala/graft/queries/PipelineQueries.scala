@@ -530,6 +530,58 @@ object PipelineQueries {
         .orderBy("event_type", "day")
     }),
 
+    // §2.6 STREAMING HLL row: live per-(type, day) distinct-user
+    // estimates with CONSTANT state — the HLL register table IS a
+    // built-in windowed max aggregate (≤ 64 (window, type, j) rows in
+    // the state store per group-window; the KMV row ships ≤ k hashes,
+    // this ships 64 bytes), event-time watermark evicts closed windows.
+    // The reader runs the pure estimate tail over the emitted registers;
+    // the same final-watermark day cutoff as pipe_stream_psi keeps
+    // engine and oracle on exactly the emitted window set. Exact
+    // distinct joined from the batch side to witness the error live.
+    "pipe_stream_hll" -> ((s, dir) => {
+      val tmp = streamTmp("graft-stream-hll")
+      val src = cachedFeed("hll", dir)(f =>
+        orderedSlices(graft.Tables.events(s, dir)
+          .filter(col("user_id").isNotNull)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("ts")), f))
+      val stream = s.readStream
+        .schema("event_id long, user_id long, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val (j, rank) = graft.ops.Sketch.hllJRank(col("user_id"))
+      val regs = stream
+        .select(col("event_type"), col("ts"), j.as("j"), rank.as("rank"))
+        .withWatermark("ts", "1 second")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"), col("j"))
+        .agg(max("rank").as("mj"))
+        .select(col("event_type"),
+          expr("unix_micros(window.start) div 86400000000").as("day"),
+          col("j"), col("mj"))
+      val outDir = tmp.resolve("out").toString
+      withFewShufflePartitions(s) {
+        regs.writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
+      val ev = graft.Tables.events(s, dir).filter(col("user_id").isNotNull)
+        .select(col("event_type"), col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          expr("unix_micros(ts)").as("us"))
+      // emitted iff window end <= final watermark (max ts - 1 s)
+      val wmDay = ev.agg(max(expr("(us - 1000000) div 86400000000")))
+        .head.getLong(0)
+      val est = graft.ops.Sketch.hllEstimate(
+        s.read.parquet(outDir).filter(col("day") < wmDay),
+        Seq("event_type", "day"), "users")
+      val exact = ev.filter(col("day") < wmDay)
+        .groupBy("event_type", "day")
+        .agg(countDistinct("user_id").as("n_exact"))
+      est.join(exact, Seq("event_type", "day"))
+        .select("event_type", "day", "n_exact", "hll_users")
+        .orderBy("event_type", "day")
+    }),
+
     // §2.6 STREAMING HEAVY-HITTERS row: per-day top talkers (users by
     // event count) with BOUNDED state — a Misra-Gries summary of ≤ 4096
     // counters per event-time window via flatMapGroupsWithState
@@ -1131,6 +1183,42 @@ object PipelineQueries {
           |       count(*) AS n_events,
           |       count(DISTINCT user_id) AS n_users
           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      // Streaming HLL oracle: the q_hll_distinct register/estimate
+      // arithmetic with a day dimension, on the final-watermark-emitted
+      // window set (day < day(max ts − 1 s), the psi cutoff)
+      "pipe_stream_hll" ->
+        """WITH wm AS (SELECT (max(epoch_us(ts)) - 1000000) // 86400000000 AS d
+          |            FROM events WHERE user_id IS NOT NULL),
+          |h AS (
+          |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+          |         user_id,
+          |         ('0x' || substr(md5(user_id::VARCHAR), 1, 16))::UBIGINT AS u
+          |  FROM events, wm
+          |  WHERE user_id IS NOT NULL AND epoch_us(ts) // 86400000000 < wm.d),
+          |r AS (SELECT event_type, day, u >> 58 AS j,
+          |             CASE WHEN (u & 288230376151711743) = 0 THEN 59
+          |                  ELSE 59 - len(bin(u & 288230376151711743)) END AS rank
+          |      FROM h),
+          |regs AS (SELECT event_type, day, j, max(rank) AS mj
+          |         FROM r GROUP BY 1, 2, 3),
+          |agg AS (SELECT event_type, day,
+          |               CAST(sum(CAST(1 AS BIGINT) << (63 - mj)) AS DECIMAL(38,0))
+          |                 + CAST(64 - count(*) AS DECIMAL(38,0)) * 9223372036854775808
+          |                 AS s_int,
+          |               64 - count(*) AS v
+          |        FROM regs GROUP BY 1, 2),
+          |est AS (SELECT event_type, day,
+          |               0.709::DOUBLE * 64.0 * 64.0 * 9223372036854775808.0
+          |                 / s_int::DOUBLE AS raw, v
+          |        FROM agg),
+          |ex AS (SELECT event_type, day, count(DISTINCT user_id) AS n_exact
+          |       FROM h GROUP BY 1, 2)
+          |SELECT e.event_type, e.day, ex.n_exact,
+          |       round(CASE WHEN e.raw <= 160 AND e.v > 0
+          |                  THEN 64.0 * ln(64.0 / e.v) ELSE e.raw END, 4)
+          |         AS hll_users
+          |FROM est e JOIN ex ON e.event_type = ex.event_type AND e.day = ex.day
+          |ORDER BY e.event_type, e.day""".stripMargin,
       // The MG stream stays below k = 4096 distinct users per day on this
       // corpus, so the exact-below-k contract makes every counter a plain
       // count and the top-5 a rank over it (ties broken by the string key,
