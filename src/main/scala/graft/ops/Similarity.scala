@@ -1265,4 +1265,80 @@ object Similarity {
     }
     sel.select(col("qid"), col("rnk"), col("id"), col("d2q"))
   }
+
+  /** TOP PRINCIPAL COMPONENT of the embedding corpus by EXACT-INTEGER
+    * power iteration — the "All-but-the-top" curation primitive (Mu &
+    * Viswanath, ICLR 2018: embedding corpora carry a dominant non-zero
+    * mean direction; removing it improves isotropy and retrieval) and
+    * the PCA-whitening seed.
+    *
+    * ONE corpus pass computes the integer moment table: vectors
+    * quantized x_fp = floor(x·2^20) (a float times a power of two is
+    * an exact double; floor is IEEE-defined — both engines land the
+    * same BIGINT), then M_jk = Σ x_j·x_k (j ≤ k) and S_j = Σ x_j in a
+    * single d(d+1)/2 + d cell explode, map-side combined into
+    * DECIMAL(38,0) sums — the shuffle carries ~2k cells per partition
+    * REGARDLESS of corpus size. The centered scatter C = n·M − S·Sᵀ
+    * (covariance × n²; centering via moments, no second pass) is
+    * assembled on the driver in BigInt and `iters` power rounds run
+    * there: w = C·v, v ← (w·2^20) div max|w| — integer division
+    * TRUNCATING toward zero everywhere (BigInt `/` ≡ DuckDB's integer
+    * `//`, probed: −7//2 = −3), so the trajectory is a pure function
+    * of the data, replayed bit-for-bit by the oracle's unrolled
+    * HUGEINT CTE chain. Driver state: d² BigInts (the kmeans
+    * bounded-driver precedent). Returns one row per dimension
+    * (dim, v_fp, var_fp) where var_fp = (vᵀCv) div (vᵀv·n²) is
+    * the Rayleigh variance along the component in 2^40 fixed point. */
+  def topPrincipalComponent(emb: DataFrame, embCol: String, dims: Int,
+                            iters: Int = 8): DataFrame = {
+    require(dims >= 1 && dims <= 512, s"dims in [1,512]: $dims")
+    require(iters >= 1 && iters <= 64, s"iters in [1,64]: $iters")
+    val spark = emb.sparkSession
+    val fp = expr(s"transform(`$embCol`, " +
+      "e -> CAST(floor(CAST(e AS DOUBLE) * 1048576.0) AS BIGINT))")
+    val rows = emb
+      .filter(col(embCol).isNotNull && size(col(embCol)) === dims)
+      .select(fp.as("x"))
+      .localCheckpoint(true) // two consumers: count + moment aggregate
+    val n = rows.count()
+    require(n > 0, "topPrincipalComponent: empty corpus")
+    // moment cells: products for j <= k, plus (j, -1) rows carrying S_j
+    val cells = rows.select(explode(expr(
+      """flatten(transform(x, (xj, j) -> concat(
+        |  transform(slice(x, j + 1, size(x) - j),
+        |            (xk, i) -> named_struct('j', j, 'k', j + i, 'p', xj * xk)),
+        |  array(named_struct('j', j, 'k', CAST(-1 AS INT), 'p', xj)))))"""
+        .stripMargin)).as("c"))
+      .select(col("c.j").as("j"), col("c.k").as("k"),
+        col("c.p").cast("decimal(38,0)").as("p"))
+      .groupBy("j", "k").agg(sum("p").as("s"))
+      .collect()
+    rows.unpersist(blocking = false)
+    val bigN = BigInt(n)
+    val s = Array.fill(dims)(BigInt(0))
+    val m = Array.fill(dims, dims)(BigInt(0))
+    cells.foreach { r =>
+      val (j, k) = (r.getInt(0), r.getInt(1))
+      val v = BigInt(r.getDecimal(2).toBigInteger)
+      if (k == -1) s(j) = v else { m(j)(k) = v; m(k)(j) = v }
+    }
+    val c = Array.tabulate(dims, dims)((j, k) => bigN * m(j)(k) - s(j) * s(k))
+    val scale = BigInt(1048576)
+    var v = Array.fill(dims)(scale)
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dims)(j =>
+        (0 until dims).map(k => c(j)(k) * v(k)).sum)
+      val mx = w.map(_.abs).max
+      require(mx > 0, "topPrincipalComponent: zero scatter matrix")
+      v = w.map(wj => wj * scale / mx) // BigInt / truncates like DuckDB //
+    }
+    val num = (for (j <- 0 until dims; k <- 0 until dims)
+      yield v(j) * c(j)(k) * v(k)).sum
+    val den = v.map(x => x * x).sum * bigN * bigN
+    val lambda = num / den
+    import spark.implicits._
+    v.zipWithIndex
+      .map { case (vf, j) => (j, vf.toLong, lambda.toLong) }.toSeq
+      .toDF("dim", "v_fp", "var_fp")
+  }
 }

@@ -31,7 +31,69 @@ object SimilarityQueries {
       .withColumn("recall_at_10", round(col("hits") / 10.0, 2))
       .orderBy("qid")
 
+  /** emb_top_pc oracle: the exact-integer power iteration unrolled —
+    * quantize → one moment pass (per-row self-join on a row id) →
+    * centered scatter in HUGEINT → `iters` (w = C·v, floor-renormalize)
+    * rounds → Rayleigh variance. Every CTE that is referenced more than
+    * once is MATERIALIZED (the q_ktruss inline-expansion lesson). */
+  private def topPcSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      val prev = if (i == 1) "v0" else s"v${i - 1}"
+      s"""w$i AS MATERIALIZED (
+         |  SELECT cf.j, sum(cf.c * v.v) AS w
+         |  FROM cf JOIN $prev v ON v.j = cf.k GROUP BY cf.j),
+         |v$i AS MATERIALIZED (
+         |  SELECT j, (w * 1048576) // (SELECT max(abs(w)) FROM w$i) AS v
+         |  FROM w$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH x AS MATERIALIZED (
+       |  SELECT list_transform(embedding,
+       |           e -> CAST(floor(e::DOUBLE * 1048576.0) AS BIGINT)) AS v
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+       |nn AS MATERIALIZED (SELECT count(*)::HUGEINT AS n FROM x),
+       |xr AS (SELECT row_number() OVER () AS rid, v FROM x),
+       |p2 AS MATERIALIZED (
+       |  SELECT rid, u.j AS j, u.x AS x
+       |  FROM (SELECT rid, unnest(list_transform(v, (e, j) ->
+       |          struct_pack(j := j - 1, x := e))) AS u FROM xr)),
+       |m AS (SELECT a.j AS j, b.j AS k, sum(a.x::HUGEINT * b.x) AS s
+       |      FROM p2 a JOIN p2 b ON a.rid = b.rid AND a.j <= b.j
+       |      GROUP BY 1, 2),
+       |sv AS MATERIALIZED (
+       |  SELECT j, sum(x)::HUGEINT AS s FROM p2 GROUP BY 1),
+       |c0 AS MATERIALIZED (
+       |  SELECT m.j, m.k, nn.n * m.s - sa.s * sb.s AS c
+       |  FROM m JOIN sv sa ON sa.j = m.j JOIN sv sb ON sb.j = m.k
+       |  CROSS JOIN nn),
+       |cf AS MATERIALIZED (
+       |  SELECT j, k, c FROM c0
+       |  UNION ALL SELECT k, j, c FROM c0 WHERE j <> k),
+       |v0 AS (SELECT j, CAST(1048576 AS HUGEINT) AS v FROM sv),
+       |$rounds,
+       |ray AS (
+       |  SELECT (SELECT sum(a.v * cf.c * b.v)
+       |          FROM cf JOIN v$iters a ON a.j = cf.j
+       |               JOIN v$iters b ON b.j = cf.k) AS num,
+       |         (SELECT sum(v * v) FROM v$iters) AS den,
+       |         nn.n AS n FROM nn)
+       |SELECT CAST(v.j AS INT) AS dim, CAST(v.v AS BIGINT) AS v_fp,
+       |       CAST(ray.num // (ray.den * ray.n * ray.n) AS BIGINT) AS var_fp
+       |FROM v$iters v, ray ORDER BY dim""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TOP PRINCIPAL COMPONENT by exact-integer power iteration (Mu &
+    // Viswanath 2018 "All-but-the-top") — one corpus pass aggregates
+    // the d(d+1)/2-cell integer moment table (constant shuffle volume
+    // at any corpus size), the 8 power rounds run on d² driver BigInts,
+    // and the oracle replays quantization, scatter, every round's
+    // floor-renormalized vector and the Rayleigh variance bit-for-bit.
+    "emb_top_pc" -> ((s, dir) =>
+      Similarity.topPrincipalComponent(emb(s, dir), "embedding",
+          dims = 64, iters = 8)
+        .orderBy("dim")),
 
     // Brute-force cosine top-10 for 10 query vectors (the baseline)
     "sim_bruteforce_topk" -> ((s, dir) => {
@@ -936,6 +998,7 @@ object SimilarityQueries {
   }
 
   val sql: Map[String, String] = Map(
+    "emb_top_pc" -> topPcSql(iters = 8),
     "sim_ivf_cells" ->
       s"""$ivfSql
          |SELECT cell, count(*) AS n_members,
