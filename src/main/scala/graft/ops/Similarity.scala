@@ -1289,6 +1289,33 @@ object Similarity {
     * bounded-driver precedent). Returns one row per dimension
     * (dim, v_fp, var_fp) where var_fp = (vᵀCv) div (vᵀv·n²) is
     * the Rayleigh variance along the component in 2^40 fixed point. */
+  /** ALL-BUT-THE-TOP projection (Mu & Viswanath 2018): remove the
+    * dominant component from every vector — x′ = x_fp·(ṽᵀṽ) − (x_fpᵀṽ)·ṽ
+    * with x_fp = floor(x·2^20) and ṽ = v_fp div 2^10 (the
+    * [[topPrincipalComponent]] output coarsened by 2^10 so every
+    * coordinate of the SCALED orthogonal-complement projection stays
+    * far inside Int64: |x′| ≤ 2^46; the scale ṽᵀṽ cancels in cosine).
+    * All projection arithmetic is exact integer; the final cast of the
+    * exact coordinates to double for ranking is IEEE round-to-nearest —
+    * identical in any engine, so downstream rankings replay in SQL.
+    * Returns (id, label passthrough cols…, va: array<double>). */
+  def allButTop(emb: DataFrame, idCol: String, embCol: String,
+                vFp: Array[Long]): DataFrame = {
+    val vt = vFp.map(_ / 1024L) // BigInt-free: v_fp fits long, div truncates like the oracle's //
+    val vv = vt.map(v => v * v).sum
+    val vtArr = array(vt.map(lit): _*)
+    val xfp = expr(s"transform(`$embCol`, " +
+      "e -> CAST(floor(CAST(e AS DOUBLE) * 1048576.0) AS BIGINT))")
+    emb.filter(col(embCol).isNotNull)
+      .withColumn("_xfp", xfp)
+      .withColumn("_xv", aggregate(
+        zip_with(col("_xfp"), vtArr, (a, b) => a * b),
+        lit(0L), (acc, e) => acc + e))
+      .withColumn("va", zip_with(col("_xfp"), vtArr,
+        (a, b) => (a * lit(vv) - col("_xv") * b).cast("double")))
+      .drop("_xfp", "_xv", embCol)
+  }
+
   def topPrincipalComponent(emb: DataFrame, embCol: String, dims: Int,
                             iters: Int = 8): DataFrame = {
     require(dims >= 1 && dims <= 512, s"dims in [1,512]: $dims")

@@ -36,7 +36,11 @@ object SimilarityQueries {
     * centered scatter in HUGEINT → `iters` (w = C·v, floor-renormalize)
     * rounds → Rayleigh variance. Every CTE that is referenced more than
     * once is MATERIALIZED (the q_ktruss inline-expansion lesson). */
-  private def topPcSql(iters: Int): String = {
+  /** The shared power-iteration CTE chain (quantize → moments →
+    * centered scatter → `iters` rounds, final vector in v$iters) —
+    * used by both the emb_top_pc oracle and the all-but-the-top
+    * composition. */
+  private def topPcChainSql(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
       val prev = if (i == 1) "v0" else s"v${i - 1}"
       s"""w$i AS MATERIALIZED (
@@ -46,7 +50,7 @@ object SimilarityQueries {
          |  SELECT j, (w * 1048576) // (SELECT max(abs(w)) FROM w$i) AS v
          |  FROM w$i)""".stripMargin
     }.mkString(",\n")
-    s"""WITH x AS MATERIALIZED (
+    s"""x AS MATERIALIZED (
        |  SELECT list_transform(embedding,
        |           e -> CAST(floor(e::DOUBLE * 1048576.0) AS BIGINT)) AS v
        |  FROM embeddings
@@ -70,7 +74,11 @@ object SimilarityQueries {
        |  SELECT j, k, c FROM c0
        |  UNION ALL SELECT k, j, c FROM c0 WHERE j <> k),
        |v0 AS (SELECT j, CAST(1048576 AS HUGEINT) AS v FROM sv),
-       |$rounds,
+       |$rounds""".stripMargin
+  }
+
+  private def topPcSql(iters: Int): String =
+    s"""WITH ${topPcChainSql(iters)},
        |ray AS (
        |  SELECT (SELECT sum(a.v * cf.c * b.v)
        |          FROM cf JOIN v$iters a ON a.j = cf.j
@@ -80,9 +88,95 @@ object SimilarityQueries {
        |SELECT CAST(v.j AS INT) AS dim, CAST(v.v AS BIGINT) AS v_fp,
        |       CAST(ray.num // (ray.den * ray.n * ray.n) AS BIGINT) AS var_fp
        |FROM v$iters v, ray ORDER BY dim""".stripMargin
-  }
+
+  /** DCG position weights ⌊1e12 / log2(rank+1)⌋, rank 1..10, and their
+    * cumulative sums — computed ONCE here on the driver and embedded as
+    * identical literals in the engine and the oracle (the BenfordP /
+    * EwmaWeights precedent: the SQL must never call log2 itself, libm
+    * rounding is platform-defined). Integer weights make the DCG sum
+    * order-free exact — no double accumulation crosses an exchange. */
+  private val DcgWfp: Seq[Long] = (1 to 10).map(i =>
+    math.floor(1e12 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+  private val DcgCumFp: Seq[Long] = DcgWfp.scanLeft(0L)(_ + _).tail
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // RETRIEVAL EVALUATION — nDCG@10 / MRR@10 / P@10 of the brute-force
+    // cosine arm against label-match relevance (the qrel every labeled
+    // embedding corpus carries): the search-quality harness a retrieval
+    // pipeline tunes against. All ranking inputs are the proven
+    // sim_bruteforce path; every metric accumulates in INTEGER fixed
+    // point (driver-embedded ⌊1e12/log2(r+1)⌋ weights, 1e12/first-rank
+    // MRR, integer hit counts) so sums are order-free and only the
+    // final single divisions are double — bit-replayed by the oracle.
+    "sim_ndcg" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val top = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", "vec_id", "embedding")
+      val lbl = e.select(col("vec_id").as("id"), col("label"))
+      val qlbl = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"))
+      val nlbl = e.groupBy("label").agg(count(lit(1)).as("n_lbl"))
+      val wArr = array(DcgWfp.map(lit): _*)
+      val cumArr = array(DcgCumFp.map(lit): _*)
+      val scored = top.join(lbl, "id").join(broadcast(qlbl), "qid")
+        .withColumn("rel", (col("label") === col("qlabel")).cast("long"))
+      val perQ = scored.groupBy("qid").agg(
+        sum(when(col("rel") === 1L,
+          element_at(wArr, col("rank").cast("int"))).otherwise(0L)).as("dcg_fp"),
+        coalesce(max(when(col("rel") === 1L,
+          expr("1000000000000L div rank"))), lit(0L)).as("mrr_fp"),
+        sum("rel").as("hits"))
+      perQ.join(broadcast(qlbl), "qid")
+        .join(nlbl.withColumnRenamed("label", "qlabel"), "qlabel")
+        .withColumn("n_rel", col("n_lbl") - 1) // the query itself is excluded
+        .withColumn("idcg_fp", // n_rel >= 1 guarded: ndcg is 0 when nothing is relevant
+          element_at(cumArr,
+            greatest(least(col("n_rel"), lit(10L)), lit(1L)).cast("int")))
+        .select(col("qid"), col("n_rel"), col("hits"),
+          round(when(col("n_rel") <= 0L, lit(0.0)).otherwise(
+            col("dcg_fp").cast("double") / col("idcg_fp").cast("double")), 4)
+            .as("ndcg"),
+          round(col("mrr_fp").cast("double") / 1e12, 4).as("mrr"),
+          round(col("hits").cast("double") / 10.0, 4).as("p_at_10"))
+        .orderBy("qid")
+    }),
+
+    // ALL-BUT-THE-TOP retrieval composition (Mu 2018): project the
+    // dominant component out of every embedding (exact-integer scaled
+    // orthogonal projection off emb_top_pc's vector) and measure what
+    // changes in the top-10 — per-query overlap with the original
+    // ranking and label-match precision before/after. The curation
+    // question ("does isotropy correction move retrieval?") as one
+    // oracled query: the oracle replays power iteration, projection,
+    // BOTH rankings and the overlap join.
+    "sim_abt_overlap" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val pc = Similarity.topPrincipalComponent(e, "embedding",
+        dims = 64, iters = 8).orderBy("dim").collect().map(_.getLong(1))
+      val proj = Similarity.allButTop(e, "vec_id", "embedding", pc)
+        .localCheckpoint(true) // corpus AND query side of the re-rank
+      val topA = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", "vec_id", "embedding")
+      val topB = Similarity.bruteForceTopK(proj,
+        proj.filter(col("vec_id") < 10), "vec_id", "va", "vec_id", "va")
+      val lbl = e.select(col("vec_id").as("id"), col("label"))
+      val qlbl = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"))
+      def p10(t: DataFrame) = t.join(lbl, "id").join(broadcast(qlbl), "qid")
+        .groupBy("qid").agg(sum(when(col("label") === col("qlabel"), 1L)
+          .otherwise(0L)).as("hits"))
+      val overlap = topA.select("qid", "id")
+        .join(topB.select("qid", "id"), Seq("qid", "id"))
+        .groupBy("qid").agg(count(lit(1)).as("n_overlap"))
+      qlbl.select("qid")
+        .join(overlap, Seq("qid"), "left")
+        .join(p10(topA).withColumnRenamed("hits", "hits_orig"), "qid")
+        .join(p10(topB).withColumnRenamed("hits", "hits_abt"), "qid")
+        .select(col("qid"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          col("hits_orig"), col("hits_abt"))
+        .orderBy("qid")
+    }),
 
     // TOP PRINCIPAL COMPONENT by exact-integer power iteration (Mu &
     // Viswanath 2018 "All-but-the-top") — one corpus pass aggregates
@@ -997,8 +1091,117 @@ object SimilarityQueries {
        |  WHERE ${dotSql("a.v", "b.v")} / (${nrmSql("a.v")} * ${nrmSql("b.v")}) >= 0.3)""".stripMargin
   }
 
+  /** sim_ndcg oracle: the sim_bruteforce ranking, label-match relevance,
+    * and the SAME driver-embedded integer DCG weights. */
+  private def ndcgSql: String = {
+    val wList = DcgWfp.mkString("[", ", ", "]")
+    val cumList = DcgCumFp.mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+       |           FROM embeddings),
+       |q AS (SELECT vec_id AS qid, v AS qv, label AS qlabel FROM e
+       |      WHERE vec_id < 10),
+       |top AS (
+       |  SELECT qid, vec_id AS id, rank FROM (
+       |    SELECT q.qid, e.vec_id,
+       |           row_number() OVER (PARTITION BY q.qid
+       |             ORDER BY list_dot_product(qv, v) /
+       |                      (sqrt(list_dot_product(v, v)) *
+       |                       sqrt(list_dot_product(qv, qv))) DESC,
+       |                      e.vec_id) AS rank
+       |    FROM e, q WHERE e.vec_id <> q.qid) t
+       |  WHERE rank <= 10),
+       |nl AS (SELECT label, count(*) AS n_lbl FROM e GROUP BY 1),
+       |sc AS (SELECT t.qid, t.rank,
+       |              CASE WHEN el.label = q.qlabel THEN 1 ELSE 0 END AS rel
+       |       FROM top t JOIN e el ON el.vec_id = t.id
+       |            JOIN q ON q.qid = t.qid),
+       |pq AS (SELECT qid,
+       |              CAST(sum(CASE WHEN rel = 1 THEN ($wList)[rank]
+       |                            ELSE 0 END) AS BIGINT) AS dcg_fp,
+       |              COALESCE(max(CASE WHEN rel = 1
+       |                                THEN 1000000000000 // rank END),
+       |                       0) AS mrr_fp,
+       |              CAST(sum(rel) AS BIGINT) AS hits
+       |       FROM sc GROUP BY 1)
+       |SELECT p.qid,
+       |       CAST(nl.n_lbl - 1 AS BIGINT) AS n_rel,
+       |       p.hits,
+       |       round(CASE WHEN nl.n_lbl - 1 <= 0 THEN 0.0
+       |                  ELSE p.dcg_fp::DOUBLE /
+       |                       (($cumList)[greatest(least(nl.n_lbl - 1, 10), 1)])::DOUBLE
+       |             END, 4) AS ndcg,
+       |       round(p.mrr_fp::DOUBLE / 1e12, 4) AS mrr,
+       |       round(p.hits::DOUBLE / 10.0, 4) AS p_at_10
+       |FROM pq p JOIN q ON q.qid = p.qid JOIN nl ON nl.label = q.qlabel
+       |ORDER BY p.qid""".stripMargin
+  }
+
+  /** sim_abt_overlap oracle: the power chain, the integer projection,
+    * both cosine rankings and the overlap/precision rollup. */
+  private def abtOverlapSql(iters: Int): String = {
+    def rank(xt: String, out: String) =
+      s"""$out AS MATERIALIZED (
+         |  SELECT qid, vec_id AS id, rank FROM (
+         |    SELECT qb.qid, xb.vec_id,
+         |           row_number() OVER (PARTITION BY qb.qid
+         |             ORDER BY list_dot_product(qb.va, xb.va) /
+         |                      (sqrt(list_dot_product(xb.va, xb.va)) *
+         |                       sqrt(list_dot_product(qb.va, qb.va))) DESC,
+         |                      xb.vec_id) AS rank
+         |    FROM $xt xb,
+         |         (SELECT vec_id AS qid, va FROM $xt WHERE vec_id < 10) qb
+         |    WHERE xb.vec_id <> qb.qid) t
+         |  WHERE rank <= 10)""".stripMargin
+    s"""WITH ${topPcChainSql(iters)},
+       |vt AS MATERIALIZED (
+       |  SELECT j, CAST(v // 1024 AS BIGINT) AS t FROM v$iters),
+       |vtl AS MATERIALIZED (
+       |  SELECT list(t ORDER BY j) AS l, CAST(sum(t * t) AS BIGINT) AS vv
+       |  FROM vt),
+       |xa AS MATERIALIZED (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS va
+       |  FROM embeddings),
+       |q1 AS (
+       |  SELECT q0.vec_id, q0.label, q0.q, vtl.l, vtl.vv,
+       |         CAST(list_sum(list_transform(q0.q, (e, i) -> e * vtl.l[i]))
+       |              AS BIGINT) AS xv
+       |  FROM (SELECT vec_id, label,
+       |               list_transform(embedding,
+       |                 e -> CAST(floor(e::DOUBLE * 1048576.0) AS BIGINT)) AS q
+       |        FROM embeddings WHERE embedding IS NOT NULL) q0, vtl),
+       |xb AS MATERIALIZED (
+       |  SELECT vec_id, label,
+       |         list_transform(q, (e, i) -> CAST(e * vv - xv * l[i] AS DOUBLE))
+       |           AS va
+       |  FROM q1),
+       |${rank("xa", "ta")},
+       |${rank("xb", "tb")},
+       |ql AS (SELECT vec_id AS qid, label AS qlabel FROM embeddings
+       |       WHERE vec_id < 10),
+       |ov AS (SELECT a.qid, CAST(count(*) AS BIGINT) AS n_overlap
+       |       FROM ta a JOIN tb b ON a.qid = b.qid AND a.id = b.id
+       |       GROUP BY 1),
+       |pa AS (SELECT t.qid,
+       |              CAST(sum(CASE WHEN el.label = q.qlabel THEN 1 ELSE 0 END)
+       |                   AS BIGINT) AS hits_orig
+       |       FROM ta t JOIN xa el ON el.vec_id = t.id
+       |            JOIN ql q ON q.qid = t.qid GROUP BY 1),
+       |pb AS (SELECT t.qid,
+       |              CAST(sum(CASE WHEN el.label = q.qlabel THEN 1 ELSE 0 END)
+       |                   AS BIGINT) AS hits_abt
+       |       FROM tb t JOIN xa el ON el.vec_id = t.id
+       |            JOIN ql q ON q.qid = t.qid GROUP BY 1)
+       |SELECT q.qid, CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       |       pa.hits_orig, pb.hits_abt
+       |FROM ql q LEFT JOIN ov ON ov.qid = q.qid
+       |     JOIN pa ON pa.qid = q.qid JOIN pb ON pb.qid = q.qid
+       |ORDER BY q.qid""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "emb_top_pc" -> topPcSql(iters = 8),
+    "sim_ndcg" -> ndcgSql,
+    "sim_abt_overlap" -> abtOverlapSql(iters = 8),
     "sim_ivf_cells" ->
       s"""$ivfSql
          |SELECT cell, count(*) AS n_members,

@@ -57,4 +57,23 @@ class PowerIterationSpec extends SparkSpec {
     val df = vecs.map(v => Tuple1(v)).toDF("e")
     assert(run(df.repartition(1), 3) == run(df.repartition(7), 3))
   }
+
+  test("all-but-the-top projection is EXACTLY orthogonal to the component") {
+    // x'ᵀṽ = (xᵀṽ)(ṽᵀṽ) − (xᵀṽ)(ṽᵀṽ) = 0 in exact integer arithmetic —
+    // not approximately: the scaled projector cancels algebraically
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "e")
+    val pc = Similarity.topPrincipalComponent(df, "e", dims = 3, iters = 8)
+      .orderBy("dim").as[(Int, Long, Long)].collect().map(_._2)
+    val vt = pc.map(_ / 1024L)
+    val proj = Similarity.allButTop(df, "id", "e", pc)
+      .as[(Long, Seq[Double])].collect()
+    proj.foreach { case (id, va) =>
+      // coordinates are exact integers inside double range — dot in BigInt
+      val d = va.zip(vt)
+        .map { case (a, b) => BigInt(a.toLong) * BigInt(b) }.sum
+      assert(d == BigInt(0), s"id=$id residual=$d")
+    }
+    // and the projection actually moved something
+    assert(proj.exists(_._2.exists(_ != 0.0)))
+  }
 }
