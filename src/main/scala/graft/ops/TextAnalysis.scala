@@ -556,7 +556,8 @@ object TextAnalysis {
     * the corpus is scanned ONCE to build edges. Returns the full
     * (word, rank_fp) table after `iters` rounds. */
   def textRank(docs: DataFrame, textCol: String, stops: Seq[String],
-               iters: Int = 5, minW: Long = 2L): DataFrame = {
+               iters: Int = 5, minW: Long = 2L,
+               localMaxEdges: Long = 65536): DataFrame = {
     require(iters >= 1 && iters <= 64, s"iters in [1,64]: $iters")
     val stopList = stops.map(w => s"'$w'").mkString(", ")
     val ft = expr(
@@ -584,6 +585,27 @@ object TextAnalysis {
     val n = ow.count() // driver scalar, vocab-bounded
     require(n > 0, "textRank: empty co-occurrence graph")
     val teleport = 150000000000L / n
+    // small-graph driver gate (the bpeTrain/kmeans precedent): when the
+    // symmetric edge list fits comfortably on the driver, run the SAME
+    // integer recurrence locally — TextRankSpec proves bit-equality to
+    // the distributed loop; this only removes 2·iters tiny-job round
+    // trips. The distributed loop is the scale path (localMaxEdges = 0).
+    if (localMaxEdges > 0 &&
+        e.limit(localMaxEdges.toInt + 1).count() <= localMaxEdges) {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val ed = e.select(col("src"), col("dst"), col("w"), col("tw"))
+        .as[(String, String, Long, Long)].collect()
+      val nodes = ed.map(_._1).distinct
+      var pr = nodes.map(_ -> 1000000000000L / n).toMap
+      for (_ <- 1 to iters) {
+        val acc = scala.collection.mutable.Map.empty[String, Long]
+        for ((s0, d0, w0, tw0) <- ed)
+          acc(d0) = acc.getOrElse(d0, 0L) + pr(s0) * 85L * w0 / (100L * tw0)
+        pr = nodes.map(nd => nd -> (teleport + acc.getOrElse(nd, 0L))).toMap
+      }
+      return pr.toSeq.toDF("word", "rank_fp")
+    }
     var p = ow.select(col("src").as("id"), lit(1000000000000L / n).as("pr"))
     var last = p
     for (i <- 1 to iters) {

@@ -46,4 +46,13 @@ class TextRankSpec extends SparkSpec {
       s"alpha beta gamma delta w$i${"x" * (i % 3)}z alpha gamma").toDF("text")
     assert(ranks(df.repartition(1)) == ranks(df.repartition(7)))
   }
+
+  test("driver gate replays the distributed loop bit-for-bit") {
+    val df = (1 to 30).map(i =>
+      s"one two three four five six one three five w${i % 4}ord").toDF("text")
+    def run(gate: Long) = TextAnalysis
+      .textRank(df, "text", stops, iters = 5, minW = 2L, localMaxEdges = gate)
+      .as[(String, Long)].collect().toMap
+    assert(run(0L) == run(65536L)) // distributed path == driver gate
+  }
 }
