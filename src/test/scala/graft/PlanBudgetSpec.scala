@@ -85,7 +85,13 @@ class PlanBudgetSpec extends SparkSpec {
     "txt_perceptron" -> 2,
     // pagerank rounds checkpoint-fenced; final = top-k order on the
     // vocab-sized rank table
-    "txt_textrank" -> 1)
+    "txt_textrank" -> 1,
+    // broadcast ranking + label joins, per-qid metric aggs + order —
+    // every shuffled relation is ≤ queries×k rows
+    "sim_ndcg" -> 4,
+    // two rankings (the projected side re-derives quantize+project per
+    // consumer branch) + overlap/precision joins; all small-side
+    "sim_abt_overlap" -> 13)
 
   // Queries that once carried (or are at risk of regrowing) a global
   // unpartitioned window over an unbounded relation — the single-task
