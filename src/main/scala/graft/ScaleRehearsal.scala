@@ -35,7 +35,9 @@ object ScaleRehearsal {
     val dst = if (args.length > 1) args(1) else "/tmp/graft-sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
     val spark = Sessions.local()
-    replicate(spark, src, dst, copies)
+    // optional 4th arg "graph": build the graph-table weak-scaling dir
+    if (args.length > 3 && args(3) == "graph") replicateGraph(spark, src, dst, copies)
+    else replicate(spark, src, dst, copies)
     spark.stop()
   }
 
@@ -92,6 +94,49 @@ object ScaleRehearsal {
         rotated.as("embedding"),
         col("label"))
     }).repartition(32).write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+  }
+
+  /** GRAPH-scale rehearsal: the co-purchase / purchase-bipartite graph
+    * rows read lineitem/orders, which [[replicate]] deliberately holds at
+    * source scale (the relational FK web). This variant replicates those
+    * two tables with per-replica KEY OFFSETS — disjoint order / part /
+    * customer id spaces per replica — so the purchase graph gains
+    * `copies` disjoint isomorphic components: weak scaling for the
+    * iterative graph ops (round count constant, per-round edge volume
+    * ×copies, hub degrees preserved). Every other table copies through
+    * unchanged. Written to its OWN directory; the main rehearsal
+    * methodology (README) is untouched. */
+  def replicateGraph(spark: SparkSession, src: String, dst: String,
+                     copies: Int): Unit = {
+    require(copies >= 1, "copies must be >= 1")
+    new java.io.File(dst).mkdirs()
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "events", "documents", "embeddings"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$src/$t.parquet"),
+        java.nio.file.Paths.get(s"$dst/$t.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val or = spark.read.parquet(s"$src/orders.parquet")
+    val offO = or.agg(max("o_orderkey")).head.getLong(0) + 1
+    val offP = li.agg(max("l_partkey")).head.getLong(0) + 1
+    val offC = or.agg(max("o_custkey")).head.getLong(0) + 1
+    val liCols = li.columns
+    union((0 until copies).map { k =>
+      li.select(liCols.map {
+        case "l_orderkey" => (col("l_orderkey") + lit(k * offO)).as("l_orderkey")
+        case "l_partkey"  => (col("l_partkey") + lit(k * offP)).as("l_partkey")
+        case c            => col(c)
+      }: _*)
+    }).repartition(32).write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+    val orCols = or.columns
+    union((0 until copies).map { k =>
+      or.select(orCols.map {
+        case "o_orderkey" => (col("o_orderkey") + lit(k * offO)).as("o_orderkey")
+        case "o_custkey"  => (col("o_custkey") + lit(k * offC)).as("o_custkey")
+        case c            => col(c)
+      }: _*)
+    }).repartition(32).write.mode("overwrite").parquet(s"$dst/orders.parquet")
   }
 
   private def union(dfs: Seq[DataFrame]): DataFrame = dfs.reduce(_ unionAll _)

@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
+  /** [[skyline2D]]'s small-input cutoff: below this many metadata-known
+    * source rows the distinct value-pair relation sorts comfortably in
+    * ONE window partition (≈ tens of MB), and the banding ladder's fixed
+    * overhead would dominate. 2²² ≈ 4.2M rows. */
+  val SkylineSmallRows: Long = 1L << 22
+
   /** Per-user funnel stage timestamps. Stage 0's time is the user's first
     * `stages(0)` event; stage i's time is the first `stages(i)` event
     * STRICTLY AFTER stage i-1's time (the conversion-ordering semantics —
@@ -164,41 +170,62 @@ object Analytics {
     * broadcasts to the id-recovery join. Returns the input rows at
     * frontier points. */
   def skyline2D(df: DataFrame, maxCol: String, minCol: String,
-                bands: Int = 32, sampleK: Int = 4096): DataFrame = {
+                bands: Int = 32, sampleK: Int = 4096,
+                rows: Long = 0L): DataFrame = {
     require(bands >= 1 && bands <= 1024, s"bands must be in [1,1024]: $bands")
+    // small-input gate (`rows` — FREE parquet-footer metadata threaded by
+    // the caller, the cohortRetentionFor / Dedup.normJoinHint pattern;
+    // <= 0 = unknown): below SkylineSmallRows source rows the banding
+    // ladder's fixed overhead (sample aggregate, quantile boundaries,
+    // cross-band merge) dominates the sort it shards — measured
+    // 1.02 s -> 2.60 s at sf0.1 when the distributed rewrite landed — so
+    // collapse to ONE band: the same prefix-min window over one bounded
+    // partition, zero sample pass. Unknown/large inputs keep the banded
+    // scale path (spec-pinned), and the frontier is band-count-invariant
+    // (AnalyticsSpec), so the gate can never change the answer.
+    val effBands = if (rows > 0 && rows <= SkylineSmallRows) 1 else bands
     val pts = df.select(col(maxCol).as("_p"), col(minCol).as("_q"))
       .filter(col("_p").isNotNull && col("_q").isNotNull)
       .distinct()
     // deterministic band boundaries on _p: md5-keyed k-min sample →
-    // evenly spaced order statistics (double-cast for the sample only)
-    val bl =
-      if (bands == 1) array().cast("array<double>")
-      else array((1 until bands).map(i =>
-        Sketch.sampleQuantile(col("_smp"), i.toDouble / bands)): _*)
-    val bounds = pts
-      .agg(Sketch.hashSample(concat_ws(" ", col("_p"), col("_q")),
-        col("_p"), sampleK).as("_smp"))
-      .select(bl.as("_bl"))
-    // band 0 = highest-_p range: count boundaries strictly above _p.
-    // Equal _p always lands in ONE band, so every cross-band dominator
-    // has strictly greater _p and dominance needs only _q ≤ ours.
-    val banded = pts.crossJoin(broadcast(bounds))
-      .withColumn("_bkt",
-        size(filter(col("_bl"), b => b > col("_p").cast("double"))))
-      .drop("_bl")
+    // evenly spaced order statistics (double-cast for the sample only).
+    // ONE band needs no boundaries AT ALL — the band id is the literal 0,
+    // so the gated path skips the boundary job + broadcast + crossJoin
+    val banded =
+      if (effBands == 1) pts.withColumn("_bkt", lit(0))
+      else {
+        val bounds = pts
+          .agg(Sketch.hashSample(concat_ws(" ", col("_p"), col("_q")),
+            col("_p"), sampleK).as("_smp"))
+          .select(array((1 until effBands).map(i =>
+            Sketch.sampleQuantile(col("_smp"), i.toDouble / effBands)): _*)
+            .as("_bl"))
+        // band 0 = highest-_p range: count boundaries strictly above _p.
+        // Equal _p always lands in ONE band, so every cross-band dominator
+        // has strictly greater _p and dominance needs only _q ≤ ours.
+        pts.crossJoin(broadcast(bounds))
+          .withColumn("_bkt",
+            size(filter(col("_bl"), b => b > col("_p").cast("double"))))
+          .drop("_bl")
+      }
     val w = Window.partitionBy("_bkt").orderBy(col("_p").desc, col("_q").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = banded.withColumn("_m", min("_q").over(w))
       .filter(col("_m").isNull || col("_q") < col("_m"))
     // cross-band merge: the running min _q over all strictly-higher-_p
-    // bands, from the ≤`bands`-row per-band min table (broadcast self-join)
-    val mins = banded.groupBy("_bkt").agg(min("_q").as("_mn"))
-    val prior = mins.as("a")
-      .join(broadcast(mins.as("b")), col("b._bkt") < col("a._bkt"))
-      .groupBy(col("a._bkt").as("_bkt")).agg(min(col("b._mn")).as("_pm"))
-    val sky = local.join(broadcast(prior), Seq("_bkt"), "left")
-      .filter(col("_pm").isNull || col("_q") < col("_pm"))
-      .select("_p", "_q")
+    // bands, from the ≤`bands`-row per-band min table (broadcast
+    // self-join). ONE band makes the merge vacuous — skip its two jobs
+    val sky =
+      if (effBands == 1) local.select("_p", "_q")
+      else {
+        val mins = banded.groupBy("_bkt").agg(min("_q").as("_mn"))
+        val prior = mins.as("a")
+          .join(broadcast(mins.as("b")), col("b._bkt") < col("a._bkt"))
+          .groupBy(col("a._bkt").as("_bkt")).agg(min(col("b._mn")).as("_pm"))
+        local.join(broadcast(prior), Seq("_bkt"), "left")
+          .filter(col("_pm").isNull || col("_q") < col("_pm"))
+          .select("_p", "_q")
+      }
     df.join(broadcast(sky),
         df(maxCol) === sky("_p") && df(minCol) === sky("_q"))
       .drop("_p", "_q")

@@ -40,13 +40,22 @@ object Dedup {
   /** Join-strategy pick for the doc-sized norm/size relation joined onto
     * the Σdf² pair relation, gated by the FREE corpus row count
     * (parquet-footer metadata threaded by the caller, the
-    * Checks.uniquenessFor pattern; 0 = unknown/small): broadcast while
-    * the side fits comfortably (≤ 2²¹ docs ≈ 32 MB), SHUFFLE_HASH
-    * beyond — the fallback must build a hash map on the doc-sized side,
-    * never sort-merge (which sorts the pair relation TWICE; measured
-    * 464 s of pure pair-table sort at the 100× rehearsal — README). */
-  private[graft] def normJoinHint(docRows: Long): String =
-    if (docRows > (1L << 21)) "shuffle_hash" else "broadcast"
+    * Checks.uniquenessFor pattern): broadcast while the side fits
+    * comfortably (≤ 2²¹ docs ≈ 32 MB), SHUFFLE_HASH beyond — the
+    * fallback must build a hash map on the doc-sized side, never
+    * sort-merge (which sorts the pair relation TWICE; measured 464 s of
+    * pure pair-table sort at the 100× rehearsal — README). docRows ≤ 0
+    * means UNKNOWN: emit NO hint and let AQE pick from the observed
+    * runtime size — forcing broadcast on an unmeasured corpus would be
+    * a driver-memory bet an external caller never agreed to. */
+  private[graft] def normJoinHint(docRows: Long): Option[String] =
+    if (docRows <= 0L) None
+    else if (docRows > (1L << 21)) Some("shuffle_hash")
+    else Some("broadcast")
+
+  /** Apply an optional join-strategy hint (None = let AQE decide). */
+  private[graft] def maybeHint(df: DataFrame, h: Option[String]): DataFrame =
+    h.fold(df)(df.hint(_))
 
   private def fence(df: DataFrame): DataFrame = {
     val p = df.localCheckpoint(eager = true)
@@ -240,10 +249,10 @@ object Dedup {
       // size table fits, SHUFFLE_HASH beyond it, NEVER the sort-merge
       // default that sorts the pair relation twice (the 100×-rehearsal
       // finding — README)
-      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a"))
-        .hint(normHint), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b"))
-        .hint(normHint), "id_b")
+      .join(maybeHint(sizes.select(col("id").as("id_a"), col("n").as("n_a")),
+        normHint), "id_a")
+      .join(maybeHint(sizes.select(col("id").as("id_b"), col("n").as("n_b")),
+        normHint), "id_b")
     // both directed rows from ONE pass (a union would reference `common`
     // twice and re-run the whole pair pipeline per arm)
     common.select(explode(array(
@@ -746,12 +755,12 @@ private[graft] object CosineTfStages {
     * 100× rehearsal: 464 s of pair-table sort vs pair-scan time —
     * README). */
   def score(dots: DataFrame, norms: DataFrame,
-            hint: String = "broadcast"): DataFrame =
+            hint: Option[String] = Some("broadcast")): DataFrame =
     dots
-      .join(norms.select(col("id").as("id_a"), col("nsq").as("nsq_a"))
-        .hint(hint), "id_a")
-      .join(norms.select(col("id").as("id_b"), col("nsq").as("nsq_b"))
-        .hint(hint), "id_b")
+      .join(Dedup.maybeHint(
+        norms.select(col("id").as("id_a"), col("nsq").as("nsq_a")), hint), "id_a")
+      .join(Dedup.maybeHint(
+        norms.select(col("id").as("id_b"), col("nsq").as("nsq_b")), hint), "id_b")
       .withColumn("cos2_fp", expr(
         """(cast(dot as decimal(38,0)) * cast(dot as decimal(38,0))
           | * 1000000000000L)

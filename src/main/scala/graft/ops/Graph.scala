@@ -865,28 +865,91 @@ object Graph {
     * the oracle unrolls the identical rounds whether or not the graph
     * has converged.
     *
-    * Scale shape: support is ONE self-join of the symmetric edge list
-    * on the shared-neighbour key plus one re-aggregation on the edge
-    * key — both shuffles co-partition on edge endpoints, nothing is
-    * ever materialized beyond the wedge rows the triangle join itself
-    * enumerates (the [[triangleCounts]] bound). Per-round eager
-    * localCheckpoint truncates lineage (the peel-loop lesson). */
+    * Scale shape: support rides the SAME degree orientation as
+    * [[triangleCounts]] (Suri & Vassilvitskii WWW'11) — every edge is
+    * directed from its (degree, id)-smaller endpoint, so wedge
+    * generation is Σ outdeg² ≤ m·√m instead of the Σ deg² a raw
+    * symmetric self-join pays (a power-law hub of degree h would emit h²
+    * wedge rows per round under the naive join; oriented, its out-degree
+    * is O(√m) regardless of h — no extra hub cap needed, the bound is
+    * structural). The ranks come from the INITIAL degrees, computed ONCE
+    * and carried through the peels as edge annotations: any fixed total
+    * order enumerates each triangle exactly once at its rank-minimal
+    * corner, peeling only removes edges so per-round out-degrees never
+    * exceed their initial O(√m₀) bound, and per round the orientation is
+    * then a pure PROJECTION of the checkpointed edge set — no degree
+    * re-aggregation, no rank re-join, no second lineage fence. Each
+    * surviving triangle contributes one support count to each of its
+    * three edges via a canonical (least, greatest) key explode; support
+    * totals are orientation-invariant, so the result is identical to the
+    * unoriented join's. Input contract: deduplicated `a < b` pairs
+    * (route dirty lists through [[normalize]]) — the canonical support
+    * keys join back on exactly that form. Per-round eager
+    * localCheckpoint truncates lineage (the peel-loop lesson).
+    *
+    * Small-graph driver gate (the [[localUnionFindLabels]] / textRank
+    * precedent): the output is per-round COUNTS, and a ≤`localMaxEdges`
+    * integral edge list peels in milliseconds of driver set-intersection
+    * against ~20 distributed jobs of round scaffolding (measured: the
+    * 3.6k-edge sf0.1 co-purchase graph spent 3-4 s on scheduling alone).
+    * Spec-proven bit-equal to the distributed loop; `localMaxEdges = 0`
+    * forces the distributed path (the scale path, and the one the hub
+    * fixture pins the wedge bound on). */
   def kTruss(pairs: DataFrame, aCol: String, bCol: String,
-             k: Int, rounds: Int): DataFrame = {
+             k: Int, rounds: Int, localMaxEdges: Long = 16384L): DataFrame = {
     require(k >= 3 && rounds >= 1 && rounds <= 16)
     retireLastGeneration()
-    var e = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+    val e0 = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+    // clamp BEFORE toInt (the bpeTrain Int-wrap lesson)
+    val cap = math.max(0L, math.min(localMaxEdges, (Int.MaxValue - 1).toLong))
+    val integral = {
+      import org.apache.spark.sql.types._
+      e0.schema.forall(_.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      })
+    }
+    if (cap > 0 && integral && e0.limit(cap.toInt + 1).count() <= cap)
+      return localTrussStats(e0, k, rounds)
+    val deg = e0.select(col("a").as("u")).union(e0.select(col("b").as("u")))
+      .groupBy("u").agg(count(lit(1)).as("d"))
+    var e = e0
+      .join(deg.select(col("u").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("u").as("b"), col("d").as("db")), "b")
+      .select("a", "b", "da", "db")
       .localCheckpoint(eager = true)
     val stats = (1 to rounds).map { r =>
-      val d = e.select(col("a").as("u"), col("b").as("v"))
-        .union(e.select(col("b").as("u"), col("a").as("v")))
-      val x = d.select(col("u").as("xu"), col("v").as("xv"))
-      val y = d.select(col("u").as("yu"), col("v").as("yv"))
-      e = e.join(x, col("xu") === col("a"))
-        .join(y, col("yu") === col("b") && col("yv") === col("xv"))
+      // (initial degree, id)-orientation as a projection of the fenced
+      // edge set: u = rank-smaller endpoint, dv = the head's rank degree
+      val fwd = col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b"))
+      val oriented = e.select(
+        when(fwd, col("a")).otherwise(col("b")).as("u"),
+        when(fwd, col("b")).otherwise(col("a")).as("v"),
+        when(fwd, col("db")).otherwise(col("da")).as("dv"))
+      val e1 = oriented.select(col("u").as("w_u"), col("v").as("x"), col("dv").as("dx"))
+      val e2 = oriented.select(col("u").as("w_u"), col("v").as("y"), col("dv").as("dy"))
+      val wedges = e1.join(e2, "w_u")
+        .filter(col("dx") < col("dy") ||
+          (col("dx") === col("dy") && col("x") < col("y")))
+        .select(col("w_u"), col("x"), col("y"))
+      val tri = wedges.join(
+        oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+      val sup = tri.select(explode(array(
+          struct(least(col("w_u"), col("x")).as("sa"),
+            greatest(col("w_u"), col("x")).as("sb")),
+          struct(least(col("w_u"), col("y")).as("sa"),
+            greatest(col("w_u"), col("y")).as("sb")),
+          struct(least(col("x"), col("y")).as("sa"),
+            greatest(col("x"), col("y")).as("sb")))).as("ek"))
+        .select(col("ek.sa").as("a"), col("ek.sb").as("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("sup"))
+      // inner join: an edge closing zero triangles has no support row and
+      // must drop — k >= 3 makes the threshold >= 1, so that IS the filter.
+      // The static rank annotations ride along into the next round.
+      e = e.join(sup, Seq("a", "b"))
         .filter(col("sup") >= k - 2)
-        .select("a", "b")
+        .select("a", "b", "da", "db")
         .localCheckpoint(eager = true)
       e.select(explode(array(col("a"), col("b"))).as("u"))
         .agg(countDistinct("u").as("n_nodes"),
@@ -894,6 +957,36 @@ object Graph {
         .select(lit(r).as("round"), col("n_nodes"), col("n_edges"))
     }
     stats.reduce(_ union _)
+  }
+
+  /** Driver truss peel over a gate-checked-small integral edge list —
+    * the same per-round recurrence as the distributed loop (support =
+    * shared-neighbour count within the surviving edge set, drop
+    * support < k−2), counts only. Adjacency sets rebuild per round from
+    * the surviving edges, exactly like the distributed rounds re-derive
+    * their wedges. */
+  private def localTrussStats(e0: DataFrame, k: Int,
+                              rounds: Int): DataFrame = {
+    val spark = e0.sparkSession
+    import spark.implicits._
+    var edges = e0.select(col("a").cast("long"), col("b").cast("long"))
+      .as[(Long, Long)].collect().toSeq
+    val stats = (1 to rounds).map { r =>
+      val adj = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.HashSet[Long]]
+      edges.foreach { case (a, b) =>
+        adj.getOrElseUpdate(a, scala.collection.mutable.HashSet.empty) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.HashSet.empty) += a
+      }
+      edges = edges.filter { case (a, b) =>
+        val (s, t) =
+          if (adj(a).size <= adj(b).size) (adj(a), adj(b)) else (adj(b), adj(a))
+        s.count(t.contains) >= k - 2
+      }
+      val nodes = edges.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+      (r, nodes.size.toLong, edges.size.toLong)
+    }
+    spark.createDataFrame(stats).toDF("round", "n_nodes", "n_edges")
   }
 
   /** Connected components by MIN-LABEL PROPAGATION to the fixed point:
@@ -1448,8 +1541,17 @@ object Graph {
     // coerces the two endpoint types; mirror it via the union schema
     val outType = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).schema("id").dataType
+    // partitions sized by the EDGE relation, not the node count: every
+    // per-round join and re-aggregate scans the |E|-row bySrc/byDst
+    // copies, so a node-count rule starves the loop on dense graphs
+    // (the sf0.1 purchase bipartite graph: 590k edges / 15k hubs → 4
+    // partitions = 4 of 32 cores; edge-sized it uses 13). ~50k edges per
+    // partition amortizes task overhead at fixture scale and caps at
+    // defaultParallelism for any larger graph.
+    val m = e.count()
     val p = math.max(1L, math.min(
-      spark.sparkContext.defaultParallelism.toLong, nh / 5000L + 1L)).toInt
+      spark.sparkContext.defaultParallelism.toLong,
+      math.max(nh / 5000L, m / 50000L) + 1L)).toInt
     val part = new HashPartitioner(p)
     val bySrc: RDD[(Long, Long)] = e
       .select(col("src").cast("long"), col("dst").cast("long"))

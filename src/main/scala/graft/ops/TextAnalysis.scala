@@ -374,7 +374,11 @@ object TextAnalysis {
                merges: Int, localMaxRows: Long = 65536): DataFrame = {
     require(merges >= 1 && merges <= 4096, s"merges in [1,4096]: $merges")
     val spark = words.sparkSession
-    if (words.limit(localMaxRows.toInt.max(0) + 1).count() <= localMaxRows) {
+    // clamp BEFORE the Int conversion: a localMaxRows above Int.MaxValue
+    // would wrap negative in toInt, turn the probe into limit(1), and
+    // pass the gate on ANY corpus — collecting it all to the driver
+    val localCap = math.max(0L, math.min(localMaxRows, (Int.MaxValue - 1).toLong))
+    if (words.limit(localCap.toInt + 1).count() <= localCap) {
       import spark.implicits._
       val vocab = words
         .select(col(wordCol).cast("string"), col(freqCol).cast("long"))
@@ -407,6 +411,13 @@ object TextAnalysis {
       else {
         val l = top(0).getString(0)
         val r = top(0).getString(1)
+        // the merged symbols are about to be interpolated into a literal
+        // `replace` expression: a contract-violating vocab (quotes, regex
+        // or SQL metacharacters — the ^[a-z]{2,}$ caller filter skipped)
+        // must fail HERE, loudly, not as a malformed/injected expression
+        require(l.matches("[a-z]+") && r.matches("[a-z]+"),
+          s"bpeTrain contract violated: merge symbols ('$l', '$r') not " +
+            "^[a-z]+$ — callers must filter the vocabulary to ^[a-z]{2,}$ words")
         out += ((step, l, r, top(0).getLong(2)))
         state = state.select(
           expr(s"replace(s, ' $l  $r ', ' $l$r ')").as("s"), col("freq"))
@@ -559,6 +570,12 @@ object TextAnalysis {
                iters: Int = 5, minW: Long = 2L,
                localMaxEdges: Long = 65536): DataFrame = {
     require(iters >= 1 && iters <= 64, s"iters in [1,64]: $iters")
+    // stops are interpolated into a SQL string literal list: reject
+    // anything beyond plain lowercase words (a quote would break the
+    // expression; worse, inject) instead of generating malformed SQL
+    require(stops.forall(_.matches("[a-z]+")),
+      s"textRank stops must be ^[a-z]+$$ words: " +
+        stops.filterNot(_.matches("[a-z]+")).take(3).mkString(", "))
     val stopList = stops.map(w => s"'$w'").mkString(", ")
     val ft = expr(
       s"""filter(split(trim(lower(`$textCol`)), '\\\\s+'),
@@ -590,8 +607,11 @@ object TextAnalysis {
     // integer recurrence locally — TextRankSpec proves bit-equality to
     // the distributed loop; this only removes 2·iters tiny-job round
     // trips. The distributed loop is the scale path (localMaxEdges = 0).
-    if (localMaxEdges > 0 &&
-        e.limit(localMaxEdges.toInt + 1).count() <= localMaxEdges) {
+    // same Int-wrap clamp as bpeTrain's gate: localMaxEdges above
+    // Int.MaxValue must not collapse the probe to limit(1)
+    val edgeCap = math.min(localMaxEdges, (Int.MaxValue - 1).toLong)
+    if (edgeCap > 0 &&
+        e.limit(edgeCap.toInt + 1).count() <= edgeCap) {
       val spark = docs.sparkSession
       import spark.implicits._
       val ed = e.select(col("src"), col("dst"), col("w"), col("tw"))

@@ -54,6 +54,11 @@ object RelationalQueries {
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private val purchaseEdgesCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  // basketItems' maxBasket = 1024 hub-basket exclusion is part of THIS
+  // graph's contract too: every oracle built on the li/pp co-purchase
+  // prefix carries the matching `lok` HAVING count(*) <= 1024 CTE, so a
+  // corpus with a >1024-item order peels identically on both engines
+  // (inert on TPC-H fixtures — baskets are <= 7 items)
   private def copurchasePairs(s: SparkSession, dir: String): DataFrame =
     copurchaseCache.getOrElseUpdate(dir, {
       import graft.ops.Affinity
@@ -475,7 +480,11 @@ object RelationalQueries {
     "q_skyline_parts" -> ((s, dir) =>
       graft.ops.Analytics.skyline2D(
           t(s, dir, "part").select("p_partkey", "p_retailprice", "p_size"),
-          "p_retailprice", "p_size")
+          "p_retailprice", "p_size",
+          // footer row count gates the small-input one-band path (the
+          // banding ladder costs more than it shards below ~4M rows);
+          // the frontier is band-invariant so the hash cannot change
+          rows = graft.Tables.footerRowCount(dir, "part"))
         .select(col("p_partkey").as("part_id"),
           col("p_retailprice").as("price"),
           col("p_size").cast("long").as("size"))
@@ -2620,8 +2629,10 @@ object RelationalQueries {
          |      FROM e JOIN $prev p ON p.id = e.src, nn
          |      GROUP BY e.dst, nn.n)""".stripMargin
     }
-    s"""WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
-       |            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+    s"""WITH li0 AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+       |             WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |lok AS (SELECT bk FROM li0 GROUP BY 1 HAVING count(*) <= 1024),
+       |li AS (SELECT li0.bk, li0.it FROM li0 JOIN lok ON lok.bk = li0.bk),
        |pp AS (SELECT a.it AS src, b.it AS dst, count(*) AS w
        |       FROM li a JOIN li b ON a.bk = b.bk AND a.it < b.it
        |       GROUP BY 1, 2 HAVING count(*) >= 2),
@@ -2653,8 +2664,10 @@ object RelationalQueries {
          |      FROM (SELECT src AS id FROM ow) nd
          |      CROSS JOIN ns LEFT JOIN c$i c ON c.id = nd.id)""".stripMargin
     }
-    s"""WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
-       |            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+    s"""WITH li0 AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+       |             WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |lok AS (SELECT bk FROM li0 GROUP BY 1 HAVING count(*) <= 1024),
+       |li AS (SELECT li0.bk, li0.it FROM li0 JOIN lok ON lok.bk = li0.bk),
        |pp AS (SELECT a.it AS src, b.it AS dst, count(*) AS w
        |       FROM li a JOIN li b ON a.bk = b.bk AND a.it < b.it
        |       GROUP BY 1, 2 HAVING count(*) >= 2),
@@ -2683,8 +2696,10 @@ object RelationalQueries {
          |        SELECT e.dst AS id, p.d + e.w AS d
          |        FROM e JOIN $prev p ON e.src = p.id) GROUP BY id)""".stripMargin
     }
-    s"""WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
-       |            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+    s"""WITH li0 AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+       |             WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |lok AS (SELECT bk FROM li0 GROUP BY 1 HAVING count(*) <= 1024),
+       |li AS (SELECT li0.bk, li0.it FROM li0 JOIN lok ON lok.bk = li0.bk),
        |pp AS (SELECT a.it AS src, b.it AS dst, count(*) AS n_ab
        |       FROM li a JOIN li b ON a.bk = b.bk AND a.it < b.it
        |       GROUP BY 1, 2 HAVING count(*) >= 2),
@@ -2709,8 +2724,10 @@ object RelationalQueries {
          |        SELECT id, l, row_number() OVER (PARTITION BY id
          |          ORDER BY c DESC, l) AS rn FROM c$i) WHERE rn = 1)""".stripMargin
     }
-    s"""WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
-       |            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+    s"""WITH li0 AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+       |             WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |lok AS (SELECT bk FROM li0 GROUP BY 1 HAVING count(*) <= 1024),
+       |li AS (SELECT li0.bk, li0.it FROM li0 JOIN lok ON lok.bk = li0.bk),
        |pp AS (SELECT a.it AS src, b.it AS dst
        |       FROM li a JOIN li b ON a.bk = b.bk AND a.it < b.it
        |       GROUP BY 1, 2 HAVING count(*) >= 2),
@@ -2760,8 +2777,10 @@ object RelationalQueries {
   /** q_link_predict oracle: the same wedge enumeration with the identical
     * deg ≤ 1024 hub cap, RA score as positive-operand floor division. */
   private def linkPredictSql: String =
-    s"""WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
-       |            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+    s"""WITH li0 AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+       |             WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |lok AS (SELECT bk FROM li0 GROUP BY 1 HAVING count(*) <= 1024),
+       |li AS (SELECT li0.bk, li0.it FROM li0 JOIN lok ON lok.bk = li0.bk),
        |pp AS (SELECT a.it AS src, b.it AS dst
        |       FROM li a JOIN li b ON a.bk = b.bk AND a.it < b.it
        |       GROUP BY 1, 2 HAVING count(*) >= 2),
@@ -2784,8 +2803,10 @@ object RelationalQueries {
     * denominator from the FULL symmetric degree; HUGEINT product before
     * the floor division replays the engine's DECIMAL(38,0) intermediate. */
   private def linkJaccardSql: String =
-    s"""WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
-       |            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+    s"""WITH li0 AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+       |             WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |lok AS (SELECT bk FROM li0 GROUP BY 1 HAVING count(*) <= 1024),
+       |li AS (SELECT li0.bk, li0.it FROM li0 JOIN lok ON lok.bk = li0.bk),
        |pp AS (SELECT a.it AS src, b.it AS dst
        |       FROM li a JOIN li b ON a.bk = b.bk AND a.it < b.it
        |       GROUP BY 1, 2 HAVING count(*) >= 2),
@@ -2824,8 +2845,10 @@ object RelationalQueries {
     val arms = (1 to 5).map(t =>
       s"SELECT seed, walk, CAST($t AS BIGINT) AS step, node FROM f$t")
       .mkString("\n  UNION ALL ")
-    s"""WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
-       |            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+    s"""WITH li0 AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+       |             WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |lok AS (SELECT bk FROM li0 GROUP BY 1 HAVING count(*) <= 1024),
+       |li AS (SELECT li0.bk, li0.it FROM li0 JOIN lok ON lok.bk = li0.bk),
        |pp AS (SELECT a.it AS src, b.it AS dst
        |       FROM li a JOIN li b ON a.bk = b.bk AND a.it < b.it
        |       GROUP BY 1, 2 HAVING count(*) >= 2),
@@ -2857,8 +2880,10 @@ object RelationalQueries {
          |               + (d.dm * 85) // (100 * nn.n) AS pr
          |      FROM nodes LEFT JOIN c$i c ON c.id = nodes.id, d$i d, nn)""".stripMargin
     }
-    s"""WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
-       |            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+    s"""WITH li0 AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+       |             WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |lok AS (SELECT bk FROM li0 GROUP BY 1 HAVING count(*) <= 1024),
+       |li AS (SELECT li0.bk, li0.it FROM li0 JOIN lok ON lok.bk = li0.bk),
        |pp AS (SELECT a.it AS src, b.it AS dst, count(*) AS w
        |       FROM li a JOIN li b ON a.bk = b.bk AND a.it < b.it
        |       GROUP BY 1, 2 HAVING count(*) >= 2),
@@ -2877,6 +2902,10 @@ object RelationalQueries {
     * to `depth` rounds (past the integer fixed point), every round
     * MATERIALIZED — each check round is referenced twice (next round +
     * its delta), and default inlining would double the chain per check.
+    * The BASE relations (ow/e/nn) are MATERIALIZED too: e is referenced
+    * by all `depth` rounds, so default inlining re-derives the whole
+    * li→pp→edges→ow graph build 208× — measured 453 s of the round-12
+    * oracle gate at sf0.01, collapsing to seconds once pinned.
     * n_iters = the first multiple of `checkEvery` whose L1 delta against
     * the previous check is zero — the engine's exact stop rule — and the
     * reported ranks are p_depth, which equals the fixed point for any
@@ -2896,16 +2925,18 @@ object RelationalQueries {
          |  (SELECT COALESCE(sum(abs(a.pr - b.pr)), 0)
          |   FROM p$k a JOIN p${k - checkEvery} b ON a.id = b.id) AS d""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
-       |            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+    s"""WITH li0 AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+       |             WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |lok AS (SELECT bk FROM li0 GROUP BY 1 HAVING count(*) <= 1024),
+       |li AS (SELECT li0.bk, li0.it FROM li0 JOIN lok ON lok.bk = li0.bk),
        |pp AS (SELECT a.it AS src, b.it AS dst, count(*) AS w
        |       FROM li a JOIN li b ON a.bk = b.bk AND a.it < b.it
        |       GROUP BY 1, 2 HAVING count(*) >= 2),
        |edges AS (SELECT src, dst, w FROM pp UNION ALL SELECT dst, src, w FROM pp),
-       |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS tw FROM edges GROUP BY 1),
-       |e AS (SELECT edges.src, edges.dst, edges.w, ow.tw
+       |ow AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS tw FROM edges GROUP BY 1),
+       |e AS MATERIALIZED (SELECT edges.src, edges.dst, edges.w, ow.tw
        |      FROM edges JOIN ow ON ow.src = edges.src),
-       |nn AS (SELECT count(*) AS n FROM ow),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM ow),
        |p0 AS MATERIALIZED (SELECT ow.src AS id, 1000000000000 // nn.n AS pr FROM ow, nn),
        |${(1 to depth).map(round).mkString(",\n")},
        |checks AS ($checks),
@@ -2943,8 +2974,10 @@ object RelationalQueries {
          |   FROM (SELECT a AS u FROM e$i UNION ALL SELECT b FROM e$i)) AS n_nodes,
          |  count(*) AS n_edges FROM e$i""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
-       |            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+    s"""WITH li0 AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+       |             WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |lok AS (SELECT bk FROM li0 GROUP BY 1 HAVING count(*) <= 1024),
+       |li AS (SELECT li0.bk, li0.it FROM li0 JOIN lok ON lok.bk = li0.bk),
        |pp AS (SELECT a.it AS a, b.it AS b
        |       FROM li a JOIN li b ON a.bk = b.bk AND a.it < b.it
        |       GROUP BY 1, 2 HAVING count(*) >= 2),
@@ -2967,8 +3000,10 @@ object RelationalQueries {
     val counts = (0 to depth).map(i =>
       s"SELECT $i AS r, count(DISTINCT u) AS n_nodes, count(*) // 2 AS n_edges FROM e$i")
       .mkString("\nUNION ALL ")
-    s"""WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
-       |            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+    s"""WITH li0 AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+       |             WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |lok AS (SELECT bk FROM li0 GROUP BY 1 HAVING count(*) <= 1024),
+       |li AS (SELECT li0.bk, li0.it FROM li0 JOIN lok ON lok.bk = li0.bk),
        |pp AS (SELECT a.it AS a, b.it AS b
        |       FROM li a JOIN li b ON a.bk = b.bk AND a.it < b.it
        |       GROUP BY 1, 2 HAVING count(*) >= 2),
@@ -2993,8 +3028,10 @@ object RelationalQueries {
          |    UNION ALL
          |    SELECT e0.v AS id, p.l FROM e0 JOIN l${i - 1} p ON p.id = e0.u
          |  ) GROUP BY id)""".stripMargin
-    s"""WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
-       |            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+    s"""WITH li0 AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+       |             WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |lok AS (SELECT bk FROM li0 GROUP BY 1 HAVING count(*) <= 1024),
+       |li AS (SELECT li0.bk, li0.it FROM li0 JOIN lok ON lok.bk = li0.bk),
        |pp AS (SELECT a.it AS a, b.it AS b
        |       FROM li a JOIN li b ON a.bk = b.bk AND a.it < b.it
        |       GROUP BY 1, 2 HAVING count(*) >= 2),
@@ -3063,8 +3100,10 @@ object RelationalQueries {
     // Local clustering oracle: direct a<b<c triangle enumeration over the
     // deduplicated pair list; HUGEINT product before the floor division.
     "q_local_clustering" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
-        |            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      """WITH li0 AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+        |             WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |lok AS (SELECT bk FROM li0 GROUP BY 1 HAVING count(*) <= 1024),
+        |li AS (SELECT li0.bk, li0.it FROM li0 JOIN lok ON lok.bk = li0.bk),
         |pp AS (SELECT a.it AS src, b.it AS dst
         |       FROM li a JOIN li b ON a.bk = b.bk AND a.it < b.it
         |       GROUP BY 1, 2 HAVING count(*) >= 2),
@@ -3100,8 +3139,10 @@ object RelationalQueries {
     // triangles are orientation-invariant, so the oracle can use the plain
     // a<b edge order: each {a<b<c} closes as (a,b)+(b,c)+(a,c) exactly once
     "q_kcore" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
-        |            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      """WITH li0 AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+        |             WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |lok AS (SELECT bk FROM li0 GROUP BY 1 HAVING count(*) <= 1024),
+        |li AS (SELECT li0.bk, li0.it FROM li0 JOIN lok ON lok.bk = li0.bk),
         |pp AS (SELECT a.it AS a, b.it AS b
         |       FROM li a JOIN li b ON a.bk = b.bk AND a.it < b.it
         |       GROUP BY 1, 2 HAVING count(*) >= 2),
@@ -3122,8 +3163,10 @@ object RelationalQueries {
         |SELECT 3, count(DISTINCT u), count(*) // 2 FROM e3
         |ORDER BY round""".stripMargin,
     "q_triangles" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
-        |            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      """WITH li0 AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+        |             WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |lok AS (SELECT bk FROM li0 GROUP BY 1 HAVING count(*) <= 1024),
+        |li AS (SELECT li0.bk, li0.it FROM li0 JOIN lok ON lok.bk = li0.bk),
         |pp AS (SELECT a.it AS a, b.it AS b
         |       FROM li a JOIN li b ON a.bk = b.bk AND a.it < b.it
         |       GROUP BY 1, 2 HAVING count(*) >= 2),

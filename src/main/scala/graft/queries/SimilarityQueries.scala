@@ -1599,7 +1599,11 @@ object SimilarityQueries {
     * exact integer d² to the candidate set), candidates are weighted by
     * first-wins assignment counts, and k seeds come from an unrolled
     * greedy weighted k-center (HUGEINT scores ≙ the engine's BigInt).
-    * Produces the same c0 shape the Lloyd-round unroll consumes. */
+    * Produces the same c0 shape the Lloyd-round unroll consumes.
+    * EVERY chained CTE is MATERIALIZED (the trussSql lesson): kch_j is
+    * referenced three times per greedy level (candidate join, NOT IN,
+    * union), so default inlining re-expands the whole prefix 3^k-fold —
+    * measured 453 s at sf0.01 (500 vectors!) before pinning. */
   private def kmeansKparPrefixSql(k: Int, iters: Int, rounds: Int,
                                   l: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
@@ -1607,17 +1611,17 @@ object SimilarityQueries {
       s"""kd$r AS MATERIALIZED (
          |  SELECT hh.id, min(${kmD2IntSql("hh.q", "c.q")}) AS d2
          |  FROM hh CROSS JOIN kp${r - 1} c GROUP BY hh.id),
-         |ks$r AS (
+         |ks$r AS MATERIALIZED (
          |  SELECT hh.q,
          |         CAST($off AS BIGINT) + row_number() OVER (
          |           ORDER BY hh.u / CAST(d.d2 AS DOUBLE), hh.h, hh.id) - 1 AS ord
          |  FROM kd$r d JOIN hh USING (id)
          |  WHERE d.d2 > 0
          |  QUALIFY ord < $off + $l),
-         |kp$r AS (SELECT * FROM kp${r - 1} UNION ALL SELECT q, ord FROM ks$r)""".stripMargin
+         |kp$r AS MATERIALIZED (SELECT * FROM kp${r - 1} UNION ALL SELECT q, ord FROM ks$r)""".stripMargin
     }.mkString(",\n")
     val greedy = (2 to k).map { j =>
-      s"""kg$j AS (
+      s"""kg$j AS MATERIALIZED (
          |  SELECT w2.ord, w2.q, CAST(${j - 1} AS BIGINT) AS cell FROM (
          |    SELECT w.ord,
          |           CAST(any_value(w.w) AS HUGEINT) *
@@ -1626,7 +1630,7 @@ object SimilarityQueries {
          |    WHERE w.ord NOT IN (SELECT ord FROM kch${j - 1})
          |    GROUP BY w.ord
          |    ORDER BY score DESC, w.ord LIMIT 1) t JOIN kwgt w2 ON t.ord = w2.ord),
-         |kch$j AS (SELECT * FROM kch${j - 1} UNION ALL SELECT ord, q, cell FROM kg$j)""".stripMargin
+         |kch$j AS MATERIALIZED (SELECT * FROM kch${j - 1} UNION ALL SELECT ord, q, cell FROM kg$j)""".stripMargin
     }.mkString(",\n")
     val lloydRounds = (1 to iters).map(kmeansIterSql).mkString(",\n")
     s"""WITH e0 AS MATERIALIZED (
@@ -1639,7 +1643,7 @@ object SimilarityQueries {
        |  SELECT vec_id AS id, q, md5(CAST(vec_id AS VARCHAR)) AS h,
        |         ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 16))::UBIGINT::DOUBLE AS u
        |  FROM e0),
-       |kp0 AS (SELECT q, CAST(0 AS BIGINT) AS ord FROM (
+       |kp0 AS MATERIALIZED (SELECT q, CAST(0 AS BIGINT) AS ord FROM (
        |  SELECT q, row_number() OVER (ORDER BY h, id) AS rk FROM hh) z WHERE rk = 1),
        |$roundCtes,
        |kasn AS MATERIALIZED (
@@ -1653,10 +1657,10 @@ object SimilarityQueries {
        |  SELECT c.ord, c.q, COALESCE(a.w, CAST(0 AS BIGINT)) AS w
        |  FROM kp$rounds c LEFT JOIN
        |    (SELECT ord, count(*) AS w FROM kasn GROUP BY ord) a USING (ord)),
-       |kch1 AS (SELECT ord, q, CAST(0 AS BIGINT) AS cell FROM (
+       |kch1 AS MATERIALIZED (SELECT ord, q, CAST(0 AS BIGINT) AS cell FROM (
        |  SELECT ord, q FROM kwgt ORDER BY w DESC, ord LIMIT 1) t),
        |$greedy,
-       |c0 AS (SELECT cell, q AS s, CAST(1 AS BIGINT) AS n FROM kch$k),
+       |c0 AS MATERIALIZED (SELECT cell, q AS s, CAST(1 AS BIGINT) AS n FROM kch$k),
        |$lloydRounds""".stripMargin
   }
 

@@ -104,7 +104,16 @@ object DeadLetterSink {
       .withColumn("ym", date_format(col("_t"), "yyyy-MM"))
       .withColumn("dd", date_format(col("_t"), "dd"))
       .select("log_type", "ym", "dd", "payload")
-    keyed.write
+    // co-locate each (log_type, ym, dd) directory into one task before
+    // the partitioned write: without this every upstream partition cuts
+    // a file into every directory it touches — at 32 source partitions ×
+    // ~200 date dirs that is thousands of kilobyte gzip objects and a
+    // file-commit storm per run (the row's bench spread), and at 100 TB
+    // it is the classic small-file explosion. One shuffle on the
+    // partition key buys one object per directory; dead-letter rows are
+    // a trickle relative to the corpus, so per-key skew is bounded by
+    // the layout's own day granularity.
+    keyed.repartition(col("log_type"), col("ym"), col("dd")).write
       .partitionBy("log_type", "ym", "dd")
       .option("compression", "gzip")
       .mode(SaveMode.Append)

@@ -173,6 +173,28 @@ class AnalyticsSpec extends SparkSpec {
         s"bands=$b sampleK=$k")
   }
 
+  test("skyline small-input gate: one band below the cutoff, banded above") {
+    val rows = (1L to 300L).map(i =>
+      (i, ((i * 17) % 59).toDouble, ((i * 31) % 47).toInt))
+    val df = rows.toDF("id", "p", "q")
+    val brute = rows.filter { case (_, p, q) =>
+      !rows.exists { case (_, p2, q2) =>
+        p2 >= p && q2 <= q && (p2 > p || q2 < q) }
+    }.map(_._1).toSet
+    def plan(metaRows: Long) = Analytics.skyline2D(df, "p", "q", rows = metaRows)
+      .queryExecution.executedPlan.toString
+    // below the cutoff: no sample/quantile ladder in the plan, same frontier
+    assert(!plan(1000L).contains("kmin_pairs"),
+      "gated plan still carries the band-boundary sample aggregate")
+    assert(Analytics.skyline2D(df, "p", "q", rows = 1000L)
+      .select("id").as[Long].collect().toSet == brute)
+    // above the cutoff (and at rows = 0 = unknown): the banded scale path
+    assert(plan(Analytics.SkylineSmallRows + 1).contains("kmin_pairs"),
+      "large metadata row count must keep the banded path")
+    assert(plan(0L).contains("kmin_pairs"),
+      "unknown size must keep the banded path")
+  }
+
   test("skyline plans only partitioned windows") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val df = (1L to 50L).map(i => (i, i.toDouble, (i % 7).toInt))

@@ -96,4 +96,24 @@ class BpeSpec extends SparkSpec {
       assert(got == Seq((1, "c", "d", 2L), (2, "a", "b", 1L)), s"gate=$gate")
     }
   }
+
+  test("bpeTrain fails loudly on contract-violating symbols, never injects") {
+    // a vocab word carrying a quote would otherwise be interpolated into
+    // the distributed loop's literal replace() expression
+    val dirty = Seq(("a'b", 5L)).toDF("w", "freq")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.bpeTrain(dirty, "w", "freq", merges = 2, localMaxRows = 0)
+    }
+    assert(e.getMessage.contains("contract violated"))
+  }
+
+  test("bpeTrain driver gate clamps, never wraps, above Int.MaxValue") {
+    // localMaxRows = 1L << 31 used to wrap to limit(1) and pass the gate
+    // on any corpus; clamped, it still routes this tiny vocab locally
+    val words = Map("ab" -> 1L, "cd" -> 2L)
+    val got = TextAnalysis.bpeTrain(words.toSeq.toDF("w", "freq"),
+        "w", "freq", merges = 10, localMaxRows = 1L << 31)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1, "c", "d", 2L), (2, "a", "b", 1L)))
+  }
 }

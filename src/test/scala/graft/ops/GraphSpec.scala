@@ -634,7 +634,12 @@ class GraphSpec extends SparkSpec {
   }
 
   private def trussRounds(pairs: (Long, Long)*): Seq[(Int, Long, Long)] =
-    Graph.kTruss(pairs.toDF("a", "b"), "a", "b", k = 4, rounds = 3)
+    trussRoundsGate(16384L, pairs: _*)
+
+  private def trussRoundsGate(gate: Long,
+                              pairs: (Long, Long)*): Seq[(Int, Long, Long)] =
+    Graph.kTruss(pairs.toDF("a", "b"), "a", "b", k = 4, rounds = 3,
+        localMaxEdges = gate)
       .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
 
   test("k-truss: K4 is its own 4-truss — every edge closes 2 triangles") {
@@ -650,6 +655,31 @@ class GraphSpec extends SparkSpec {
     val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
     assert(trussRounds(k4 ++ Seq((3L, 5L), (4L, 5L)): _*) ==
       Seq((1, 4L, 6L), (2, 4L, 6L), (3, 4L, 6L)))
+  }
+
+  test("k-truss: a degree-1000 hub doesn't blow up the wedge join") {
+    // Hub 0 linked to leaves 1..1000; nodes 1..5 also form K5. Unoriented,
+    // the hub alone would emit ~10^6 wedge rows PER ROUND (deg² at the hub);
+    // degree-oriented, hub wedges are bounded by the orientation (the hub
+    // is the (degree, id)-largest endpoint of every edge, so its
+    // out-degree is 0). Triangle math: edge (0,i≤5) closes 4 triangles,
+    // K5-internal edges close 4 (3 clique + hub), hub-leaf edges (j>5)
+    // close 0 — so round 1 peels exactly to K6 on {0..5} and the 4-truss
+    // fixed point holds from there.
+    val hub = (1L to 1000L).map(j => (0L, j))
+    val k5 = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    // gate = 0 FORCES the distributed oriented loop — this fixture pins
+    // the wedge bound, so it must never slip through the driver gate
+    assert(trussRoundsGate(0L, hub ++ k5: _*) ==
+      Seq((1, 6L, 15L), (2, 6L, 15L), (3, 6L, 15L)))
+  }
+
+  test("k-truss: driver gate is bit-equal to the distributed loop") {
+    // mixed fixture: K4 + pendant triangle + a path tail — exercises
+    // survive/peel/cascade in one graph on BOTH paths
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val fix = k4 ++ Seq((3L, 5L), (4L, 5L), (5L, 6L), (6L, 7L))
+    assert(trussRoundsGate(0L, fix: _*) == trussRoundsGate(16384L, fix: _*))
   }
 
   test("k-truss: two triangles sharing an edge cascade to empty") {

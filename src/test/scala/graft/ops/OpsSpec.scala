@@ -61,11 +61,16 @@ class OpsSpec extends SparkSpec {
   test("norm-join gate: broadcast while small, hash join past the cutoff — never a pair-table sort") {
     // the 100×-rehearsal finding: past the broadcast threshold, the
     // sort-merge default sorts the Σdf² pair relation twice. The gate
-    // must pick broadcast below 2²¹ docs and SHUFFLE_HASH above, and the
-    // big-corpus plan must contain a ShuffledHashJoin and NO SortMergeJoin
-    assert(Dedup.normJoinHint(0L) == "broadcast")
-    assert(Dedup.normJoinHint(1L << 21) == "broadcast")
-    assert(Dedup.normJoinHint((1L << 21) + 1) == "shuffle_hash")
+    // must pick broadcast below 2²¹ MEASURED docs, SHUFFLE_HASH above,
+    // and NO hint at all when the size is unknown (docRows <= 0) — a
+    // forced broadcast on an unmeasured corpus is a driver-memory bet;
+    // AQE decides from the runtime size instead. Big-corpus plan must
+    // contain a ShuffledHashJoin and NO SortMergeJoin.
+    assert(Dedup.normJoinHint(0L).isEmpty)
+    assert(Dedup.normJoinHint(-1L).isEmpty)
+    assert(Dedup.normJoinHint(1L) == Some("broadcast"))
+    assert(Dedup.normJoinHint(1L << 21) == Some("broadcast"))
+    assert(Dedup.normJoinHint((1L << 21) + 1) == Some("shuffle_hash"))
     val d = Seq((1L, "w1 w2 w3"), (2L, "w1 w2 w4")).toDF("doc_id", "text")
     def plan(rows: Long) = Dedup.cosinePairsTf(
         d, "doc_id", "text", n = 1, threshold = 0.5, maxDf = 128L,

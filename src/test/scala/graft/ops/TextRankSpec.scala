@@ -55,4 +55,24 @@ class TextRankSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(run(0L) == run(65536L)) // distributed path == driver gate
   }
+
+  test("stops are validated before SQL interpolation") {
+    // a quoted stopword would otherwise be spliced into the filter
+    // expression's literal list — reject it up front
+    val df = Seq("alpha beta").toDF("text")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.textRank(df, "text", stops = Seq("the", "o'brien"))
+    }
+    assert(e.getMessage.contains("stops must be"))
+  }
+
+  test("driver gate clamps, never wraps, above Int.MaxValue") {
+    // localMaxEdges = 1L << 31 used to wrap to limit(1); clamped it still
+    // routes this tiny graph through the driver solve with equal ranks
+    val df = Seq.fill(3)("alpha beta").toDF("text")
+    val got = TextAnalysis.textRank(df, "text", stops,
+        iters = 5, minW = 2L, localMaxEdges = 1L << 31)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("alpha" -> 500000000000L, "beta" -> 500000000000L))
+  }
 }

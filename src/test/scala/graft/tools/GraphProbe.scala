@@ -1,0 +1,50 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** One-off probe: end-to-end repeats of the two iterative graph rows the
+  * round-12 bench flagged (q_hits 4.5 s, q_ktruss ~3-7 s on a noisy box),
+  * timed INSIDE one JVM so bench scaffolding (session spin-up, layout
+  * warm, feed caches) is out of the frame. Calls the exact q_hits /
+  * q_ktruss query bodies from SparkEntry — never a copy. Run with
+  * `sbt "Test/runMain graft.tools.GraphProbe [sfDir] [reps]"`. */
+object GraphProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = if (args.length > 1) args(1).toInt else 5
+    val spark = graft.Sessions.local()
+    def t(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"PROBE $tag ${(System.nanoTime() - t0) / 1e9}%.2f s (rows=$n)")
+    }
+    // warm: table scans + one untimed run of each
+    for (tb <- Seq("lineitem", "orders", "part"))
+      graft.Tables.table(spark, dir, tb).count()
+    val qs = graft.SparkEntry.queries
+    qs("q_hits")(spark, dir).count()
+    qs("q_ktruss")(spark, dir).count()
+    qs("q_skyline_parts")(spark, dir).count()
+    (1 to reps).foreach { r =>
+      t(s"hits#$r")(qs("q_hits")(spark, dir).count())
+      t(s"ktruss#$r")(qs("q_ktruss")(spark, dir).count())
+      t(s"skyline#$r")(qs("q_skyline_parts")(spark, dir).count())
+    }
+    // HITS iteration-floor attribution: time Graph.hits at iters=1 vs
+    // iters=3 on the same purchase edges (input prep only — the operator
+    // is called as-is). Per-round cost = (t3 - t1) / 2; setup = t1 - that.
+    val edges = graft.Tables.table(spark, dir, "orders")
+      .select(col("o_custkey").as("src"), col("o_orderkey").as("ok"))
+      .join(graft.Tables.table(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("dst")), "ok")
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .select("src", "dst").distinct()
+      .localCheckpoint(eager = true)
+    println(s"PROBE purchase-edges ${edges.count()}")
+    graft.ops.Graph.hits(edges, "src", "dst", iters = 3).count() // warm
+    (1 to reps).foreach { r =>
+      t(s"hits-iters1#$r")(graft.ops.Graph.hits(edges, "src", "dst", iters = 1).count())
+      t(s"hits-iters3#$r")(graft.ops.Graph.hits(edges, "src", "dst", iters = 3).count())
+    }
+    spark.stop()
+  }
+}
