@@ -7,11 +7,17 @@ import org.apache.spark.sql.functions._
   * timed INSIDE one JVM so bench scaffolding (session spin-up, layout
   * warm, feed caches) is out of the frame. Calls the exact q_hits /
   * q_ktruss query bodies from SparkEntry — never a copy. Run with
-  * `sbt "Test/runMain graft.tools.GraphProbe [sfDir] [reps]"`. */
+  * `sbt "Test/runMain graft.tools.GraphProbe [sfDir] [reps] [mode]"`.
+  * mode `all` (default) also times the q_* query bodies; mode `ops`
+  * times only the operator-level rehearsal arms (forced-distributed
+  * k-truss on the co-purchase pairs, HITS on the purchase bipartite
+  * graph) — the like-for-like pair for the 10× graph-scaling dir, where
+  * the query-level driver gate would otherwise flip paths mid-ratio. */
 object GraphProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = if (args.length > 1) args(1).toInt else 5
+    val mode = if (args.length > 2) args(2) else "all"
     val spark = graft.Sessions.local()
     def t(tag: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val n = f
@@ -20,14 +26,38 @@ object GraphProbe {
     // warm: table scans + one untimed run of each
     for (tb <- Seq("lineitem", "orders", "part"))
       graft.Tables.table(spark, dir, tb).count()
-    val qs = graft.SparkEntry.queries
-    qs("q_hits")(spark, dir).count()
-    qs("q_ktruss")(spark, dir).count()
-    qs("q_skyline_parts")(spark, dir).count()
-    (1 to reps).foreach { r =>
-      t(s"hits#$r")(qs("q_hits")(spark, dir).count())
-      t(s"ktruss#$r")(qs("q_ktruss")(spark, dir).count())
-      t(s"skyline#$r")(qs("q_skyline_parts")(spark, dir).count())
+    if (mode == "all") {
+      val qs = graft.SparkEntry.queries
+      qs("q_hits")(spark, dir).count()
+      qs("q_ktruss")(spark, dir).count()
+      qs("q_skyline_parts")(spark, dir).count()
+      (1 to reps).foreach { r =>
+        t(s"hits#$r")(qs("q_hits")(spark, dir).count())
+        t(s"ktruss#$r")(qs("q_ktruss")(spark, dir).count())
+        t(s"skyline#$r")(qs("q_skyline_parts")(spark, dir).count())
+      }
+    }
+    // forced-distributed k-truss on the q_ktruss co-purchase pairs (the
+    // PhaseProbe pair derivation; localMaxEdges = 0 pins the scale path
+    // at BOTH rehearsal scales so the ratio never compares across paths)
+    locally {
+      val li = graft.Tables.table(spark, dir, "lineitem")
+        .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("it")).distinct()
+      val a = li.select(col("bk"), col("it").as("item_a"))
+      val b = li.select(col("bk"), col("it").as("item_b"))
+      val pairs = a.join(b, Seq("bk")).filter(col("item_a") < col("item_b"))
+        .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+        .select("item_a", "item_b")
+        .localCheckpoint(eager = true)
+      println(s"PROBE copurchase-pairs ${pairs.count()}")
+      graft.ops.Graph.kTruss(pairs, "item_a", "item_b", k = 4, rounds = 3,
+        localMaxEdges = 0L).count() // warm
+      (1 to reps).foreach { r =>
+        t(s"ktruss-dist#$r")(graft.ops.Graph.kTruss(pairs, "item_a", "item_b",
+          k = 4, rounds = 3, localMaxEdges = 0L).count())
+      }
     }
     // HITS iteration-floor attribution: time Graph.hits at iters=1 vs
     // iters=3 on the same purchase edges (input prep only — the operator
