@@ -98,9 +98,18 @@ class PlanBudgetSpec extends SparkSpec {
   // sort that "WindowExec: No Partition Defined" warns about. Guarded on
   // the optimized logical plan: every Window node must have a partition
   // spec. (Bounded-relation global windows elsewhere document their
-  // bound; these three are contractually window-safe.)
+  // bound; these are contractually window-safe.)
+  //
+  // q_skyline_parts left this list in round 12: below the
+  // Analytics.SkylineSmallRows footer cutoff the small-input gate
+  // DELIBERATELY plans one bounded-partition window (the optimizer
+  // folds the constant band id out of the partition spec), and at
+  // sf0.001 the gate always engages. The unbounded-path guard lives in
+  // AnalyticsSpec ("skyline plans only partitioned windows" pins the
+  // banded rows=0 plan; the gate spec pins that large/unknown metadata
+  // keeps that path).
   private val noGlobalWindow =
-    Seq("q_skyline_parts", "q_key_gini", "q_zorder_buckets")
+    Seq("q_key_gini", "q_zorder_buckets")
 
   noGlobalWindow.foreach { name =>
     test(s"$name plans no unpartitioned window") {
