@@ -104,7 +104,8 @@ object Graph {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                wCol: String, iters: Int = 5,
-               forceDataFrameLoop: Boolean = false): DataFrame = {
+               forceDataFrameLoop: Boolean = false,
+               localMaxEdges: Long = 65536L): DataFrame = {
     // cap 200: [[pageRankConverged]] replays this recurrence to its exact
     // integer fixed point, whose slow flooring tail can run past 50 rounds
     // even on small graphs
@@ -116,6 +117,20 @@ object Graph {
     val ed = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(wCol).as("w"))
       .transform(mat)
+    // Small-graph driver gate (the [[pageRankConvergedLocal]] / kTruss
+    // precedent): a ≤`localMaxEdges` integral edge list runs the identical
+    // fixed-iteration recurrence in a driver array loop — same Long
+    // arithmetic, same total/dangling branches, bit-equal to both
+    // distributed loops (spec-proven) — instead of paying ~10 tiny-job
+    // round trips of setup probes + per-round scheduling that dwarf the
+    // data work. One limit-probed collect decides; `localMaxEdges = 0`
+    // (or a non-integral schema) keeps the distributed path, which
+    // remains the 100 TB shape.
+    smallGraphEdges(ed, "src", "dst", Some("w"), localMaxEdges,
+        forceDataFrameLoop).foreach { es =>
+      return pageRankLocalFixed(ed.sparkSession, es,
+        ed.schema("src").dataType, iters)
+    }
     val ow = ed.groupBy("src").agg(sum(col("w")).as("tw"))
     // e feeds one join per iteration — materialize the ow join once too
     val e = ed.join(ow, "src").transform(mat)
@@ -215,12 +230,26 @@ object Graph {
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
                            wCol: String, seeds: DataFrame, seedIdCol: String,
                            iters: Int = 5,
-                           forceDataFrameLoop: Boolean = false): DataFrame = {
+                           forceDataFrameLoop: Boolean = false,
+                           localMaxEdges: Long = 65536L): DataFrame = {
     require(iters >= 1 && iters <= 200)
     retireLastGeneration()
     val ed = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(wCol).as("w"))
       .transform(mat)
+    // small-graph driver gate — see [[pageRank]]; the seed relation rides
+    // the same limit-probed collect (an over-cap seed set falls through)
+    if (integralCol(seeds, seedIdCol))
+      smallGraphEdges(ed, "src", "dst", Some("w"), localMaxEdges,
+          forceDataFrameLoop).foreach { es =>
+        val cap = math.max(0L, math.min(localMaxEdges,
+          (Int.MaxValue - 1).toLong)).toInt
+        val sdProbe = seeds.select(col(seedIdCol).cast("long").as("id"))
+          .distinct().limit(cap + 1).collect()
+        if (sdProbe.length <= cap)
+          return personalizedPageRankLocal(ed.sparkSession, es,
+            sdProbe.map(_.getLong(0)), ed.schema("src").dataType, iters)
+      }
     val ow = ed.groupBy("src").agg(sum(col("w")).as("tw"))
     val e = ed.join(ow, "src").transform(mat)
     val nodes = ed.select(col("src").as("id"))
@@ -738,6 +767,162 @@ object Graph {
       s"pagerank did not reach its integer fixed point within $maxIters rounds")
     spark.createDataFrame(ids.indices.map(v => (ids(v), pr(v), iters.toLong)))
       .toDF("id", "pr", "n_iters")
+  }
+
+  /** Small-graph gate probe shared by the fixed-iteration iterative ops:
+    * when the (already-materialized) edge relation has integral id/weight
+    * types and at most `localMaxEdges` rows, collect it as longs for a
+    * driver-array solve; otherwise None (distributed path). ONE job — a
+    * `limit(cap + 1)` collect, never a separate count — decides; the cap
+    * is clamped below Int.MaxValue so an oversized argument can never
+    * wrap the limit into a 1-row probe (the bpeTrain lesson). */
+  private def integralCol(df: DataFrame, c: String): Boolean = {
+    import org.apache.spark.sql.types._
+    df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+  }
+
+  private def smallGraphEdges(ed: DataFrame, srcCol: String, dstCol: String,
+                              wCol: Option[String], localMaxEdges: Long,
+                              force: Boolean): Option[Array[(Long, Long, Long)]] = {
+    if (force || localMaxEdges <= 0L) return None
+    val integral = integralCol(ed, srcCol) && integralCol(ed, dstCol) &&
+      wCol.forall(w => integralCol(ed, w))
+    if (!integral) return None
+    val cap = math.max(0L, math.min(localMaxEdges, (Int.MaxValue - 1).toLong)).toInt
+    val probe = ed.select(col(srcCol).cast("long"), col(dstCol).cast("long"),
+        wCol.fold(lit(1L))(w => col(w).cast("long")))
+      .limit(cap + 1).collect()
+    if (probe.length > cap) None
+    else Some(probe.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+  }
+
+  /** Index a collected edge list: sorted distinct node ids, id→index map,
+    * and the edges re-expressed over indices. */
+  private def indexEdges(es: Array[(Long, Long, Long)])
+      : (Array[Long], Array[Int], Array[Int], Array[Long]) = {
+    val ids = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    val idx = ids.zipWithIndex.toMap
+    val src = new Array[Int](es.length)
+    val dst = new Array[Int](es.length)
+    val w = new Array[Long](es.length)
+    var j = 0
+    while (j < es.length) {
+      src(j) = idx(es(j)._1); dst(j) = idx(es(j)._2); w(j) = es(j)._3
+      j += 1
+    }
+    (ids, src, dst, w)
+  }
+
+  /** Driver-array execution of [[pageRank]]'s FIXED-ITERATION recurrence
+    * for graphs under the small-graph gate: the same Long arithmetic
+    * (overflow-checked like ANSI), the same base/contribution/dangling
+    * terms, so (id, pr) is bit-for-bit what the distributed loops return
+    * (spec-proven by forcing `localMaxEdges = 0` / the DataFrame loop). */
+  private def pageRankLocalFixed(spark: org.apache.spark.sql.SparkSession,
+                                 es: Array[(Long, Long, Long)],
+                                 idType: org.apache.spark.sql.types.DataType,
+                                 iters: Int): DataFrame = {
+    val (ids, src, dst, w) = indexEdges(es)
+    val nn = ids.length
+    val n = nn.toLong
+    val tw = new Array[Long](nn)
+    val outdeg = new Array[Int](nn)
+    var j = 0
+    while (j < es.length) {
+      tw(src(j)) = Math.addExact(tw(src(j)), w(j))
+      outdeg(src(j)) += 1
+      j += 1
+    }
+    val total = outdeg.forall(_ > 0)
+    val base = Base / n
+    var pr = Array.fill(nn)(Total / n)
+    var r = 0
+    while (r < iters) {
+      val s = new Array[Long](nn)
+      j = 0
+      while (j < src.length) {
+        s(dst(j)) = Math.addExact(s(dst(j)),
+          Math.multiplyExact(Math.multiplyExact(pr(src(j)), 85L), w(j)) /
+            Math.multiplyExact(100L, tw(src(j))))
+        j += 1
+      }
+      val dshare =
+        if (total) 0L
+        else {
+          var dm = 0L
+          var v = 0
+          while (v < nn) {
+            if (outdeg(v) == 0) dm = Math.addExact(dm, pr(v)); v += 1
+          }
+          Math.multiplyExact(dm, 85L) / Math.multiplyExact(100L, n)
+        }
+      val next = new Array[Long](nn)
+      var v = 0
+      while (v < nn) {
+        next(v) = Math.addExact(Math.addExact(base, s(v)), dshare); v += 1
+      }
+      pr = next
+      r += 1
+    }
+    spark.createDataFrame(ids.indices.map(v => (ids(v), pr(v))))
+      .toDF("id", "pr")
+      .select(col("id").cast(idType).as("id"), col("pr"))
+  }
+
+  /** Driver-array execution of [[personalizedPageRank]]'s recurrence under
+    * the small-graph gate — same Long arithmetic, same seed-teleport and
+    * total-graph contract, bit-equal to the distributed loops
+    * (spec-proven by forcing `localMaxEdges = 0`). */
+  private def personalizedPageRankLocal(
+      spark: org.apache.spark.sql.SparkSession,
+      es: Array[(Long, Long, Long)], seedIds: Array[Long],
+      idType: org.apache.spark.sql.types.DataType, iters: Int): DataFrame = {
+    val (ids, src, dst, w) = indexEdges(es)
+    val nn = ids.length
+    val tw = new Array[Long](nn)
+    val outdeg = new Array[Int](nn)
+    var j = 0
+    while (j < es.length) {
+      tw(src(j)) = Math.addExact(tw(src(j)), w(j))
+      outdeg(src(j)) += 1
+      j += 1
+    }
+    require(outdeg.forall(_ > 0),
+      "personalizedPageRank requires a total graph (every node has " +
+        "out-edges); pass the symmetric edge union")
+    // seeds outside the graph hold no mass — intersect with the node set
+    val idSet = ids.zipWithIndex.toMap
+    val seedIdx = seedIds.flatMap(idSet.get).distinct
+    val nS = seedIdx.length.toLong
+    require(nS > 0, "personalizedPageRank: empty seed set")
+    val isSeed = new Array[Boolean](nn)
+    seedIdx.foreach(isSeed(_) = true)
+    val seedBase = Base / nS
+    var pr = Array.tabulate(nn)(v => if (isSeed(v)) Total / nS else 0L)
+    var r = 0
+    while (r < iters) {
+      val s = new Array[Long](nn)
+      j = 0
+      while (j < src.length) {
+        s(dst(j)) = Math.addExact(s(dst(j)),
+          Math.multiplyExact(Math.multiplyExact(pr(src(j)), 85L), w(j)) /
+            Math.multiplyExact(100L, tw(src(j))))
+        j += 1
+      }
+      val next = new Array[Long](nn)
+      var v = 0
+      while (v < nn) {
+        next(v) = Math.addExact(if (isSeed(v)) seedBase else 0L, s(v)); v += 1
+      }
+      pr = next
+      r += 1
+    }
+    spark.createDataFrame(ids.indices.map(v => (ids(v), pr(v))))
+      .toDF("id", "pr")
+      .select(col("id").cast(idType).as("id"), col("pr"))
   }
 
   /** Per-node triangle counts over an UNDIRECTED simple graph given as
@@ -1621,7 +1806,8 @@ object Graph {
   def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
                     wCol: String, seeds: DataFrame, seedIdCol: String,
                     rounds: Int = 6,
-                    forceDataFrameLoop: Boolean = false): DataFrame = {
+                    forceDataFrameLoop: Boolean = false,
+                    localMaxEdges: Long = 65536L): DataFrame = {
     require(rounds >= 1 && rounds <= 64)
     retireLastGeneration()
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
@@ -1629,6 +1815,23 @@ object Graph {
       .filter(col("src").isNotNull && col("dst").isNotNull && col("w") >= 0L)
       .transform(mat)
     val sd = seeds.select(col(seedIdCol).as("id")).distinct()
+    // small-graph driver gate — see [[pageRank]]; the relaxation rounds
+    // run as a driver array loop, bit-equal to both distributed loops
+    // (spec-proven by forcing `localMaxEdges = 0`)
+    if (integralCol(sd, "id"))
+      smallGraphEdges(e, "src", "dst", Some("w"), localMaxEdges,
+          forceDataFrameLoop).foreach { es =>
+        val cap = math.max(0L, math.min(localMaxEdges,
+          (Int.MaxValue - 1).toLong)).toInt
+        val sdProbe = sd.select(col("id").cast("long"))
+          .limit(cap + 1).collect()
+        if (sdProbe.length <= cap) {
+          val outType = sd.select(col("id"))
+            .union(e.select(col("dst").as("id"))).schema("id").dataType
+          return shortestPathsLocal(e.sparkSession, es,
+            sdProbe.map(_.getLong(0)), outType, rounds)
+        }
+      }
     // Integral ids take the co-partitioned RDD round loop (the
     // pageRank/HITS pattern): edges hash-partitioned once, the per-round
     // shuffle is the min re-aggregate only, zero per-round Catalyst
@@ -1695,6 +1898,142 @@ object Graph {
     out
   }
 
+  /** Driver-array execution of the synchronous Bellman–Ford rounds under
+    * the small-graph gate — same min-plus Long arithmetic (overflow-
+    * checked like ANSI), same seed set semantics (seeds outside the graph
+    * keep distance 0), bit-equal to the distributed loops (spec-proven by
+    * forcing `localMaxEdges = 0`). */
+  private def shortestPathsLocal(spark: org.apache.spark.sql.SparkSession,
+                                 es: Array[(Long, Long, Long)],
+                                 seedIds: Array[Long],
+                                 outType: org.apache.spark.sql.types.DataType,
+                                 rounds: Int): DataFrame = {
+    val dist = scala.collection.mutable.HashMap.empty[Long, Long]
+    seedIds.foreach(dist(_) = 0L)
+    var r = 0
+    while (r < rounds) {
+      val relaxed = scala.collection.mutable.HashMap.empty[Long, Long]
+      var j = 0
+      while (j < es.length) {
+        val (s, d, w) = es(j)
+        dist.get(s).foreach { ds =>
+          val cand = Math.addExact(ds, w)
+          if (relaxed.get(d).forall(cand < _)) relaxed(d) = cand
+        }
+        j += 1
+      }
+      relaxed.foreach { case (d, v) =>
+        if (dist.get(d).forall(v < _)) dist(d) = v
+      }
+      r += 1
+    }
+    spark.createDataFrame(dist.toSeq.sortBy(_._1)).toDF("id", "d")
+      .select(col("id").cast(outType).as("id"), col("d"))
+  }
+
+  /** Driver-array execution of the synchronous LPA rounds under the
+    * small-graph gate — the identical adopt-most-frequent-tie-smallest
+    * rule over the previous round's labels, bit-equal to the distributed
+    * loop (spec-proven by forcing `localMaxEdges = 0`). */
+  private def labelPropagationLocal(spark: org.apache.spark.sql.SparkSession,
+                                    es: Array[(Long, Long, Long)],
+                                    idType: org.apache.spark.sql.types.DataType,
+                                    iters: Int): DataFrame = {
+    val (ids, src, dst, _) = indexEdges(es)
+    val nn = ids.length
+    // symmetric adjacency as index lists
+    val deg = new Array[Int](nn)
+    var j = 0
+    while (j < es.length) { deg(src(j)) += 1; deg(dst(j)) += 1; j += 1 }
+    val off = new Array[Int](nn + 1)
+    var v = 0
+    while (v < nn) { off(v + 1) = off(v) + deg(v); v += 1 }
+    val adj = new Array[Int](off(nn))
+    val fill = off.clone()
+    j = 0
+    while (j < es.length) {
+      adj(fill(src(j))) = dst(j); fill(src(j)) += 1
+      adj(fill(dst(j))) = src(j); fill(dst(j)) += 1
+      j += 1
+    }
+    var lab = Array.tabulate(nn)(v => ids(v))
+    var r = 0
+    while (r < iters) {
+      val next = new Array[Long](nn)
+      v = 0
+      while (v < nn) {
+        val counts = scala.collection.mutable.HashMap.empty[Long, Long]
+        var k = off(v)
+        while (k < off(v + 1)) {
+          val l = lab(adj(k))
+          counts(l) = counts.getOrElse(l, 0L) + 1L
+          k += 1
+        }
+        // most frequent, ties to the smallest label — min over (-c, l)
+        var bestL = 0L; var bestC = -1L
+        counts.foreach { case (l, c) =>
+          if (c > bestC || (c == bestC && l < bestL)) { bestL = l; bestC = c }
+        }
+        next(v) = bestL
+        v += 1
+      }
+      lab = next
+      r += 1
+    }
+    spark.createDataFrame(ids.indices.map(v => (ids(v), lab(v))))
+      .toDF("id", "l")
+      .select(col("id").cast(idType).as("id"), col("l").cast(idType).as("l"))
+  }
+
+  /** Driver-array execution of the deterministic walk recurrence under
+    * the small-graph gate: each transition is the identical
+    * argmin-md5("seed_walk_step_candidate") the distributed loop computes
+    * (lowercase-hex MD5 of the UTF-8 bytes, compared as ASCII — the same
+    * order Spark's `md5`/`min_by` impose), so the corpus is bit-equal
+    * (spec-proven by forcing `localMaxEdges = 0`). */
+  private def randomWalksLocal(spark: org.apache.spark.sql.SparkSession,
+                               es: Array[(Long, Long, Long)],
+                               seedIds: Array[Long],
+                               seedType: org.apache.spark.sql.types.DataType,
+                               nodeType: org.apache.spark.sql.types.DataType,
+                               walksPerSeed: Int, steps: Int): DataFrame = {
+    val adj = scala.collection.mutable.HashMap.empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+    es.foreach { case (a, b, _) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += a
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String = {
+      val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val sb = new java.lang.StringBuilder(32)
+      d.foreach(b => sb.append(String.format("%02x", Byte.box(b))))
+      sb.toString
+    }
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    for (seed <- seedIds; walk <- 1 to walksPerSeed) {
+      var node = seed
+      var t = 1
+      var alive = true
+      while (alive && t <= steps) {
+        adj.get(node) match {
+          case Some(nbrs) =>
+            var best: Long = 0L; var bestH: String = null
+            nbrs.foreach { c =>
+              val h = md5hex(s"${seed}_${walk}_${t}_$c")
+              if (bestH == null || h.compareTo(bestH) < 0) { best = c; bestH = h }
+            }
+            rows += ((seed, walk.toLong, t.toLong, best))
+            node = best
+          case None => alive = false // isolated/non-graph seed: walk stops
+        }
+        t += 1
+      }
+    }
+    spark.createDataFrame(rows.toSeq).toDF("seed", "walk", "step", "node")
+      .select(col("seed").cast(seedType).as("seed"), col("walk"),
+        col("step"), col("node").cast(nodeType).as("node"))
+  }
+
   /** DETERMINISTIC random-walk corpus over an undirected graph — the
     * graph → sequence-corpus step that sampling-based graph embeddings
     * train on (DeepWalk, Perozzi 2014; node2vec's p=q=1 case): from every
@@ -1716,11 +2055,29 @@ object Graph {
     * (seed, walk, step, node), steps 1..`steps`. */
   def randomWalks(pairs: DataFrame, aCol: String, bCol: String,
                   seeds: DataFrame, seedIdCol: String,
-                  walksPerSeed: Int = 3, steps: Int = 5): DataFrame = {
+                  walksPerSeed: Int = 3, steps: Int = 5,
+                  localMaxEdges: Long = 65536L): DataFrame = {
     require(walksPerSeed >= 1 && walksPerSeed <= 64)
     require(steps >= 1 && steps <= 32)
     retireLastGeneration()
     val e = normalize(pairs, aCol, bCol)
+    // small-graph driver gate — see [[pageRank]]; each hop's argmin-md5
+    // transition replays on the driver with the identical hash input
+    // string, bit-equal to the distributed loop (spec-proven by forcing
+    // `localMaxEdges = 0`)
+    if (integralCol(seeds, seedIdCol))
+      smallGraphEdges(e, aCol, bCol, None, localMaxEdges, force = false)
+        .foreach { es =>
+          val cap = math.max(0L, math.min(localMaxEdges,
+            (Int.MaxValue - 1).toLong)).toInt
+          val sdProbe = seeds.select(col(seedIdCol).cast("long").as("id"))
+            .distinct().limit(cap + 1).collect()
+          if (sdProbe.length <= cap)
+            return randomWalksLocal(e.sparkSession, es,
+              sdProbe.map(_.getLong(0)).sorted,
+              seeds.schema(seedIdCol).dataType, e.schema(aCol).dataType,
+              walksPerSeed, steps)
+        }
     val sym = e.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(e.select(col(bCol).as("src"), col(aCol).as("dst")))
       .transform(mat)
@@ -1764,10 +2121,19 @@ object Graph {
     * through [[normalize]] (loops/dups/orientations collapsed).
     * Returns (id, l). */
   def labelPropagation(pairs: DataFrame, aCol: String, bCol: String,
-                       iters: Int = 4): DataFrame = {
+                       iters: Int = 4,
+                       localMaxEdges: Long = 65536L): DataFrame = {
     require(iters >= 1 && iters <= 20)
     retireLastGeneration()
     val e = normalize(pairs, aCol, bCol)
+    // small-graph driver gate — see [[pageRank]]; the synchronous
+    // adopt-most-frequent rounds run as a driver array loop, bit-equal
+    // to the distributed loop (spec-proven by forcing `localMaxEdges = 0`)
+    smallGraphEdges(e, aCol, bCol, None, localMaxEdges, force = false)
+      .foreach { es =>
+        return labelPropagationLocal(e.sparkSession, es,
+          e.schema(aCol).dataType, iters)
+      }
     val sym = e.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(e.select(col(bCol).as("src"), col(aCol).as("dst")))
       .transform(mat)

@@ -316,12 +316,19 @@ class GraphSpec extends SparkSpec {
     assert(lbls(mv3) == lbls(mv2))
   }
 
-  test("pageRank RDD loop is bit-identical to the DataFrame loop on " +
-      "total, dangling, and isolated-receiver shapes") {
+  test("pageRank driver gate, RDD loop and DataFrame loop are bit-identical " +
+      "on total, dangling, and isolated-receiver shapes") {
     def both(e: DataFrame): (Map[Long, Long], Map[Long, Long]) = {
-      def run(df: Boolean) = Graph.pageRank(e, "src", "dst", "w",
-        forceDataFrameLoop = df).as[(Long, Long)].collect().toMap
-      (run(false), run(true))
+      // gated driver solve (default) vs forced-distributed RDD loop vs
+      // forced DataFrame loop — all three must agree bit-for-bit
+      val local = Graph.pageRank(e, "src", "dst", "w")
+        .as[(Long, Long)].collect().toMap
+      val rdd = Graph.pageRank(e, "src", "dst", "w", localMaxEdges = 0L)
+        .as[(Long, Long)].collect().toMap
+      val df = Graph.pageRank(e, "src", "dst", "w", forceDataFrameLoop = true)
+        .as[(Long, Long)].collect().toMap
+      assert(local == rdd)
+      (rdd, df)
     }
     // total + all-receiving (symmetric): the lean zero-action chain
     val s = both(sym((1L, 2L, 2L), (2L, 3L, 1L), (3L, 4L, 5L), (2L, 4L, 3L)))
@@ -458,7 +465,12 @@ class GraphSpec extends SparkSpec {
         seeds, "id", rounds = 6)
       .as[(Long, Long)].collect().toMap
     assert(dr == d)
-    // the RDD round loop is bit-identical to the DataFrame loop
+    // the driver gate, the RDD round loop and the DataFrame loop are
+    // bit-identical
+    val drdd = Graph.shortestPaths(sym, "src", "dst", "w", seeds, "id",
+        rounds = 6, localMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(drdd == d)
     val ddf = Graph.shortestPaths(sym, "src", "dst", "w", seeds, "id",
         rounds = 6, forceDataFrameLoop = true)
       .as[(Long, Long)].collect().toMap
@@ -480,6 +492,12 @@ class GraphSpec extends SparkSpec {
     val r = Graph.labelPropagation(e.repartition(7), "a", "b", iters = 4)
       .as[(Long, Long)].collect().toMap
     assert(r == l)
+    // the driver gate (default) is bit-identical to the forced-distributed
+    // round loop
+    val dist = Graph.labelPropagation(e, "a", "b", iters = 4,
+        localMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == l)
   }
 
   test("HITS RDD loop is bit-identical to the DataFrame loop; empty input refused") {
@@ -508,10 +526,19 @@ class GraphSpec extends SparkSpec {
       .toDF("src", "dst", "w")
     val seeds = Seq(1L, 3L).toDF("id")
     for (e <- Seq(symg, iso)) {
-      def run(df: Boolean) = Graph.personalizedPageRank(e, "src", "dst", "w",
-        seeds, "id", iters = 5, forceDataFrameLoop = df)
+      // driver gate (default) vs forced-distributed RDD loop vs DataFrame
+      // loop — all three bit-identical
+      val local = Graph.personalizedPageRank(e, "src", "dst", "w",
+        seeds, "id", iters = 5)
         .as[(Long, Long)].collect().sortBy(_._1).toSeq
-      assert(run(false) == run(true))
+      val rdd = Graph.personalizedPageRank(e, "src", "dst", "w",
+        seeds, "id", iters = 5, localMaxEdges = 0L)
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      val df = Graph.personalizedPageRank(e, "src", "dst", "w",
+        seeds, "id", iters = 5, forceDataFrameLoop = true)
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(local == rdd)
+      assert(rdd == df)
     }
   }
 
@@ -604,6 +631,13 @@ class GraphSpec extends SparkSpec {
     } yield (seed, walk, step, node)
     assert(got == want.toSet)
     assert(!got.exists(_._1 == 99L))
+    // the driver gate (default) is bit-identical to the forced-distributed
+    // round loop
+    val dist = Graph.randomWalks(edges.toDF("a", "b"), "a", "b",
+        seeds.toDF("id"), "id", walksPerSeed = 2, steps = 3,
+        localMaxEdges = 0L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(dist == got)
   }
 
   test("local clustering: clique scores 1e12, star hub 0, deg<2 excluded") {
