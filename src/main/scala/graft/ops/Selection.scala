@@ -69,17 +69,62 @@ object Selection {
     * k_p = ceil(p/100 · n) (no interpolation — the value returned is an
     * actual data value, duplicates counted). Returns (p, k, value). */
   def quantiles(df: DataFrame, c: String,
-                ps: Seq[Int] = Seq(25, 50, 75)): Seq[(Int, Long, Long)] = {
+                ps: Seq[Int] = Seq(25, 50, 75),
+                buckets: Int = 1 << 16): Seq[(Int, Long, Long)] = {
+    require(buckets >= 2)
+    val spark = df.sparkSession
     val stats = df.agg(count(col(c)).as("n"), min(col(c)).as("lo"),
       max(col(c)).as("hi")).head() // ONE stats scan for every statistic
     val n = stats.getLong(0)
     require(n > 0, "quantiles of an empty relation")
-    ps.map { p =>
+    require(BigInt(stats.getLong(2)) - BigInt(stats.getLong(1)) <=
+      BigInt(Long.MaxValue), "value range exceeds a signed 64-bit difference")
+    // ALL selectors refine SIMULTANEOUSLY (the [[groupedMedian]] pattern):
+    // each pass is ONE aggregate keyed by (selector, bucket) over a
+    // broadcast range frame, so the pass count is the MAX refinement
+    // depth (≤ ceil(64/log2(buckets)) = 4) instead of the SUM across
+    // selectors — for the default 3 percentiles, ≤ 5 scans total where
+    // the per-selector loop paid ~13. Each selector's (lo, hi, k)
+    // trajectory uses bucket math identical to [[kthSmallestIn]], so the
+    // returned values are bit-equal (spec-pinned). A coarse
+    // union-of-ranges filter stays a plain pushed-down predicate, so
+    // parquet min/max pruning on clustered layouts survives the shared
+    // pass.
+    final case class Sel(i: Int, p: Int, k: Long,
+                         var lo: Long, var hi: Long, var kk: Long)
+    val sels = ps.zipWithIndex.map { case (p, i) =>
       require(p >= 1 && p <= 100, s"percentage $p out of 1..100")
-      val k = (BigInt(p) * n + 99) / 100 // ceil(p·n/100), overflow-safe
-      (p, k.toLong, kthSmallestIn(df, c, k.toLong, n,
-        stats.getLong(1), stats.getLong(2)))
+      val k = ((BigInt(p) * n + 99) / 100).toLong // ceil(p·n/100), overflow-safe
+      require(k >= 1 && k <= n, s"k=$k out of range 1..$n")
+      Sel(i, p, k, stats.getLong(1), stats.getLong(2), k)
     }
+    while (sels.exists(s => s.lo < s.hi)) {
+      val active = sels.filter(s => s.lo < s.hi)
+      val widths = active.map(s =>
+        (s.i, s.lo, s.hi, ((BigInt(s.hi) - BigInt(s.lo)) / buckets + 1).toLong))
+      val ranges = spark.createDataFrame(widths.toSeq)
+        .toDF("_i", "_lo", "_hi", "_wd")
+      val gLo = active.map(_.lo).min
+      val gHi = active.map(_.hi).max
+      val histo = df
+        .filter(col(c) >= gLo && col(c) <= gHi) // pushed-down coarse prune
+        .join(broadcast(ranges), col(c) >= col("_lo") && col(c) <= col("_hi"))
+        .select(col("_i"), expr(s"($c - _lo) div _wd").as("_b"))
+        .groupBy("_i", "_b").agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      active.foreach { s =>
+        val width = ((BigInt(s.hi) - BigInt(s.lo)) / buckets + 1).toLong
+        var b = 0L
+        var acc = 0L
+        while (acc + histo.getOrElse((s.i, b), 0L) < s.kk) {
+          acc += histo.getOrElse((s.i, b), 0L); b += 1
+        }
+        s.kk -= acc
+        s.lo = Math.addExact(s.lo, Math.multiplyExact(b, width))
+        s.hi = math.min(s.hi, Math.addExact(s.lo, width - 1))
+      }
+    }
+    sels.map(s => (s.p, s.k, s.lo))
   }
 
   /** Exact PER-GROUP interpolated median of a LONG column — every group's

@@ -1222,7 +1222,8 @@ object Similarity {
                 idCol: String, codeCol: String, qidCol: String,
                 qcodeCol: String, shortlist: Int = 20, m: Int = 5,
                 maxQueryRows: Int = BruteForceMaxQueryRows,
-                acceptQuadraticCost: Boolean = false): DataFrame = {
+                acceptQuadraticCost: Boolean = false,
+                localSolve: Boolean = true): DataFrame = {
     import graft.functions.GraftFunctions.{dot_i8, normsq_i8}
     require(m >= 1 && shortlist >= m)
     gateQuerySet(packedQueries, "mmrRerank", maxQueryRows, acceptQuadraticCost)
@@ -1244,6 +1245,60 @@ object Similarity {
       .select(col("qid"), col("id"), (-col("sim")).cast("long").as("d2q"))
       .join(c.select(col("id"), col("code")), "id")
       .localCheckpoint(eager = true)
+    // The greedy selection operates on a relation STRUCTURALLY bounded at
+    // |queries| × shortlist rows (the query set is gated above), so for
+    // integral id types the m rounds run on the driver over the collected
+    // candidate table — the identical (score DESC, id ASC) argmax and the
+    // identical exact-integer kernels (DotI8.dot/normSq, the same statics
+    // the codegen expressions call), bit-equal to the distributed loop
+    // (spec-proven). The distributed loop paid ~4 tiny jobs + a lineage
+    // fence PER RANK of pure scheduling (measured: 40 jobs for m = 5 at
+    // sf0.1); it remains the path for non-integral id types, whose
+    // engine sort order the driver must not re-implement.
+    val integralIds = {
+      import org.apache.spark.sql.types._
+      Seq("qid", "id").forall(cn => cand.schema(cn).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      })
+    }
+    if (integralIds && localSolve) {
+      val spark = cand.sparkSession
+      val rows = cand.select(col("qid").cast("long"), col("id").cast("long"),
+        col("d2q"), col("code")).collect()
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long)] // (qid, rnk, id, d2q)
+      rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+        var remaining = rs.map(r =>
+            (r.getLong(1), r.getLong(2), r.getAs[Array[Byte]](3)))
+          .toVector
+        val selected = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Array[Byte])]
+        var r = 1
+        while (r <= m && remaining.nonEmpty) {
+          val best =
+            if (r == 1) remaining.minBy(c => (c._2, c._1)) // max −d2q, tie min id
+            else remaining.minBy { c =>
+              val nsqC = graft.functions.DotI8.normSq(c._3)
+              val mind = selected.iterator.map { s =>
+                nsqC + graft.functions.DotI8.normSq(s._3) -
+                  2L * graft.functions.DotI8.dot(c._3, s._3)
+              }.min
+              (-(mind - c._2), c._1) // max score = mind − d2q, tie min id
+            }
+          out += ((qid, r.toLong, best._1, best._2))
+          selected += best
+          remaining = remaining.filterNot(c => c._1 == best._1)
+          r += 1
+        }
+      }
+      val qidT = cand.schema("qid").dataType
+      val idT = cand.schema("id").dataType
+      return spark.createDataFrame(out.toSeq)
+        .toDF("qid", "rnk", "id", "d2q")
+        .select(col("qid").cast(qidT).as("qid"), col("rnk"),
+          col("id").cast(idT).as("id"), col("d2q"))
+    }
     def pick(scoredCand: DataFrame, rnk: Int): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("qid").orderBy(col("score").desc, col("id"))

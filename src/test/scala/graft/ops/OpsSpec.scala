@@ -519,6 +519,20 @@ class OpsSpec extends SparkSpec {
     assert(run(rows.repartition(1)) == run(rows.repartition(7)))
   }
 
+  test("MMR re-rank: driver greedy solve is bit-equal to the distributed loop") {
+    // duplicates, ties, an under-m query (shortlist smaller than m picks
+    // is impossible, but a query with fewer candidates than m is not)
+    val rows = (0L to 30L).map(i =>
+      (i, Array[Byte]((i % 7).toByte, (i % 5).toByte, (3 - i % 3).toByte)))
+      .toDF("vec_id", "code")
+    def run(local: Boolean) =
+      Similarity.mmrRerank(rows, rows.filter(col("vec_id") < 3L),
+          "vec_id", "code", "vec_id", "code", shortlist = 8, m = 5,
+          localSolve = local)
+        .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(run(true) == run(false))
+  }
+
   test("bigram top share: exact ratio, null under two tokens") {
     val got = Seq("a b a b a", "x y z", "solo", "r r r r")
       .toDF("t")

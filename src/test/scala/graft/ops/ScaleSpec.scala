@@ -102,6 +102,14 @@ class ScaleSpec extends SparkSpec {
     // quantiles: k = ceil(p*n/100) order statistics, actual data values
     val qs = Selection.quantiles(df, "v", Seq(50, 100))
     assert(qs == Seq((50, 1500L, sorted(1499)), (100, 3000L, sorted(2999))))
+    // the simultaneous-selector refinement is bit-equal to the
+    // per-selector loop, including under forced multi-pass refinement
+    val ps = Seq(25, 50, 75, 99)
+    val sim = Selection.quantiles(df, "v", ps, buckets = 4)
+    assert(sim == ps.map { p =>
+      val k = ((BigInt(p) * 3000 + 99) / 100).toLong
+      (p, k, Selection.kthSmallest(df, "v", k, buckets = 4))
+    })
     intercept[IllegalArgumentException](Selection.kthSmallest(df, "v", 0L))
   }
 

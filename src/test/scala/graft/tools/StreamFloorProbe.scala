@@ -1,0 +1,64 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Per-trigger floor attribution for the AvailableNow streaming rows:
+  * runs a MINIMAL 3-slice stateful stream (watermark + windowed count —
+  * the pipe_stream_hll shape with trivial data) on tmpfs and prints every
+  * micro-batch's durationMs breakdown (triggerExecution, queryPlanning,
+  * walCommit, addBatch, commitOffsets, getBatch, latestOffset) from the
+  * recent progress — the receipt for what one trigger costs on THIS box
+  * and which component dominates. Run:
+  * `sbt "Test/runMain graft.tools.StreamFloorProbe [reps] [partitions]"`. */
+object StreamFloorProbe {
+  def main(args: Array[String]): Unit = {
+    val reps = args.headOption.map(_.toInt).getOrElse(3)
+    val parts = if (args.length > 1) args(1).toInt else 8
+    val spark = graft.Sessions.local(logLevel = "ERROR")
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/dev/shm"), "graft-floor")
+    // 3 one-row-group slices of 1000 tiny rows each
+    val src = tmp.resolve("src")
+    java.nio.file.Files.createDirectories(src)
+    for (i <- 0 until 3) {
+      (0 until 1000).map(j => (i * 1000L + j, s"k${j % 5}",
+          new java.sql.Timestamp(86400000L * (i + 1) + j)))
+        .toDF("id", "k", "ts")
+        .coalesce(1).write.parquet(tmp.resolve(s"w$i").toString)
+      val f = new java.io.File(tmp.resolve(s"w$i").toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath, src.resolve(f"part-$i%04d.parquet"))
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    for (r <- 1 to reps) {
+      val ckpt = tmp.resolve(s"ckpt$r").toString
+      val out = tmp.resolve(s"out$r").toString
+      val stream = spark.readStream
+        .schema("id long, k string, ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(src.toString)
+      val agg = stream.withWatermark("ts", "1 second")
+        .groupBy(window(col("ts"), "1 day"), col("k"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("k"), col("n"))
+      val t0 = System.nanoTime()
+      val q = agg.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"FLOOR run#$r total ${dt}%.2f s, partitions=$parts")
+      q.recentProgress.foreach { p =>
+        val d = p.durationMs
+        def g(k: String) = Option(d.get(k)).map(_.longValue).getOrElse(-1L)
+        println(s"FLOOR   batch=${p.batchId} rows=${p.numInputRows} " +
+          s"trigger=${g("triggerExecution")} plan=${g("queryPlanning")} " +
+          s"addBatch=${g("addBatch")} walCommit=${g("walCommit")} " +
+          s"commitOffsets=${g("commitOffsets")} getBatch=${g("getBatch")} " +
+          s"latestOffset=${g("latestOffset")}")
+      }
+    }
+    spark.stop()
+  }
+}
