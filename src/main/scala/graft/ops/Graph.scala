@@ -1742,9 +1742,12 @@ object Graph {
       .select(col("src").cast("long"), col("dst").cast("long"))
       .as[(Long, Long)].rdd
       .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
-    val byDst: RDD[(Long, Long)] = e
-      .select(col("dst").cast("long"), col("src").cast("long"))
-      .as[(Long, Long)].rdd
+    // the dst-keyed copy swaps the ALREADY-DESERIALIZED src-keyed rows
+    // instead of running the DataFrame→RDD conversion a second time —
+    // one row-decode pass over |E| saved; the partitionBy shuffle is the
+    // same either way
+    val byDst: RDD[(Long, Long)] = bySrc
+      .map(_.swap)
       .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
     val tot = Total
     // (x · Total) div s1 in BigInt == the DataFrame loop's DECIMAL(38,0)
