@@ -51,6 +51,28 @@ class AffinitySpec extends SparkSpec {
       .count() == 15L)
   }
 
+  test("itemSimilarity cache holds ONE generation across invocations") {
+    // round-12: itemSimilarity lazily persists its basket/degree tables
+    // (3 and 2 consumers each). The one-generation contract: a repeat
+    // invocation retires the previous invocation's frames, so repeated
+    // bench/suite calls must not grow the persisted-RDD census — and the
+    // cached path must return the identical relation.
+    val df = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L),
+      (3L, 20L), (3L, 30L)
+    ).toDF("bk", "it")
+    def run() = Affinity.itemSimilarity(df, "bk", "it", k = 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    val first = run()
+    val persistedAfterFirst = spark.sparkContext.getPersistentRDDs.size
+    val second = run()
+    val persistedAfterSecond = spark.sparkContext.getPersistentRDDs.size
+    assert(second == first)
+    assert(persistedAfterSecond <= persistedAfterFirst,
+      s"generation grew: $persistedAfterFirst -> $persistedAfterSecond")
+  }
+
   test("q_basket_pairs plan: pair generation is an equi-join on the basket key") {
     val plan = org.apache.spark.sql.graft.Bridge.executedPlan(
       graft.SparkEntry.queries("q_basket_pairs")(
