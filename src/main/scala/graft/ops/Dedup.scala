@@ -63,6 +63,19 @@ object Dedup {
     p
   }
 
+  /** Lazy one-generation persist — the [[fence]] role (multi-consumer
+    * subtree computed once, plan truncated to an InMemoryRelation leaf)
+    * without the eager materialization JOB: the first consumer computes
+    * the subtree inside its own action, keeping the upstream stage
+    * pipelined into it (the Graph `mat` finding: lazy persist measured
+    * 4–5× cheaper than eager localCheckpoint there). Retired by the same
+    * [[retireLastGeneration]] schedule as the fences. */
+  private def matLazy(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    generation.synchronized { generation += p }
+    p
+  }
+
   /** Exact dedup: keep the smallest id per canonical-text fingerprint.
     * Deterministic survivor choice (min id) so replays are stable.
     * `min_by` aggregation, not a row_number window: aggregates combine
@@ -230,6 +243,10 @@ object Dedup {
     // would otherwise each replay the corpus-scan → explode →
     // collect_list lineage; the relation is vocab-sized with
     // ≤ maxDf-element arrays, far smaller than its input
+    // eager fence, NOT matLazy: the lazy variant A/B'd neutral-to-worse
+    // here (1.6-1.75 eager vs 1.67-1.83 lazy min-of-5) with one 8× spread
+    // outlier — this op's three consumers sit in one action, so the
+    // eager jobs it saves are already amortized, unlike cosinePairsTf
     val buckets = fence(sh.groupBy("g")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) <= maxDf))
@@ -322,8 +339,8 @@ object Dedup {
     // (norms and the pair generator) must not each replay the corpus
     // scan → explode → aggregate lineage.
     val tf = CosineTfStages.tf(df, idCol, textCol, n)
-    val buckets = fence(CosineTfStages.buckets(tf, maxDf))
-    val norms = fence(CosineTfStages.norms(buckets))
+    val buckets = matLazy(CosineTfStages.buckets(tf, maxDf))
+    val norms = matLazy(CosineTfStages.norms(buckets))
     val dots = CosineTfStages.dots(buckets)
     CosineTfStages.score(dots, norms, normHint)
       .filter(col("cos2_fp") >= thresholdFp)

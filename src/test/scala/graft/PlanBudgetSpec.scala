@@ -54,8 +54,15 @@ class PlanBudgetSpec extends SparkSpec {
     "txt_keyphrases" -> 5,
     // round-10 additions (fence-free tails; the graph rows checkpoint
     // through graphResult so their final plans carry no exchange to pin)
-    // post-fence: pair groupBy only — the norm joins ride broadcasts
-    "dedup_cosine_tf" -> 2,
+    // round-12: the bucket/norm fences became LAZY persists (isolated A/B
+    // win — OPTIMIZATION_r12.md §5), so the plan STRING now prints the
+    // cached lineages once per reference instead of truncating at an RDD
+    // leaf: buckets (3 exchanges: round-robin spread, tf agg, bucket agg)
+    // prints 3× (dots + nested in each norm side), norms (1 exchange)
+    // prints 2×, plus the pair groupBy = 1 + 3·3 + 2·1 = 12 string hits
+    // for 5 DISTINCT executed exchanges — each cached lineage runs once
+    // at first materialization. The norm joins still ride broadcasts.
+    "dedup_cosine_tf" -> 12,
     // two full-vocab index builds (explode+agg / df agg / stats) + merge
     // aggregates + final order; the read path adds no corpus exchange
     "txt_bm25_append" -> 8,
