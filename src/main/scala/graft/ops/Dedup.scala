@@ -20,23 +20,26 @@ import graft.functions.GraftFunctions.{shingle_hashes, simhash64}
 object Dedup {
 
   /** One-generation registry for the multi-consumer ops (the
-    * [[graft.ops.Graph]] pattern, adapted to lineage fences): each
-    * invocation retires the checkpoint blocks the PREVIOUS one pinned, so
-    * repeated bench/suite invocations hold one generation of dedup state
-    * instead of accumulating for the session — the accumulation was what
-    * put [[containmentPairs]]' intermediates under suite memory pressure
-    * and made one bench sample pay a full rebuild (round-9 finding: 5.5×
-    * max/min spread). The frames ARE localCheckpoints (the plan fence the
-    * shuffle-budget guard pins); retiring only the previous invocation's
-    * blocks is safe because its results are fully consumed by the time
-    * the next invocation starts — a caller holding a result across two
-    * invocations must materialize it first (same contract as Graph's
-    * generation cache). */
-  private val generation = new scala.collection.mutable.ArrayBuffer[DataFrame]
-  private def retireLastGeneration(): Unit = generation.synchronized {
-    generation.foreach(_.unpersist(blocking = false))
-    generation.clear()
-  }
+    * [[graft.ops.Graph]] pattern, adapted to lineage fences). Round 13:
+    * ACTION-scoped via [[GenCache]] — the generation is retired when the
+    * consuming action completes, not only at the next operator entry, so
+    * a persisted corpus-sized intermediate never pins executor storage
+    * for a caller that invokes once, and no later bench row can read
+    * state this invocation paid for. Entry retirement stays as the
+    * synchronous fallback (also what keeps suite memory bounded if a
+    * constructed plan is never consumed — the round-9 finding: leftover
+    * generations put [[containmentPairs]] under suite memory pressure,
+    * 5.5× max/min spread). Fence retirement is reference-release only
+    * (a localCheckpoint is not in the CacheManager; blocks free via the
+    * ContextCleaner once unreferenced) — consumers hold the checkpointed
+    * RDD through their plans, so the schedule cannot slow them. A caller
+    * holding a result across two invocations must materialize it first
+    * (same contract as Graph's generation cache). */
+  private val generation = new GenCache
+  private def retireLastGeneration(): Unit = generation.retire()
+
+  /** Public release hook: drop any cached dedup generation now. */
+  def releaseCaches(): Unit = generation.retire()
   /** Join-strategy pick for the doc-sized norm/size relation joined onto
     * the Σdf² pair relation, gated by the FREE corpus row count
     * (parquet-footer metadata threaded by the caller, the
@@ -57,11 +60,8 @@ object Dedup {
   private[graft] def maybeHint(df: DataFrame, h: Option[String]): DataFrame =
     h.fold(df)(df.hint(_))
 
-  private def fence(df: DataFrame): DataFrame = {
-    val p = df.localCheckpoint(eager = true)
-    generation.synchronized { generation += p }
-    p
-  }
+  private def fence(df: DataFrame): DataFrame =
+    generation.addFence(df.localCheckpoint(eager = true))
 
   /** Lazy one-generation persist — the [[fence]] role (multi-consumer
     * subtree computed once, plan truncated to an InMemoryRelation leaf)
@@ -70,11 +70,7 @@ object Dedup {
     * pipelined into it (the Graph `mat` finding: lazy persist measured
     * 4–5× cheaper than eager localCheckpoint there). Retired by the same
     * [[retireLastGeneration]] schedule as the fences. */
-  private def matLazy(df: DataFrame): DataFrame = {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    generation.synchronized { generation += p }
-    p
-  }
+  private def matLazy(df: DataFrame): DataFrame = generation.add(df)
 
   /** Exact dedup: keep the smallest id per canonical-text fingerprint.
     * Deterministic survivor choice (min id) so replays are stable.

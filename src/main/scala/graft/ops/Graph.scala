@@ -1647,27 +1647,32 @@ object Graph {
            iters: Int = 3, forceDataFrameLoop: Boolean = false): DataFrame = {
     require(iters >= 1 && iters <= 20)
     retireLastGeneration()
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .transform(mat)
-    val hubs = e.select(col("src").as("id")).distinct().transform(mat)
-    val nh = hubs.count()
-    require(nh > 0, "hits: empty edge relation — no hub nodes to score")
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     // Integral ids take the co-partitioned RDD round loop (below): same
     // integer recurrence (BigInt replays the DECIMAL(38,0) normalize
     // exactly), but edges hash-partition by each endpoint ONCE and every
     // round is two narrow joins + two key re-aggregates — no per-round
     // Catalyst planning, no per-round lineage fences (RDD actions never
     // stringify a SQL plan). Non-integral ids keep the DataFrame loop
-    // (also forced by specs for the parity proof).
+    // (also forced by specs for the parity proof). The branch decides on
+    // schema alone so the RDD path never pays the DataFrame-side setup
+    // (round-13 trim: the mat(e) columnar persist, the distinct-hubs
+    // shuffle + persist and their two count jobs existed only to feed
+    // THIS loop's initialization — hitsRdd derives both from its own
+    // decoded edge RDD).
     val integral = {
       import org.apache.spark.sql.types._
       def ok(t: DataType) = t match {
         case ByteType | ShortType | IntegerType | LongType => true
         case _ => false
       }
-      ok(e.schema("src").dataType) && ok(e.schema("dst").dataType)
+      ok(e0.schema("src").dataType) && ok(e0.schema("dst").dataType)
     }
-    if (integral && !forceDataFrameLoop) return hitsRdd(e, nh, iters)
+    if (integral && !forceDataFrameLoop) return hitsRdd(e0, iters)
+    val e = e0.transform(mat)
+    val hubs = e.select(col("src").as("id")).distinct().transform(mat)
+    val nh = hubs.count()
+    require(nh > 0, "hits: empty edge relation — no hub nodes to score")
     // 128-bit normalize: x in [0, S], S ≤ Total·maxdeg, x·Total ≤ ~1e28.
     // s1 > 0 is structural: scores enter ≥ Total/nh > 0 on every hub and
     // L1 mass only moves along edges, so the sum stays positive (the RDD
@@ -1716,7 +1721,7 @@ object Graph {
     * generateTreeString from going super-linear). Per-round driver
     * actions: the two Σx normalization scalars — exactly the two 1-row
     * aggregates the DataFrame loop broadcasts. */
-  private def hitsRdd(e: DataFrame, nh: Long, iters: Int): DataFrame = {
+  private def hitsRdd(e: DataFrame, iters: Int): DataFrame = {
     import org.apache.spark.HashPartitioner
     import org.apache.spark.rdd.RDD
     import org.apache.spark.storage.StorageLevel
@@ -1726,21 +1731,32 @@ object Graph {
     // coerces the two endpoint types; mirror it via the union schema
     val outType = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).schema("id").dataType
+    // ONE decode pass feeds everything: the edge DataFrame is decoded to
+    // a pair RDD once and persisted; the edge count (for the
+    // partitioner), the hub count and both partitioned copies all derive
+    // from it. Round-13 trim — previously the caller ALSO columnar-
+    // persisted the edge DataFrame and shuffled+persisted a distinct-hubs
+    // DataFrame just to count it (two extra jobs and two extra cached
+    // relations feeding only this initialization).
+    val rows: RDD[(Long, Long)] = e
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].rdd.persist(StorageLevel.MEMORY_AND_DISK)
     // partitions sized by the EDGE relation, not the node count: every
     // per-round join and re-aggregate scans the |E|-row bySrc/byDst
     // copies, so a node-count rule starves the loop on dense graphs
     // (the sf0.1 purchase bipartite graph: 590k edges / 15k hubs → 4
     // partitions = 4 of 32 cores; edge-sized it uses 13). ~50k edges per
     // partition amortizes task overhead at fixture scale and caps at
-    // defaultParallelism for any larger graph.
-    val m = e.count()
+    // defaultParallelism for any larger graph. (|E| ≥ |hubs| always, so
+    // the edge rule alone keeps per-partition round work — O((|E| +
+    // |V|)/p) — within 2× of the old max(edge, node) sizing while
+    // letting the hub count come from the already-partitioned RDD below
+    // instead of its own DataFrame job.)
+    val m = rows.count()
     val p = math.max(1L, math.min(
-      spark.sparkContext.defaultParallelism.toLong,
-      math.max(nh / 5000L, m / 50000L) + 1L)).toInt
+      spark.sparkContext.defaultParallelism.toLong, m / 50000L + 1L)).toInt
     val part = new HashPartitioner(p)
-    val bySrc: RDD[(Long, Long)] = e
-      .select(col("src").cast("long"), col("dst").cast("long"))
-      .as[(Long, Long)].rdd
+    val bySrc: RDD[(Long, Long)] = rows
       .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
     // the dst-keyed copy swaps the ALREADY-DESERIALIZED src-keyed rows
     // instead of running the DataFrame→RDD conversion a second time —
@@ -1758,9 +1774,20 @@ object Graph {
       raw.mapValues(v => ((BigInt(v) * tot) / s1).toLong)
     }
     // distinct hub keys without an extra shuffle: bySrc is already
-    // hash-partitioned by src, so the key-collapse is partition-local
-    var h: RDD[(Long, Long)] = bySrc.mapValues(_ => ())
-      .reduceByKey(part, (u, _) => u).mapValues(_ => tot / nh)
+    // hash-partitioned by src, so the key-collapse is partition-local;
+    // the hub count rides the same persisted RDD (replacing the caller's
+    // distinct-DataFrame job)
+    val hubKeys: RDD[(Long, Unit)] = bySrc.mapValues(_ => ())
+      .reduceByKey(part, (u, _) => u)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nh = hubKeys.count()
+    if (nh == 0) { // release before refusing — nothing retires these later
+      rows.unpersist(blocking = false)
+      bySrc.unpersist(blocking = false)
+      hubKeys.unpersist(blocking = false)
+    }
+    require(nh > 0, "hits: empty edge relation — no hub nodes to score")
+    var h: RDD[(Long, Long)] = hubKeys.mapValues(_ => tot / nh)
     var a: RDD[(Long, Long)] = null
     val stored = scala.collection.mutable.Buffer[RDD[_]]()
     (1 to iters).foreach { _ =>
@@ -1783,6 +1810,8 @@ object Graph {
     val out = spark.createDataFrame(res).toDF("id", "hub_fp", "auth_fp")
       .select(col("id").cast(outType).as("id"), col("hub_fp"), col("auth_fp"))
       .localCheckpoint(eager = true)
+    rows.unpersist(blocking = false)
+    hubKeys.unpersist(blocking = false)
     bySrc.unpersist(blocking = false)
     byDst.unpersist(blocking = false)
     stored.foreach(_.unpersist(blocking = false))

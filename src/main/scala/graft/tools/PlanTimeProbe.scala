@@ -15,7 +15,19 @@ package graft.tools
   */
 object PlanTimeProbe {
   def main(args: Array[String]): Unit = {
+    val all = graft.SparkEntry.queries.keys.toSeq.sorted
+    if (args.isEmpty) {
+      System.err.println("usage: PlanTimeProbe <q1,q2,...> [sfDir]\n" +
+        s"valid query names:\n  ${all.mkString("\n  ")}")
+      sys.exit(2)
+    }
     val names = args(0).split(",").map(_.trim).filter(_.nonEmpty)
+    val unknown = names.filterNot(all.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(s"unknown queries: ${unknown.mkString(", ")}\n" +
+        s"valid query names:\n  ${all.mkString("\n  ")}")
+      sys.exit(2)
+    }
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val spark = graft.Sessions.local(logLevel = "ERROR")
     // same one-time warm as Bench: ingest re-layouts + page cache

@@ -51,26 +51,49 @@ class AffinitySpec extends SparkSpec {
       .count() == 15L)
   }
 
-  test("itemSimilarity cache holds ONE generation across invocations") {
-    // round-12: itemSimilarity lazily persists its basket/degree tables
-    // (3 and 2 consumers each). The one-generation contract: a repeat
-    // invocation retires the previous invocation's frames, so repeated
-    // bench/suite calls must not grow the persisted-RDD census — and the
-    // cached path must return the identical relation.
+  test("itemSimilarity cache is retired when its consuming action completes") {
+    // round-13 (verdict item #1): the basket/degree persists are scoped
+    // to the CONSUMING ACTION — once the action that read them finishes,
+    // the persisted-RDD census must return to its pre-invocation state
+    // (listener delivery is async, so poll briefly). No later query can
+    // read an intermediate this invocation paid for, and repeated calls
+    // can never accumulate generations.
     val df = Seq(
       (1L, 10L), (1L, 20L), (1L, 30L),
       (2L, 10L), (2L, 20L),
       (3L, 20L), (3L, 30L)
     ).toDF("bk", "it")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    def newIds = spark.sparkContext.getPersistentRDDs.keySet -- before
+    def awaitRetired(): Unit = {
+      val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+      while (newIds.nonEmpty && System.nanoTime < deadline) Thread.sleep(25)
+      assert(newIds.isEmpty,
+        s"basket/degree generation survived its consuming action: $newIds")
+    }
     def run() = Affinity.itemSimilarity(df, "bk", "it", k = 3)
       .as[(Long, Long, Long, Double)].collect().toSeq.sorted
     val first = run()
-    val persistedAfterFirst = spark.sparkContext.getPersistentRDDs.size
-    val second = run()
-    val persistedAfterSecond = spark.sparkContext.getPersistentRDDs.size
+    awaitRetired()
+    val second = run() // rebuilt from scratch — identical relation
+    awaitRetired()
     assert(second == first)
-    assert(persistedAfterSecond <= persistedAfterFirst,
-      s"generation grew: $persistedAfterFirst -> $persistedAfterSecond")
+  }
+
+  test("coOccurrence retires any leftover generation at entry") {
+    // synchronous belt-and-braces for the async listener: even if a
+    // retirement event were still in flight, coOccurrence must never
+    // read a basket table a previous itemSimilarity paid to build
+    val df = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L)).toDF("bk", "it")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Affinity.itemSimilarity(df, "bk", "it", k = 2).count()
+    val co = Affinity.coOccurrence(df, "bk", "it")
+    // entry retirement is synchronous: by the time the plan is returned,
+    // no frame of the previous generation may still be registered as a
+    // cache for the optimizer to substitute
+    assert(!co.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"),
+      "coOccurrence plan read a leftover cached basket/degree fragment")
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
   }
 
   test("q_basket_pairs plan: pair generation is an equi-join on the basket key") {

