@@ -1738,6 +1738,15 @@ object Graph {
     // persisted the edge DataFrame and shuffled+persisted a distinct-hubs
     // DataFrame just to count it (two extra jobs and two extra cached
     // relations feeding only this initialization).
+    // Retire-after-setup: this staging copy exists only to feed the edge
+    // count and bySrc's shuffle — held through the round loop it is a
+    // THIRD object-heap copy of the edge list alongside bySrc/byDst, and
+    // the 10× rehearsal GC-thrashed on exactly that (22–29 s vs 8.6 s
+    // iters=3; the README's abandoned 100× HITS run failed the same
+    // way), so it is unpersisted the moment bySrc materializes. Level is
+    // the plain deserialized MEMORY_AND_DISK: a _SER level A/B'd ~0.2 s
+    // slower at sf0.1 (Java-serializing 590k tuples on a copy that
+    // lives for two reads buys nothing).
     val rows: RDD[(Long, Long)] = e
       .select(col("src").cast("long"), col("dst").cast("long"))
       .as[(Long, Long)].rdd.persist(StorageLevel.MEMORY_AND_DISK)
@@ -1781,8 +1790,11 @@ object Graph {
       .reduceByKey(part, (u, _) => u)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nh = hubKeys.count()
+    // bySrc (and hubKeys) materialized inside that count; byDst derives
+    // from bySrc, so the staging copy is dead — release it before the
+    // round loop rather than holding three edge copies through it
+    rows.unpersist(blocking = false)
     if (nh == 0) { // release before refusing — nothing retires these later
-      rows.unpersist(blocking = false)
       bySrc.unpersist(blocking = false)
       hubKeys.unpersist(blocking = false)
     }
@@ -1810,7 +1822,6 @@ object Graph {
     val out = spark.createDataFrame(res).toDF("id", "hub_fp", "auth_fp")
       .select(col("id").cast(outType).as("id"), col("hub_fp"), col("auth_fp"))
       .localCheckpoint(eager = true)
-    rows.unpersist(blocking = false)
     hubKeys.unpersist(blocking = false)
     bySrc.unpersist(blocking = false)
     byDst.unpersist(blocking = false)
