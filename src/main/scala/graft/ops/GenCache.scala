@@ -43,8 +43,13 @@ import org.apache.spark.storage.StorageLevel
 private[ops] final class GenCache {
   private var frames: Vector[DataFrame] = Vector.empty
   private var markers: Vector[AnyRef] = Vector.empty
-  private val sessions = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+  // weak keys: a one-listener-per-session guard must not pin short-lived
+  // sessions (the parallel Verify creates several per run) for the JVM's
+  // lifetime; a re-registered listener after a rare GC'd-entry race is
+  // harmless (both match the same generation, retirement is idempotent)
+  private val sessions = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   /** Synchronous fallback: retire whatever generation is still alive.
     * Call at operator entry (and from a public release hook). */
